@@ -1,0 +1,188 @@
+"""Parser semantics tests: golden corpus parity (mirrors
+/root/reference/tests/test_line_parser.cpp) + edge-case quirks + a fuzz
+equivalence check of the vectorized interpreter against the scalar oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logray.formats import LineFormat, GOLDEN_FORMAT
+from logray.oracle import parse_line, parse_named
+from logray.vparse import VectorParser
+
+
+@pytest.fixture(scope="module")
+def golden_fmt():
+    return LineFormat.from_format_string(GOLDEN_FORMAT)
+
+
+# ---------------------------------------------------------------------------
+# Golden corpus parity (test_line_parser.cpp:16-41)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_corpus_oracle(golden_fmt, golden_lines):
+    assert len(golden_lines) == 62
+    for i, line in enumerate(golden_lines):
+        well, vals = parse_named(line, golden_fmt)
+        assert well == (not 25 <= i <= 28), f"line {i}"
+    w, v = parse_named(golden_lines[0], golden_fmt)
+    assert v == {
+        "Date": 322,
+        "Time": 85338,
+        "Level": "TRACE",
+        "Source": "router_forward_getOI",
+        "Mesg": "source address:   9.67.116.98",
+    }
+    w, v = parse_named(golden_lines[61], golden_fmt)
+    assert v["Time"] == 85424 and v["Mesg"] == "route handle:   LASTLINE"
+
+
+def test_golden_corpus_vectorized(golden_fmt, golden_lines):
+    vp = VectorParser(golden_fmt)
+    cols = vp.parse_array(pa.array(golden_lines))
+    wf = cols["well_formatted"].to_pylist()
+    assert [i for i, w in enumerate(wf) if not w] == [25, 26, 27, 28]
+    levels = cols["Level"].to_pylist()
+    info = [i for i, l in enumerate(levels) if l == "INFO"]
+    # golden INFO line positions (test_helpers.hpp:111-125)
+    assert info == [4, 12, 14, 20, 29, 36, 41, 49, 51, 57]
+
+
+def test_crlf_corpus_after_normalization(golden_fmt, golden_lines, golden_lines_crlf):
+    # the engine's CR-strip normalizer runs before parse; post-strip the CRLF
+    # corpus must parse identically (filtered_file_reader.cpp:161-164)
+    assert golden_lines_crlf == golden_lines
+
+
+# ---------------------------------------------------------------------------
+# Edge-case semantics (parsing_basics.cpp quirks), oracle as specification
+# ---------------------------------------------------------------------------
+
+EDGE_CASES = [
+    # (text, format, well_formatted, {name: value})
+    ("10 20", "{INT:A} {INT:B}", True, {"A": 10, "B": 20}),
+    ("10   20", "{INT:A} {INT:B}", True, {"A": 10, "B": 20}),
+    ("10\t20", "{INT:A} {INT:B}", True, {"A": 10, "B": 20}),
+    ("10 \t 20", "{INT:A} {INT:B}", True, {"A": 10, "B": 20}),
+    # early-EOL success: digits consume everything, B never executes
+    ("1020", "{INT:A} {INT:B}", True, {"A": 1020, "B": None}),
+    ("42 3.14", "{INT:Count} {DBL:Score}", True, {"Count": 42, "Score": 3.14}),
+    # atol 0-check: '0' at cursor is legal zero, anything else fails
+    ("0 5", "{INT:A} {INT:B}", True, {"A": 0, "B": 5}),
+    ("abc", "{INT:A}", False, {"A": None}),
+    # atol reads sign/whitespace for the VALUE but consumes only digits at
+    # the cursor: "-5 x" => A=-5 with zero consumption, then STR eats the rest
+    ("-5 x", "{INT:A} {STR:B}", True, {"A": -5, "B": "-5 x"}),
+    # CHR repeat consumes the whole run
+    ("::::rest", "{CHR:C,:,1}{STR:S}", True, {"C": ":", "S": "rest"}),
+    # NCHAR takes exactly N; leftover chars make the line malformed
+    ("abc", "{STR:S,2}", False, {"S": None}),
+    ("ab", "{STR:S,2}", True, {"S": "ab"}),
+    # NCHAR overshoot past end-of-line => malformed
+    ("a", "{STR:S,2}", False, {"S": None}),
+    # trailing {STR:X} reads to end of line, including delim-looking chars
+    ("x: a:b:c", "{STR:A}:{CHR:_, ,1}{STR:X}", True, {"A": "x", "X": "a:b:c", "_": " "}),
+    # empty line: no instruction executes, still well-formatted
+    ("", "{INT:A} {STR:B}", True, {"A": None, "B": None}),
+    # DBL: at most one dot consumed
+    ("1.2.3", "{DBL:D}{STR:R}", True, {"D": 1.2, "R": ".3"}),
+    ("0.0", "{DBL:D}", True, {"D": 0.0}),
+    (".5", "{DBL:D}", True, {"D": 0.5}),
+    ("..", "{DBL:D}", False, {"D": None}),
+    # DBL exponent contributes to the value but not the consumption
+    ("1e3", "{DBL:D}{STR:R}", True, {"D": 1000.0, "R": "e3"}),
+    # malformed binary-style line under the golden format
+    ("0x00 0x01 0x02 0x03 ..Da..Ba", GOLDEN_FORMAT, False, {}),
+    # whitespace field matches empty (ws field never fails)
+    ("ab", "a b", True, {}),
+    ("a b", "a b", True, {}),
+    ("axb", "a b", False, {}),
+    ("a  \t b", "a b", True, {}),
+]
+
+
+@pytest.mark.parametrize("text,fmtstr,want_well,want_vals", EDGE_CASES)
+def test_edge_semantics_oracle(text, fmtstr, want_well, want_vals):
+    fmt = LineFormat.from_format_string(fmtstr)
+    well, vals = parse_named(text, fmt)
+    assert well == want_well, (text, fmtstr)
+    for k, v in want_vals.items():
+        assert vals.get(k) == v, (text, fmtstr, k, vals)
+
+
+@pytest.mark.parametrize("text,fmtstr,want_well,want_vals", EDGE_CASES)
+def test_edge_semantics_vectorized(text, fmtstr, want_well, want_vals):
+    fmt = LineFormat.from_format_string(fmtstr)
+    vp = VectorParser(fmt)
+    cols = vp.parse_array(pa.array([text]))
+    assert cols["well_formatted"][0].as_py() == want_well, (text, fmtstr)
+    for k, v in want_vals.items():
+        got = cols[k][0].as_py()
+        assert got == v, (text, fmtstr, k, got)
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: vectorized interpreter == scalar oracle on random soup
+# ---------------------------------------------------------------------------
+
+FUZZ_FORMATS = [
+    GOLDEN_FORMAT,
+    "{INT:A} {INT:B}",
+    "{INT:A} {DBL:B} {STR:C}",
+    "{STR:A}:{STR:B}:{STR:C}",
+    "{STR:A,3}{INT:B}",
+    "{CHR:C,x,1}{STR:S} {INT:N}",
+    "[{STR:Tag}] {DBL:V}",
+    "{STR:S}",
+    "{DBL:D} {DBL:E}",
+]
+
+
+def _random_lines(rng, n):
+    alphabet = list("0123456789 .:x-+abcXYZ[]\t") + ["", "0322 ", "INFO ", "3.14", ":::"]
+    out = []
+    for _ in range(n):
+        k = rng.integers(0, 12)
+        out.append("".join(rng.choice(alphabet) for _ in range(k)))
+    return out
+
+
+@pytest.mark.parametrize("fmtstr", FUZZ_FORMATS)
+def test_fuzz_vectorized_equals_oracle(fmtstr):
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(fmtstr.encode()))
+    fmt = LineFormat.from_format_string(fmtstr)
+    vp = VectorParser(fmt)
+    lines = _random_lines(rng, 500)
+    cols = vp.parse_array(pa.array(lines))
+    names = [n for n, _, _ in fmt.named_fields()]
+    for i, line in enumerate(lines):
+        well, vals = parse_named(line, fmt)
+        assert cols["well_formatted"][i].as_py() == well, (fmtstr, repr(line))
+        for nm in names:
+            got = cols[nm][i].as_py()
+            want = vals[nm]
+            if isinstance(want, float) and want is not None and got is not None:
+                assert got == pytest.approx(want, nan_ok=True), (fmtstr, repr(line), nm)
+            else:
+                assert got == want, (fmtstr, repr(line), nm, got, want)
+
+
+def test_null_text_treated_as_empty():
+    fmt = LineFormat.from_format_string("{INT:A}")
+    vp = VectorParser(fmt)
+    cols = vp.parse_array(pa.array(["1", None, "x"]))
+    assert cols["well_formatted"].to_pylist() == [True, True, False]
+    assert cols["A"].to_pylist() == [1, None, None]
+
+
+def test_parse_table_appends_columns():
+    fmt = LineFormat.from_format_string("{INT:A} {STR:B}")
+    vp = VectorParser(fmt)
+    t = pa.table({"conv_id": ["c1", "c2"], "text": ["1 x", "zz"]})
+    out = vp.parse_table(t)
+    assert out.column_names == ["conv_id", "text", "A", "B", "well_formatted"]
+    assert out["A"].to_pylist() == [1, None]
+    assert out["well_formatted"].to_pylist() == [True, False]
