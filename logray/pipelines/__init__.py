@@ -1,0 +1,3 @@
+from logray.pipelines.flagship import PipelineConfig, run_pipeline
+
+__all__ = ["PipelineConfig", "run_pipeline"]

@@ -1,0 +1,106 @@
+"""The flagship pipeline: parse -> enrich -> route -> write -> aggregate.
+
+One config object describes what the reference's interactive session
+configures piecemeal (format string, filter declarations, bad-format policy;
+main.cpp:71-85 + filter_management_module.cpp), plus the north-rule
+additions (taxonomy enrichment, fan-out sinks, exact aggregates).
+
+Execution shape (100-TB discipline):
+
+- ONE streaming scan: read -> normalize+parse (actor pool, compiled format
+  in actor state) -> enrich (broadcast dicts) -> route tag -> partitioned
+  Parquet write (``route=<name>/`` directories, resumable layout);
+- aggregates (rows per route, role/tool histograms, turns per conversation,
+  ts min/max) run over the *written* columnar output with column pruning —
+  never a second scan of the raw input, never a driver-side row loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from logray.filters import EvalContext
+from logray.formats import LineFormat
+from logray.stages.aggregate import histogram, min_max
+from logray.stages.enrich import enrich_stage
+from logray.stages.parse import parse_stage
+from logray.stages.route import Route, Router, route_exclusive
+
+
+@dataclass
+class PipelineConfig:
+    format_string: str
+    # (name, filter_decl, accept_bad_format); decl "" = match-all
+    routes: list = field(default_factory=list)
+    default_route: str | None = None
+    text_col: str = "text"
+    line_col: str = "turn_idx"
+    conv_col: str = "conv_id"
+    normalize: bool = False
+    enrich: bool = True
+    parse_batch_size: int = 32768
+    parse_concurrency: int | tuple | None = None
+
+    def build_router(self) -> Router:
+        fmt = LineFormat.from_format_string(self.format_string)
+        ctx = EvalContext(text_col=self.text_col, line_col=self.line_col)
+        routes = [
+            Route.from_decl(name, decl, fmt, accept) if decl else Route(name, None, accept)
+            for name, decl, accept in self.routes
+        ]
+        return Router(routes, ctx=ctx, default_route=self.default_route)
+
+
+def build(ds, cfg: PipelineConfig):
+    """Compose the lazy Dataset plan (no execution)."""
+    ds = parse_stage(
+        ds,
+        cfg.format_string,
+        text_col=cfg.text_col,
+        normalize=cfg.normalize,
+        batch_size=cfg.parse_batch_size,
+        concurrency=cfg.parse_concurrency,
+    )
+    if cfg.enrich:
+        ds = enrich_stage(ds, batch_size=cfg.parse_batch_size)
+    return route_exclusive(ds, cfg.build_router())
+
+
+def run_pipeline(ds, cfg: PipelineConfig, out_dir: str, write_metrics: bool = True) -> dict:
+    """Execute end-to-end; returns the metrics dict (and writes it as
+    ``metrics.json`` next to the sinks)."""
+    import ray.data as rd
+
+    t0 = time.perf_counter()
+    tagged = build(ds, cfg)
+    sink_dir = os.path.join(out_dir, "routed")
+    tagged.write_parquet(sink_dir, partition_cols=["route"])
+    write_s = time.perf_counter() - t0
+
+    # aggregates over the written sinks, pruned to the needed columns
+    agg_cols = ["route", cfg.conv_col]
+    if cfg.enrich:
+        agg_cols += ["role_class", "tool_kind"]
+    out = rd.read_parquet(sink_dir, columns=agg_cols + ["ts"])
+    metrics: dict = {"routes": {}, "histograms": {}}
+    rc = histogram(out, "route")
+    metrics["routes"] = {str(k): int(v) for k, v in zip(rc["route"], rc["n"])}
+    if cfg.enrich:
+        for col in ("role_class", "tool_kind"):
+            h = histogram(out, col)
+            metrics["histograms"][col] = {str(k): int(v) for k, v in zip(h[col], h["n"])}
+    tpc = histogram(out, cfg.conv_col)
+    metrics["conversations"] = int(len(tpc))
+    metrics["turns_total"] = int(tpc["n"].sum())
+    metrics["turns_per_conv_max"] = int(tpc["n"].max()) if len(tpc) else 0
+    lo, hi = min_max(out, "ts")
+    metrics["ts_min"], metrics["ts_max"] = str(lo), str(hi)
+    metrics["write_seconds"] = round(write_s, 3)
+    metrics["total_seconds"] = round(time.perf_counter() - t0, 3)
+    if write_metrics:
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2, default=str)
+    return metrics

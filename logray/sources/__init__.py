@@ -1,0 +1,15 @@
+from logray.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    read_transcripts,
+    synth_transcripts_table,
+    transcripts_from_events,
+    write_synth_transcripts,
+)
+
+__all__ = [
+    "TRANSCRIPT_SCHEMA",
+    "read_transcripts",
+    "synth_transcripts_table",
+    "transcripts_from_events",
+    "write_synth_transcripts",
+]

@@ -1,0 +1,118 @@
+"""Per-partition lineage manifests + checkpoint-resumable execution.
+
+The reference avoids re-work with in-process caches
+(filtered_file_reader.cpp:236-268: line index, pass mask, valid-line index);
+a distributed batch run instead needs a **resumable output layout**:
+
+- the input is split into deterministic partitions (one per input file /
+  fragment);
+- each partition's output goes to its own directory, written to a temp path
+  and atomically renamed, with a ``manifest.json`` lineage record (partition
+  id, input files, row count, per-route counts, duration) committed last;
+- a restarted run skips every partition whose manifest exists, so a crash
+  mid-run costs only the in-flight partitions.
+
+``run_resumable`` drives any per-partition pipeline function with this
+protocol; the flagship pipeline plugs in via ``logray.pipelines``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+
+@dataclass
+class RunManifest:
+    out_dir: str
+
+    def partition_dir(self, part_id: str) -> str:
+        return os.path.join(self.out_dir, "parts", part_id)
+
+    def manifest_path(self, part_id: str) -> str:
+        return os.path.join(self.partition_dir(part_id), "manifest.json")
+
+    def is_done(self, part_id: str) -> bool:
+        return os.path.exists(self.manifest_path(part_id))
+
+    def record(self, part_id: str, entry: dict) -> None:
+        """Atomic commit: the manifest file is the partition's done-marker,
+        written last via tmp + rename."""
+        path = self.manifest_path(part_id)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f, indent=2, default=str)
+        os.replace(tmp, path)
+
+    def entries(self) -> dict:
+        out = {}
+        for p in sorted(glob.glob(os.path.join(self.out_dir, "parts", "*", "manifest.json"))):
+            with open(p) as f:
+                out[os.path.basename(os.path.dirname(p))] = json.load(f)
+        return out
+
+    def merged_metrics(self) -> dict:
+        """Fold per-partition metrics into run totals."""
+        total_rows = 0
+        routes: dict = {}
+        parts = self.entries()
+        for e in parts.values():
+            total_rows += int(e.get("rows", 0))
+            for k, v in (e.get("routes") or {}).items():
+                routes[k] = routes.get(k, 0) + int(v)
+        return {"partitions": len(parts), "rows": total_rows, "routes": routes}
+
+
+def default_partitions(input_path: str) -> list[tuple[str, list[str]]]:
+    """One partition per input parquet file (deterministic ids)."""
+    if os.path.isfile(input_path):
+        files = [input_path]
+    else:
+        files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    return [(f"p{i:05d}", [f]) for i, f in enumerate(files)]
+
+
+def run_resumable(
+    input_path: str,
+    out_dir: str,
+    run_partition,
+    partitions: list[tuple[str, list[str]]] | None = None,
+) -> dict:
+    """Run ``run_partition(files, partition_out_dir) -> dict`` once per
+    pending partition; completed partitions (manifest present) are skipped.
+
+    The partition function writes its outputs under a temp dir we pass in;
+    on success we atomically rename it into place and commit the manifest.
+    Returns merged run metrics.
+    """
+    mf = RunManifest(out_dir)
+    os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
+    parts = partitions if partitions is not None else default_partitions(input_path)
+    for part_id, files in parts:
+        if mf.is_done(part_id):
+            continue
+        pdir = mf.partition_dir(part_id)
+        tmp = pdir + ".inprogress"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # leftover from a crashed attempt
+        os.makedirs(tmp)
+        t0 = time.perf_counter()
+        stats = run_partition(files, tmp) or {}
+        # atomic publish: move outputs into place, then commit the manifest
+        if os.path.exists(pdir):
+            shutil.rmtree(pdir)
+        os.replace(tmp, pdir)
+        mf.record(
+            part_id,
+            {
+                "partition": part_id,
+                "inputs": files,
+                "seconds": round(time.perf_counter() - t0, 3),
+                **stats,
+            },
+        )
+    return mf.merged_metrics()

@@ -1,0 +1,127 @@
+"""End-to-end pipeline + resumable-manifest tests."""
+
+import json
+import os
+
+import pytest
+
+from logray.formats import GOLDEN_FORMAT
+from logray.pipelines import PipelineConfig, run_pipeline
+from logray.sources.transcripts import synth_transcripts_table, write_synth_transcripts
+from logray.state import RunManifest, run_resumable
+
+CFG = PipelineConfig(
+    format_string=GOLDEN_FORMAT,
+    routes=[
+        ("info", "Level EQ INFO", False),
+        ("trace", "Level EQ TRACE", False),
+        ("malformed", "", True),  # match-all + accept-bad; catches bad rows last
+    ],
+)
+
+
+def _expected_counts(table):
+    """Oracle expectations for a synth transcript table."""
+    from logray.formats import LineFormat
+    from logray.oracle import parse_named
+
+    fmt = LineFormat.from_format_string(GOLDEN_FORMAT)
+    counts = {"info": 0, "trace": 0, "malformed": 0, "unrouted": 0}
+    for text in table["text"].to_pylist():
+        well, vals = parse_named(text, fmt)
+        if well and vals["Level"] == "INFO":
+            counts["info"] += 1
+        elif well and vals["Level"] == "TRACE":
+            counts["trace"] += 1
+        else:
+            counts["malformed"] += 1  # catch-all: other well rows + bad rows
+    return counts
+
+
+def test_run_pipeline_counts_match_oracle(ray_session, tmp_path):
+    import ray.data as rd
+
+    table = synth_transcripts_table(n_convs=40, seed=7, hot_conv_rows=200)
+    ds = rd.from_arrow(table)
+    metrics = run_pipeline(ds, CFG, str(tmp_path))
+    want = _expected_counts(table)
+    assert metrics["routes"]["info"] == want["info"]
+    assert metrics["routes"]["trace"] == want["trace"]
+    assert metrics["routes"]["malformed"] == want["malformed"]
+    assert metrics["turns_total"] == table.num_rows
+    assert metrics["turns_per_conv_max"] >= 200  # the hot conversation
+    assert os.path.exists(tmp_path / "metrics.json")
+    # partitioned sink layout: one directory per route
+    dirs = {d for d in os.listdir(tmp_path / "routed")}
+    assert {"route=info", "route=trace", "route=malformed"} <= dirs
+
+
+def test_routed_row_text_equality(ray_session, tmp_path):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering —
+    the north-rule per-row invariant."""
+    import ray.data as rd
+
+    table = synth_transcripts_table(n_convs=20, seed=11)
+    ds = rd.from_arrow(table)
+    run_pipeline(ds, CFG, str(tmp_path), write_metrics=False)
+    out = (
+        rd.read_parquet(str(tmp_path / "routed"))
+        .select_columns(["conv_id", "turn_idx", "text"])
+        .sort(["conv_id", "turn_idx"])
+        .to_pandas()
+    )
+    src = (
+        table.select(["conv_id", "turn_idx", "text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == src["text"].tolist()
+    assert out["conv_id"].tolist() == src["conv_id"].tolist()
+
+
+def test_resumable_run_skips_done_and_survives_crash(ray_session, tmp_path):
+    import ray.data as rd
+
+    src = tmp_path / "input"
+    write_synth_transcripts(str(src), n_convs=60, convs_per_file=20, seed=3)
+    assert len(os.listdir(src)) == 3
+
+    calls = []
+
+    def make_runner(fail_on=None):
+        def run_partition(files, out):
+            calls.append(files[0])
+            if fail_on and fail_on in files[0]:
+                raise RuntimeError("injected crash")
+            ds = rd.read_parquet(files)
+            m = run_pipeline(ds, CFG, out, write_metrics=False)
+            return {"rows": m["turns_total"], "routes": m["routes"]}
+
+        return run_partition
+
+    out = tmp_path / "out"
+    with pytest.raises(RuntimeError):
+        run_resumable(str(src), str(out), make_runner(fail_on="part-00002"))
+    done = RunManifest(str(out)).entries()
+    assert set(done) == {"p00000", "p00001"}
+
+    calls.clear()
+    metrics = run_resumable(str(src), str(out), make_runner())
+    # only the crashed partition re-ran
+    assert len(calls) == 1 and "part-00002" in calls[0]
+    assert metrics["partitions"] == 3
+    total = sum(
+        json.load(open(os.path.join(out, "parts", p, "manifest.json")))["rows"]
+        for p in os.listdir(out / "parts")
+    )
+    assert metrics["rows"] == total > 0
+
+
+def test_manifest_atomicity(tmp_path):
+    mf = RunManifest(str(tmp_path))
+    os.makedirs(mf.partition_dir("p1"))
+    assert not mf.is_done("p1")
+    mf.record("p1", {"rows": 5})
+    assert mf.is_done("p1")
+    assert mf.entries()["p1"]["rows"] == 5

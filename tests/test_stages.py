@@ -1,0 +1,230 @@
+"""Stage tests over the golden corpus embedded as a transcript table:
+routing with the malformed-bypass policy (pinned per-sink counts from
+/root/reference/tests/test_helpers.hpp:27-30), enrichment lookups,
+aggregates, and search (mirrors test_find_next_occurence.cpp)."""
+
+import pyarrow as pa
+import pytest
+
+from logray.filters import EvalContext
+from logray.formats import GOLDEN_FORMAT, LineFormat
+from logray.stages import (
+    EnrichBatch,
+    ParseBatch,
+    Route,
+    Router,
+    find_next_occurrence,
+    histogram,
+    min_max,
+    normalize_text,
+    parse_stage,
+    route_counts,
+    route_datasets,
+    route_exclusive,
+    turns_per_conversation,
+)
+
+CTX = EvalContext(text_col="text", line_col="turn_idx")
+FMT = LineFormat.from_format_string(GOLDEN_FORMAT)
+
+
+@pytest.fixture(scope="module")
+def golden_table(golden_lines):
+    n = len(golden_lines)
+    return pa.table(
+        {
+            "conv_id": ["golden-000"] * n,
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "role": ["user" if i % 2 == 0 else "assistant" for i in range(n)],
+            "text": golden_lines,
+            "tool": [""] * n,
+            "ts": pa.array([1_000_000 * i for i in range(n)], pa.timestamp("us")),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def golden_ds(ray_session, golden_table):
+    import ray.data as rd
+
+    return rd.from_arrow(golden_table)
+
+
+@pytest.fixture(scope="module")
+def parsed_ds(golden_ds):
+    return parse_stage(golden_ds, GOLDEN_FORMAT)
+
+
+# ---------------------------------------------------------------------------
+# Routing: pinned per-sink counts (test_helpers.hpp:27-30)
+# ---------------------------------------------------------------------------
+
+
+def test_route_view_counts(parsed_ds):
+    router = Router(
+        [
+            Route.from_decl("info", "Level EQ INFO", FMT),
+            Route.from_decl("info_with_bad", "Level EQ INFO", FMT, accept_bad_format=True),
+            Route("all_well", None, accept_bad_format=False),
+            Route("all_plus_bad", None, accept_bad_format=True),
+        ],
+        ctx=CTX,
+    )
+    views = route_datasets(parsed_ds, router)
+    assert views["info"].count() == 10
+    assert views["info_with_bad"].count() == 14  # 10 INFO + 4 malformed
+    assert views["all_well"].count() == 58  # 62 - 4 malformed
+    assert views["all_plus_bad"].count() == 62
+
+
+def test_route_view_positions(parsed_ds):
+    router = Router([Route.from_decl("info", "Level EQ INFO", FMT)], ctx=CTX)
+    view = route_datasets(parsed_ds, router)["info"]
+    turns = sorted(r["turn_idx"] for r in view.select_columns(["turn_idx"]).take_all())
+    assert turns == [4, 12, 14, 20, 29, 36, 41, 49, 51, 57]
+
+
+def test_route_exclusive_and_counts(parsed_ds):
+    # priority routing: specific routes first, bad-format catcher last
+    router = Router(
+        [
+            Route.from_decl("info", "Level EQ INFO", FMT),
+            Route.from_decl("event", "Level EQ EVENT", FMT),
+            Route("rest", None, accept_bad_format=True),
+        ],
+        ctx=CTX,
+    )
+    tagged = route_exclusive(parsed_ds, router)
+    counts = route_counts(tagged)
+    got = dict(zip(counts["route"], counts["n"]))
+    assert got == {"info": 10, "event": 3, "rest": 49}  # 45 TRACE + 4 malformed
+
+
+def test_malformed_bypass_policy(parsed_ds):
+    # malformed rows bypass the filter: with accept_bad_format they pass even
+    # a filter that matches nothing (filtered_file_reader.cpp:258-262)
+    router = Router(
+        [Route.from_decl("none_plus_bad", "Level EQ NOPE", FMT, accept_bad_format=True)],
+        ctx=CTX,
+    )
+    view = route_datasets(parsed_ds, router)["none_plus_bad"]
+    assert view.count() == 4
+
+
+def test_line_number_filter_routing(parsed_ds):
+    router = Router([Route.from_decl("mid", "line_num CT 10,20", FMT)], ctx=CTX)
+    view = route_datasets(parsed_ds, router)["mid"]
+    # lines 10..20 inclusive, all well-formatted in that range
+    assert view.count() == 11
+
+
+# ---------------------------------------------------------------------------
+# Normalizer
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_crlf(golden_lines):
+    t = pa.table({"text": [l + "\r\n" for l in golden_lines[:5]] + [golden_lines[5] + "\n"]})
+    out = normalize_text(t)
+    assert out["text"].to_pylist() == golden_lines[:6]
+
+
+# ---------------------------------------------------------------------------
+# Enrichment
+# ---------------------------------------------------------------------------
+
+
+def test_enrich_batch():
+    t = pa.table({"role": ["user", "assistant", "tool", "weird"], "tool": ["", "", "bash", "x"]})
+    out = EnrichBatch()(t)
+    assert out["role_class"].to_pylist() == ["human", "model", "machine", "unknown"]
+    assert out["tool_kind"].to_pylist() == ["none", "none", "execution", "unknown"]
+
+
+def test_enrich_with_objectref(ray_session):
+    import ray
+
+    ref = ray.put({"user": "HUMAN"})
+    out = EnrichBatch({"rc": ("role", ref)})(pa.table({"role": ["user", "x"]}))
+    assert out["rc"].to_pylist() == ["HUMAN", "unknown"]
+
+
+# ---------------------------------------------------------------------------
+# Aggregates
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_and_turns(parsed_ds, golden_ds):
+    h = histogram(parsed_ds, "Level")
+    got = dict(zip(h["Level"], h["n"]))
+    assert got[None] == 4  # malformed rows have null Level
+    assert got["INFO"] == 10 and got["EVENT"] == 3 and got["TRACE"] == 45
+    t = turns_per_conversation(golden_ds)
+    assert t.iloc[0]["conv_id"] == "golden-000" and t.iloc[0]["n"] == 62
+
+
+def test_min_max(golden_ds):
+    lo, hi = min_max(golden_ds, "turn_idx")
+    assert (lo, hi) == (0, 61)
+
+
+def test_role_histogram(golden_ds):
+    h = histogram(golden_ds, "role")
+    got = dict(zip(h["role"], h["n"]))
+    assert got == {"user": 31, "assistant": 31}
+
+
+# ---------------------------------------------------------------------------
+# Search (mirrors test_find_next_occurence.cpp)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def info_view(parsed_ds):
+    router = Router([Route.from_decl("info", "Level EQ INFO", FMT)], ctx=CTX)
+    return route_datasets(parsed_ds, router)["info"]
+
+
+def test_search_forward(info_view):
+    hit = find_next_occurrence(info_view, "Ioctl", with_local_ordinal=True)
+    # first INFO line containing "Ioctl" is global line 20, the 4th INFO line
+    assert hit["turn_idx"] == 20
+    assert hit["local_ordinal"] == 3
+    assert hit["char_pos"] > 0
+
+
+def test_search_forward_from_position(info_view):
+    hit = find_next_occurrence(info_view, "Ioctl", from_key=("golden-000", 20))
+    assert hit["turn_idx"] == 36  # next Ioctl INFO line after 20 (exclusive)
+    hit2 = find_next_occurrence(info_view, "Ioctl", from_key=("golden-000", 20), inclusive=True)
+    assert hit2["turn_idx"] == 20
+
+
+def test_search_backward(info_view):
+    hit = find_next_occurrence(info_view, "Ioctl", from_key=("golden-000", 35), forward=False)
+    assert hit["turn_idx"] == 20
+
+
+def test_search_filtered_view_only(info_view, parsed_ds):
+    # "constructing a PATH" exists in the raw corpus (TRACE line) but not in
+    # the INFO view
+    assert find_next_occurrence(info_view, "constructing a PATH") is None
+    router = Router([Route("all", None)], ctx=CTX)
+    allview = route_datasets(parsed_ds, router)["all"]
+    assert find_next_occurrence(allview, "constructing a PATH") is not None
+
+
+def test_search_miss_sentinel(info_view):
+    assert find_next_occurrence(info_view, "NO SUCH NEEDLE") is None
+
+
+def test_search_lastline(parsed_ds):
+    router = Router([Route("all", None, accept_bad_format=True)], ctx=CTX)
+    allview = route_datasets(parsed_ds, router)["all"]
+    hit = find_next_occurrence(allview, "LASTLINE")
+    assert hit["turn_idx"] == 61
+
+
+def test_search_char_pos(info_view, golden_lines):
+    hit = find_next_occurrence(info_view, "Ioctl")
+    assert golden_lines[hit["turn_idx"]][hit["char_pos"]:].startswith("Ioctl")
