@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the logray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse -> enrich -> route -> aggregate pipeline
+on sf0.001; ``queries()`` exposes one callable per implemented operator
+(SURVEY.md §2 + the training-data operator family); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible query (same column
+names, deterministic values).  Ray is initialised by the driver — nothing
+here calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float-determinism policy for the oracle comparisons: aggregate money flows
+through integer cents; cosine/jaccard math runs in float64 on both sides so
+the Ray and DuckDB values are bit-comparable.
 """
 
 from __future__ import annotations
@@ -18,27 +17,657 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from logray.formats import GOLDEN_FORMAT
+from logray.sources.transcripts import (
+    transcripts_from_events,
+    transcripts_from_events_sql,
+)
+
+# Extends the golden format: the Mesg payload 'val=<cents>' is parsed as a
+# literal prefix + INT field, exercising literal-CHR + INT extraction.
+CENTS_FORMAT = "{INT:Date} {INT:Time} {STR:Level} :{CHR:,.,1}{STR:Source}: val={INT:Cents}"
+
+_TSQL = transcripts_from_events_sql()
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001; returns per-route counts (small df)."""
+    import tempfile
+
+    from logray.pipelines import PipelineConfig, run_pipeline
+
+    cfg = PipelineConfig(
+        format_string=GOLDEN_FORMAT,
+        routes=[
+            ("errors", "Level EQ ERROR", False),
+            ("purchases", "Level EQ PURCHASE", False),
+            ("other", "", True),
+        ],
+    )
+    ds = transcripts_from_events("/root/testdata/sf0.001")
+    with tempfile.TemporaryDirectory() as out:
+        metrics = run_pipeline(ds, cfg, out)
+    rows = [
+        {"route": k, "n": v} for k, v in sorted(metrics["routes"].items())
+    ]
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# query helpers
+# ---------------------------------------------------------------------------
+
+
+def _parse_transcripts(sf_dir: str, fmt: str):
+    from logray.stages.parse import parse_stage
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+    return parse_stage(ds, fmt)
+
+
+def _q_transcript_build(sf_dir: str):
+    return transcripts_from_events(sf_dir).to_pandas()
+
+
+def _q_parse_fields(sf_dir: str):
+    ds = _parse_transcripts(sf_dir, GOLDEN_FORMAT)
+    out = ds.select_columns(
+        ["event_id", "Date", "Time", "Level", "Source", "Mesg", "well_formatted"]
+    ).to_pandas()
+    return out
+
+
+def _q_route_counts(sf_dir: str):
+    from logray.filters import EvalContext
+    from logray.formats import LineFormat
+    from logray.stages.aggregate import route_counts
+    from logray.stages.route import Route, Router, route_exclusive
+
+    fmt = LineFormat.from_format_string(GOLDEN_FORMAT)
+    router = Router(
+        [
+            Route.from_decl("errors", "Level EQ ERROR", fmt),
+            Route.from_decl("purchases", "Level EQ PURCHASE", fmt),
+            Route("other", None, accept_bad_format=True),
+        ],
+        ctx=EvalContext(text_col="text", line_col="event_id"),
+    )
+    ds = _parse_transcripts(sf_dir, GOLDEN_FORMAT)
+    df = route_counts(route_exclusive(ds, router))
+    return df
+
+
+def _q_role_histogram(sf_dir: str):
+    from logray.stages.aggregate import histogram
+    from logray.stages.enrich import enrich_stage
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+    ds = enrich_stage(ds)
+    return histogram(ds, "role_class")
+
+
+def _q_tool_histogram(sf_dir: str):
+    from logray.stages.aggregate import histogram
+    from logray.stages.enrich import enrich_stage
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+    ds = enrich_stage(ds)
+    return histogram(ds, "tool_kind")
+
+
+def _q_turns_per_conversation(sf_dir: str):
+    from logray.stages.aggregate import turns_per_conversation
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+    return turns_per_conversation(ds)
+
+
+def _q_filter_algebra(sf_dir: str):
+    from logray.filters import EvalContext, parse_filter_decl
+    from logray.formats import LineFormat
+
+    fmt = LineFormat.from_format_string(CENTS_FORMAT)
+    flt = parse_filter_decl("Level EQ ERROR XOR Cents GT 15000", fmt)
+    ds = _parse_transcripts(sf_dir, CENTS_FORMAT)
+
+    def apply(t: pa.Table) -> pa.Table:
+        well = pc.fill_null(t["well_formatted"], False)
+        m = pc.and_(well, flt.mask(t, EvalContext()))
+        return t.filter(m).select(["event_id"])
+
+    return ds.map_batches(apply, batch_format="pyarrow").to_pandas()
+
+
+def _q_filter_ci_contains(sf_dir: str):
+    """CI + CONTAINS + NOR coverage: rows where neither the level contains
+    'ERR' (case-insensitively) nor the source ends with '7'."""
+    from logray.filters import EvalContext, parse_filter_decl
+    from logray.formats import LineFormat
+
+    fmt = LineFormat.from_format_string(GOLDEN_FORMAT)
+    flt = parse_filter_decl("Level CT_CI err NOR Source EW 7", fmt)
+    ds = _parse_transcripts(sf_dir, GOLDEN_FORMAT)
+
+    def apply(t: pa.Table) -> pa.Table:
+        well = pc.fill_null(t["well_formatted"], False)
+        m = pc.and_(well, flt.mask(t, EvalContext()))
+        return t.filter(m).select(["event_id"])
+
+    return ds.map_batches(apply, batch_format="pyarrow").to_pandas()
+
+
+def _q_line_range(sf_dir: str):
+    from logray.filters import CombinedFilter, BitwiseOp, EvalContext, LineNumberFilter, RawLineFilter
+
+    flt = CombinedFilter(LineNumberFilter(2, 5), RawLineFilter("val=1"), BitwiseOp.AND)
+    ctx = EvalContext(text_col="text", line_col="turn_idx")
+    ds = transcripts_from_events(sf_dir)
+
+    def apply(t: pa.Table) -> pa.Table:
+        return t.filter(flt.mask(t, ctx)).select(["conv_id", "turn_idx"])
+
+    return ds.map_batches(apply, batch_format="pyarrow").to_pandas()
+
+
+def _q_search_next(sf_dir: str):
+    from logray.filters import EvalContext
+    from logray.formats import LineFormat
+    from logray.stages.parse import parse_stage
+    from logray.stages.route import Route, Router, route_datasets
+    from logray.stages.search import find_next_occurrence
+
+    fmt = LineFormat.from_format_string(GOLDEN_FORMAT)
+    router = Router(
+        [Route.from_decl("errors", "Level EQ ERROR", fmt)],
+        ctx=EvalContext(text_col="text", line_col="turn_idx"),
+    )
+    ds = parse_stage(transcripts_from_events(sf_dir), GOLDEN_FORMAT)
+    view = route_datasets(ds, router)["errors"]
+    hit = find_next_occurrence(view, "val=19", from_key=("conv-00050", 0))
+    if hit is None:
+        return pd.DataFrame({"conv_id": [], "turn_idx": [], "char_pos": []})
+    return pd.DataFrame(
+        {
+            "conv_id": [hit["conv_id"]],
+            "turn_idx": pd.array([hit["turn_idx"]], dtype="int32"),
+            "char_pos": pd.array([hit["char_pos"]], dtype="int64"),
+        }
+    )
+
+
+def _q_min_max_ts(sf_dir: str):
+    import ray.data as rd
+
+    from logray.stages.aggregate import min_max
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    lo, hi = min_max(ds, "ts")
+    return pd.DataFrame({"ts_min": [lo], "ts_max": [hi]})
+
+
+# --- TPC-H-ish operator demos ---------------------------------------------
+
+
+def _q_topk_orders(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return out.to_pandas()
+
+
+def _q_region_customer_counts(sf_dir: str):
+    """Broadcast dimension join: customer -> nation -> region, counts per
+    region name.  Dimensions are read driver-side (tiny) and folded into one
+    lookup dict applied inside map_batches."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup = dict(zip(n2r["n_nationkey"].astype("int64"), n2r["r_name"]))
+
+    from logray.stages.aggregate import histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+
+    keys = pa.array([int(k) for k in lookup], pa.int32())
+    vals = pa.array(list(lookup.values()), pa.string())
+
+    def add_region(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["c_nationkey"], value_set=keys)
+        return t.append_column("r_name", pc.take(vals, idx))
+
+    ds = ds.map_batches(add_region, batch_format="pyarrow")
+    return histogram(ds, "r_name")
+
+
+def _q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped aggregate with integer-cents revenue (exact)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 100.0
+        )
+        rev_cents = pc.cast(pc.round(rev, round_mode="half_towards_infinity"), pa.int64())
+        g = (
+            t.append_column("rev_cents", rev_cents)
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("l_quantity", "sum"), ("rev_cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_rev", "p_n"]
+        )
+
+    partial = ds.map_batches(prep, batch_format="pyarrow")
+    out = partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_rev", alias_name="revenue_cents"),
+        Sum("p_n", alias_name="count_order"),
+    )
+    return out.to_pandas()
+
+
+def _q_events_window(sf_dir: str):
+    """Per-user ordered window: first/last event type + count."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "first_type": [g["event_type"].iloc[0]],
+                "last_type": [g["event_type"].iloc[-1]],
+                "n_events": pd.array([len(g)], dtype="int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(window, batch_format="pandas").to_pandas()
+
+
+# --- training-data operators ----------------------------------------------
+
+
+def _pairs_out(pairs: pd.DataFrame) -> pd.DataFrame:
+    """(id_a, id_b) int64 projection that keeps its columns when empty
+    (an all-empty Ray Dataset loses its schema in to_pandas)."""
+    if "id_a" not in pairs.columns:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"), "id_b": pd.array([], dtype="int64")})
+    return pairs[["id_a", "id_b"]].astype("int64")
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    import ray.data as rd
+
+    from logray.functions.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    return out[["doc_id"]]
+
+
+def _q_ngram_jaccard_dups(sf_dir: str):
+    import ray.data as rd
+
+    from logray.functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "text"]
+    )
+    pairs = ngram_jaccard_pairs(ds, ["lang", "source"], n=1, threshold=0.9).to_pandas()
+    return _pairs_out(pairs)
+
+
+def _q_embedding_dups(sf_dir: str):
+    import ray.data as rd
+
+    from logray.functions.dedup import embedding_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # n_planes=0 => single bucket => exact all-pairs (oracle-comparable);
+    # float64 so both sides do double-precision cosine
+    pairs = embedding_dedup(ds, threshold=0.42, n_planes=0, dtype=np.float64).to_pandas()
+    return _pairs_out(pairs)
+
+
+def _q_embedding_dups_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from logray.functions.dedup import embedding_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_dedup(ds, threshold=0.42, n_planes=4).to_pandas()
+    return _pairs_out(pairs)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from logray.functions.dedup import minhash_lsh_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_dedup(ds, num_perm=64, bands=16, k=5, threshold=0.8).to_pandas()
+    return _pairs_out(pairs)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from logray.functions.dedup import simhash_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = simhash_dedup(ds, max_hamming=3).to_pandas()
+    return _pairs_out(pairs)
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logray.functions.ann import ann_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtab = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array([0, 1], pa.int64())))
+    queries = {
+        "query_id": qtab["vec_id"].to_pylist(),
+        "matrix": np.stack(qtab["embedding"].to_numpy(zero_copy_only=False)),
+    }
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    res = ann_topk(ds, queries, k=10, dtype=np.float64)
+    out = res[["query_id", "vec_id", "rank"]].astype("int64")
+    return out
+
+
+def _q_ann_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logray.functions.ann import ann_lsh_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtab = emb.slice(0, 2)
+    queries = {
+        "query_id": qtab["vec_id"].to_pylist(),
+        "matrix": np.stack(qtab["embedding"].to_numpy(zero_copy_only=False)),
+    }
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_lsh_topk(ds, queries, k=10, n_planes=6, probes=2)
+
+
+def _q_text_stats(sf_dir: str):
+    import ray.data as rd
+
+    from logray.functions.textstats import text_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = text_stats(ds, langid=False).select_columns(
+        ["doc_id", "n_chars_text", "n_ws_tokens", "n_bpe_tokens"]
+    ).to_pandas()
+    for c in ("n_chars_text", "n_ws_tokens", "n_bpe_tokens"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_lang_quality(sf_dir: str):
+    import ray.data as rd
+
+    from logray.functions.textstats import text_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text_stats(ds).select_columns(["doc_id", "lang_id", "quality_score"]).to_pandas()
+
+
+def _q_doc_histogram(sf_dir: str):
+    import ray.data as rd
+
+    from logray.stages.aggregate import histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return histogram(ds, ["lang", "source"])
+
+
+def _q_multimodal(sf_dir: str):
+    import ray.data as rd
+
+    from logray.functions.multimodal import (
+        DecodeImageBatch,
+        decode_stage,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(n=64, seed=42))
+    out = decode_stage(ds, DecodeImageBatch, concurrency=1).to_pandas()
+    return out[["media_id", "mime", "nbytes", "width", "height", "channels"]]
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from logray.functions.fingerprint import FingerprintBatch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        FingerprintBatch(with_simhash=True), batch_format="pyarrow"
+    ).select_columns(["doc_id", "content_hash", "simhash"]).to_pandas()
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # transcript / log-pipeline core
+        "transcript_build": _q_transcript_build,
+        "parse_fields": _q_parse_fields,
+        "route_counts": _q_route_counts,
+        "role_histogram": _q_role_histogram,
+        "tool_histogram": _q_tool_histogram,
+        "turns_per_conversation": _q_turns_per_conversation,
+        "filter_algebra": _q_filter_algebra,
+        "filter_ci_contains": _q_filter_ci_contains,
+        "line_range": _q_line_range,
+        "search_next": _q_search_next,
+        "min_max_ts": _q_min_max_ts,
+        # general operators
+        "topk_orders": _q_topk_orders,
+        "region_customer_counts": _q_region_customer_counts,
+        "lineitem_agg": _q_lineitem_agg,
+        "events_window": _q_events_window,
+        # training-data operators
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "embedding_dups": _q_embedding_dups,
+        "embedding_dups_lsh": _q_embedding_dups_lsh,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "text_stats": _q_text_stats,
+        "lang_quality": _q_lang_quality,
+        "doc_histogram": _q_doc_histogram,
+        "multimodal_decode": _q_multimodal,
+        "doc_fingerprints": _q_fingerprints,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_FIELDS_CTE = f"""
+WITH t AS ({_TSQL.replace('turn_idx,', 'turn_idx, event_id, event_type,')})
+"""
+
+# parsed-field expressions for well-formed rows of the derived transcripts
+_WELL = "event_id % 37 <> 0"
+_DATE = "CAST(strftime(ts, '%m%d') AS BIGINT)"
+_TIME = "CAST(strftime(ts, '%H%M%S') AS BIGINT)"
+_LEVEL = "upper(event_type)"
+_SOURCE = "'evt_' || CAST(event_id % 100 AS VARCHAR)"
+_CENTS = "CAST(round(value*100) AS BIGINT)"
+_MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcript_build": _TSQL,
+        "parse_fields": f"""
+            SELECT event_id,
+                   CASE WHEN {_WELL} THEN {_DATE} END AS Date,
+                   CASE WHEN {_WELL} THEN {_TIME} END AS Time,
+                   CASE WHEN {_WELL} THEN {_LEVEL} END AS Level,
+                   CASE WHEN {_WELL} THEN {_SOURCE} END AS Source,
+                   CASE WHEN {_WELL} THEN {_MESG} END AS Mesg,
+                   {_WELL} AS well_formatted
+            FROM events
+        """,
+        "route_counts": f"""
+            SELECT route, count(*) AS n FROM (
+              SELECT CASE
+                WHEN NOT ({_WELL}) THEN 'other'
+                WHEN event_type = 'error' THEN 'errors'
+                WHEN event_type = 'purchase' THEN 'purchases'
+                ELSE 'other' END AS route
+              FROM events) GROUP BY route
+        """,
+        "role_histogram": """
+            SELECT CASE WHEN event_id % 20 < 8 THEN 'human'
+                        WHEN event_id % 20 < 16 THEN 'model'
+                        WHEN event_id % 20 < 19 THEN 'machine'
+                        ELSE 'meta' END AS role_class,
+                   count(*) AS n
+            FROM events GROUP BY role_class
+        """,
+        "tool_histogram": """
+            SELECT CASE WHEN event_id % 20 < 16 OR event_id % 20 >= 19 THEN 'none'
+                        WHEN event_id % 4 IN (0, 2) THEN 'retrieval'
+                        ELSE 'execution' END AS tool_kind,
+                   count(*) AS n
+            FROM events GROUP BY tool_kind
+        """,
+        "turns_per_conversation": """
+            SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 5, '0') AS conv_id,
+                   count(*) AS n
+            FROM events GROUP BY conv_id
+        """,
+        "filter_algebra": f"""
+            SELECT event_id FROM events
+            WHERE {_WELL}
+              AND ((event_type = 'error') <> ({_CENTS} > 15000))
+        """,
+        "filter_ci_contains": f"""
+            SELECT event_id FROM events
+            WHERE {_WELL}
+              AND NOT (contains(lower({_LEVEL}), 'err') OR ends_with({_SOURCE}, '7'))
+        """,
+        "line_range": f"""
+            {_FIELDS_CTE}
+            SELECT conv_id, turn_idx FROM t
+            WHERE turn_idx BETWEEN 2 AND 5 AND contains(text, 'val=1')
+        """,
+        "search_next": f"""
+            {_FIELDS_CTE}
+            SELECT conv_id, turn_idx, CAST(strpos(text, 'val=19') - 1 AS BIGINT) AS char_pos
+            FROM t
+            WHERE {_WELL} AND event_type = 'error' AND contains(text, 'val=19')
+              AND (conv_id > 'conv-00050' OR (conv_id = 'conv-00050' AND turn_idx > 0))
+            ORDER BY conv_id, turn_idx LIMIT 1
+        """,
+        "min_max_ts": "SELECT min(ts) AS ts_min, max(ts) AS ts_max FROM events",
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "region_customer_counts": """
+            SELECT r_name, count(*) AS n
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_window": """
+            WITH w AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events)
+            SELECT user_id,
+                   max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rn = n THEN event_type END) AS last_type,
+                   max(n) AS n_events
+            FROM w GROUP BY user_id
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_dups": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            WHERE jaccard(a.text, b.text) >= 0.9
+        """,
+        "embedding_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.42
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1)),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                                     CAST(e.embedding AS DOUBLE[])) AS cos
+                       FROM q CROSS JOIN embeddings e),
+                 r AS (SELECT query_id, vec_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, vec_id) - 1 AS rank
+                       FROM s)
+            SELECT query_id, vec_id, rank FROM r WHERE rank < 10
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_text,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(length(regexp_extract_all(text,
+                        '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_histogram": """
+            SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+        """,
+        # minhash_pairs / simhash_pairs / embedding_dups_lsh / ann_lsh /
+        # lang_quality / multimodal_decode / doc_fingerprints are
+        # approximate, model-scored, or synthetic-input operators — no SQL
+        # oracle (driver records rows-only checks).
+    }

@@ -1,0 +1,23 @@
+from logray.functions.textstats import TextStatsBatch, text_stats
+from logray.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    embedding_dedup,
+)
+from logray.functions.ann import ann_topk, ann_lsh_topk
+from logray.functions.fingerprint import FingerprintBatch
+
+__all__ = [
+    "TextStatsBatch",
+    "text_stats",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "simhash_dedup",
+    "embedding_dedup",
+    "ann_topk",
+    "ann_lsh_topk",
+    "FingerprintBatch",
+]

@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`ann_topk` — exact brute-force cosine top-k: the query matrix is
+  broadcast once (``ray.put``), each batch does one numpy matmul + partial
+  top-k, and the driver merges the tiny per-batch winners.  This is the
+  correctness baseline and is bandwidth-bound, not Python-bound.
+- :func:`ann_lsh_topk` — the scale path: random-hyperplane LSH assigns each
+  row to a bucket; only batches' rows colliding with a query's bucket (or
+  within a probe radius) are scored.  Same output contract, approximate
+  recall, documented probe knob.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col, dtype=np.float32) -> np.ndarray:
+    m = np.stack(col.to_numpy(zero_copy_only=False))
+    return m.astype(dtype, copy=False)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def _merge_topk(parts: list[pd.DataFrame], k: int) -> pd.DataFrame:
+    if not parts:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": [], "rank": []})
+    df = pd.concat(parts, ignore_index=True)
+    df = df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount().astype("int64")
+    return df
+
+
+class _BruteScore:
+    """Actor: queries fetched from the object store once per actor."""
+
+    def __init__(self, queries_ref, k: int, emb_col: str, id_col: str, dtype=np.float32):
+        import ray
+
+        q = queries_ref
+        if isinstance(q, ray.ObjectRef):
+            q = ray.get(q)
+        self.qid = np.asarray(q["query_id"])
+        self.dtype = dtype
+        self.qm = _unit(np.asarray(q["matrix"], dtype))
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        emb = _unit(_as_matrix(t[self.emb_col], self.dtype))
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        sim = self.qm @ emb.T  # (nq, nbatch)
+        k = min(self.k, sim.shape[1])
+        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi in range(sim.shape[0]):
+            sel = part[qi]
+            rows["query_id"].extend([int(self.qid[qi])] * len(sel))
+            rows["vec_id"].extend(ids[sel].tolist())
+            rows["cosine"].extend(sim[qi, sel].astype(float).tolist())
+        return pd.DataFrame(rows)
+
+
+def ann_topk(ds, queries: dict | "object", k: int = 10,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             batch_size: int = 4096, concurrency=None, dtype=np.float32) -> pd.DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries`` = {"query_id": [...], "matrix": ndarray (nq, dim)} or a
+    ``ray.ObjectRef`` of the same (broadcast once for cluster runs).
+    Returns a DataFrame (query_id, vec_id, cosine, rank) — small: nq*k rows.
+    """
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+    if concurrency is not None:
+        scored = ds.map_batches(
+            _BruteScore,
+            fn_constructor_kwargs=dict(
+                queries_ref=queries, k=k, emb_col=emb_col, id_col=id_col, dtype=dtype
+            ),
+            concurrency=concurrency,
+            **kwargs,
+        )
+    else:
+        scored = ds.map_batches(_BruteScore(queries, k, emb_col, id_col, dtype), **kwargs)
+    parts = [pd.DataFrame(b) for b in scored.iter_batches(batch_format="pandas")]
+    return _merge_topk(parts, k)
+
+
+def ann_lsh_topk(ds, queries: dict, k: int = 10, n_planes: int = 6, probes: int = 2,
+                 emb_col: str = "embedding", id_col: str = "vec_id", seed: int = 3,
+                 batch_size: int = 4096) -> pd.DataFrame:
+    """Approximate cosine top-k: score only rows whose random-hyperplane
+    bucket is within ``probes`` bit-flips of the query's bucket.  Scanned
+    fraction ~ sum_{i<=probes} C(n_planes,i) / 2^n_planes."""
+    qid = np.asarray(queries["query_id"])
+    qm = _unit(np.asarray(queries["matrix"], np.float32))
+
+    state: dict = {}
+
+    def planes(d):
+        if "p" not in state:
+            rng = np.random.default_rng(seed)
+            state["p"] = rng.standard_normal((d, n_planes)).astype(np.float32)
+        return state["p"]
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        proj = m @ planes(m.shape[1])
+        bits = (proj > 0).astype(np.uint32)
+        out = np.zeros(len(m), np.uint32)
+        for j in range(n_planes):
+            out = (out << np.uint32(1)) | bits[:, j]
+        return out
+
+    def popcount32(x: np.ndarray) -> np.ndarray:
+        c = np.zeros_like(x)
+        for j in range(n_planes):
+            c += (x >> np.uint32(j)) & np.uint32(1)
+        return c
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        emb = _unit(_as_matrix(t[emb_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        rb = bucket_of(emb)
+        qb = bucket_of(qm)
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi in range(len(qm)):
+            near = popcount32(rb ^ qb[qi]) <= probes
+            if not near.any():
+                continue
+            sim = emb[near] @ qm[qi]
+            sel_ids = ids[near]
+            kk = min(k, len(sim))
+            part = np.argpartition(-sim, kk - 1)[:kk]
+            rows["query_id"].extend([int(qid[qi])] * kk)
+            rows["vec_id"].extend(sel_ids[part].tolist())
+            rows["cosine"].extend(sim[part].astype(float).tolist())
+        return pd.DataFrame(rows)
+
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+    parts = [pd.DataFrame(b) for b in scored.iter_batches(batch_format="pandas")]
+    return _merge_topk(parts, k)

@@ -1,0 +1,289 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine.
+
+Scale shapes (documented per operator):
+
+- **exact**: content-hash each row in ``map_batches`` (vectorized FNV), then
+  hash-partition ``groupby(content_hash)`` keeping the min-id row per group.
+  One shuffle of (hash, id, payload); collision-checked against text equality
+  within the group.
+- **MinHash-LSH**: shingle -> minhash signature per batch (numpy reduceat),
+  explode to (band, band_hash, doc_id, signature) rows, ``groupby`` the band
+  key, emit candidate pairs per bucket, verify by signature agreement — the
+  classic Broder/LSH pipeline where the only wide op is the band groupby.
+  Band rows carry the signature (num_perm*8 bytes) so verification needs no
+  second join; at extreme scale swap to a bucketed signature join.
+- **SimHash**: 64-bit fingerprint; bucket by 16-bit chunks (any pair within
+  hamming distance <= 3 shares at least one of 4 chunks), verify popcount.
+- **n-gram Jaccard**: exact char-n-gram set Jaccard for candidate pairs
+  inside co-partitioned groups.
+- **embedding**: random-hyperplane LSH buckets then exact cosine within
+  buckets (numpy matmul per group).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from logray.functions.fingerprint import (
+    band_hashes,
+    content_hash,
+    hamming64,
+    minhash_signatures,
+    simhash,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-``id_col`` row of each distinct ``text_col`` value.
+    Hash-partitioned: the shuffle key is the 64-bit content hash."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.append_column("__h", pa.array(content_hash(t[text_col]).astype(np.int64)))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        # within a hash group, exact text equality guards collisions
+        return g.sort_values(id_col, kind="mergesort").drop_duplicates(text_col, keep="first")
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__h")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+    return out.drop_columns(["__h"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+
+def _pairs_from_bucket(ids: np.ndarray, sigs: np.ndarray, threshold: float, num_perm: int):
+    """Candidate pairs within one bucket verified by signature agreement."""
+    order = np.argsort(ids, kind="stable")
+    ids, sigs = ids[order], sigs[order]
+    out_a, out_b, out_sim = [], [], []
+    n = len(ids)
+    for i in range(n - 1):
+        agree = (sigs[i + 1 :] == sigs[i]).sum(axis=1) / num_perm
+        hit = agree >= threshold
+        if hit.any():
+            js = np.flatnonzero(hit) + i + 1
+            for j, s in zip(js, agree[hit]):
+                if ids[j] != ids[i]:
+                    out_a.append(ids[i]); out_b.append(ids[j]); out_sim.append(float(s))
+    return out_a, out_b, out_sim
+
+
+def minhash_lsh_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.7,
+    seed: int = 1,
+):
+    """Near-duplicate PAIRS dataset: (id_a, id_b, est_jaccard), id_a < id_b,
+    est_jaccard = fraction of agreeing minhash slots >= threshold."""
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        sig = minhash_signatures(t[text_col], num_perm=num_perm, k=k, seed=seed)
+        bh = band_hashes(sig, bands)
+        n = len(sig)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        band_id = np.tile(np.arange(bands, dtype=np.int32), n)
+        return pa.table(
+            {
+                "band_id": pa.array(band_id),
+                "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+                id_col: pa.array(np.repeat(ids, bands)),
+                "sig": pa.array(list(np.repeat(sig, bands, axis=0).astype(np.int64))),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["sig"].to_numpy())
+        a, b, s = _pairs_from_bucket(ids, sigs, threshold, num_perm)
+        return pd.DataFrame({"id_a": a, "id_b": b, "est_jaccard": s})
+
+    pairs = (
+        ds.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    # a pair can surface from several bands: keep one copy
+    def drop_dup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(drop_dup_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, k: int = 4):
+    """Near-duplicate pairs by SimHash: bucket on each of the four 16-bit
+    chunks (pigeonhole: hamming<=3 pairs share a chunk), verify popcount."""
+
+    def explode_chunks(t: pa.Table) -> pa.Table:
+        sh = simhash(t[text_col], k=k)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(sh)
+        chunk_id = np.tile(np.arange(4, dtype=np.int32), n)
+        rep = np.repeat(sh, 4)
+        shifts = (np.tile(np.arange(4, dtype=np.uint64), n) * np.uint64(16))
+        chunk = ((rep >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "chunk_id": pa.array(chunk_id),
+                "chunk": pa.array(chunk),
+                id_col: pa.array(np.repeat(ids, 4)),
+                "simhash": pa.array(rep.astype(np.int64)),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids) - 1):
+            d = hamming64(np.full(len(ids) - i - 1, hs[i], np.uint64), hs[i + 1 :])
+            hit = d <= max_hamming
+            for j, dv in zip(np.flatnonzero(hit) + i + 1, d[hit]):
+                if ids[j] != ids[i]:
+                    out_a.append(ids[i]); out_b.append(ids[j]); out_h.append(int(dv))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    pairs = (
+        ds.map_batches(explode_chunks, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["chunk_id", "chunk"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def drop_dup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(drop_dup_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification / small candidate sets)
+# ---------------------------------------------------------------------------
+
+
+def _char_ngrams(s: str, n: int) -> set:
+    if len(s) < n:
+        return {s}
+    return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+
+def ngram_jaccard_pairs(ds, group_cols, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 1, threshold: float = 0.0):
+    """Exact char-n-gram Jaccard for all pairs WITHIN each group_cols
+    partition (co-partitioned candidate generation; n=1 matches DuckDB's
+    ``jaccard`` character-set semantics for the SQL oracle)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        grams = [_char_ngrams(s, n) for s in g[text_col]]
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids) - 1):
+            for j in range(i + 1, len(ids)):
+                inter = len(grams[i] & grams[j])
+                union = len(grams[i] | grams[j])
+                jac = inter / union if union else 1.0
+                if jac >= threshold:
+                    out_a.append(ids[i]); out_b.append(ids[j]); out_j.append(jac)
+        res = pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+        for c in group_cols:
+            res[c] = g[c].iloc[0] if len(g) else None
+        return res
+
+    return ds.groupby(group_cols).map_groups(pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dedup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dedup(ds, emb_col: str = "embedding", id_col: str = "vec_id",
+                    threshold: float = 0.95, n_planes: int = 8, seed: int = 2,
+                    dtype=np.float32):
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Random-hyperplane LSH: bucket = sign pattern of n_planes projections
+    (similar vectors collide with high probability), exact cosine verify via
+    one matmul per bucket.  Raise n_planes for bigger corpora; recall can be
+    traded with multiple plane sets."""
+
+    state = {}
+
+    def planes(d):
+        if "p" not in state:
+            rng = np.random.default_rng(seed)
+            state["p"] = rng.standard_normal((d, n_planes))
+        return state["p"]
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        emb = np.stack(t[emb_col].to_numpy(zero_copy_only=False)).astype(dtype)
+        d = emb.shape[1]
+        proj = emb @ planes(d)
+        bits = (proj > 0).astype(np.uint64)
+        bucket = np.zeros(len(emb), np.uint64)
+        for j in range(n_planes):
+            bucket = (bucket << np.uint64(1)) | bits[:, j]
+        norm = np.linalg.norm(emb, axis=1)
+        norm[norm == 0] = 1.0
+        unit = (emb / norm[:, None]).astype(dtype)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.astype(np.int64)),
+                id_col: t[id_col],
+                "unit": pa.array(list(unit)),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        u = np.stack(g["unit"].to_numpy())
+        sim = u @ u.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = sim[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][hit]],
+                "id_b": ids[iu[1][hit]],
+                "cosine": sim[iu][hit].astype(float),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )

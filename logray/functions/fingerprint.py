@@ -1,0 +1,167 @@
+"""Document fingerprinting: vectorized rolling hashes + MinHash signatures.
+
+Everything operates on the raw UTF-8 buffer of an Arrow string column the
+same way the parser does (zero-copy numpy views), so a batch of documents is
+fingerprinted with O(bytes) numpy work and **no Python per-row loop**:
+
+- k-byte rolling polynomial hashes over the whole concatenated buffer
+  (k multiply-add passes);
+- per-row aggregation via ``np.minimum.reduceat`` on row boundaries — this
+  turns "min over each document's shingle hashes" (the MinHash primitive)
+  into one vectorized call per permutation;
+- 64-bit content hash and SimHash from the same machinery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from logray.vparse import _string_buffer_views
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+_PRIME = np.uint64(1099511628211)  # FNV prime
+_OFFSET = np.uint64(14695981039346656037)
+
+
+def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """hash[i] = polynomial hash of data[i:i+k] (valid for i <= len-k)."""
+    n = len(data)
+    if n < k:
+        return np.zeros(0, np.uint64)
+    h = np.zeros(n - k + 1, np.uint64)
+    B = np.uint64(1000003)
+    for j in range(k):
+        h = (h * B + data[j : n - k + 1 + j].astype(np.uint64)) & _MASK
+    return h
+
+
+def shingle_hashes(texts, k: int = 5):
+    """(hashes, row_starts, row_counts): all k-byte shingle hashes of each
+    row, concatenated; rows shorter than k get ONE sentinel shingle (the
+    row's own content hash) so empty/short docs still dedup exactly."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    data, starts, ends = _string_buffer_views(texts)
+    lens = ends - starts
+    n = len(starts)
+    base = _rolling_hashes(data, k)  # indexed by absolute buffer offset
+    counts = np.maximum(lens - k + 1, 1).astype(np.int64)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    total = int(offs[-1])
+    out = np.empty(total, np.uint64)
+    # gather each row's shingle-hash run (vectorized index construction)
+    idx = np.repeat(starts, counts) + (np.arange(total) - np.repeat(offs[:-1], counts))
+    short = lens < k
+    if len(base):
+        src = np.minimum(idx, len(base) - 1)
+        out = base[src]
+    else:
+        out = np.zeros(total, np.uint64)
+    if short.any():
+        # short rows: single sentinel = content hash of the row bytes
+        ch = content_hash(texts)
+        sent_pos = offs[:-1][short]
+        out[sent_pos] = ch[short]
+    return out, offs[:-1], counts
+
+
+def content_hash(texts) -> np.ndarray:
+    """64-bit FNV-1a content hash per row (vectorized by byte position)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    data, starts, ends = _string_buffer_views(texts)
+    n = len(starts)
+    h = np.full(n, _OFFSET, np.uint64)
+    maxlen = int((ends - starts).max()) if n else 0
+    for j in range(maxlen):
+        m = starts + j < ends
+        if not m.any():
+            break
+        b = data[starts[m] + j].astype(np.uint64)
+        h[m] = ((h[m] ^ b) * _PRIME) & _MASK
+    return h
+
+
+# --- MinHash ---------------------------------------------------------------
+
+
+def _perm_params(num_perm: int, seed: int = 1):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(texts, num_perm: int = 64, k: int = 5, seed: int = 1) -> np.ndarray:
+    """(n_rows, num_perm) uint64 MinHash signature matrix."""
+    hashes, row_starts, counts = shingle_hashes(texts, k)
+    n = len(row_starts)
+    a, b = _perm_params(num_perm, seed)
+    sig = np.empty((n, num_perm), np.uint64)
+    if len(hashes) == 0:
+        sig[:] = 0
+        return sig
+    for p in range(num_perm):
+        hp = (hashes * a[p] + b[p]) & _MASK
+        sig[:, p] = np.minimum.reduceat(hp, row_starts) if n else hp[:0]
+    return sig
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_rows, bands) uint64: one hash per LSH band (rows = num_perm/bands
+    consecutive signature slots folded together)."""
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    out = np.empty((n, bands), np.uint64)
+    B = np.uint64(1000003)
+    for b in range(bands):
+        h = np.full(n, _OFFSET, np.uint64)
+        for j in range(b * r, (b + 1) * r):
+            h = ((h ^ sig[:, j]) * B) & _MASK
+        out[:, b] = h
+    return out
+
+
+def simhash(texts, k: int = 4) -> np.ndarray:
+    """64-bit SimHash per row from k-byte shingle hashes (bit-majority)."""
+    hashes, row_starts, counts = shingle_hashes(texts, k)
+    n = len(row_starts)
+    out = np.zeros(n, np.uint64)
+    if len(hashes) == 0:
+        return out
+    ends = row_starts + counts
+    for bit in range(64):
+        bits = ((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        per_row = np.add.reduceat(bits, row_starts)
+        # majority vote: bit set iff set in more than half the shingles
+        vote = per_row * 2 > counts
+        out |= vote.astype(np.uint64) << np.uint64(bit)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    # vectorized popcount via bit tricks
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) & _MASK) >> np.uint64(56)
+
+
+class FingerprintBatch:
+    """map_batches stage appending content_hash (+ optional simhash)."""
+
+    def __init__(self, text_col: str = "text", with_simhash: bool = False, k: int = 4):
+        self.text_col = text_col
+        self.with_simhash = with_simhash
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ch = content_hash(t[self.text_col])
+        t = t.append_column("content_hash", pa.array(ch.astype(np.int64)))
+        if self.with_simhash:
+            sh = simhash(t[self.text_col], self.k)
+            t = t.append_column("simhash", pa.array(sh.astype(np.int64)))
+        return t

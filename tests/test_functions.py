@@ -1,0 +1,300 @@
+"""Tests for training-data operators: textstats, fingerprint/dedup family,
+ANN, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from logray.functions.ann import ann_lsh_topk, ann_topk
+from logray.functions.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from logray.functions.fingerprint import (
+    band_hashes,
+    content_hash,
+    hamming64,
+    minhash_signatures,
+    simhash,
+)
+from logray.functions.multimodal import (
+    DecodeImageBatch,
+    ExtractAudioFeaturesBatch,
+    SampleFramesBatch,
+    decode_stage,
+    synth_media_table,
+)
+from logray.functions.textstats import TextStatsBatch
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_content_hash_exactness():
+    texts = pa.array(["hello", "hello", "hellp", "", "", "h"])
+    h = content_hash(texts)
+    assert h[0] == h[1]
+    assert h[0] != h[2]
+    assert h[3] == h[4]
+    assert h[3] != h[5]
+
+
+def test_minhash_similarity_monotone():
+    a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    b = a.replace("lazy", "hazy")  # near-duplicate
+    c = "completely different content about database query engines and sorting"
+    sig = minhash_signatures(pa.array([a, b, c]), num_perm=128, k=5)
+    agree_ab = (sig[0] == sig[1]).mean()
+    agree_ac = (sig[0] == sig[2]).mean()
+    assert agree_ab > 0.6 > agree_ac
+
+
+def test_band_hashes_shape():
+    sig = minhash_signatures(pa.array(["abcdefgh", "abcdefgh", "zzzzzzzz"]), num_perm=16)
+    bh = band_hashes(sig, bands=4)
+    assert bh.shape == (3, 4)
+    assert (bh[0] == bh[1]).all()
+
+
+def test_simhash_and_hamming():
+    a = "the quick brown fox jumps over the lazy dog" * 3
+    b = a.replace("dog", "dot")
+    c = "totally unrelated text with other words entirely present here" * 3
+    sh = simhash(pa.array([a, b, c]))
+    d_ab = hamming64(sh[:1], sh[1:2])[0]
+    d_ac = hamming64(sh[:1], sh[2:3])[0]
+    assert d_ab < d_ac
+    assert hamming64(sh[:1], sh[:1])[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup operators
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def doc_ds(ray_session):
+    import ray.data as rd
+
+    texts = [
+        "aaaa bbbb cccc dddd",
+        "aaaa bbbb cccc dddd",  # exact dup of 0
+        "aaaa bbbb cccc eeee",  # near dup
+        "totally different document body",
+        "aaaa bbbb cccc dddd",  # exact dup of 0
+        "another unique document text here",
+    ]
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    )
+
+
+def test_exact_dedup(doc_ds):
+    out = exact_dedup(doc_ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 2, 3, 5]
+
+
+def test_minhash_lsh_dedup(doc_ds):
+    pairs = minhash_lsh_dedup(doc_ds, num_perm=64, bands=16, k=4, threshold=0.5).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # the three exact copies pair up; the near-dup joins at least one of them
+    assert {(0, 1), (0, 4), (1, 4)} <= got
+    for a, b in got:
+        assert a < b
+
+
+def test_simhash_dedup(doc_ds):
+    pairs = simhash_dedup(doc_ds, max_hamming=8).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert {(0, 1), (0, 4), (1, 4)} <= got
+    exact = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert (exact["hamming"] == 0).all()
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "grp": ["g", "g", "g"],
+                "text": ["abcd", "abce", "wxyz"],
+            }
+        )
+    )
+    pairs = ngram_jaccard_pairs(ds, "grp", n=1).to_pandas()
+    m = {(int(a), int(b)): j for a, b, j in zip(pairs.id_a, pairs.id_b, pairs.jaccard)}
+    assert m[(1, 2)] == pytest.approx(3 / 5)
+    assert m[(1, 3)] == pytest.approx(0.0)
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16).astype(np.float32)
+    vecs = [base, base * 2.0, base + rng.standard_normal(16) * 0.01, rng.standard_normal(16)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(4), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    pairs = embedding_dedup(ds, threshold=0.99).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    assert not any(3 in p for p in got)
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    m = rng.standard_normal((200, 12)).astype(np.float32)
+    return (
+        rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(200), pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+                }
+            )
+        ),
+        m,
+    )
+
+
+def _brute_truth(m, q, k):
+    mu = m / np.linalg.norm(m, axis=1)[:, None]
+    qu = q / np.linalg.norm(q)
+    sim = mu @ qu
+    return set(np.argsort(-sim)[:k].tolist())
+
+
+def test_ann_topk_exact(emb_ds):
+    ds, m = emb_ds
+    q = m[17] + 0.01
+    res = ann_topk(ds, {"query_id": [0], "matrix": q[None, :]}, k=5)
+    assert len(res) == 5
+    assert set(res["vec_id"]) == _brute_truth(m, q, 5)
+    assert res.iloc[0]["vec_id"] == 17
+    assert res["rank"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_ann_topk_multi_query(emb_ds):
+    ds, m = emb_ds
+    qm = np.stack([m[3], m[99]])
+    res = ann_topk(ds, {"query_id": [10, 20], "matrix": qm}, k=3)
+    assert sorted(set(res["query_id"])) == [10, 20]
+    assert res[res.query_id == 10].iloc[0]["vec_id"] == 3
+    assert res[res.query_id == 20].iloc[0]["vec_id"] == 99
+
+
+def test_ann_lsh_recall_of_self(emb_ds):
+    ds, m = emb_ds
+    q = m[42]
+    res = ann_lsh_topk(ds, {"query_id": [0], "matrix": q[None, :]}, k=5, n_planes=6, probes=2)
+    # the identical vector shares the query's bucket by construction
+    assert res.iloc[0]["vec_id"] == 42
+    assert res.iloc[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+
+
+def test_textstats_counts():
+    t = pa.table({"text": ["The cat and the dog.", "12345", ""]})
+    out = TextStatsBatch()(t)
+    assert out["n_ws_tokens"].to_pylist() == [5, 1, 0]
+    assert out["n_chars_text"].to_pylist() == [20, 5, 0]
+    assert out["digit_ratio"].to_pylist()[1] == 1.0
+    assert out["lang_id"].to_pylist()[0] == "en"
+    assert out["lang_id"].to_pylist()[2] == "unknown"
+
+
+def test_textstats_langid():
+    t = pa.table(
+        {
+            "text": [
+                "the cat is in the house and that is fine",
+                "der Hund ist nicht mit der Katze",
+                "le chat est dans la maison et les arbres",
+                "el perro que corre por la calle con una bola",
+            ]
+        }
+    )
+    out = TextStatsBatch()(t)
+    assert out["lang_id"].to_pylist() == ["en", "de", "fr", "es"]
+
+
+def test_textstats_quality_orders_garbage_below_prose():
+    t = pa.table(
+        {
+            "text": [
+                "This is a reasonably long paragraph of ordinary English prose that "
+                "contains the usual mix of words and structure one would expect.",
+                "!!!###$$$%%%^^^&&&***((()))___+++===",
+            ]
+        }
+    )
+    out = TextStatsBatch()(t)
+    q = out["quality_score"].to_pylist()
+    assert q[0] > q[1]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_stages(ray_session):
+    import ray.data as rd
+
+    tbl = synth_media_table(n=12, payload_bytes=1024)
+    ds = rd.from_arrow(tbl)
+    img = decode_stage(ds, DecodeImageBatch, concurrency=1).to_pandas()
+    assert {"width", "height", "channels", "thumbnail"} <= set(img.columns)
+    assert (img["width"] >= 64).all()
+    assert all(len(b) == 64 for b in img["thumbnail"])
+
+    aud = decode_stage(ds, ExtractAudioFeaturesBatch, concurrency=1, dim=8).to_pandas()
+    assert all(len(v) == 8 for v in aud["audio_embedding"])
+
+    vid = decode_stage(ds, SampleFramesBatch, concurrency=1, n_frames=4).to_pandas()
+    assert all(len(f) == 4 for f in vid["frames"])
+
+
+def test_multimodal_real_path_raises():
+    t = synth_media_table(n=2)
+    with pytest.raises(NotImplementedError):
+        DecodeImageBatch(fake=False)(t)
+    with pytest.raises(NotImplementedError):
+        ExtractAudioFeaturesBatch(fake=False)(t)
+    with pytest.raises(NotImplementedError):
+        SampleFramesBatch(fake=False)(t)
+
+
+def test_multimodal_determinism():
+    a = synth_media_table(n=4, seed=7)
+    b = synth_media_table(n=4, seed=7)
+    assert a.equals(b)
+    ia = DecodeImageBatch()(a)
+    ib = DecodeImageBatch()(b)
+    assert ia.equals(ib)
