@@ -1,0 +1,258 @@
+"""Benchmark harness.
+
+Headline: turns/sec through the flagship parse -> enrich -> route ->
+aggregate pipeline over a synthetic transcript corpus derived (size-wise)
+from the scale factor, plus per-operator timings over the sf tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "rows": ..., "turns_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32 by default) on the same corpus and reports both
+throughputs plus scaling efficiency.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default
+32), LOGRAY_BENCH_ROWS (override corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# corpus sizing: ~32 rows per lineitem row at the given sf (sf0.1 -> ~3.2M
+# turns), deterministic and cached on disk between runs
+_SF_ROWS = {"sf0.001": 40_000, "sf0.01": 400_000, "sf0.1": 3_200_000}
+
+
+def _corpus_rows() -> int:
+    env = os.environ.get("LOGRAY_BENCH_ROWS")
+    if env:
+        return int(env)
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    return _SF_ROWS.get(tag, 400_000)
+
+
+def _corpus_path(rows: int) -> str:
+    return f"/tmp/logray_bench/corpus_{rows}"
+
+
+def ensure_corpus(rows: int) -> str:
+    """Synthesize (once) a deterministic transcript corpus of ~`rows` turns,
+    including a hot conversation holding ~2% of rows (skew exercise)."""
+    from logray.sources.transcripts import write_synth_transcripts
+
+    path = _corpus_path(rows)
+    marker = os.path.join(path, "_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    mean_turns = 16
+    n_convs = max(rows // (mean_turns + 1), 1)
+    write_synth_transcripts(
+        path,
+        n_convs=n_convs,
+        mean_turns=mean_turns,
+        seed=42,
+        hot_conv_rows=rows // 50,
+        convs_per_file=max(n_convs // 32, 1),
+    )
+    open(marker, "w").write("ok")
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from logray.formats import GOLDEN_FORMAT
+    from logray.pipelines import PipelineConfig, run_pipeline
+
+    rows = _corpus_rows()
+    corpus = ensure_corpus(rows)
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    rd.read_parquet(corpus).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- headline: full pipeline over the transcript corpus --------------
+    cfg = PipelineConfig(
+        format_string=GOLDEN_FORMAT,
+        routes=[
+            ("info", "Level EQ INFO", False),
+            ("trace", "Level EQ TRACE", False),
+            ("warn", "Level EQ WARN OR Level EQ EVENT", False),
+            ("malformed", "", True),
+        ],
+    )
+    out_dir = "/tmp/logray_bench/out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # fine-grained blocks: ~8 tasks per CPU so the fused
+    # parse->enrich->route->write wave load-balances at high parallelism
+    nblocks = NUM_CPUS * 8
+
+    def headline():
+        ds = rd.read_parquet(corpus, override_num_blocks=nblocks)
+        return run_pipeline(ds, cfg, out_dir, write_metrics=False)
+
+    # best-of-2: first run pays one-time warmup (worker start, code import)
+    t0 = time.perf_counter()
+    metrics = headline()
+    first = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    metrics = timed("pipeline", headline)
+    timings["pipeline"] = min(timings["pipeline"], round(first, 3))
+    n_turns = metrics["turns_total"]
+
+    if os.environ.get("LOGRAY_BENCH_ONLY_PIPELINE"):
+        ray.shutdown()
+        headline_sec = timings["pipeline"]
+        return {
+            "metric": "flagship parse->enrich->route->aggregate seconds (turns/sec in turns_per_sec)",
+            "value": headline_sec,
+            "unit": "sec",
+            "queries": timings,
+            "sf": os.path.basename(SF_DIR.rstrip("/")),
+            "num_cpus": NUM_CPUS,
+            "rows": n_turns,
+            "turns_per_sec": round(n_turns / headline_sec, 1),
+        }
+
+    # --- per-operator timings ---------------------------------------------
+    from logray.stages.parse import parse_stage
+
+    def parse_only():
+        ds = rd.read_parquet(corpus, columns=["text"])
+        return parse_stage(ds, GOLDEN_FORMAT).map_batches(
+            lambda t: t.select(["well_formatted"]), batch_format="pyarrow"
+        ).sum("well_formatted")
+
+    timed("parse_only", parse_only)
+
+    from logray.stages.aggregate import turns_per_conversation
+
+    def turns_agg():
+        ds = rd.read_parquet(corpus, columns=["conv_id"])
+        return turns_per_conversation(ds, as_pandas=False).count()
+
+    timed("turns_per_conversation", turns_agg)
+
+    def sort_reassembly():
+        ds = rd.read_parquet(corpus, columns=["conv_id", "turn_idx"])
+        return ds.sort(["conv_id", "turn_idx"]).count()
+
+    timed("sort_reassembly", sort_reassembly)
+
+    from logray.functions.dedup import minhash_lsh_dedup
+
+    def minhash_docs():
+        ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        return minhash_lsh_dedup(ds, num_perm=64, bands=16, threshold=0.8).count()
+
+    timed("minhash_docs", minhash_docs)
+
+    from logray.functions.textstats import text_stats
+
+    def textstats_corpus():
+        ds = rd.read_parquet(corpus, columns=["text"])
+        return text_stats(ds).map_batches(
+            lambda t: t.select(["quality_score"]), batch_format="pyarrow"
+        ).sum("quality_score")
+
+    timed("textstats", textstats_corpus)
+
+    ray.shutdown()
+
+    headline_sec = timings["pipeline"]
+    return {
+        "metric": "flagship parse->enrich->route->aggregate seconds (turns/sec in turns_per_sec)",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "rows": n_turns,
+        "turns_per_sec": round(n_turns / headline_sec, 1),
+    }
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    """Same corpus + pipeline at two parallelism levels in fresh processes.
+
+    The scaling corpus is 4x the plain-bench corpus so per-execution fixed
+    costs (executor startup, file listing, driver fold) don't mask the
+    compute scaling being measured."""
+    rows = _corpus_rows() * 4
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LOGRAY_BENCH_ROWS=str(rows),
+                   LOGRAY_BENCH_ONLY_PIPELINE="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # the sandbox VM shows multi-x run-to-run noise (host CPU sharing);
+    # interleave two rounds per level and keep the best of each
+    r_lo, r_hi = run(lo), run(hi)
+    r_lo2, r_hi2 = run(lo), run(hi)
+    if r_lo2["value"] < r_lo["value"]:
+        r_lo = r_lo2
+    if r_hi2["value"] < r_hi["value"]:
+        r_hi = r_hi2
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency, same corpus, fresh ray.init per level",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "rows": r_hi["rows"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

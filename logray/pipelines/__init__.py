@@ -1,3 +1,3 @@
-from logray.pipelines.flagship import PipelineConfig, run_pipeline
+from logray.pipelines.flagship import PipelineConfig, build, run_pipeline
 
-__all__ = ["PipelineConfig", "run_pipeline"]
+__all__ = ["PipelineConfig", "build", "run_pipeline"]

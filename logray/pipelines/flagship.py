@@ -7,12 +7,13 @@ additions (taxonomy enrichment, fan-out sinks, exact aggregates).
 
 Execution shape (100-TB discipline):
 
-- ONE streaming scan: read -> normalize+parse (actor pool, compiled format
-  in actor state) -> enrich (broadcast dicts) -> route tag -> partitioned
-  Parquet write (``route=<name>/`` directories, resumable layout);
-- aggregates (rows per route, role/tool histograms, turns per conversation,
-  ts min/max) run over the *written* columnar output with column pruning —
-  never a second scan of the raw input, never a driver-side row loop.
+- ONE streaming scan, total: read -> normalize+parse (actor pool, compiled
+  format in actor state) -> enrich (broadcast dicts) -> route tag -> fused
+  write+summarize (each batch writes its ``route=<name>/`` Parquet files
+  and emits metric partials);
+- the aggregates (rows per route, role/tool histograms, turns per
+  conversation, ts min/max) are folded from those partials on the driver —
+  no second scan of the input or the sinks, no driver-side row loop.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ from dataclasses import dataclass, field
 
 from logray.filters import EvalContext
 from logray.formats import LineFormat
-from logray.stages.aggregate import histogram, min_max
+
 from logray.stages.enrich import enrich_stage
 from logray.stages.parse import parse_stage
 from logray.stages.route import Route, Router, route_exclusive
@@ -70,33 +71,45 @@ def build(ds, cfg: PipelineConfig):
 
 
 def run_pipeline(ds, cfg: PipelineConfig, out_dir: str, write_metrics: bool = True) -> dict:
-    """Execute end-to-end; returns the metrics dict (and writes it as
-    ``metrics.json`` next to the sinks)."""
-    import ray.data as rd
+    """Execute end-to-end in ONE streaming pass; returns the metrics dict
+    (and writes it as ``metrics.json`` next to the sinks).
+
+    The terminal stage is a fused write+summarize operator
+    (:class:`~logray.stages.route.RouteSinkWriter`): each batch writes its
+    rows into ``route=<name>/`` Parquet files and emits metric partials,
+    which stream to the driver for the final fold — no second scan of
+    either the input or the written sinks."""
+    from logray.stages.aggregate import fold_partials_stream, split_folded
+    from logray.stages.route import RouteSinkWriter
 
     t0 = time.perf_counter()
     tagged = build(ds, cfg)
     sink_dir = os.path.join(out_dir, "routed")
-    tagged.write_parquet(sink_dir, partition_cols=["route"])
-    write_s = time.perf_counter() - t0
+    os.makedirs(sink_dir, exist_ok=True)
 
-    # aggregates over the written sinks, pruned to the needed columns
     agg_cols = ["route", cfg.conv_col]
     if cfg.enrich:
         agg_cols += ["role_class", "tool_kind"]
-    out = rd.read_parquet(sink_dir, columns=agg_cols + ["ts"])
+    writer = RouteSinkWriter(sink_dir, agg_cols, ts_col="ts")
+    partials = tagged.map_batches(
+        writer, batch_format="pyarrow", batch_size=cfg.parse_batch_size, zero_copy_batch=True
+    )
+    folded = fold_partials_stream(partials)
+    write_s = time.perf_counter() - t0
+
+    hists = split_folded(folded, agg_cols, ts_col="ts")
     metrics: dict = {"routes": {}, "histograms": {}}
-    rc = histogram(out, "route")
+    rc = hists["route"]
     metrics["routes"] = {str(k): int(v) for k, v in zip(rc["route"], rc["n"])}
     if cfg.enrich:
         for col in ("role_class", "tool_kind"):
-            h = histogram(out, col)
+            h = hists[col]
             metrics["histograms"][col] = {str(k): int(v) for k, v in zip(h[col], h["n"])}
-    tpc = histogram(out, cfg.conv_col)
+    tpc = hists[cfg.conv_col]
     metrics["conversations"] = int(len(tpc))
     metrics["turns_total"] = int(tpc["n"].sum())
     metrics["turns_per_conv_max"] = int(tpc["n"].max()) if len(tpc) else 0
-    lo, hi = min_max(out, "ts")
+    lo, hi = hists["__ts"]
     metrics["ts_min"], metrics["ts_max"] = str(lo), str(hi)
     metrics["write_seconds"] = round(write_s, 3)
     metrics["total_seconds"] = round(time.perf_counter() - t0, 3)

