@@ -1,0 +1,253 @@
+"""Command-line surface mirroring the reference's interactive verbs.
+
+The reference's TUI commands (/root/reference/src/frontends/term/src/modules)
+map to batch CLI verbs:
+
+| reference            | logray CLI                                   |
+|----------------------|----------------------------------------------|
+| ``:fset EXPR``       | ``filter set PROFILE EXPR``                  |
+| ``:fadd/:fand EXPR`` | ``filter and PROFILE EXPR``                  |
+| ``:for/:fxor/:fnor`` | ``filter or|xor|nor PROFILE EXPR``           |
+| ``:fout EXPR``       | ``filter out PROFILE EXPR`` (invert + AND)   |
+| ``:fclear``          | ``filter clear PROFILE``                     |
+| ``:?text`` search    | ``search INPUT NEEDLE [--from C:T]``         |
+| view / paging        | ``view INPUT [-n N] [--from C:T]``           |
+| ``:cfg set k=v``     | ``cfg set PROFILE k=v``                      |
+| (pipelines)          | ``run --input ... --out ...``                |
+| (aggregates)         | ``stats INPUT``                              |
+
+Input may be a transcript Parquet path/directory or a raw ``.log`` file
+(read via the rawlog source, one conversation per file).  The CLI owns the
+Ray session (guarded init + shutdown); library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _load_input(path: str):
+    from logray.sources.rawlog import log_file_to_transcripts
+    from logray.sources.transcripts import read_transcripts
+
+    if path.endswith(".log") or path.endswith(".txt"):
+        return log_file_to_transcripts(path)
+    return read_transcripts(path)
+
+
+def _view_for(ds, fmt_str: str, filter_expr: str, accept_bad: bool):
+    from logray.filters import EvalContext
+    from logray.formats import LineFormat
+    from logray.stages.parse import parse_stage
+    from logray.stages.route import Route, Router, route_datasets
+
+    fmt = LineFormat.from_format_string(fmt_str)
+    parsed = parse_stage(ds, fmt_str)
+    router = Router(
+        [Route.from_decl("view", filter_expr, fmt, accept_bad)
+         if filter_expr else Route("view", None, accept_bad)],
+        ctx=EvalContext(text_col="text", line_col="turn_idx"),
+    )
+    return route_datasets(parsed, router)["view"]
+
+
+def _parse_from(s: str | None):
+    if not s:
+        return None
+    conv, _, turn = s.rpartition(":")
+    return (conv, int(turn))
+
+
+def _profile_ctx(args):
+    from logray.state.profiles import ProfileStore
+
+    return ProfileStore(getattr(args, "config", None))
+
+
+def cmd_view(args) -> int:
+    _init_ray(args.num_cpus)
+    from logray.stages.reassemble import preview
+
+    view = _view_for(_load_input(args.input), args.format, args.filter or "", args.accept_bad)
+    df = preview(view, n=args.n, from_key=_parse_from(args.from_key))
+    print(df.to_string(index=False))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    _init_ray(args.num_cpus)
+    from logray.stages.aggregate import multi_histogram
+
+    view = _view_for(_load_input(args.input), args.format, args.filter or "", args.accept_bad)
+    hists = multi_histogram(view, ["role", "Level"] if args.format else ["role"], ts_col=None)
+    out = {
+        "rows": int(sum(hists[list(hists)[0]]["n"])) if hists else 0,
+        "histograms": {k: dict(zip(v[k], v["n"].astype(int))) for k, v in hists.items()},
+    }
+    print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
+def cmd_search(args) -> int:
+    _init_ray(args.num_cpus)
+    from logray.stages.search import find_next_occurrence
+
+    view = _view_for(_load_input(args.input), args.format, args.filter or "", args.accept_bad)
+    hit = find_next_occurrence(
+        view,
+        args.needle,
+        from_key=_parse_from(args.from_key),
+        forward=not args.backward,
+        inclusive=args.inclusive,
+        with_local_ordinal=True,
+    )
+    print(json.dumps(hit if hit is not None else {"found": False}, default=str))
+    return 0 if hit is not None else 1
+
+
+def cmd_filter(args) -> int:
+    """Filter management on a stored profile (filter_management_module.cpp)."""
+    from logray.filters import BitwiseOp, CombinedFilter, parse_filter_decl
+    from logray.formats import LineFormat
+    from logray.state.profiles import KEY_FILTER, KEY_LINE_FORMAT
+
+    store = _profile_ctx(args)
+    fmt = LineFormat.from_format_string(
+        store.get(args.profile, KEY_LINE_FORMAT, "{STR:,0}")
+    )
+    current_s = store.get(args.profile, KEY_FILTER, "")
+    current = parse_filter_decl(current_s, fmt) if current_s else None
+
+    op_map = {"and": BitwiseOp.AND, "or": BitwiseOp.OR, "xor": BitwiseOp.XOR, "nor": BitwiseOp.NOR}
+    verb = args.verb
+    if verb == "clear":
+        new = None
+    elif verb == "set":
+        new = parse_filter_decl(args.expr, fmt)
+    elif verb == "show":
+        print(current.to_string() if current else "")
+        return 0
+    elif verb == "out":
+        # :fout = invert the new filter then AND with the current one
+        flt = parse_filter_decl(args.expr, fmt)
+        flt.invert()
+        new = CombinedFilter(current, flt, BitwiseOp.AND) if current else flt
+    else:
+        flt = parse_filter_decl(args.expr, fmt)
+        new = CombinedFilter(current, flt, op_map[verb]) if current else flt
+    store.set(args.profile, KEY_FILTER, new.to_string() if new else "")
+    store.save(args.profile)
+    print(new.to_string() if new else "")
+    return 0
+
+
+def cmd_cfg(args) -> int:
+    store = _profile_ctx(args)
+    if args.action == "set":
+        k, _, v = args.kv.partition("=")
+        store.set(args.profile, k, v)
+        store.save(args.profile)
+    else:
+        print(store.get(args.profile, args.kv))
+    return 0
+
+
+def cmd_run(args) -> int:
+    _init_ray(args.num_cpus)
+    from logray.formats import GOLDEN_FORMAT
+    from logray.pipelines import PipelineConfig, run_pipeline
+
+    if args.pipeline_config:
+        with open(args.pipeline_config) as f:
+            raw = json.load(f)
+        cfg = PipelineConfig(
+            format_string=raw.get("format_string", GOLDEN_FORMAT),
+            routes=[tuple(r) for r in raw.get("routes", [])],
+            default_route=raw.get("default_route"),
+            normalize=raw.get("normalize", False),
+            enrich=raw.get("enrich", True),
+        )
+    else:
+        cfg = PipelineConfig(format_string=args.format, routes=[("all", "", True)])
+    metrics = run_pipeline(_load_input(args.input), cfg, args.out)
+    print(json.dumps(metrics, indent=2, default=str))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="logray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--config", help="profile store path (default ~/.logray)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common_io(sp):
+        sp.add_argument("input")
+        sp.add_argument("--format", default="{STR:Line}")
+        sp.add_argument("--filter", default="")
+        sp.add_argument("--accept-bad", action="store_true")
+
+    sp = sub.add_parser("view", help="preview the filtered ordered view")
+    common_io(sp)
+    sp.add_argument("-n", type=int, default=20)
+    sp.add_argument("--from", dest="from_key", help="CONV:TURN start position")
+    sp.set_defaults(fn=cmd_view)
+
+    sp = sub.add_parser("stats", help="counts + histograms of the view")
+    common_io(sp)
+    sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("search", help="find next occurrence in the view")
+    common_io(sp)
+    sp.add_argument("needle")
+    sp.add_argument("--from", dest="from_key")
+    sp.add_argument("--backward", action="store_true")
+    sp.add_argument("--inclusive", action="store_true")
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("filter", help="profile filter management (:f* verbs)")
+    sp.add_argument("verb", choices=["set", "and", "or", "xor", "nor", "out", "clear", "show"])
+    sp.add_argument("profile")
+    sp.add_argument("expr", nargs="?", default="")
+    sp.set_defaults(fn=cmd_filter)
+
+    sp = sub.add_parser("cfg", help="get/set profile config keys")
+    sp.add_argument("action", choices=["set", "get"])
+    sp.add_argument("profile")
+    sp.add_argument("kv", help="key=value for set, key for get")
+    sp.set_defaults(fn=cmd_cfg)
+
+    sp = sub.add_parser("run", help="run the flagship pipeline")
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--format", default="{STR:Line}")
+    sp.add_argument("--pipeline-config", help="JSON pipeline config file")
+    sp.set_defaults(fn=cmd_run)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

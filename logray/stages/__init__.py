@@ -8,6 +8,7 @@ from logray.stages.aggregate import (
     turns_per_conversation,
 )
 from logray.stages.search import find_next_occurrence
+from logray.stages.reassemble import ordered_view, preview, reassemble_conversations
 
 __all__ = [
     "ParseBatch",
@@ -27,4 +28,7 @@ __all__ = [
     "route_counts",
     "turns_per_conversation",
     "find_next_occurrence",
+    "ordered_view",
+    "preview",
+    "reassemble_conversations",
 ]

