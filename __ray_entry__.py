@@ -310,6 +310,99 @@ def _q_events_window(sf_dir: str):
     return ds.groupby("user_id").map_groups(window, batch_format="pandas").to_pandas()
 
 
+# --- windows / reassembly --------------------------------------------------
+
+
+def _q_dialogue_concat(sf_dir: str):
+    from logray.stages.reassemble import fold_dialogue, reassemble_conversations
+
+    ds = transcripts_from_events(sf_dir)
+    out = reassemble_conversations(ds, fold_dialogue(sep="\n")).to_pandas()
+    return out[["conv_id", "dialogue"]]
+
+
+def _q_conv_stats(sf_dir: str):
+    from logray.stages.reassemble import reassemble_conversations
+
+    ds = transcripts_from_events(sf_dir)
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_turns": pd.array([len(g)], dtype="int64"),
+                "ts_min": [g["ts"].min()],
+                "ts_max": [g["ts"].max()],
+            }
+        )
+
+    return reassemble_conversations(ds, stats).to_pandas()
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from logray.stages.window import sessions_per_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+    return sessions_per_key(ds, "user_id", gap_s=3600.0, tiebreak_col="event_id")
+
+
+def _q_tumbling_window(sf_dir: str):
+    import ray.data as rd
+
+    from logray.stages.window import tumbling_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return tumbling_window(ds, key_cols="event_type", width="day")
+
+
+def _q_salted_histogram(sf_dir: str):
+    import ray.data as rd
+
+    from logray.stages.window import salted_histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return salted_histogram(ds, "event_type", salt_buckets=8)
+
+
+def _q_local_global(sf_dir: str):
+    """Local<->global ordinal mapping over the errors view (the reference's
+    jumpToLocalLine / localToGlobalLineId invariants)."""
+    from logray.filters import EvalContext
+    from logray.formats import LineFormat
+    from logray.stages.parse import parse_stage
+    from logray.stages.route import Route, Router, route_datasets
+    from logray.stages.search import global_to_local, local_to_global
+
+    fmt = LineFormat.from_format_string(GOLDEN_FORMAT)
+    router = Router(
+        [Route.from_decl("errors", "Level EQ ERROR", fmt)],
+        ctx=EvalContext(text_col="text", line_col="turn_idx"),
+    )
+    ds = parse_stage(transcripts_from_events(sf_dir), GOLDEN_FORMAT)
+    view = route_datasets(ds, router)["errors"]
+    rows = []
+    for ordinal in (0, 5, 25):
+        key = local_to_global(view, ordinal)
+        if key is None:
+            continue
+        back = global_to_local(view, key)
+        rows.append(
+            {
+                "ordinal": ordinal,
+                "conv_id": key[0],
+                "turn_idx": int(key[1]),
+                "roundtrip": int(back),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["ordinal"] = out["ordinal"].astype("int64")
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    out["roundtrip"] = out["roundtrip"].astype("int64")
+    return out
+
+
 # --- training-data operators ----------------------------------------------
 
 
@@ -491,6 +584,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_range": _q_line_range,
         "search_next": _q_search_next,
         "min_max_ts": _q_min_max_ts,
+        # windows / reassembly / ordinal mapping
+        "dialogue_concat": _q_dialogue_concat,
+        "conv_stats": _q_conv_stats,
+        "sessionize": _q_sessionize,
+        "tumbling_window": _q_tumbling_window,
+        "salted_histogram": _q_salted_histogram,
+        "local_global_map": _q_local_global,
         # general operators
         "topk_orders": _q_topk_orders,
         "region_customer_counts": _q_region_customer_counts,
@@ -597,6 +697,34 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY conv_id, turn_idx LIMIT 1
         """,
         "min_max_ts": "SELECT min(ts) AS ts_min, max(ts) AS ts_max FROM events",
+        "dialogue_concat": f"""
+            {_FIELDS_CTE}
+            SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS dialogue
+            FROM t GROUP BY conv_id
+        """,
+        "conv_stats": f"""
+            {_FIELDS_CTE}
+            SELECT conv_id, count(*) AS n_turns, min(ts) AS ts_min, max(ts) AS ts_max
+            FROM t GROUP BY conv_id
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 3600 SECOND
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "tumbling_window": """
+            SELECT event_type, date_trunc('day', ts) AS window_start, count(*) AS n
+            FROM events GROUP BY event_type, window_start
+        """,
+        "salted_histogram": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10

@@ -37,6 +37,20 @@ def reassemble_conversations(ds, fn=None, conv_col: str = "conv_id", turn_col: s
     return ds.groupby(conv_col).map_groups(per_group, batch_format="pandas")
 
 
+def fold_dialogue(sep: str = "\n", text_col: str = "text",
+                  conv_col: str = "conv_id", turn_col: str = "turn_idx"):
+    """Per-conversation transform for :func:`reassemble_conversations` that
+    folds the ordered turns into one dialogue string per conversation
+    (SQL twin: ``string_agg(text, sep ORDER BY turn_idx)``)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {conv_col: [g[conv_col].iloc[0]], "dialogue": [sep.join(g[text_col].astype(str))]}
+        )
+
+    return fn
+
+
 def ordered_view(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx"):
     """Global total order by (conv_id, turn_idx) — the engine's analog of
     the reference's physical file order."""

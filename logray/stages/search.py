@@ -23,8 +23,46 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _key_tuple(conv_id: str, turn_idx: int):
-    return (conv_id, turn_idx)
+def global_to_local(view, key: tuple, conv_col: str = "conv_id", turn_col: str = "turn_idx") -> int:
+    """Local ordinal of global position ``key=(conv_id, turn_idx)`` within
+    the filtered view: the number of view rows strictly before it in
+    (conv, turn) order (the reference's globalToLocalLineId,
+    log_parser_interface.hpp:74-89).  One counting pass, no sort."""
+    conv, turn = key
+
+    def before(t: pa.Table) -> pa.Table:
+        cc, tc = t[conv_col], t[turn_col]
+        m = pc.or_(pc.less(cc, conv), pc.and_(pc.equal(cc, conv), pc.less(tc, turn)))
+        n = pc.sum(pc.cast(pc.fill_null(m, False), pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = view.map_batches(before, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return int(sum(p["n"] for p in parts))
+
+
+def local_to_global(view, ordinal: int, conv_col: str = "conv_id", turn_col: str = "turn_idx"):
+    """(conv_id, turn_idx) of the ``ordinal``-th row (0-based) of the view
+    in (conv, turn) order (the reference's localToGlobalLineId).
+
+    Per-batch (ordinal+1)-smallest candidates stream to the driver, which
+    merges — O(batches x ordinal) driver memory, intended for interactive
+    jump targets, not bulk enumeration (use ordered_view for that)."""
+    k = ordinal + 1
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([conv_col, turn_col])
+        idx = pc.sort_indices(
+            t, sort_keys=[(conv_col, "ascending"), (turn_col, "ascending")]
+        )[:k]
+        return t.take(idx).select([conv_col, turn_col])
+
+    parts = view.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if len(parts) < k:
+        return None  # fewer than ordinal+1 rows in the view
+    parts.sort(key=lambda r: (r[conv_col], r[turn_col]))
+    row = parts[k - 1]
+    return (row[conv_col], row[turn_col])
 
 
 def find_next_occurrence(

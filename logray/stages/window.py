@@ -1,0 +1,109 @@
+"""Stream-shaped operators over ordered, partitioned logs.
+
+Ray Data has no event-time window/watermark machinery; per the engine's
+streaming contract (SURVEY §2.10) the input is treated as an ordered,
+partitioned log: partition by key, order by (ts, tiebreak) within the
+partition, and implement windows inside ``groupby(key).map_groups`` over
+the sorted group.  All operators here are exact and deterministic.
+
+- :func:`tumbling_window` — fixed-width count/aggregate per (key, window):
+  no map_groups needed, the window id is a vectorized ts floor + histogram
+  (partial pre-aggregation, skew-proof).
+- :func:`sessionize` — gap-based session ids per key (sorted group scan,
+  vectorized inside the group).
+- :func:`sessions_per_key` — session counts (the SQL-checkable reduction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from logray.stages.aggregate import histogram
+
+
+def tumbling_window(ds, ts_col: str = "ts", key_cols=None, width: str = "hour",
+                    as_pandas: bool = True):
+    """Exact row counts per (key..., window_start) where window_start is ts
+    floored to `width` ('hour', 'day', 'minute').  One narrow map + the
+    histogram partial pattern — never a per-row Python call."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols or [])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t[ts_col], unit=width)
+        return t.append_column("window_start", w)
+
+    win = ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+    return histogram(win, key_cols + ["window_start"], as_pandas=as_pandas)
+
+
+def _session_ids(ts_us: np.ndarray, gap_us: int) -> np.ndarray:
+    """0-based session ids for an ascending timestamp array."""
+    if len(ts_us) == 0:
+        return np.zeros(0, np.int64)
+    gaps = np.diff(ts_us) > gap_us
+    return np.concatenate([[0], np.cumsum(gaps)]).astype(np.int64)
+
+
+def sessionize(ds, key_col: str, ts_col: str = "ts", gap_s: float = 1800.0,
+               tiebreak_col: str | None = None):
+    """Append a ``session_id`` column: per key, rows sorted by (ts,
+    tiebreak) belong to the same session while consecutive gaps stay <=
+    gap_s.  Shuffle key = key_col."""
+    gap_us = int(gap_s * 1_000_000)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        g = g.sort_values(order, kind="mergesort")
+        ts_us = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        g["session_id"] = _session_ids(ts_us, gap_us)
+        return g
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def sessions_per_key(ds, key_col: str, ts_col: str = "ts", gap_s: float = 1800.0,
+                     tiebreak_col: str | None = None) -> pd.DataFrame:
+    """(key, n_sessions): number of gap-delimited sessions per key."""
+    gap_us = int(gap_s * 1_000_000)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        g = g.sort_values(order, kind="mergesort")
+        ts_us = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        ids = _session_ids(ts_us, gap_us)
+        n = int(ids[-1]) + 1 if len(ids) else 0
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]], "n_sessions": pd.array([n], dtype="int64")})
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas").to_pandas()
+
+
+def salted_histogram(ds, cols, salt_buckets: int = 16, as_pandas: bool = True):
+    """Two-phase salted exact counts for HOT keys whose raw rows would
+    overwhelm a single reducer even after per-batch partials: phase 1
+    groups by (cols..., salt) where salt spreads each key's partial rows
+    over `salt_buckets` reducers; phase 2 folds the salted partials.
+
+    Equivalent to :func:`histogram`; use when a single key's *partial* rows
+    (one per batch) are themselves enormous — i.e. millions of batches."""
+    if isinstance(cols, str):
+        cols = [cols]
+    from ray.data.aggregate import Sum
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        g = t.group_by(cols).aggregate([([], "count_all")])
+        g = g.rename_columns(cols + ["partial_count"])
+        salt = np.arange(len(g), dtype=np.int64) % salt_buckets
+        return g.append_column("__salt", pa.array(salt))
+
+    salted = (
+        ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=131072)
+        .groupby(cols + ["__salt"])
+        .aggregate(Sum("partial_count", alias_name="n1"))
+    )
+    out = salted.groupby(cols).aggregate(Sum("n1", alias_name="n"))
+    if not as_pandas:
+        return out
+    return out.to_pandas().sort_values(cols).reset_index(drop=True)

@@ -1,0 +1,167 @@
+"""Tests for windowed/streaming-shaped operators and ordinal mapping."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from logray.stages.window import (
+    _session_ids,
+    salted_histogram,
+    sessionize,
+    sessions_per_key,
+    tumbling_window,
+)
+from logray.stages.search import global_to_local, local_to_global
+from logray.stages.reassemble import fold_dialogue, reassemble_conversations
+
+
+def test_session_ids_unit():
+    ts = np.array([0, 10, 1000, 1010, 5000], np.int64)
+    assert _session_ids(ts, gap_us=100).tolist() == [0, 0, 1, 1, 2]
+    assert _session_ids(np.array([], np.int64), 100).tolist() == []
+    assert _session_ids(np.array([5], np.int64), 100).tolist() == [0]
+
+
+@pytest.fixture()
+def event_ds(ray_session):
+    import ray.data as rd
+
+    n = 300
+    rng = np.random.default_rng(4)
+    user = rng.integers(0, 10, n)
+    ts = np.datetime64("2026-01-01", "us") + (
+        np.sort(rng.integers(0, 3_600_000_000 * 24, n))
+    ).astype("timedelta64[us]")
+    return (
+        rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array(user, pa.int64()),
+                    "event_id": pa.array(np.arange(n), pa.int64()),
+                    "ts": pa.array(ts),
+                    "event_type": pa.array(np.array(["a", "b", "c"])[user % 3]),
+                }
+            )
+        ),
+        pa.table(
+            {
+                "user_id": pa.array(user, pa.int64()),
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(ts),
+            }
+        ).to_pandas(),
+    )
+
+
+def test_sessions_per_key_matches_pandas(event_ds):
+    ds, df = event_ds
+    gap_s = 1800.0
+    got = sessions_per_key(ds, "user_id", gap_s=gap_s, tiebreak_col="event_id")
+    got = dict(zip(got["user_id"], got["n_sessions"]))
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        want = 1 + int((np.diff(ts_us) > gap_s * 1e6).sum())
+        assert got[uid] == want, uid
+
+
+def test_sessionize_ids_contiguous(event_ds):
+    ds, _ = event_ds
+    out = sessionize(ds, "user_id", gap_s=600.0, tiebreak_col="event_id").to_pandas()
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ids = g["session_id"].to_numpy()
+        assert ids[0] == 0
+        assert ((np.diff(ids) == 0) | (np.diff(ids) == 1)).all()
+
+
+def test_tumbling_window_counts(event_ds):
+    ds, df = event_ds
+    got = tumbling_window(ds, key_cols="user_id", width="hour")
+    df["window_start"] = df["ts"].dt.floor("h")
+    want = df.groupby(["user_id", "window_start"]).size()
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert want[(row["user_id"], row["window_start"])] == row["n"]
+
+
+def test_salted_histogram_equals_plain(event_ds):
+    ds, df = event_ds
+    got = salted_histogram(ds, "event_type", salt_buckets=4)
+    want = df.assign(event_type=np.array(["a", "b", "c"])[df.user_id % 3]).groupby("event_type").size()
+    assert dict(zip(got["event_type"], got["n"])) == want.to_dict()
+
+
+# ---------------------------------------------------------------------------
+# local <-> global ordinal mapping (test_jump_to_local_line.cpp invariants)
+# ---------------------------------------------------------------------------
+
+INFO_LINES = [4, 12, 14, 20, 29, 36, 41, 49, 51, 57]
+
+
+@pytest.fixture()
+def info_view(ray_session, golden_lines):
+    import ray.data as rd
+
+    from logray.filters import EvalContext
+    from logray.formats import GOLDEN_FORMAT, LineFormat
+    from logray.stages.parse import parse_stage
+    from logray.stages.route import Route, Router, route_datasets
+
+    fmt = LineFormat.from_format_string(GOLDEN_FORMAT)
+    n = len(golden_lines)
+    t = pa.table(
+        {
+            "conv_id": ["g"] * n,
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "text": golden_lines,
+        }
+    )
+    parsed = parse_stage(rd.from_arrow(t), GOLDEN_FORMAT)
+    router = Router(
+        [Route.from_decl("info", "Level EQ INFO", fmt)],
+        ctx=EvalContext(text_col="text", line_col="turn_idx"),
+    )
+    return route_datasets(parsed, router)["info"]
+
+
+def test_local_to_global_golden(info_view):
+    # count_to_info_line parity (test_helpers.hpp:111-125)
+    for local, glob in enumerate(INFO_LINES):
+        assert local_to_global(info_view, local) == ("g", glob), local
+    assert local_to_global(info_view, 10) is None  # past the end
+
+
+def test_global_to_local_roundtrip(info_view):
+    for local, glob in enumerate(INFO_LINES):
+        assert global_to_local(info_view, ("g", glob)) == local
+    # a global line between INFO lines maps to the count of INFO lines before
+    assert global_to_local(info_view, ("g", 13)) == 2
+
+
+def test_monotonic_invariant(info_view):
+    # strictly monotonic local->global (test_jump_to_local_line.cpp:6-10)
+    globals_ = [local_to_global(info_view, i)[1] for i in range(len(INFO_LINES))]
+    assert globals_ == sorted(globals_)
+    assert len(set(globals_)) == len(globals_)
+
+
+# ---------------------------------------------------------------------------
+# dialogue folding
+# ---------------------------------------------------------------------------
+
+
+def test_fold_dialogue(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2", "c1"],
+            "turn_idx": pa.array([2, 0, 0, 1], pa.int32()),
+            "text": ["third", "first", "solo", "second"],
+        }
+    )
+    out = reassemble_conversations(rd.from_arrow(t), fold_dialogue(" | ")).to_pandas()
+    got = dict(zip(out["conv_id"], out["dialogue"]))
+    assert got == {"c1": "first | second | third", "c2": "solo"}
