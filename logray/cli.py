@@ -242,6 +242,17 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     try:
         return args.fn(args)
+    except (FileNotFoundError,) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except Exception as e:
+        from logray.filters import FilterError
+        from logray.formats import FormatError
+
+        if isinstance(e, (FilterError, FormatError)):
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        raise
     finally:
         import ray
 

@@ -165,3 +165,23 @@ def test_fold_dialogue(ray_session):
     out = reassemble_conversations(rd.from_arrow(t), fold_dialogue(" | ")).to_pandas()
     got = dict(zip(out["conv_id"], out["dialogue"]))
     assert got == {"c1": "first | second | third", "c2": "solo"}
+
+
+def test_randomized_local_access(info_view):
+    """Randomized jump sweep (mirrors test_log_parser_interface.cpp:16-22):
+    arbitrary local-id access must equal the golden filtered view."""
+    rng = np.random.default_rng(123)
+    for local in rng.integers(0, 10, 40):
+        assert local_to_global(info_view, int(local)) == ("g", INFO_LINES[local])
+
+
+def test_mixed_direction_search(info_view):
+    """Forward then backward from the same anchor (mirrors
+    test_filtered_file_reader mixed iteration)."""
+    from logray.stages.search import find_next_occurrence
+
+    fwd = find_next_occurrence(info_view, "INFO", from_key=("g", 20))
+    back = find_next_occurrence(info_view, "INFO", from_key=("g", 20), forward=False)
+    assert fwd["turn_idx"] == 29 and back["turn_idx"] == 14
+    # inclusive anchors return the anchor itself when it matches
+    assert find_next_occurrence(info_view, "INFO", from_key=("g", 20), inclusive=True)["turn_idx"] == 20
