@@ -166,6 +166,8 @@ def parse_line(text: str, fmt: LineFormat) -> tuple[bool, list]:
                     pos += 1
         elif f.ftype == FieldType.STR:
             if f.stop == StrStop.NCHAR:
+                # NCHAR counts characters (documented deviation: the
+                # reference counts raw bytes; identical for ASCII)
                 nchar = f.nchar
                 values[i] = text[pos : pos + nchar]  # clamped; overshoot => malformed below
             elif f.stop == StrStop.DELIM:

@@ -92,10 +92,16 @@ class _ClassIndex:
     """Sorted positions of byte classes over one batch buffer, built lazily
     and shared across instructions."""
 
-    def __init__(self, data: np.ndarray) -> None:
+    def __init__(self, data: np.ndarray, row_ends: np.ndarray | None = None) -> None:
         self.data = data
         # one pad byte so gathers at == len(data) are safe
         self.padded = np.concatenate([data, np.zeros(1, np.uint8)])
+        # last byte of each row: a CR here must NOT pair with the next
+        # row's leading LF in the CRLF end-of-line check
+        self.is_last_byte = np.zeros(len(data), np.bool_)
+        if row_ends is not None and len(row_ends):
+            nonempty_ends = row_ends[row_ends > 0] - 1
+            self.is_last_byte[nonempty_ends] = True
         self._cache: dict = {}
 
     # NOTE: all position indexes are int32 (a batch's value buffer is far
@@ -129,9 +135,25 @@ class _ClassIndex:
                 is_cr = self.data == 0x0D
                 nxt_lf = np.zeros_like(is_cr)
                 nxt_lf[:-1] = self.data[1:] == 0x0A
-                mask |= is_cr & nxt_lf
+                # CR at a row's last byte never pairs across the boundary
+                mask |= is_cr & nxt_lf & ~self.is_last_byte
             got = np.flatnonzero(mask).astype(np.int32, copy=False)
             self._cache[("stop", key)] = got
+        return got
+
+    def char_starts(self) -> np.ndarray:
+        """Positions of UTF-8 character starts (non-continuation bytes)."""
+        got = self._cache.get("charstarts")
+        if got is None:
+            got = np.flatnonzero((self.data & 0xC0) != 0x80).astype(np.int32, copy=False)
+            self._cache["charstarts"] = got
+        return got
+
+    def has_non_ascii(self) -> bool:
+        got = self._cache.get("nonascii")
+        if got is None:
+            got = bool((self.data >= 0x80).any())
+            self._cache["nonascii"] = got
         return got
 
     def not_target(self, ch: int) -> np.ndarray:
@@ -185,24 +207,44 @@ class VectorParser:
     Build once (per actor / per worker), call :meth:`parse_table` per batch.
     """
 
-    def __init__(self, fmt: LineFormat) -> None:
+    def __init__(self, fmt: LineFormat, enable_re2: bool = True) -> None:
         self.fmt = fmt
         self.named = fmt.named_fields()  # [(name, field, ordinal)]
         self._named_index = {name: fmt._name_to_index[name] for name, _f, _o in self.named}
+        self.re2 = None
+        if enable_re2:
+            from logray.re2path import Re2Parser, compile_re2
+
+            compiled = compile_re2(fmt)
+            if compiled is not None:
+                self.re2 = Re2Parser(fmt, compiled)
 
     # -- core --------------------------------------------------------------
 
     def parse_array(self, texts) -> dict[str, pa.Array]:
         """Parse a string array; returns {field_name: pa.Array} for every
         named field plus 'well_formatted' (bool).  Fields of malformed rows
-        and fields that never executed are null."""
+        and fields that never executed are null.
+
+        When the format qualifies for the RE2 fast path (logray.re2path)
+        the bulk of rows go through one native extract_regex call and only
+        non-matching / CR / overflow rows hit the numpy interpreter."""
+        if self.re2 is not None:
+            return self.re2.parse_array(
+                texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
+                self._parse_array_interp,
+            )
+        return self._parse_array_interp(texts)
+
+    def _parse_array_interp(self, texts) -> dict[str, pa.Array]:
+        """The exact numpy instruction interpreter (always available)."""
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         n = len(texts)
         data, start, end = _string_buffer_views(texts)
         start = start.astype(np.int32, copy=False)
         end = end.astype(np.int32, copy=False)
-        cidx = _ClassIndex(data)
+        cidx = _ClassIndex(data, row_ends=end)
         dp = cidx.padded
         total = len(data)
 
@@ -288,7 +330,26 @@ class VectorParser:
 
             elif f.ftype == FieldType.STR:
                 if f.stop == StrStop.NCHAR:
-                    stop = p + f.nchar  # may overshoot -> malformed via pos==end check
+                    # NCHAR counts CHARACTERS (documented deviation: the
+                    # byte-oriented reference counts bytes, but an Arrow
+                    # string model cannot represent split UTF-8 codepoints;
+                    # identical for ASCII corpora).  Overshoot past the row
+                    # end still makes the line malformed via pos==end.
+                    if cidx.has_non_ascii():
+                        cs = cidx.char_starts()
+                        ci = np.searchsorted(cs, p, side="left")
+                        ti = ci + f.nchar
+                        stop = np.where(
+                            ti < len(cs),
+                            cs[np.minimum(ti, max(len(cs) - 1, 0))],
+                            # ti == len(cs): consumed exactly to buffer end;
+                            # beyond that is an overshoot
+                            np.where(ti == len(cs), np.int32(total), np.int32(total + 1)),
+                        ).astype(p.dtype)
+                        # an advance past the row end is an overshoot
+                        stop = np.where(stop > e, e + 1, stop)
+                    else:
+                        stop = p + f.nchar  # may overshoot -> malformed via pos==end check
                 elif f.stop == StrStop.DELIM:
                     key = f"delim{ord(f.delim) if f.delim else 0}"
                     bs = bytes([ord(f.delim) if f.delim else 0]) + b"\x00\n"

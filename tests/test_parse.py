@@ -186,3 +186,60 @@ def test_parse_table_appends_columns():
     assert out.column_names == ["conv_id", "text", "A", "B", "well_formatted"]
     assert out["A"].to_pylist() == [1, None]
     assert out["well_formatted"].to_pylist() == [True, False]
+
+
+# ---------------------------------------------------------------------------
+# RE2 fast-path equivalence (logray.re2path)
+# ---------------------------------------------------------------------------
+
+ADVERSARIAL_CASES = [
+    # regex backtracking could "donate" digits/chars across fields; the
+    # maximality verification must reject these to the interpreter
+    ("4973xxYa", GOLDEN_FORMAT),
+    ("12 34  :..s: m", GOLDEN_FORMAT),  # donated Level parse the reference rejects
+    ("68INFO ", GOLDEN_FORMAT),
+    ("1020", "{INT:A} {INT:B}"),
+    # cross-row CRLF pairing regression: row ending \r before row starting \n
+    ("\r", "{STR:A}:{INT:B}"),
+    ("a\r", "{STR:S}"),
+    # unicode NCHAR (character-count semantics)
+    ("é¢6", "{STR:A,3}{INT:B}"),
+    ("xé¢7", "{STR:A,3}{INT:B}"),
+]
+
+
+@pytest.mark.parametrize("text,fmtstr", ADVERSARIAL_CASES)
+def test_re2_path_matches_oracle(text, fmtstr):
+    fmt = LineFormat.from_format_string(fmtstr)
+    vp = VectorParser(fmt, enable_re2=True)
+    # surround with hostile neighbors to catch batch-context bugs
+    batch = ["\n.251::", text, "", "9\r", "\n"]
+    cols = vp.parse_array(pa.array(batch))
+    for i, line in enumerate(batch):
+        well, vals = parse_named(line, fmt)
+        assert cols["well_formatted"][i].as_py() == well, (fmtstr, repr(line))
+        for nm, _, _ in fmt.named_fields():
+            assert cols[nm][i].as_py() == vals[nm], (fmtstr, repr(line), nm)
+
+
+@pytest.mark.parametrize("fmtstr", FUZZ_FORMATS)
+def test_fuzz_re2_combined_equals_oracle(fmtstr):
+    """Same fuzz as the interpreter suite but through the combined
+    re2+fallback path, with CR/NUL/unicode in the alphabet."""
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(fmtstr.encode()) + 1)
+    fmt = LineFormat.from_format_string(fmtstr)
+    vp = VectorParser(fmt, enable_re2=True)
+    alphabet = list("0123456789 .:x-+abXY\t\v\r\n") + ["", "::", "..", "\x00", "é¢", "12 34  :..s: m"]
+    lines = ["".join(rng.choice(alphabet) for _ in range(rng.integers(0, 10))) for _ in range(400)]
+    cols = vp.parse_array(pa.array(lines))
+    for i, line in enumerate(lines):
+        well, vals = parse_named(line, fmt)
+        assert cols["well_formatted"][i].as_py() == well, (fmtstr, repr(line))
+        for nm in (n for n, _, _ in fmt.named_fields()):
+            got, want = cols[nm][i].as_py(), vals[nm]
+            if isinstance(want, float) and got is not None:
+                assert got == pytest.approx(want, nan_ok=True)
+            else:
+                assert got == want, (fmtstr, repr(line), nm)
