@@ -288,6 +288,73 @@ def _q_lineitem_agg(sf_dir: str):
     return out.to_pandas()
 
 
+def _q_join_orders_customers(sf_dir: str):
+    """Large-large hash join (orders x customer) -> revenue per market
+    segment in integer cents."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import histogram
+    from logray.stages.join import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({"o_custkey": t["o_custkey"], "cents": c})
+
+    orders = orders.map_batches(cents, batch_format="pyarrow")
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, customer, on="o_custkey", right_on="c_custkey", num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_mktsegment"]).aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["c_mktsegment", "p_cents", "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("p_cents", alias_name="revenue_cents"), Sum("p_n", alias_name="n_orders"))
+    )
+    return out.to_pandas()
+
+
+def _q_bucketed_join(sf_dir: str):
+    """The explicit bucketed-hash-join fallback path (same result as the
+    native join; exercised so the portable pattern stays correct)."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import histogram
+    from logray.stages.join import _bucketed_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"])
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = _bucketed_join(orders, customer, ("o_custkey",), ("c_custkey",), "inner", 8)
+    return histogram(joined, "c_mktsegment")
+
+
+def _q_distinct_priorities(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority"])
+    vals = sorted(ds.unique("o_orderpriority"))
+    return pd.DataFrame({"o_orderpriority": vals})
+
+
+def _q_union_counts(sf_dir: str):
+    import ray.data as rd
+
+    from logray.stages.aggregate import histogram
+
+    a = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    b = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return histogram(a.union(b), "event_type")
+
+
 def _q_events_window(sf_dir: str):
     """Per-user ordered window: first/last event type + count."""
     import ray.data as rd
@@ -596,6 +663,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customer_counts": _q_region_customer_counts,
         "lineitem_agg": _q_lineitem_agg,
         "events_window": _q_events_window,
+        "join_orders_customers": _q_join_orders_customers,
+        "bucketed_join": _q_bucketed_join,
+        "distinct_priorities": _q_distinct_priorities,
+        "union_counts": _q_union_counts,
         # training-data operators
         "exact_dedup_docs": _q_exact_dedup_docs,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
@@ -754,6 +825,26 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = n THEN event_type END) AS last_type,
                    max(n) AS n_events
             FROM w GROUP BY user_id
+        """,
+        "join_orders_customers": """
+            SELECT c_mktsegment,
+                   CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "bucketed_join": """
+            SELECT c_mktsegment, count(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "distinct_priorities": """
+            SELECT DISTINCT o_orderpriority FROM orders
+        """,
+        "union_counts": """
+            SELECT event_type, count(*) AS n FROM (
+              SELECT event_type FROM events UNION ALL SELECT event_type FROM events)
+            GROUP BY event_type
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

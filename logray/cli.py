@@ -95,7 +95,9 @@ def cmd_stats(args) -> int:
     from logray.stages.aggregate import multi_histogram
 
     view = _view_for(_load_input(args.input), args.format, args.filter or "", args.accept_bad)
-    hists = multi_histogram(view, ["role", "Level"] if args.format else ["role"], ts_col=None)
+    available = set(view.schema().names)
+    cols = [c for c in ("role", "Level", "well_formatted") if c in available] or ["role"]
+    hists = multi_histogram(view, cols, ts_col=None)
     out = {
         "rows": int(sum(hists[list(hists)[0]]["n"])) if hists else 0,
         "histograms": {k: dict(zip(v[k], v["n"].astype(int))) for k, v in hists.items()},

@@ -1,0 +1,95 @@
+"""Join operators.
+
+The reference has no join (its only lookup is a config dict); the engine
+provides the three shapes a pipeline needs:
+
+- :func:`broadcast_join` — small side shipped once (``ray.put``), merged
+  per batch with a vectorized pandas merge.  No shuffle; the right answer
+  for dimension tables (generalizes stages/enrich.py).
+- :func:`hash_join` — both sides large: Ray's native hash-partitioned
+  ``Dataset.join`` when available, else an explicit bucketed join
+  (add ``bucket = hash(key) % B`` to both sides, co-group per bucket and
+  merge inside ``map_groups``) — the portable partitioned-hash-join
+  pattern; B and skew handling are explicit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(ds, small, on, how: str = "inner", batch_size: int = 32768):
+    """Join `ds` against a small pandas DataFrame (or ray.ObjectRef of one)
+    broadcast to every worker."""
+
+    class Merge:
+        def __init__(self, small_ref):
+            import ray
+
+            s = small_ref
+            if isinstance(s, ray.ObjectRef):
+                s = ray.get(s)
+            self.small = s
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(
+        Merge,
+        fn_constructor_kwargs=dict(small_ref=small),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+
+
+def hash_join(left, right, on, right_on=None, how: str = "inner",
+              num_partitions: int = 32):
+    """Large-large equi-join, hash-partitioned on the key."""
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = on if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    )
+    if hasattr(left, "join"):
+        return left.join(
+            right,
+            join_type=how,
+            num_partitions=num_partitions,
+            on=on,
+            right_on=right_on if right_on != on else None,
+        )
+    return _bucketed_join(left, right, on, right_on, how, num_partitions)
+
+
+def _bucketed_join(left, right, on, right_on, how, num_buckets):
+    """Explicit partitioned hash join: tag both sides with
+    ``hash(key) % B``, union, co-group per bucket, merge per group.
+    Salt hot keys by raising B."""
+
+    def tag(side):
+        keys = on if side == 0 else right_on
+
+        def fn(t: pa.Table) -> pa.Table:
+            h = np.zeros(t.num_rows, np.uint64)
+            for k in keys:
+                col = t[k].to_numpy(zero_copy_only=False)
+                h = h * np.uint64(1000003) + pd.util.hash_array(np.asarray(col)).astype(np.uint64)
+            t = t.append_column("__bucket", pa.array((h % num_buckets).astype(np.int64)))
+            return t.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
+
+        return fn
+
+    left_cols = left.schema().names
+    right_cols = right.schema().names
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, left_cols]
+        r = g.loc[g["__side"] == 1, right_cols]
+        return l.merge(r, left_on=list(on), right_on=list(right_on), how=how)
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")

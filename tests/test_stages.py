@@ -228,3 +228,43 @@ def test_search_lastline(parsed_ds):
 def test_search_char_pos(info_view, golden_lines):
     hit = find_next_occurrence(info_view, "Ioctl")
     assert golden_lines[hit["turn_idx"]][hit["char_pos"]:].startswith("Ioctl")
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+def test_broadcast_join(ray_session):
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from logray.stages.join import broadcast_join
+
+    ds = rd.from_arrow(pa.table({"k": [1, 2, 3, 2], "v": ["a", "b", "c", "d"]}))
+    dim = pd.DataFrame({"k": [1, 2], "name": ["one", "two"]})
+    out = broadcast_join(ds, ray.put(dim), on="k").to_pandas().sort_values(["k", "v"])
+    assert out["name"].tolist() == ["one", "two", "two"]
+
+
+def test_hash_join_native_and_bucketed(ray_session):
+    import ray.data as rd
+
+    from logray.stages.join import _bucketed_join, hash_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 2, 5], "l": ["a", "b", "c", "d", "e"]}))
+    right = rd.from_arrow(pa.table({"rk": [2, 3, 4], "r": ["x", "y", "z"]}))
+    want = {(2, "b", "x"), (2, "d", "x"), (3, "c", "y")}
+
+    native = hash_join(left, right, on="k", right_on="rk", num_partitions=2).to_pandas()
+    got_native = {(row["k"], row["l"], row["r"]) for _, row in native.iterrows()}
+    assert got_native == want
+
+    manual = _bucketed_join(
+        rd.from_arrow(pa.table({"k": [1, 2, 3, 2, 5], "l": ["a", "b", "c", "d", "e"]})),
+        rd.from_arrow(pa.table({"rk": [2, 3, 4], "r": ["x", "y", "z"]})),
+        ("k",), ("rk",), "inner", 4,
+    ).to_pandas()
+    got_manual = {(row["k"], row["l"], row["r"]) for _, row in manual.iterrows()}
+    assert got_manual == want
