@@ -545,6 +545,19 @@ def _q_simhash_pairs(sf_dir: str):
     return _pairs_out(pairs)
 
 
+def _q_near_dedup_keep(sf_dir: str):
+    """Full near-dedup closure: MinHash-LSH pairs -> connected components
+    -> keep min id per cluster; returns the kept doc ids."""
+    import ray.data as rd
+
+    from logray.functions.dedup import dedup_keep_min, minhash_lsh_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_dedup(ds, num_perm=64, bands=16, k=5, threshold=0.8)
+    kept = dedup_keep_min(ds, pairs).to_pandas()
+    return kept[["doc_id"]].astype("int64")
+
+
 def _q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -673,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "minhash_pairs": _q_minhash_pairs,
+        "near_dedup_keep": _q_near_dedup_keep,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,

@@ -1,5 +1,7 @@
 from logray.functions.textstats import TextStatsBatch, text_stats
 from logray.functions.dedup import (
+    connected_components,
+    dedup_keep_min,
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -12,6 +14,8 @@ from logray.functions.fingerprint import FingerprintBatch
 __all__ = [
     "TextStatsBatch",
     "text_stats",
+    "connected_components",
+    "dedup_keep_min",
     "exact_dedup",
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",

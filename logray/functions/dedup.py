@@ -130,6 +130,64 @@ def minhash_lsh_dedup(
     return pairs.groupby(["id_a", "id_b"]).map_groups(drop_dup_pairs, batch_format="pandas")
 
 
+def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:
+    """Cluster near-duplicate PAIRS into components.
+
+    The pair set is the output of an LSH miner and is orders of magnitude
+    smaller than the corpus (only near-duplicates appear), so union-find on
+    the driver is the right tool; the distributed alternative for a
+    pathological pair volume is iterated min-label propagation with one
+    groupby per round.  Returns DataFrame (doc_id, component) where
+    component is the minimum id of the cluster; singletons are absent."""
+    df = pairs.to_pandas() if not isinstance(pairs, pd.DataFrame) else pairs
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(df[id_a].astype("int64"), df[id_b].astype("int64")):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame(
+        {"doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+         "component": pd.array([r[1] for r in rows], dtype="int64")}
+    )
+
+
+def dedup_keep_min(ds, pairs, id_col: str = "doc_id"):
+    """Full near-dedup: keep one representative (the min id) per duplicate
+    cluster.  ``pairs`` is a (id_a, id_b) Dataset/DataFrame from any of the
+    pair miners; the drop-set (non-minimum cluster members) is broadcast
+    once and applied as a vectorized filter inside map_batches."""
+    import ray
+    import pyarrow.compute as _pc
+
+    comp = connected_components(pairs)
+    drop = comp.loc[comp["doc_id"] != comp["component"], "doc_id"].astype("int64").tolist()
+    drop_ref = ray.put(drop)
+
+    class DropDups:
+        def __init__(self, ref):
+            vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.drop_set = pa.array(vals, pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = _pc.invert(
+                _pc.is_in(t[id_col].cast(pa.int64()), value_set=self.drop_set)
+            )
+            return t.filter(_pc.fill_null(keep, True))
+
+    return ds.map_batches(DropDups, fn_constructor_kwargs=dict(ref=drop_ref),
+                          batch_format="pyarrow", concurrency=(1, 8))
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dedup
 # ---------------------------------------------------------------------------

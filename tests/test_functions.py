@@ -298,3 +298,36 @@ def test_multimodal_determinism():
     ia = DecodeImageBatch()(a)
     ib = DecodeImageBatch()(b)
     assert ia.equals(ib)
+
+
+def test_connected_components_and_keep_min(ray_session):
+    import ray.data as rd
+
+    from logray.functions.dedup import connected_components, dedup_keep_min
+
+    pairs = rd.from_arrow(
+        pa.table({"id_a": pa.array([1, 2, 5, 9], pa.int64()),
+                  "id_b": pa.array([2, 3, 6, 1], pa.int64())})
+    )
+    comp = connected_components(pairs)
+    got = dict(zip(comp["doc_id"], comp["component"]))
+    # {1,2,3,9} cluster to 1; {5,6} cluster to 5
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                  "text": [f"d{i}" for i in range(10)]})
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_min(docs, pairs).take_all())
+    assert kept == [0, 1, 4, 5, 7, 8]  # dropped 2,3,9 (cluster 1) and 6 (cluster 5)
+
+
+def test_full_near_dedup_pipeline(doc_ds):
+    """minhash pairs -> components -> keep-min over the documents fixture."""
+    from logray.functions.dedup import dedup_keep_min, minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(doc_ds, num_perm=64, bands=16, k=4, threshold=0.5)
+    kept = sorted(r["doc_id"] for r in dedup_keep_min(doc_ds, pairs).take_all())
+    # exact triplet {0,1,4} collapses to 0; near-dup 2 may or may not join it
+    assert 0 in kept and 1 not in kept and 4 not in kept
+    assert 3 in kept and 5 in kept
