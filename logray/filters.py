@@ -40,7 +40,6 @@ import pyarrow.compute as pc
 
 from logray.formats import FieldType, LineFormat
 
-UINT64_MAX = (1 << 64) - 1
 
 
 class Comparison(enum.Enum):

@@ -35,7 +35,7 @@ line_format.hpp:176-284), including its quirks:
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 
 import pyarrow as pa
 
@@ -65,9 +65,6 @@ class Field:
     stop: StrStop = StrStop.NCHAR
     delim: str = "\0"
     nchar: int = 0
-
-    def type_ordinal(self) -> None:
-        raise AttributeError("set by LineFormat.add_field")
 
 
 def _ch(s: str, i: int) -> str:
