@@ -355,6 +355,39 @@ def _q_union_counts(sf_dir: str):
     return histogram(a.union(b), "event_type")
 
 
+def _q_kth_price(sf_dir: str):
+    """Distributed selection: the 100th-smallest order total (0-based)."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import kth_smallest
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    v = kth_smallest(ds, "o_totalprice", 100)
+    return pd.DataFrame({"o_totalprice": [v]})
+
+
+def _q_top_users(sf_dir: str):
+    import ray.data as rd
+
+    from logray.stages.aggregate import top_k_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return top_k_groups(ds, "user_id", k=5)
+
+
+def _q_token_topk(sf_dir: str):
+    """Tokenize documents (single-space split, SQL string_split semantics)
+    and return the 20 most frequent tokens (ties by token)."""
+    import ray.data as rd
+
+    from logray.functions.textstats import tokenize
+    from logray.stages.aggregate import top_k_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    toks = tokenize(ds, "text")
+    return top_k_groups(toks, "token", k=20)
+
+
 def _q_events_window(sf_dir: str):
     """Per-user ordered window: first/last event type + count."""
     import ray.data as rd
@@ -670,6 +703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "tumbling_window": _q_tumbling_window,
         "salted_histogram": _q_salted_histogram,
+        "kth_price": _q_kth_price,
+        "top_users": _q_top_users,
+        "token_topk": _q_token_topk,
         "local_global_map": _q_local_global,
         # general operators
         "topk_orders": _q_topk_orders,
@@ -809,6 +845,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_histogram": """
             SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "kth_price": """
+            SELECT o_totalprice FROM orders ORDER BY o_totalprice LIMIT 1 OFFSET 100
+        """,
+        "top_users": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id LIMIT 5
+        """,
+        "token_topk": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -117,3 +117,29 @@ def text_stats(ds, text_col: str = "text", langid: bool = True,
             **kwargs,
         )
     return ds.map_batches(TextStatsBatch(text_col, langid), **kwargs)
+
+
+def tokenize(ds, text_col: str = "text", id_col: str | None = None,
+             pattern: str = " ", lower: bool = False, batch_size: int = 16384):
+    """Explode text into one row per token (split on the literal
+    ``pattern``, keeping empty tokens — matches SQL ``string_split``).
+    Output columns: [id_col?] + token.  Fully vectorized: Arrow split to a
+    list column, then a flatten + parent-index take."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if lower:
+            col = pc.ascii_lower(col)
+        lists = pc.split_pattern(col, pattern=pattern)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        cols = {}
+        if id_col is not None:
+            cols[id_col] = pc.take(t[id_col], parent)
+        cols["token"] = flat
+        return pa.table(cols)
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)

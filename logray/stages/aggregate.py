@@ -222,3 +222,23 @@ def min_max(ds, col: str):
 
     row = ds.aggregate(Min(col, alias_name="min"), Max(col, alias_name="max"))
     return row["min"], row["max"]
+
+
+def kth_smallest(ds, col: str, k: int):
+    """Exact k-th smallest value (0-based) of a column — distributed
+    selection via sort + limit (the sort is the only shuffle; the limit
+    keeps materialization at k+1 rows)."""
+    rows = ds.sort(col).limit(k + 1).take_all()
+    if len(rows) <= k:
+        return None
+    return rows[k][col]
+
+
+def top_k_groups(ds, key_cols, k: int, as_pandas: bool = True):
+    """Top-k groups by exact count (ties broken by key ascending):
+    histogram partials -> groupby sum -> sort -> limit."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    counts = histogram(ds, key_cols, as_pandas=False)
+    out = counts.sort(["n"] + key_cols, descending=[True] + [False] * len(key_cols)).limit(k)
+    return out.to_pandas() if as_pandas else out

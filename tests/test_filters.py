@@ -326,3 +326,71 @@ def test_fuzz_mask_equals_scalar(decl):
     for i in range(n):
         row = {k: rows[k][i] for k in rows}
         assert mask[i] == flt.passes(row), (decl, row)
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference pins (test_line_filter.cpp, test_filter_roundtrip.cpp)
+# ---------------------------------------------------------------------------
+
+
+def test_int_filter_over_golden_corpus(golden_lines):
+    """Time GE 85409 passes exactly from 0-based line 34 on
+    (test_line_filter.cpp:21-33, which counts 1-based from 35)."""
+    from logray.formats import GOLDEN_FORMAT
+    from logray.oracle import parse_named
+
+    gf = LineFormat.from_format_string(GOLDEN_FORMAT)
+    flt = parse_filter_decl("Time GE 85409", gf)
+    for i, line in enumerate(golden_lines):
+        well, vals = parse_named(line, gf)
+        got = flt.passes(vals)
+        assert got == (i >= 34 and well), i
+
+
+def test_string_filter_over_golden_corpus(golden_lines):
+    from logray.formats import GOLDEN_FORMAT
+    from logray.oracle import parse_named
+
+    gf = LineFormat.from_format_string(GOLDEN_FORMAT)
+    flt = parse_filter_decl("Level EQ INFO", gf)
+    matches = sum(
+        flt.passes(parse_named(l, gf)[1]) for l in golden_lines
+    )
+    assert matches == 10
+
+
+@pytest.mark.parametrize(
+    "decl",
+    [
+        # deeply nested / chained shapes (test_filter_roundtrip.cpp:430-460)
+        "((Val EQ 1) AND ((Val EQ 2) OR (Val EQ 3)))",
+        "(Val EQ 1) AND ((Val EQ 2) OR ((Val EQ 3) AND (Name EQ x)))",
+        "((Val EQ 1) OR (Val EQ 2)) AND ((Val EQ 3) OR (Name EQ x))",
+        "Val EQ 1 AND Val EQ 2 AND Val EQ 3 AND Name EQ x",
+        "(line_num CT 0,9) AND (Name CT z)",
+        "(((Val EQ 7)))",
+    ],
+)
+def test_roundtrip_nested_shapes(decl):
+    once = f(decl)
+    twice = parse_filter_decl(once.to_string(), FMT)
+    assert once.equals(twice)
+    assert once.to_string() == twice.to_string()
+
+
+def test_parens_override_natural_order():
+    # (A OR B) AND C differs structurally from A OR B AND C
+    # (test_filter_roundtrip.cpp:455-470)
+    no_parens = f("Val EQ 1 OR Val EQ 2 AND Name EQ x")
+    with_parens = f("(Val EQ 1 OR Val EQ 2) AND Name EQ x")
+    assert not no_parens.equals(with_parens)
+    assert no_parens.equals(parse_filter_decl(no_parens.to_string(), FMT))
+    assert with_parens.equals(parse_filter_decl(with_parens.to_string(), FMT))
+
+
+def test_equals_cross_type_false():
+    a = f("Val EQ 5")
+    b = LineNumberFilter(5, 5)
+    c = RawLineFilter("5")
+    assert not a.equals(b) and not b.equals(a)
+    assert not b.equals(c) and not c.equals(b)

@@ -185,3 +185,45 @@ def test_mixed_direction_search(info_view):
     assert fwd["turn_idx"] == 29 and back["turn_idx"] == 14
     # inclusive anchors return the anchor itself when it matches
     assert find_next_occurrence(info_view, "INFO", from_key=("g", 20), inclusive=True)["turn_idx"] == 20
+
+
+# ---------------------------------------------------------------------------
+# selection / top-k / tokenize
+# ---------------------------------------------------------------------------
+
+
+def test_kth_smallest(ray_session):
+    import ray.data as rd
+
+    from logray.stages.aggregate import kth_smallest
+
+    vals = [5, 1, 9, 3, 7, 2, 8]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    for k, want in [(0, 1), (3, 5), (6, 9)]:
+        assert kth_smallest(ds, "v", k) == want
+    assert kth_smallest(ds, "v", 99) is None
+
+
+def test_top_k_groups(ray_session):
+    import ray.data as rd
+
+    from logray.stages.aggregate import top_k_groups
+
+    ds = rd.from_arrow(pa.table({"k": ["a", "b", "a", "c", "b", "a"]}))
+    out = top_k_groups(ds, "k", k=2)
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["n"].tolist() == [3, 2]
+
+
+def test_tokenize(ray_session):
+    import ray.data as rd
+
+    from logray.functions.textstats import tokenize
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["a b  c", "x"]})
+    )
+    out = tokenize(ds, id_col="doc_id").to_pandas()
+    # double space yields an empty token (string_split semantics)
+    assert out[out.doc_id == 1]["token"].tolist() == ["a", "b", "", "c"]
+    assert out[out.doc_id == 2]["token"].tolist() == ["x"]
