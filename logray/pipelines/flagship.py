@@ -117,3 +117,20 @@ def run_pipeline(ds, cfg: PipelineConfig, out_dir: str, write_metrics: bool = Tr
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2, default=str)
     return metrics
+
+
+def run_pipeline_resumable(input_path: str, cfg: PipelineConfig, out_dir: str) -> dict:
+    """Checkpoint-resumable flagship run: the input splits into one
+    partition per parquet file (state/manifest.py), each partition runs the
+    full pipeline into its own atomically-published directory, and a
+    restarted run skips completed partitions.  Returns merged metrics
+    (rows + per-route counts folded across partition manifests)."""
+    import ray.data as rd
+
+    from logray.state.manifest import run_resumable
+
+    def run_partition(files, part_out):
+        m = run_pipeline(rd.read_parquet(files), cfg, part_out, write_metrics=False)
+        return {"rows": m["turns_total"], "routes": m["routes"]}
+
+    return run_resumable(input_path, out_dir, run_partition)

@@ -125,3 +125,30 @@ def test_manifest_atomicity(tmp_path):
     mf.record("p1", {"rows": 5})
     assert mf.is_done("p1")
     assert mf.entries()["p1"]["rows"] == 5
+
+
+def test_run_pipeline_resumable_api(ray_session, tmp_path):
+    src = tmp_path / "in"
+    write_synth_transcripts(str(src), n_convs=40, convs_per_file=20, seed=9)
+    from logray.pipelines.flagship import run_pipeline_resumable
+
+    m1 = run_pipeline_resumable(str(src), CFG, str(tmp_path / "out"))
+    assert m1["partitions"] == 2 and m1["rows"] > 0
+    # second run is a no-op resume: same totals, nothing re-executed
+    m2 = run_pipeline_resumable(str(src), CFG, str(tmp_path / "out"))
+    assert m2 == m1
+
+
+def test_pipeline_actor_pool_parse(ray_session, tmp_path):
+    """parse_concurrency turns the parse stage into an actor pool; results
+    must be identical to the stateless-task path."""
+    import ray.data as rd
+
+    from dataclasses import replace
+
+    table = synth_transcripts_table(n_convs=25, seed=13)
+    cfg_pool = replace(CFG, parse_concurrency=2)
+    m = run_pipeline(rd.from_arrow(table), cfg_pool, str(tmp_path), write_metrics=False)
+    want = _expected_counts(table)
+    assert m["routes"]["info"] == want["info"]
+    assert m["turns_total"] == table.num_rows
