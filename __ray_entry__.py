@@ -388,6 +388,49 @@ def _q_token_topk(sf_dir: str):
     return top_k_groups(toks, "token", k=20)
 
 
+def _q_asof_last_purchase(sf_dir: str):
+    """ASOF join: for each event, the user's most recent purchase value at
+    or before the event (null when none), summarized per event_type as
+    exact integer cents so the comparison is order-independent."""
+    import ray.data as rd
+
+    from logray.stages.join import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase")
+        p = t.filter(m)
+        cents = pc.cast(
+            pc.round(pc.multiply(p["value"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({"user_id": p["user_id"], "ts": p["ts"], "purchase_cents": cents})
+
+    pur = ev.map_batches(purchases, batch_format="pyarrow")
+    joined = asof_join(ev, pur, key="user_id", ts_col="ts", tiebreak_col="event_id")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by(["event_type"])
+            .aggregate([("purchase_cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "p_sum", "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(summarize, batch_format="pyarrow", batch_size=131072)
+        .groupby("event_type")
+        .aggregate(Sum("p_sum", alias_name="sum_last_purchase_cents"),
+                   Sum("p_n", alias_name="n_events"))
+    )
+    df = out.to_pandas()
+    df["sum_last_purchase_cents"] = df["sum_last_purchase_cents"].astype("int64")
+    return df
+
+
 def _q_events_window(sf_dir: str):
     """Per-user ordered window: first/last event type + count."""
     import ray.data as rd
@@ -706,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kth_price": _q_kth_price,
         "top_users": _q_top_users,
         "token_topk": _q_token_topk,
+        "asof_last_purchase": _q_asof_last_purchase,
         "local_global_map": _q_local_global,
         # general operators
         "topk_orders": _q_topk_orders,
@@ -845,6 +889,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_histogram": """
             SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "asof_last_purchase": """
+            WITH p AS (
+              SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS purchase_cents
+              FROM events WHERE event_type = 'purchase')
+            SELECT e.event_type,
+                   CAST(sum(p.purchase_cents) AS BIGINT) AS sum_last_purchase_cents,
+                   count(*) AS n_events
+            FROM events e
+            ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+            GROUP BY e.event_type
         """,
         "kth_price": """
             SELECT o_totalprice FROM orders ORDER BY o_totalprice LIMIT 1 OFFSET 100

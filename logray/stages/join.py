@@ -93,3 +93,38 @@ def _bucketed_join(left, right, on, right_on, how, num_buckets):
         return l.merge(r, left_on=list(on), right_on=list(right_on), how=how)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def asof_join(left, right, key: str, ts_col: str = "ts", right_cols=None,
+              suffix: str = "_right", tiebreak_col: str | None = None):
+    """As-of join: for each left row, the latest right row of the same key
+    with ``right.ts <= left.ts`` (backward direction, SQL ASOF JOIN).
+
+    Both sides shuffle once on ``key``; within each key group a sorted
+    ``pd.merge_asof`` does the work — the documented partitioning
+    assumption is that one key's rows fit a worker (salt/split upstream for
+    pathological keys).  Right-side columns are suffixed on collision."""
+    rcols = list(right_cols) if right_cols else None
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+    left_names = [c for c in left.schema().names]
+    right_names = rcols or [c for c in right.schema().names if c != key]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, left_names]
+        r = g.loc[g["__side"] == 1, [key, ts_col] + [c for c in right_names if c not in (key, ts_col)]]
+        order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        l = l.sort_values([c for c in order if c in l.columns], kind="mergesort")
+        r = r.sort_values(ts_col, kind="mergesort")
+        merged = pd.merge_asof(
+            l, r, on=ts_col, by=key, direction="backward", suffixes=("", suffix)
+        )
+        return merged
+
+    return lt.union(rt).groupby(key).map_groups(per_key, batch_format="pandas")

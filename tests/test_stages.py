@@ -3,6 +3,7 @@ routing with the malformed-bypass policy (pinned per-sink counts from
 /root/reference/tests/test_helpers.hpp:27-30), enrichment lookups,
 aggregates, and search (mirrors test_find_next_occurence.cpp)."""
 
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -268,3 +269,40 @@ def test_hash_join_native_and_bucketed(ray_session):
     ).to_pandas()
     got_manual = {(row["k"], row["l"], row["r"]) for _, row in manual.iterrows()}
     assert got_manual == want
+
+
+def test_asof_join(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.join import asof_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    np.array(["2026-01-01T00:10", "2026-01-01T00:20", "2026-01-01T00:05",
+                              "2026-01-01T00:10"], "datetime64[us]")
+                ),
+                "ev": ["a", "b", "c", "d"],
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    np.array(["2026-01-01T00:08", "2026-01-01T00:15", "2026-01-01T00:30"],
+                             "datetime64[us]")
+                ),
+                "px": pa.array([100, 200, 300], pa.int64()),
+            }
+        )
+    )
+    out = asof_join(left, right, key="user_id").to_pandas().sort_values("ev")
+    got = dict(zip(out["ev"], out["px"].astype("Int64")))
+    # a(00:10)->100 (00:08), b(00:20)->200 (00:15), c(00:05)->null, d->null
+    assert got["a"] == 100 and got["b"] == 200
+    assert pd.isna(got["c"]) and pd.isna(got["d"])
