@@ -431,6 +431,35 @@ def _q_asof_last_purchase(sf_dir: str):
     return df
 
 
+def _q_range_join_bands(sf_dir: str):
+    """Range join: band each event's value against a small interval table
+    (broadcast, searchsorted fast path); counts per band."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import histogram
+    from logray.stages.join import range_join
+
+    bands = pd.DataFrame(
+        {
+            "band": ["b0", "b1", "b2", "b3"],
+            "lo": pd.array([0, 50, 100, 150], dtype="float64"),
+            "hi": pd.array([50, 100, 150, 10_000_000], dtype="float64"),
+        }
+    )
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    joined = range_join(ds, bands, value_col="value")
+    return histogram(joined, "band")
+
+
+def _q_turn_context(sf_dir: str):
+    """Rolling 3-turn context per transcript turn (training context-window
+    assembly), exact vs a SQL window list aggregate."""
+    from logray.stages.reassemble import turn_context
+
+    ds = transcripts_from_events(sf_dir)
+    return turn_context(ds, window=3, sep="\n").to_pandas()
+
+
 def _q_events_window(sf_dir: str):
     """Per-user ordered window: first/last event type + count."""
     import ray.data as rd
@@ -750,6 +779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": _q_top_users,
         "token_topk": _q_token_topk,
         "asof_last_purchase": _q_asof_last_purchase,
+        "range_join_bands": _q_range_join_bands,
+        "turn_context": _q_turn_context,
         "local_global_map": _q_local_global,
         # general operators
         "topk_orders": _q_topk_orders,
@@ -900,6 +931,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
             GROUP BY e.event_type
+        """,
+        "range_join_bands": """
+            WITH bands(band, lo, hi) AS (
+              VALUES ('b0', 0.0, 50.0), ('b1', 50.0, 100.0),
+                     ('b2', 100.0, 150.0), ('b3', 150.0, 10000000.0))
+            SELECT band, count(*) AS n
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY band
+        """,
+        "turn_context": f"""
+            {_FIELDS_CTE}
+            SELECT conv_id, turn_idx,
+                   array_to_string(
+                     list(text) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                     chr(10)) AS context
+            FROM t
         """,
         "kth_price": """
             SELECT o_totalprice FROM orders ORDER BY o_totalprice LIMIT 1 OFFSET 100

@@ -128,3 +128,48 @@ def asof_join(left, right, key: str, ts_col: str = "ts", right_cols=None,
         return merged
 
     return lt.union(rt).groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def range_join(left, right_intervals, value_col: str, lo_col: str = "lo",
+               hi_col: str = "hi", how: str = "inner", batch_size: int = 65536):
+    """Range join: match each left row to every interval with
+    ``lo <= value < hi``.  The interval table is small (a banding/bucketing
+    dimension), so it is broadcast and resolved per batch with a vectorized
+    ``np.searchsorted`` over the sorted interval starts — the fast path for
+    non-overlapping intervals; overlapping intervals fall back to a per-band
+    mask (still vectorized per interval, no row loop)."""
+    import ray
+
+    df = right_intervals if isinstance(right_intervals, pd.DataFrame) else right_intervals.to_pandas()
+    df = df.sort_values(lo_col).reset_index(drop=True)
+    non_overlapping = bool((df[hi_col].iloc[:-1].to_numpy() <= df[lo_col].iloc[1:].to_numpy()).all()) if len(df) > 1 else True
+    ref = ray.put(df)
+
+    class Assign:
+        def __init__(self, r):
+            self.iv = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t[value_col].to_numpy(zero_copy_only=False)
+            lo = self.iv[lo_col].to_numpy()
+            hi = self.iv[hi_col].to_numpy()
+            if non_overlapping:
+                idx = np.searchsorted(lo, v, side="right") - 1
+                ok = (idx >= 0) & (v < hi[np.maximum(idx, 0)])
+                parts = [(ok, np.maximum(idx, 0))]
+            else:
+                parts = [((v >= lo[i]) & (v < hi[i]), np.full(len(v), i)) for i in range(len(lo))]
+            out = []
+            for ok, idx in parts:
+                sel = t.filter(pa.array(ok))
+                ivrows = self.iv.iloc[idx[ok]].reset_index(drop=True)
+                for c in self.iv.columns:
+                    sel = sel.append_column(c, pa.array(ivrows[c]))
+                out.append(sel)
+            if how == "inner" or not parts:
+                return pa.concat_tables(out) if out else t.slice(0, 0)
+            return pa.concat_tables(out)
+
+    return left.map_batches(Assign, fn_constructor_kwargs=dict(r=ref),
+                            batch_format="pyarrow", batch_size=batch_size,
+                            concurrency=(1, 8))

@@ -89,3 +89,21 @@ def preview(view, n: int = 20, from_key: tuple | None = None,
     allc = pa.concat_tables(parts)
     idx = pc.sort_indices(allc, sort_keys=[(conv_col, "ascending"), (turn_col, "ascending")])[:n]
     return allc.take(idx).to_pandas()
+
+
+def turn_context(ds, window: int = 3, sep: str = "\n", text_col: str = "text",
+                 conv_col: str = "conv_id", turn_col: str = "turn_idx"):
+    """Per-turn rolling context: for every turn, the concatenation of the
+    last ``window`` turns (inclusive) in order — the training-data
+    "context window" assembly.  One conv-key shuffle; the rolling join is
+    vectorized pandas within each ordered group."""
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(turn_col, kind="mergesort").reset_index(drop=True)
+        texts = g[text_col].astype(str).tolist()
+        ctx = [
+            sep.join(texts[max(0, i - window + 1) : i + 1]) for i in range(len(texts))
+        ]
+        return pd.DataFrame({conv_col: g[conv_col], turn_col: g[turn_col], "context": ctx})
+
+    return ds.groupby(conv_col).map_groups(per_conv, batch_format="pandas")

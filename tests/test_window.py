@@ -227,3 +227,37 @@ def test_tokenize(ray_session):
     # double space yields an empty token (string_split semantics)
     assert out[out.doc_id == 1]["token"].tolist() == ["a", "b", "", "c"]
     assert out[out.doc_id == 2]["token"].tolist() == ["x"]
+
+
+def test_range_join_overlapping_and_disjoint(ray_session):
+    import ray.data as rd
+
+    from logray.stages.join import range_join
+
+    ds = rd.from_arrow(pa.table({"value": pa.array([5.0, 55.0, 150.0, -1.0])}))
+    disjoint = pd.DataFrame({"band": ["a", "b"], "lo": [0.0, 50.0], "hi": [50.0, 100.0]})
+    out = range_join(ds, disjoint, "value").to_pandas()
+    got = sorted(zip(out["value"], out["band"]))
+    assert got == [(5.0, "a"), (55.0, "b")]  # 150 and -1 match nothing
+
+    overlapping = pd.DataFrame({"band": ["x", "y"], "lo": [0.0, 40.0], "hi": [60.0, 100.0]})
+    out2 = range_join(ds, overlapping, "value").to_pandas()
+    got2 = sorted(zip(out2["value"], out2["band"]))
+    assert got2 == [(5.0, "x"), (55.0, "x"), (55.0, "y")]
+
+
+def test_turn_context(ray_session):
+    import ray.data as rd
+
+    from logray.stages.reassemble import turn_context
+
+    t = pa.table(
+        {
+            "conv_id": ["c", "c", "c", "d"],
+            "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+            "text": ["a", "b", "c", "z"],
+        }
+    )
+    out = turn_context(rd.from_arrow(t), window=2, sep="|").to_pandas()
+    got = {(r.conv_id, r.turn_idx): r.context for r in out.itertuples()}
+    assert got == {("c", 0): "a", ("c", 1): "a|b", ("c", 2): "b|c", ("d", 0): "z"}
