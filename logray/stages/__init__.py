@@ -8,7 +8,20 @@ from logray.stages.aggregate import (
     turns_per_conversation,
 )
 from logray.stages.search import find_next_occurrence
-from logray.stages.reassemble import ordered_view, preview, reassemble_conversations
+from logray.stages.reassemble import (
+    fold_dialogue,
+    ordered_view,
+    preview,
+    reassemble_conversations,
+    turn_context,
+)
+from logray.stages.join import asof_join, broadcast_join, hash_join, range_join
+from logray.stages.window import (
+    salted_histogram,
+    sessionize,
+    sessions_per_key,
+    tumbling_window,
+)
 
 __all__ = [
     "ParseBatch",
@@ -31,4 +44,14 @@ __all__ = [
     "ordered_view",
     "preview",
     "reassemble_conversations",
+    "fold_dialogue",
+    "turn_context",
+    "asof_join",
+    "broadcast_join",
+    "hash_join",
+    "range_join",
+    "salted_histogram",
+    "sessionize",
+    "sessions_per_key",
+    "tumbling_window",
 ]
