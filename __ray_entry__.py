@@ -658,7 +658,7 @@ def _q_near_dedup_keep(sf_dir: str):
     from logray.functions.dedup import dedup_keep_min, minhash_lsh_dedup
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = minhash_lsh_dedup(ds, num_perm=64, bands=16, k=5, threshold=0.8)
+    pairs = minhash_lsh_dedup(ds, num_perm=64, bands=16, k=5, threshold=0.8, distinct=False)
     kept = dedup_keep_min(ds, pairs).to_pandas()
     return kept[["doc_id"]].astype("int64")
 

@@ -177,7 +177,7 @@ def run_bench() -> dict:
 
     def minhash_docs():
         ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-        return minhash_lsh_dedup(ds, num_perm=64, bands=16, threshold=0.8).count()
+        return minhash_lsh_dedup(ds, num_perm=64, bands=16, threshold=0.8, distinct=False).count()
 
     timed("minhash_docs", minhash_docs)
 

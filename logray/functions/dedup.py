@@ -90,9 +90,15 @@ def minhash_lsh_dedup(
     k: int = 5,
     threshold: float = 0.7,
     seed: int = 1,
+    distinct: bool = True,
 ):
     """Near-duplicate PAIRS dataset: (id_a, id_b, est_jaccard), id_a < id_b,
-    est_jaccard = fraction of agreeing minhash slots >= threshold."""
+    est_jaccard = fraction of agreeing minhash slots >= threshold.
+
+    ``distinct=False`` skips the second (pair-dedup) shuffle: a pair that
+    collides in several bands appears once per colliding band.  Downstream
+    consumers that are idempotent over repeats (connected components /
+    keep-min dedup) should pass False and save a full shuffle."""
 
     def explode_bands(t: pa.Table) -> pa.Table:
         sig = minhash_signatures(t[text_col], num_perm=num_perm, k=k, seed=seed)
@@ -122,6 +128,8 @@ def minhash_lsh_dedup(
         .groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+    if not distinct:
+        return pairs
 
     # a pair can surface from several bands: keep one copy
     def drop_dup_pairs(g: pd.DataFrame) -> pd.DataFrame:
