@@ -243,3 +243,59 @@ def test_fuzz_re2_combined_equals_oracle(fmtstr):
                 assert got == pytest.approx(want, nan_ok=True)
             else:
                 assert got == want, (fmtstr, repr(line), nm)
+
+
+def test_fuzz_random_formats_combined_equals_oracle():
+    """Random FORMATS x random lines: the combined re2+interpreter path must
+    match the oracle for arbitrary field layouts (greedy adjacency, NCHAR
+    windows, repeats, delimiters), not just the curated formats above."""
+    import zlib
+
+    rng = np.random.default_rng(20260817)
+
+    def random_format():
+        parts = []
+        n = rng.integers(1, 7)
+        for i in range(n):
+            kind = rng.choice(["INT", "STR", "STRN", "CHR", "CHRR", "WS", "LIT"])
+            name = f"F{i}"
+            if kind == "INT":
+                parts.append("{INT:%s}" % name)
+            elif kind == "STR":
+                parts.append("{STR:%s}" % name)
+                parts.append(str(rng.choice([" ", ":", ",", "x", ""])))
+            elif kind == "STRN":
+                parts.append("{STR:%s,%d}" % (name, rng.integers(0, 4)))
+            elif kind == "CHR":
+                parts.append("{CHR:%s,%s,0}" % (name, rng.choice([":", ".", "x"])))
+            elif kind == "CHRR":
+                parts.append("{CHR:%s,%s,1}" % (name, rng.choice([":", ".", "x"])))
+            elif kind == "WS":
+                parts.append(" ")
+            else:
+                parts.append(str(rng.choice(["[", "]", "=", "a"])))
+        return "".join(parts)
+
+    alphabet = list("0123456789 .:x=[]ab\t\r\n") + ["", "::", "..", "\x00", "12 "]
+
+    checked = 0
+    for _ in range(30):
+        fmtstr = random_format()
+        try:
+            fmt = LineFormat.from_format_string(fmtstr)
+        except Exception:
+            continue
+        vp = VectorParser(fmt, enable_re2=True)
+        names = [n for n, _, _ in fmt.named_fields()]
+        lines = [
+            "".join(rng.choice(alphabet) for _ in range(rng.integers(0, 8)))
+            for _ in range(200)
+        ]
+        cols = vp.parse_array(pa.array(lines))
+        for i, line in enumerate(lines):
+            well, vals = parse_named(line, fmt)
+            assert cols["well_formatted"][i].as_py() == well, (fmtstr, repr(line))
+            for nm in names:
+                assert cols[nm][i].as_py() == vals[nm], (fmtstr, repr(line), nm)
+        checked += 1
+    assert checked >= 20  # most random formats compile
