@@ -15,6 +15,7 @@ map to batch CLI verbs:
 | ``:cfg set k=v``     | ``cfg set PROFILE k=v``                      |
 | (pipelines)          | ``run --input ... --out ...``                |
 | (aggregates)         | ``stats INPUT``                              |
+| (training-data ops)  | ``dedup INPUT --out DIR``, ``textstats INPUT`` |
 
 Input may be a transcript Parquet path/directory or a raw ``.log`` file
 (read via the rawlog source, one conversation per file).  The CLI owns the
@@ -170,6 +171,44 @@ def cmd_cfg(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Near-dedup a document parquet: MinHash-LSH pairs -> components ->
+    keep-min; writes the kept rows as parquet and prints a summary."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.functions.dedup import dedup_keep_min, minhash_lsh_dedup
+
+    ds = rd.read_parquet(args.input)
+    pairs = minhash_lsh_dedup(
+        ds, text_col=args.text_col, id_col=args.id_col,
+        threshold=args.threshold, distinct=False,
+    )
+    kept = dedup_keep_min(ds, pairs, id_col=args.id_col)
+    kept.write_parquet(args.out)
+    n_in, n_out = ds.count(), rd.read_parquet(args.out).count()
+    print(json.dumps({"rows_in": n_in, "rows_kept": n_out, "dropped": n_in - n_out}))
+    return 0
+
+
+def cmd_textstats(args) -> int:
+    """Language-ID / quality / token stats for a document parquet."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.functions.textstats import text_stats
+    from logray.stages.aggregate import multi_histogram
+
+    ds = text_stats(rd.read_parquet(args.input), text_col=args.text_col)
+    hists = multi_histogram(ds, ["lang_id"], ts_col=None)
+    out = {"langs": dict(zip(hists["lang_id"]["lang_id"], hists["lang_id"]["n"].astype(int)))}
+    if args.out:
+        ds.write_parquet(args.out)
+        out["written"] = args.out
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_run(args) -> int:
     _init_ray(args.num_cpus)
     from logray.formats import GOLDEN_FORMAT
@@ -233,6 +272,20 @@ def main(argv=None) -> int:
     sp.add_argument("profile")
     sp.add_argument("kv", help="key=value for set, key for get")
     sp.set_defaults(fn=cmd_cfg)
+
+    sp = sub.add_parser("dedup", help="near-dedup a document parquet (MinHash-LSH)")
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--threshold", type=float, default=0.8)
+    sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("textstats", help="language/quality/token stats")
+    sp.add_argument("input")
+    sp.add_argument("--out")
+    sp.add_argument("--text-col", default="text")
+    sp.set_defaults(fn=cmd_textstats)
 
     sp = sub.add_parser("run", help="run the flagship pipeline")
     sp.add_argument("input")

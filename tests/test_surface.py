@@ -217,3 +217,17 @@ def test_cli_run_pipeline(tmp_path, sf_dir):
     metrics = json.loads(r.stdout)
     assert metrics["routes"] == {"info": 10, "rest": 52}
     assert os.path.exists(tmp_path / "out" / "metrics.json")
+
+
+def test_cli_dedup_and_textstats(tmp_path, sf_dir):
+    cfg = str(tmp_path / "cfg")
+    r = _cli("dedup", f"{sf_dir}/documents.parquet", "--out", str(tmp_path / "kept"), cfg=cfg)
+    assert r.returncode == 0, r.stderr
+    summary = json.loads(r.stdout)
+    assert summary["rows_in"] == summary["rows_kept"] + summary["dropped"]
+    assert summary["rows_kept"] > 0
+
+    r = _cli("textstats", f"{sf_dir}/documents.parquet", cfg=cfg)
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout)
+    assert sum(out["langs"].values()) == summary["rows_in"]
