@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from logray.functions.fingerprint import (
     band_hashes,
@@ -352,4 +353,87 @@ def embedding_dedup(ds, emb_col: str = "embedding", id_col: str = "vec_id",
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
+_LABEL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
+
+
+def _typed_labels(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _LABEL_SCHEMA.empty_table()
+    return t.select(["doc_id", "label"]).cast(_LABEL_SCHEMA)
+
+
+def connected_components_distributed(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                                     max_rounds: int = 16):
+    """Distributed connected components by iterated min-label propagation —
+    the scale path for pathological duplicate graphs whose pair set does
+    not fit one process (cf. :func:`connected_components`).
+
+    Each round: labels propagate across edges via a bucketed hash join
+    (the explicit-partition variant — Ray's native join rejects empty key
+    partitions in this version), then a groupby folds each vertex to the
+    minimum of its own and received labels.  A component of diameter d converges in O(log d) rounds;
+    convergence is detected by an exact label-sum fixpoint.  Returns a
+    Dataset (doc_id, component)."""
+    from logray.stages.join import _bucketed_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t[id_a].cast(pa.int64()).combine_chunks()
+        b = t[id_b].cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def fold_min(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [g["doc_id"].iloc[0]],
+             "label": pd.array([int(g["label"].min())], dtype="int64")}
+        )
+
+    # label(v) = min(v, neighbors)
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["src"],
+                 "label": pc.min_element_wise(t["src"], t["dst"])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .map_groups(fold_min, batch_format="pandas")
+        # normalize to Arrow blocks with a typed schema: unions must not mix
+        # block types, and empty map_groups blocks otherwise lose their
+        # schema (which breaks downstream join key resolution)
+        .map_batches(_typed_labels, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_rounds):
+        # push label(src) to dst via a hash join on src
+        pushed = _bucketed_join(
+            edges, labels, ("src",), ("doc_id",), "inner", 8
+        ).map_batches(
+            lambda t: pa.table({"doc_id": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            pushed.union(labels)
+            .groupby("doc_id")
+            .map_groups(fold_min, batch_format="pandas")
+            .map_batches(_typed_labels, batch_format="pyarrow")
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "component": t["label"]}),
+        batch_format="pyarrow",
     )

@@ -331,3 +331,47 @@ def test_full_near_dedup_pipeline(doc_ds):
     # exact triplet {0,1,4} collapses to 0; near-dup 2 may or may not join it
     assert 0 in kept and 1 not in kept and 4 not in kept
     assert 3 in kept and 5 in kept
+
+
+def test_ann_ivf_recall(emb_ds):
+    from logray.functions.ann import ann_ivf_topk
+
+    ds, m = emb_ds
+    q = m[42]
+    res = ann_ivf_topk(ds, {"query_id": [0], "matrix": q[None, :]}, k=5,
+                       n_lists=8, nprobe=3)
+    # the identical vector lives in the query's own nearest list
+    assert res.iloc[0]["vec_id"] == 42
+    assert res.iloc[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+    # probing all lists == exact brute force
+    res_all = ann_ivf_topk(ds, {"query_id": [0], "matrix": q[None, :]}, k=5,
+                           n_lists=8, nprobe=8)
+    assert set(res_all["vec_id"]) == _brute_truth(m, q, 5)
+
+
+def test_connected_components_distributed_matches_driver(ray_session):
+    import ray.data as rd
+
+    from logray.functions.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    # a path graph (diameter 5) plus a separate pair and a star
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([1, 2, 3, 4, 5, 20, 30, 30], pa.int64()),
+                "id_b": pa.array([2, 3, 4, 5, 6, 21, 31, 32], pa.int64()),
+            }
+        )
+    )
+    want = connected_components(pairs)
+    got = (
+        connected_components_distributed(pairs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["component"].tolist() == want["component"].tolist()
