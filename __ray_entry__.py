@@ -697,6 +697,22 @@ def _q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(ds, queries, k=10, n_planes=6, probes=2)
 
 
+def _q_ann_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logray.functions.ann import ann_ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtab = emb.slice(0, 2)
+    queries = {
+        "query_id": qtab["vec_id"].to_pylist(),
+        "matrix": np.stack(qtab["embedding"].to_numpy(zero_copy_only=False)),
+    }
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_ivf_topk(ds, queries, k=10, n_lists=8, nprobe=3)
+
+
 def _q_text_stats(sf_dir: str):
     import ray.data as rd
 
@@ -801,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "text_stats": _q_text_stats,
         "lang_quality": _q_lang_quality,
         "doc_histogram": _q_doc_histogram,
