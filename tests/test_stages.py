@@ -306,3 +306,22 @@ def test_asof_join(ray_session):
     # a(00:10)->100 (00:08), b(00:20)->200 (00:15), c(00:05)->null, d->null
     assert got["a"] == 100 and got["b"] == 200
     assert pd.isna(got["c"]) and pd.isna(got["d"])
+
+
+def test_write_routes_views_mode(parsed_ds, tmp_path):
+    """Overlapping-route fan-out via independent per-sink writes."""
+    import ray.data as rd
+
+    from logray.stages.route import write_routes
+
+    router = Router(
+        [
+            Route.from_decl("info", "Level EQ INFO", FMT),
+            Route.from_decl("info_dup", "Level EQ INFO", FMT),  # overlapping
+        ],
+        ctx=CTX,
+    )
+    paths = write_routes(parsed_ds, router, str(tmp_path), mode="views")
+    assert set(paths) == {"info", "info_dup"}
+    for p in paths.values():
+        assert rd.read_parquet(p).count() == 10
