@@ -299,3 +299,32 @@ def test_fuzz_random_formats_combined_equals_oracle():
                 assert cols[nm][i].as_py() == vals[nm], (fmtstr, repr(line), nm)
         checked += 1
     assert checked >= 20  # most random formats compile
+
+
+# ---------------------------------------------------------------------------
+# Property-based equivalence (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _LINE = st.text(
+        alphabet=st.sampled_from(list("0123456789 .:x-+abXY\t\v\r\n\x00é")),
+        max_size=40,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(_LINE, min_size=1, max_size=20))
+    def test_property_parser_equals_oracle(lines):
+        fmt = LineFormat.from_format_string(GOLDEN_FORMAT)
+        vp = VectorParser(fmt, enable_re2=True)
+        cols = vp.parse_array(pa.array(lines))
+        names = [n for n, _, _ in fmt.named_fields()]
+        for i, line in enumerate(lines):
+            well, vals = parse_named(line, fmt)
+            assert cols["well_formatted"][i].as_py() == well, repr(line)
+            for nm in names:
+                assert cols[nm][i].as_py() == vals[nm], (repr(line), nm)
+
+except ImportError:  # pragma: no cover
+    pass
