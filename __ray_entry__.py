@@ -195,7 +195,13 @@ def _q_search_next(sf_dir: str):
     view = route_datasets(ds, router)["errors"]
     hit = find_next_occurrence(view, "val=19", from_key=("conv-00050", 0))
     if hit is None:
-        return pd.DataFrame({"conv_id": [], "turn_idx": [], "char_pos": []})
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype="object"),
+                "turn_idx": pd.Series([], dtype="int32"),
+                "char_pos": pd.Series([], dtype="int64"),
+            }
+        )
     return pd.DataFrame(
         {
             "conv_id": [hit["conv_id"]],
@@ -442,8 +448,8 @@ def _q_range_join_bands(sf_dir: str):
     bands = pd.DataFrame(
         {
             "band": ["b0", "b1", "b2", "b3"],
-            "lo": pd.array([0, 50, 100, 150], dtype="float64"),
-            "hi": pd.array([50, 100, 150, 10_000_000], dtype="float64"),
+            "lo": np.array([0, 50, 100, 150], dtype="float64"),
+            "hi": np.array([50, 100, 150, 10_000_000], dtype="float64"),
         }
     )
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
@@ -475,7 +481,7 @@ def _q_events_window(sf_dir: str):
                 "user_id": [g["user_id"].iloc[0]],
                 "first_type": [g["event_type"].iloc[0]],
                 "last_type": [g["event_type"].iloc[-1]],
-                "n_events": pd.array([len(g)], dtype="int64"),
+                "n_events": np.array([len(g)], dtype="int64"),
             }
         )
 
@@ -502,7 +508,7 @@ def _q_conv_stats(sf_dir: str):
         return pd.DataFrame(
             {
                 "conv_id": [g["conv_id"].iloc[0]],
-                "n_turns": pd.array([len(g)], dtype="int64"),
+                "n_turns": np.array([len(g)], dtype="int64"),
                 "ts_min": [g["ts"].min()],
                 "ts_max": [g["ts"].max()],
             }
@@ -582,7 +588,7 @@ def _pairs_out(pairs: pd.DataFrame) -> pd.DataFrame:
     """(id_a, id_b) int64 projection that keeps its columns when empty
     (an all-empty Ray Dataset loses its schema in to_pandas)."""
     if "id_a" not in pairs.columns:
-        return pd.DataFrame({"id_a": pd.array([], dtype="int64"), "id_b": pd.array([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.array([], dtype="int64"), "id_b": np.array([], dtype="int64")})
     return pairs[["id_a", "id_b"]].astype("int64")
 
 

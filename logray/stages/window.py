@@ -75,7 +75,7 @@ def sessions_per_key(ds, key_col: str, ts_col: str = "ts", gap_s: float = 1800.0
         ts_us = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
         ids = _session_ids(ts_us, gap_us)
         n = int(ids[-1]) + 1 if len(ids) else 0
-        return pd.DataFrame({key_col: [g[key_col].iloc[0]], "n_sessions": pd.array([n], dtype="int64")})
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]], "n_sessions": np.array([n], dtype="int64")})
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas").to_pandas()
 
