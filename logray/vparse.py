@@ -242,6 +242,13 @@ class VectorParser:
             texts = texts.combine_chunks()
         n = len(texts)
         data, start, end = _string_buffer_views(texts)
+        if len(data) >= 2**31:
+            # int32 position indexes would wrap; batches this large are an
+            # operational error — re-batch upstream (map_batches batch_size)
+            raise ValueError(
+                f"parse batch value buffer is {len(data)} bytes (>= 2 GiB); "
+                "reduce batch_size so per-batch text stays below 2 GiB"
+            )
         start = start.astype(np.int32, copy=False)
         end = end.astype(np.int32, copy=False)
         cidx = _ClassIndex(data, row_ends=end)

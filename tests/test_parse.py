@@ -328,3 +328,20 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_sliced_and_chunked_input():
+    """Arrow slices carry an offset and chunked arrays multiple buffers;
+    both must parse identically to a fresh array (buffer-view math)."""
+    fmt = LineFormat.from_format_string("{INT:A} {STR:B}")
+    vp = VectorParser(fmt)
+    base = pa.array(["999 pre", "1 x", "2 y", "bad", "3 z"])
+    sliced = base.slice(1, 4)
+    want = vp.parse_array(pa.array(["1 x", "2 y", "bad", "3 z"]))
+    got = vp.parse_array(sliced)
+    for k in want:
+        assert got[k].to_pylist() == want[k].to_pylist(), k
+    chunked = pa.chunked_array([pa.array(["1 x"]), pa.array(["bad", "3 z"])])
+    got2 = vp.parse_array(chunked)
+    assert got2["A"].to_pylist() == [1, None, 3]
+    assert got2["well_formatted"].to_pylist() == [True, False, True]
