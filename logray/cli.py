@@ -86,7 +86,8 @@ def cmd_view(args) -> int:
     from logray.stages.reassemble import preview
 
     view = _view_for(_load_input(args.input), args.format, args.filter or "", args.accept_bad)
-    df = preview(view, n=args.n, from_key=_parse_from(args.from_key))
+    df = preview(view, n=args.n, from_key=_parse_from(args.from_key),
+                 backward=getattr(args, "backward", False))
     print(df.to_string(index=False))
     return 0
 
@@ -247,6 +248,7 @@ def main(argv=None) -> int:
     common_io(sp)
     sp.add_argument("-n", type=int, default=20)
     sp.add_argument("--from", dest="from_key", help="CONV:TURN start position")
+    sp.add_argument("--backward", action="store_true", help="page backwards from the position")
     sp.set_defaults(fn=cmd_view)
 
     sp = sub.add_parser("stats", help="counts + histograms of the view")

@@ -57,25 +57,34 @@ def ordered_view(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx"):
     return ds.sort([conv_col, turn_col])
 
 
-def preview(view, n: int = 20, from_key: tuple | None = None,
+def preview(view, n: int = 20, from_key: tuple | None = None, backward: bool = False,
             conv_col: str = "conv_id", turn_col: str = "turn_idx") -> pd.DataFrame:
     """First ``n`` rows of ``view`` at/after ``from_key`` in (conv, turn)
-    order.  Per-batch top-n winners stream to the driver, which merges the
-    tiny candidate set — cost O(rows) scan, O(batches*n) merge."""
+    order — or, with ``backward=True``, the last ``n`` rows at/before it
+    (the getPreviousValidLine paging direction).  Per-batch top-n winners
+    stream to the driver, which merges the tiny candidate set — cost
+    O(rows) scan, O(batches*n) merge."""
+    direction = "descending" if backward else "ascending"
 
     def topn(t: pa.Table) -> pa.Table:
         if from_key is not None:
             conv, turn = from_key
             cc, tc = t[conv_col], t[turn_col]
-            after = pc.or_(
-                pc.greater(cc, conv),
-                pc.and_(pc.equal(cc, conv), pc.greater_equal(tc, turn)),
-            )
-            t = t.filter(pc.fill_null(after, False))
+            if backward:
+                sel = pc.or_(
+                    pc.less(cc, conv),
+                    pc.and_(pc.equal(cc, conv), pc.less_equal(tc, turn)),
+                )
+            else:
+                sel = pc.or_(
+                    pc.greater(cc, conv),
+                    pc.and_(pc.equal(cc, conv), pc.greater_equal(tc, turn)),
+                )
+            t = t.filter(pc.fill_null(sel, False))
         if t.num_rows == 0:
             return t
         idx = pc.sort_indices(
-            t, sort_keys=[(conv_col, "ascending"), (turn_col, "ascending")]
+            t, sort_keys=[(conv_col, direction), (turn_col, direction)]
         )[:n]
         return t.take(idx)
 
@@ -87,8 +96,11 @@ def preview(view, n: int = 20, from_key: tuple | None = None,
     if not parts:
         return pd.DataFrame()
     allc = pa.concat_tables(parts)
-    idx = pc.sort_indices(allc, sort_keys=[(conv_col, "ascending"), (turn_col, "ascending")])[:n]
-    return allc.take(idx).to_pandas()
+    idx = pc.sort_indices(allc, sort_keys=[(conv_col, direction), (turn_col, direction)])[:n]
+    out = allc.take(idx).to_pandas()
+    if backward:
+        out = out.iloc[::-1].reset_index(drop=True)  # present in natural order
+    return out
 
 
 def turn_context(ds, window: int = 3, sep: str = "\n", text_col: str = "text",

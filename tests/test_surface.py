@@ -231,3 +231,11 @@ def test_cli_dedup_and_textstats(tmp_path, sf_dir):
     assert r.returncode == 0, r.stderr
     out = json.loads(r.stdout)
     assert sum(out["langs"].values()) == summary["rows_in"]
+
+
+def test_preview_backward(small_ds):
+    full = ordered_view(small_ds).to_pandas()
+    anchor = (full.iloc[10]["conv_id"], int(full.iloc[10]["turn_idx"]))
+    pv = preview(small_ds, n=3, from_key=anchor, backward=True)
+    want = full.iloc[8:11][["conv_id", "turn_idx"]].values.tolist()
+    assert pv[["conv_id", "turn_idx"]].values.tolist() == want
