@@ -224,6 +224,22 @@ def _q_min_max_ts(sf_dir: str):
 # --- TPC-H-ish operator demos ---------------------------------------------
 
 
+def _q_pushdown_read(sf_dir: str):
+    """Predicate + column pushdown at the read: only the error rows' two
+    columns leave storage (row-group pruning via the pyarrow dataset
+    filter), then an exact per-user histogram."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import histogram
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type"],
+        filter=(pc.field("event_type") == "error"),
+    )
+    return histogram(ds, "user_id")
+
+
 def _q_topk_orders(sf_dir: str):
     import ray.data as rd
 
@@ -805,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_context": _q_turn_context,
         "local_global_map": _q_local_global,
         # general operators
+        "pushdown_read": _q_pushdown_read,
         "topk_orders": _q_topk_orders,
         "region_customer_counts": _q_region_customer_counts,
         "lineitem_agg": _q_lineitem_agg,
@@ -983,6 +1000,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
             GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "pushdown_read": """
+            SELECT user_id, count(*) AS n FROM events
+            WHERE event_type = 'error' GROUP BY user_id
         """,
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
