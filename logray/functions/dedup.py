@@ -23,10 +23,23 @@ Scale shapes (documented per operator):
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
+
+logger = logging.getLogger("logray.dedup")
+
+#: Hot-bucket guard: an LSH band bucket larger than this is truncated to its
+#: ``max_bucket`` smallest ids before pair emission (boilerplate-heavy web
+#: corpora routinely produce degenerate buckets of 1e5+ near-identical docs;
+#: unguarded that is O(k^2) comparisons on ONE reducer).  Truncation only
+#: degrades recall for the affected bucket — the dropped rows still collide
+#: in their other bands — and every truncation is logged (no silent caps).
+DEFAULT_MAX_BUCKET = 4096
 
 from logray.functions.fingerprint import (
     band_hashes,
@@ -65,21 +78,51 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 
-def _pairs_from_bucket(ids: np.ndarray, sigs: np.ndarray, threshold: float, num_perm: int):
-    """Candidate pairs within one bucket verified by signature agreement."""
+def _cap_bucket(ids: np.ndarray, max_bucket: int, what: str):
+    """Hot-bucket guard: truncate a sorted bucket to its ``max_bucket``
+    smallest ids, logging the dropped-pair count (no silent caps)."""
+    n = len(ids)
+    if n <= max_bucket:
+        return slice(None)
+    dropped_pairs = n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+    logger.warning(
+        "%s: hot bucket of %d rows capped to %d (up to %d candidate pairs "
+        "skipped in this bucket; recall for its rows relies on other bands)",
+        what, n, max_bucket, dropped_pairs,
+    )
+    return slice(0, max_bucket)
+
+
+def _pairs_from_bucket(ids: np.ndarray, sigs: np.ndarray, threshold: float,
+                       num_perm: int, max_bucket: int = DEFAULT_MAX_BUCKET,
+                       chunk: int = 128):
+    """Candidate pairs within one bucket verified by signature agreement.
+
+    Block-wise vectorized: rows are compared a ``chunk`` at a time against
+    the rest of the (capped) bucket with one numpy equality reduction —
+    no per-row Python loop (a capped 4096-row bucket is ~130 chunk steps)."""
     order = np.argsort(ids, kind="stable")
     ids, sigs = ids[order], sigs[order]
-    out_a, out_b, out_sim = [], [], []
+    sel = _cap_bucket(ids, max_bucket, "minhash_lsh")
+    ids, sigs = ids[sel], sigs[sel]
     n = len(ids)
-    for i in range(n - 1):
-        agree = (sigs[i + 1 :] == sigs[i]).sum(axis=1) / num_perm
-        hit = agree >= threshold
-        if hit.any():
-            js = np.flatnonzero(hit) + i + 1
-            for j, s in zip(js, agree[hit]):
-                if ids[j] != ids[i]:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_sim.append(float(s))
-    return out_a, out_b, out_sim
+    out_a, out_b, out_sim = [], [], []
+    col_idx = np.arange(n)
+    for s in range(0, n - 1, chunk):
+        e = min(s + chunk, n - 1)
+        # (c, n-s) fraction of agreeing slots between rows [s:e) and [s:)
+        agree = (sigs[s:e, None, :] == sigs[None, s:, :]).sum(axis=2) / num_perm
+        upper = col_idx[None, s:] > col_idx[s:e, None]  # strict j > i
+        ii, jj = np.nonzero((agree >= threshold) & upper)
+        if len(ii):
+            gi, gj = ii + s, jj + s
+            neq = ids[gi] != ids[gj]
+            out_a.append(ids[gi][neq])
+            out_b.append(ids[gj][neq])
+            out_sim.append(agree[ii, jj][neq].astype(float))
+    if not out_a:
+        return [], [], []
+    return (np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_sim))
 
 
 def minhash_lsh_dedup(
@@ -92,6 +135,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.7,
     seed: int = 1,
     distinct: bool = True,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ):
     """Near-duplicate PAIRS dataset: (id_a, id_b, est_jaccard), id_a < id_b,
     est_jaccard = fraction of agreeing minhash slots >= threshold.
@@ -121,7 +165,7 @@ def minhash_lsh_dedup(
             return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
         ids = g[id_col].to_numpy()
         sigs = np.stack(g["sig"].to_numpy())
-        a, b, s = _pairs_from_bucket(ids, sigs, threshold, num_perm)
+        a, b, s = _pairs_from_bucket(ids, sigs, threshold, num_perm, max_bucket)
         return pd.DataFrame({"id_a": a, "id_b": b, "est_jaccard": s})
 
     pairs = (
@@ -203,7 +247,8 @@ def dedup_keep_min(ds, pairs, id_col: str = "doc_id"):
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, k: int = 4):
+                  max_hamming: int = 3, k: int = 4,
+                  max_bucket: int = DEFAULT_MAX_BUCKET):
     """Near-duplicate pairs by SimHash: bucket on each of the four 16-bit
     chunks (pigeonhole: hamming<=3 pairs share a chunk), verify popcount."""
 
@@ -230,14 +275,29 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         g = g.sort_values(id_col, kind="mergesort")
         ids = g[id_col].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
+        sel = _cap_bucket(ids, max_bucket, "simhash")
+        ids, hs = ids[sel], hs[sel]
+        n = len(ids)
         out_a, out_b, out_h = [], [], []
-        for i in range(len(ids) - 1):
-            d = hamming64(np.full(len(ids) - i - 1, hs[i], np.uint64), hs[i + 1 :])
-            hit = d <= max_hamming
-            for j, dv in zip(np.flatnonzero(hit) + i + 1, d[hit]):
-                if ids[j] != ids[i]:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_h.append(int(dv))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+        col_idx = np.arange(n)
+        chunk = 512
+        for s in range(0, n - 1, chunk):
+            e = min(s + chunk, n - 1)
+            # (c, n-s) pairwise hamming distances, block-vectorized
+            d = hamming64(hs[s:e, None], hs[None, s:])
+            upper = col_idx[None, s:] > col_idx[s:e, None]
+            ii, jj = np.nonzero((d <= max_hamming) & upper)
+            if len(ii):
+                gi, gj = ii + s, jj + s
+                neq = ids[gi] != ids[gj]
+                out_a.append(ids[gi][neq])
+                out_b.append(ids[gj][neq])
+                out_h.append(d[ii, jj][neq].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
     pairs = (
         ds.map_batches(explode_chunks, batch_format="pyarrow", zero_copy_batch=True)
@@ -365,75 +425,178 @@ def _typed_labels(t: pa.Table) -> pa.Table:
     return t.select(["doc_id", "label"]).cast(_LABEL_SCHEMA)
 
 
+def _cc_owner(v: np.ndarray, num_shards: int) -> np.ndarray:
+    """Shard owner of a vertex id: multiplicative hash partition."""
+    return (((v.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF))
+            % np.uint64(num_shards)).astype(np.int64)
+
+
+@ray.remote(num_cpus=0)
+class _CCShard:
+    """One hash partition of the connected-components label index.
+
+    ``num_cpus=0``: the shard is an index holder that reacts to short
+    vectorized message bursts; reserving whole CPUs for B idle actors would
+    starve the Dataset tasks that feed them (and deadlocks a small cluster).
+
+    The vertex->label map LIVES on this actor across rounds (the shared
+    mutable index the Dataset API cannot express without re-shuffling the
+    whole label table every round); only small message arrays move between
+    shards.  All per-shard work is vectorized numpy (searchsorted lookups,
+    ``np.minimum.at`` scatter-min) — no per-vertex Python objects."""
+
+    def __init__(self, shard_id: int, num_shards: int):
+        self.id = shard_id
+        self.B = num_shards
+        self._src_parts: list[np.ndarray] = []
+        self._dst_parts: list[np.ndarray] = []
+        self.verts = np.zeros(0, np.int64)
+        self.labels = np.zeros(0, np.int64)
+        self._pending_req: tuple[np.ndarray, np.ndarray] | None = None
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+        self._src_parts.append(np.asarray(src, np.int64))
+        self._dst_parts.append(np.asarray(dst, np.int64))
+        return len(src)
+
+    def build(self) -> int:
+        """Freeze edges, init label(v) = min(v, local out-neighbors)."""
+        src = np.concatenate(self._src_parts) if self._src_parts else np.zeros(0, np.int64)
+        dst = np.concatenate(self._dst_parts) if self._dst_parts else np.zeros(0, np.int64)
+        self._src_parts, self._dst_parts = [], []
+        order = np.argsort(src, kind="stable")
+        self.src, self.dst = src[order], dst[order]
+        self.verts, starts = np.unique(self.src, return_index=True)
+        self.labels = self.verts.copy()
+        if len(self.src):
+            np.minimum.at(self.labels,
+                          np.searchsorted(self.verts, self.src),
+                          self.dst)
+        return len(self.verts)
+
+    def _lookup(self, v: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.verts, v)
+        return self.labels[idx]
+
+    def _apply_min(self, v: np.ndarray, lab: np.ndarray) -> None:
+        if len(v):
+            np.minimum.at(self.labels, np.searchsorted(self.verts, v), lab)
+
+    def emit_a(self):
+        """Per-dest-shard messages: relax (dst, label[src]) + pointer-
+        doubling requests (l=label[v], v)."""
+        relax_v = self.dst
+        relax_lab = self._lookup(self.src) if len(self.src) else np.zeros(0, np.int64)
+        req_l = self.labels
+        req_v = self.verts
+        own_r = _cc_owner(relax_v, self.B)
+        own_q = _cc_owner(req_l, self.B)
+        out = []
+        for j in range(self.B):
+            mr, mq = own_r == j, own_q == j
+            out.append((relax_v[mr], relax_lab[mr], req_l[mq], req_v[mq]))
+        return out if self.B > 1 else out[0]
+
+    def apply_a(self, *msgs) -> int:
+        rv = [m[0] for m in msgs]; rl = [m[1] for m in msgs]
+        self._apply_min(np.concatenate(rv), np.concatenate(rl))
+        self._pending_req = (np.concatenate([m[2] for m in msgs]),
+                             np.concatenate([m[3] for m in msgs]))
+        return 0
+
+    def emit_b(self):
+        """Answer pointer requests: for each (l, v) deliver (v, label[l])."""
+        l, v = self._pending_req
+        self._pending_req = None
+        lab = self._lookup(l) if len(l) else np.zeros(0, np.int64)
+        own = _cc_owner(v, self.B)
+        out = []
+        for j in range(self.B):
+            m = own == j
+            out.append((v[m], lab[m]))
+        return out if self.B > 1 else out[0]
+
+    def apply_b(self, *msgs) -> int:
+        self._apply_min(np.concatenate([m[0] for m in msgs]),
+                        np.concatenate([m[1] for m in msgs]))
+        return int(len(self.verts))
+
+    def label_sum(self) -> int:
+        return int(self.labels.sum())
+
+    def labels_table(self) -> pa.Table:
+        if not len(self.verts):
+            return pa.schema([("doc_id", pa.int64()),
+                              ("component", pa.int64())]).empty_table()
+        return pa.table({"doc_id": pa.array(self.verts),
+                         "component": pa.array(self.labels)})
+
+
 def connected_components_distributed(pairs, id_a: str = "id_a", id_b: str = "id_b",
-                                     max_rounds: int = 16):
-    """Distributed connected components by iterated min-label propagation —
-    the scale path for pathological duplicate graphs whose pair set does
-    not fit one process (cf. :func:`connected_components`).
+                                     max_rounds: int = 16, num_shards: int = 8):
+    """Distributed connected components — the scale path for pathological
+    duplicate graphs whose pair set does not fit one process
+    (cf. :func:`connected_components`).
 
-    Each round: labels propagate across edges via a bucketed hash join
-    (the explicit-partition variant — Ray's native join rejects empty key
-    partitions in this version), then a groupby folds each vertex to the
-    minimum of its own and received labels.  A component of diameter d converges in O(log d) rounds;
-    convergence is detected by an exact label-sum fixpoint.  Returns a
-    Dataset (doc_id, component)."""
-    from logray.stages.join import _bucketed_join
+    Shape: ``num_shards`` actors each own one hash partition of the
+    vertex->label index, held in actor memory ACROSS rounds (a shared
+    mutable index — the documented case for raw Ray actors; a pure Dataset
+    loop re-shuffles the full label table 2-3 times per round, paying the
+    all-to-all fixed cost O(rounds) times).  Each round exchanges two
+    vectorized message waves: (1) edge relaxation ``label[dst] <-
+    min(label[dst], label[src])`` and (2) pointer doubling ``label[v] <-
+    label[label[v]]``, which makes convergence O(log diameter) rounds
+    (plain relaxation alone is O(diameter)).  Labels only decrease, so the
+    exact fixpoint is detected by an unchanged global label sum; exhausting
+    ``max_rounds`` without the fixpoint raises instead of silently
+    returning split components.  Returns a Dataset (doc_id, component)
+    where component is the minimum id of the cluster."""
+    B = num_shards
+    shards = [_CCShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
 
-    def explode(t: pa.Table) -> pa.Table:
-        a = t[id_a].cast(pa.int64()).combine_chunks()
-        b = t[id_b].cast(pa.int64()).combine_chunks()
-        return pa.table(
-            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
-        )
+    def push(t: pa.Table) -> pa.Table:
+        a = t[id_a].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t[id_b].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b]); dst = np.concatenate([b, a])
+        own = _cc_owner(src, B)
+        acks = []
+        for j in range(B):
+            m = own == j
+            if m.any():
+                acks.append(shards[j].add_edges.remote(src[m], dst[m]))
+        ray.get(acks)
+        return pa.table({"n": pa.array([len(a)], pa.int64())})
 
-    edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
+    pairs.map_batches(push, batch_format="pyarrow").materialize()
+    ray.get([s.build.remote() for s in shards])
 
-    def fold_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [g["doc_id"].iloc[0]],
-             "label": pd.array([int(g["label"].min())], dtype="int64")}
-        )
-
-    # label(v) = min(v, neighbors)
-    labels = (
-        edges.map_batches(
-            lambda t: pa.table(
-                {"doc_id": t["src"],
-                 "label": pc.min_element_wise(t["src"], t["dst"])}
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("doc_id")
-        .map_groups(fold_min, batch_format="pandas")
-        # normalize to Arrow blocks with a typed schema: unions must not mix
-        # block types, and empty map_groups blocks otherwise lose their
-        # schema (which breaks downstream join key resolution)
-        .map_batches(_typed_labels, batch_format="pyarrow")
-        .materialize()
-    )
-    prev_sum = labels.sum("label")
-
+    prev_sum = sum(ray.get([s.label_sum.remote() for s in shards]))
+    converged = False
     for _ in range(max_rounds):
-        # push label(src) to dst via a hash join on src
-        pushed = _bucketed_join(
-            edges, labels, ("src",), ("doc_id",), "inner", 8
-        ).map_batches(
-            lambda t: pa.table({"doc_id": t["dst"], "label": t["label"]}),
-            batch_format="pyarrow",
-        )
-        labels = (
-            pushed.union(labels)
-            .groupby("doc_id")
-            .map_groups(fold_min, batch_format="pandas")
-            .map_batches(_typed_labels, batch_format="pyarrow")
-            .materialize()
-        )
-        cur_sum = labels.sum("label")
+        outs = [s.emit_a.options(num_returns=B).remote() if B > 1
+                else [s.emit_a.remote()] for s in shards]
+        ray.get([shards[j].apply_a.remote(*[outs[i][j] for i in range(B)])
+                 for j in range(B)])
+        outs = [s.emit_b.options(num_returns=B).remote() if B > 1
+                else [s.emit_b.remote()] for s in shards]
+        ray.get([shards[j].apply_b.remote(*[outs[i][j] for i in range(B)])
+                 for j in range(B)])
+        cur_sum = sum(ray.get([s.label_sum.remote() for s in shards]))
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
 
-    return labels.map_batches(
-        lambda t: pa.table({"doc_id": t["doc_id"], "component": t["label"]}),
-        batch_format="pyarrow",
-    )
+    if not converged:
+        for s in shards:
+            ray.kill(s)
+        raise RuntimeError(
+            f"connected_components_distributed did not reach a fixpoint in "
+            f"{max_rounds} rounds; raise max_rounds (each round doubles the "
+            f"propagation horizon, so this indicates an extreme graph)"
+        )
+
+    import ray.data as rd
+
+    out = rd.from_arrow_refs([s.labels_table.remote() for s in shards])
+    return out.materialize()

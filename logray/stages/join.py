@@ -88,8 +88,11 @@ def _bucketed_join(left, right, on, right_on, how, num_buckets):
     both = lt.union(rt)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == 0, left_cols]
-        r = g.loc[g["__side"] == 1, right_cols]
+        # a bucket group may hold rows from only one side (the union blocks
+        # keep their own schemas): reindex fills the absent side's columns
+        # so the merge degenerates to empty instead of KeyError-ing
+        l = g.loc[g["__side"] == 0].reindex(columns=left_cols)
+        r = g.loc[g["__side"] == 1].reindex(columns=right_cols)
         return l.merge(r, left_on=list(on), right_on=list(right_on), how=how)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -375,3 +375,109 @@ def test_connected_components_distributed_matches_driver(ray_session):
     )
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["component"].tolist() == want["component"].tolist()
+
+
+def test_cc_distributed_chain_pointer_doubling(ray_session):
+    """A 10-node chain (diameter 9) must fully converge with pointer
+    doubling in far fewer rounds than the diameter — and exiting
+    max_rounds without a fixpoint must raise, never silently split."""
+    import ray.data as rd
+
+    from logray.functions.dedup import connected_components_distributed
+
+    pairs = rd.from_arrow(
+        pa.table({"id_a": pa.array(list(range(9)), pa.int64()),
+                  "id_b": pa.array(list(range(1, 10)), pa.int64())})
+    )
+    got = (
+        connected_components_distributed(pairs, max_rounds=5)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert got["component"].tolist() == [0] * 10
+
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components_distributed(pairs, max_rounds=1)
+
+
+def test_pairs_from_bucket_vectorized_matches_naive():
+    from logray.functions.dedup import _pairs_from_bucket
+
+    rng = np.random.default_rng(7)
+    num_perm = 16
+    n = 300
+    # low-cardinality slots so plenty of partial agreement
+    sigs = rng.integers(0, 4, size=(n, num_perm)).astype(np.uint64)
+    ids = rng.permutation(n).astype(np.int64)
+
+    a, b, s = _pairs_from_bucket(ids.copy(), sigs.copy(), 0.7, num_perm, chunk=37)
+
+    order = np.argsort(ids, kind="stable")
+    sids, ssigs = ids[order], sigs[order]
+    want = set()
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            agree = (ssigs[i] == ssigs[j]).sum() / num_perm
+            if agree >= 0.7 and sids[i] != sids[j]:
+                want.add((int(sids[i]), int(sids[j]), round(float(agree), 9)))
+    got = {(int(x), int(y), round(float(z), 9)) for x, y, z in zip(a, b, s)}
+    assert got == want and len(got) > 0
+
+
+def test_lsh_hot_bucket_cap(ray_session, caplog):
+    """An adversarial single-bucket corpus (identical boilerplate docs) is
+    capped: pair count is C(cap,2) over the cap smallest ids, not C(n,2),
+    and the run completes in bounded time."""
+    import ray.data as rd
+
+    from logray.functions.dedup import minhash_lsh_dedup, simhash_dedup
+
+    n = 3000
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": ["same boilerplate text repeated everywhere"] * n})
+    )
+    pairs = minhash_lsh_dedup(docs, num_perm=16, bands=4, k=4,
+                              threshold=0.5, max_bucket=50).to_pandas()
+    assert len(pairs) == 50 * 49 // 2
+    assert int(pairs[["id_a", "id_b"]].to_numpy().max()) == 49
+
+    spairs = simhash_dedup(docs, max_hamming=3, max_bucket=50).to_pandas()
+    assert len(spairs) == 50 * 49 // 2
+    assert int(spairs[["id_a", "id_b"]].to_numpy().max()) == 49
+
+
+def test_simhash_bucket_pairs_vectorized_matches_naive(ray_session):
+    """Block-vectorized simhash pair emission == per-row reference."""
+    import ray.data as rd
+
+    from logray.functions.dedup import simhash_dedup
+    from logray.functions.fingerprint import hamming64, simhash as _sh
+
+    rng = np.random.default_rng(3)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = []
+    for i in range(60):
+        s = list(base)
+        for _ in range(int(rng.integers(0, 6))):
+            s[int(rng.integers(0, len(s)))] = chr(97 + int(rng.integers(0, 26)))
+        texts.append("".join(s))
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(60), pa.int64()), "text": texts})
+    )
+    got = simhash_dedup(ds, max_hamming=6).to_pandas()
+    gotset = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+
+    hs = _sh(pa.array(texts))
+    # naive: bucket by each 16-bit chunk, pair if hamming<=6 and share a chunk
+    want = set()
+    for i in range(60):
+        for j in range(i + 1, 60):
+            share = any(
+                ((int(hs[i]) >> (16 * c)) & 0xFFFF) == ((int(hs[j]) >> (16 * c)) & 0xFFFF)
+                for c in range(4)
+            )
+            d = int(hamming64(np.array([hs[i]]), np.array([hs[j]]))[0])
+            if share and d <= 6:
+                want.add((i, j))
+    assert gotset == want
