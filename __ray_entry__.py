@@ -793,6 +793,34 @@ def _q_fingerprints(sf_dir: str):
     return out
 
 
+def _q_sample_uniform(sf_dir: str):
+    """Deterministic hash-based Bernoulli sample (reproducible across runs,
+    partitionings and cluster sizes; exact SQL twin)."""
+    import ray.data as rd
+
+    from logray.functions.sample import sample_uniform
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    return sample_uniform(ds, 0.1, "o_orderkey", seed=12345).to_pandas()
+
+
+def _q_reservoir_sample(sf_dir: str):
+    """Deterministic bottom-k reservoir per key (3 orders per priority)."""
+    import ray.data as rd
+
+    from logray.functions.sample import reservoir_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderkey"]
+    )
+    return reservoir_per_key(
+        ds, "o_orderpriority", 3, "o_orderkey", seed=7
+    ).to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # transcript / log-pipeline core
@@ -846,6 +874,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_histogram": _q_doc_histogram,
         "multimodal_decode": _q_multimodal,
         "doc_fingerprints": _q_fingerprints,
+        # sampling
+        "sample_uniform": _q_sample_uniform,
+        "reservoir_sample": _q_reservoir_sample,
     }
 
 
@@ -868,8 +899,18 @@ _MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 
 
 def oracle_sql() -> dict[str, str]:
+    from logray.functions.sample import reservoir_per_key_sql, sample_uniform_sql
+
     return {
         "transcript_build": _TSQL,
+        "sample_uniform": sample_uniform_sql(
+            "orders", 0.1, "o_orderkey", seed=12345,
+            cols="o_orderkey, o_custkey, o_orderpriority",
+        ),
+        "reservoir_sample": reservoir_per_key_sql(
+            "orders", "o_orderpriority", 3, "o_orderkey", seed=7,
+            cols="o_orderpriority, o_orderkey",
+        ),
         "parse_fields": f"""
             SELECT event_id,
                    CASE WHEN {_WELL} THEN {_DATE} END AS Date,

@@ -39,6 +39,26 @@ def _merge_topk(parts: list[pd.DataFrame], k: int) -> pd.DataFrame:
     return df
 
 
+def _reduced_topk(scored, k: int, coalesce_rows: int = 1 << 20) -> pd.DataFrame:
+    """Collapse per-batch winner sets with a distributed tree-reduce layer
+    BEFORE the driver: a second ``map_batches`` with a huge ``batch_size``
+    coalesces ~hundreds of tiny per-batch winner blocks into one partial
+    top-k per task, so the driver's final merge sees O(partials * nq * k)
+    rows instead of O(batches * nq * k) — at 1e6 batches the driver input
+    drops ~250x.  The reduction is exact: identical (query_id, -cosine,
+    vec_id) tie-break ordering at every level."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "cosine", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("query_id", sort=True).head(k)
+
+    reduced = scored.map_batches(partial, batch_format="pandas",
+                                 batch_size=coalesce_rows)
+    parts = [pd.DataFrame(b) for b in reduced.iter_batches(batch_format="pandas")]
+    return _merge_topk(parts, k)
+
+
 class _BruteScore:
     """Actor: queries fetched from the object store once per actor."""
 
@@ -91,8 +111,7 @@ def ann_topk(ds, queries: dict | "object", k: int = 10,
         )
     else:
         scored = ds.map_batches(_BruteScore(queries, k, emb_col, id_col, dtype), **kwargs)
-    parts = [pd.DataFrame(b) for b in scored.iter_batches(batch_format="pandas")]
-    return _merge_topk(parts, k)
+    return _reduced_topk(scored, k)
 
 
 def ann_lsh_topk(ds, queries: dict, k: int = 10, n_planes: int = 6, probes: int = 2,
@@ -146,8 +165,7 @@ def ann_lsh_topk(ds, queries: dict, k: int = 10, n_planes: int = 6, probes: int 
         return pd.DataFrame(rows)
 
     scored = ds.map_batches(score, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
-    parts = [pd.DataFrame(b) for b in scored.iter_batches(batch_format="pandas")]
-    return _merge_topk(parts, k)
+    return _reduced_topk(scored, k)
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 12, seed: int = 11) -> np.ndarray:
@@ -215,5 +233,4 @@ def ann_ivf_topk(ds, queries: dict, k: int = 10, n_lists: int = 16, nprobe: int 
     scored = ds.map_batches(Score, fn_constructor_kwargs=dict(cr=cref),
                             batch_format="pyarrow", batch_size=batch_size,
                             concurrency=(1, 8), zero_copy_batch=True)
-    parts = [pd.DataFrame(b) for b in scored.iter_batches(batch_format="pandas")]
-    return _merge_topk(parts, k)
+    return _reduced_topk(scored, k)

@@ -1,0 +1,97 @@
+"""Seeded, deterministic sampling operators.
+
+A training-data pipeline needs samples that are (a) reproducible across
+runs and cluster sizes and (b) cheap at 100 TB.  Both operators therefore
+key off a deterministic multiplicative hash of an integer id column instead
+of an RNG stream: membership is a pure function of (id, seed), so the
+sample is stable under repartitioning, retries and resume, and the filter
+is an embarrassingly-parallel ``map_batches`` with no shuffle
+(``reservoir_per_key`` adds one key-partitioned shuffle of the already
+per-batch-pruned candidates).  The hash is SQL-expressible, so every
+sample has an exact DuckDB oracle (see the ``*_sql`` twins).
+
+Assumes non-negative ids (DuckDB's ``%`` is sign-following, numpy's is
+not; testdata and the transcript schema use non-negative keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+_M31 = 2_147_483_648  # 2**31
+_M32 = 4_294_967_296  # 2**32
+
+
+def _det_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic hash into [0, 2**32): ((id % 2^31 + seed)*KNUTH) % 2^32.
+
+    The seed is added BEFORE the multiply so it decorrelates the whole draw
+    (an additive post-multiply seed only shifts hashes by a constant, which
+    barely changes threshold membership).  The id is reduced mod 2^31 first
+    so the product fits int64 exactly on both the numpy side and the DuckDB
+    BIGINT side (no wraparound divergence); requires ``seed < 2**30``."""
+    if not 0 <= seed < (1 << 30):
+        raise ValueError("seed must be in [0, 2**30)")
+    v = ids.astype(np.int64) % _M31
+    return ((v + seed) * _KNUTH) % _M32
+
+
+def _hash_sql(id_col: str, seed: int) -> str:
+    return f"(({id_col} % {_M31} + {seed}) * {_KNUTH}) % {_M32}"
+
+
+def sample_uniform(ds, p: float, id_col: str, seed: int = 0):
+    """Deterministic Bernoulli(p) sample: keep a row iff its id hash falls
+    below ``p * 2**32``.  Pure per-batch filter — no shuffle, stable under
+    any partitioning."""
+    thresh = int(p * _M32)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_det_hash(ids, seed) < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_uniform_sql(table: str, p: float, id_col: str, seed: int = 0,
+                       cols: str = "*") -> str:
+    """DuckDB oracle for :func:`sample_uniform` (identical membership)."""
+    thresh = int(p * _M32)
+    return f"SELECT {cols} FROM {table} WHERE {_hash_sql(id_col, seed)} < {thresh}"
+
+
+def reservoir_per_key(ds, key: str, n: int, id_col: str, seed: int = 0,
+                      batch_size: int = 65536):
+    """Deterministic per-key reservoir: the ``n`` rows with the smallest
+    (hash(id), id) per key — an unbiased uniform-without-replacement draw
+    per key under a random-oracle hash, but reproducible and
+    partition-independent (the classic bottom-k sketch).
+
+    Scale shape: each batch first prunes to its local bottom-n per key
+    (vectorized sort + groupby head), so the key shuffle moves at most
+    ``n * distinct_keys_per_batch`` rows, then one ``map_groups`` selects
+    the global bottom-n per key."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(__h=_det_hash(df[id_col].to_numpy(), seed))
+        df = df.sort_values(["__h", id_col], kind="mergesort")
+        return df.groupby(key, sort=False).head(n)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", id_col], kind="mergesort").head(n)
+        return g.drop(columns="__h")
+
+    pre = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    return pre.groupby(key).map_groups(final, batch_format="pandas")
+
+
+def reservoir_per_key_sql(table: str, key: str, n: int, id_col: str,
+                          seed: int = 0, cols: str = "*") -> str:
+    """DuckDB oracle for :func:`reservoir_per_key` (identical selection)."""
+    return (
+        f"SELECT {cols} FROM {table} QUALIFY row_number() OVER "
+        f"(PARTITION BY {key} ORDER BY {_hash_sql(id_col, seed)}, {id_col}) <= {n}"
+    )

@@ -3,9 +3,9 @@
 The reference has no join (its only lookup is a config dict); the engine
 provides the three shapes a pipeline needs:
 
-- :func:`broadcast_join` — small side shipped once (``ray.put``), merged
-  per batch with a vectorized pandas merge.  No shuffle; the right answer
-  for dimension tables (generalizes stages/enrich.py).
+- :func:`broadcast_join` — small side shipped once (``ray.put``), joined
+  per batch with an Arrow-native ``pa.Table.join``.  No shuffle; the right
+  answer for dimension tables (generalizes stages/enrich.py).
 - :func:`hash_join` — both sides large: Ray's native hash-partitioned
   ``Dataset.join`` when available, else an explicit bucketed join
   (add ``bucket = hash(key) % B`` to both sides, co-group per bucket and
@@ -20,9 +20,21 @@ import pandas as pd
 import pyarrow as pa
 
 
+_ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer", "right": "right outer",
+                    "outer": "full outer"}
+
+
 def broadcast_join(ds, small, on, how: str = "inner", batch_size: int = 32768):
-    """Join `ds` against a small pandas DataFrame (or ray.ObjectRef of one)
-    broadcast to every worker."""
+    """Join `ds` against a small pandas DataFrame / Arrow table (or
+    ray.ObjectRef of one) broadcast to every worker.
+
+    Arrow-native: the small side is converted to a ``pa.Table`` ONCE in the
+    actor's ``__init__`` and each batch is joined with ``pa.Table.join``
+    (an Arrow hash join) — the stage stays ``batch_format="pyarrow"``
+    end-to-end with no per-batch pandas conversion.  Output row order
+    within a batch is not guaranteed (hash-join semantics)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    join_type = _ARROW_JOIN_TYPE[how]
 
     class Merge:
         def __init__(self, small_ref):
@@ -31,16 +43,22 @@ def broadcast_join(ds, small, on, how: str = "inner", batch_size: int = 32768):
             s = small_ref
             if isinstance(s, ray.ObjectRef):
                 s = ray.get(s)
+            if isinstance(s, pd.DataFrame):
+                s = pa.Table.from_pandas(s, preserve_index=False)
+            elif not isinstance(s, pa.Table):
+                s = pa.table(s)
             self.small = s
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df.merge(self.small, on=on, how=how)
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.join(self.small, keys=keys, join_type=join_type,
+                          right_suffix="_right")
 
     return ds.map_batches(
         Merge,
         fn_constructor_kwargs=dict(small_ref=small),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=batch_size,
+        zero_copy_batch=True,
         concurrency=(1, 8),
     )
 
@@ -140,9 +158,14 @@ def range_join(left, right_intervals, value_col: str, lo_col: str = "lo",
     dimension), so it is broadcast and resolved per batch with a vectorized
     ``np.searchsorted`` over the sorted interval starts — the fast path for
     non-overlapping intervals; overlapping intervals fall back to a per-band
-    mask (still vectorized per interval, no row loop)."""
+    mask (still vectorized per interval, no row loop).
+
+    ``how='left'`` keeps unmatched left rows with null interval columns;
+    ``how='inner'`` drops them."""
     import ray
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join: unsupported how={how!r} (inner|left)")
     df = right_intervals if isinstance(right_intervals, pd.DataFrame) else right_intervals.to_pandas()
     df = df.sort_values(lo_col).reset_index(drop=True)
     non_overlapping = bool((df[hi_col].iloc[:-1].to_numpy() <= df[lo_col].iloc[1:].to_numpy()).all()) if len(df) > 1 else True
@@ -151,6 +174,9 @@ def range_join(left, right_intervals, value_col: str, lo_col: str = "lo",
     class Assign:
         def __init__(self, r):
             self.iv = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.iv_types = {
+                f.name: f.type for f in pa.Table.from_pandas(self.iv).schema
+            }
 
         def __call__(self, t: pa.Table) -> pa.Table:
             v = t[value_col].to_numpy(zero_copy_only=False)
@@ -163,15 +189,25 @@ def range_join(left, right_intervals, value_col: str, lo_col: str = "lo",
             else:
                 parts = [((v >= lo[i]) & (v < hi[i]), np.full(len(v), i)) for i in range(len(lo))]
             out = []
+            matched = np.zeros(len(v), bool)
             for ok, idx in parts:
+                matched |= ok
                 sel = t.filter(pa.array(ok))
                 ivrows = self.iv.iloc[idx[ok]].reset_index(drop=True)
                 for c in self.iv.columns:
                     sel = sel.append_column(c, pa.array(ivrows[c]))
                 out.append(sel)
-            if how == "inner" or not parts:
-                return pa.concat_tables(out) if out else t.slice(0, 0)
-            return pa.concat_tables(out)
+            if how == "left" and not matched.all():
+                un = t.filter(pa.array(~matched))
+                for c in self.iv.columns:
+                    un = un.append_column(c, pa.nulls(un.num_rows, self.iv_types[c]))
+                out.append(un)
+            if not out:
+                empty = t.slice(0, 0)
+                for c in self.iv.columns:
+                    empty = empty.append_column(c, pa.nulls(0, self.iv_types[c]))
+                return empty
+            return pa.concat_tables(out, promote_options="permissive")
 
     return left.map_batches(Assign, fn_constructor_kwargs=dict(r=ref),
                             batch_format="pyarrow", batch_size=batch_size,

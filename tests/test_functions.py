@@ -481,3 +481,48 @@ def test_simhash_bucket_pairs_vectorized_matches_naive(ray_session):
             if share and d <= 6:
                 want.add((i, j))
     assert gotset == want
+
+
+def test_sample_uniform_deterministic_and_partition_independent(ray_session):
+    import ray.data as rd
+
+    from logray.functions.sample import sample_uniform
+
+    t = pa.table({"id": pa.array(range(5000), pa.int64())})
+    ds = rd.from_arrow(t)
+    a = sorted(r["id"] for r in sample_uniform(ds, 0.2, "id", seed=9).take_all())
+    b = sorted(
+        r["id"]
+        for r in sample_uniform(rd.from_arrow(t).repartition(7), 0.2, "id", seed=9).take_all()
+    )
+    assert a == b  # membership is a pure function of (id, seed)
+    assert 0.15 < len(a) / 5000 < 0.25
+    c = sorted(r["id"] for r in sample_uniform(ds, 0.2, "id", seed=10).take_all())
+    assert a != c  # seed changes the draw
+
+
+def test_reservoir_per_key_bottom_k(ray_session):
+    import ray.data as rd
+
+    from logray.functions.sample import _det_hash, reservoir_per_key
+
+    n_rows = 2000
+    t = pa.table(
+        {
+            "key": pa.array([f"k{i % 5}" for i in range(n_rows)]),
+            "id": pa.array(range(n_rows), pa.int64()),
+        }
+    )
+    out = reservoir_per_key(
+        rd.from_arrow(t).repartition(6), "key", 7, "id", seed=3
+    ).to_pandas()
+    assert (out.groupby("key").size() == 7).all()
+    # equals the naive global bottom-k per key
+    df = t.to_pandas()
+    df["__h"] = _det_hash(df["id"].to_numpy(), 3)
+    want = (
+        df.sort_values(["__h", "id"]).groupby("key", sort=False).head(7)
+    )
+    wset = set(map(tuple, want[["key", "id"]].to_numpy()))
+    gset = set(map(tuple, out[["key", "id"]].to_numpy()))
+    assert gset == wset

@@ -325,3 +325,19 @@ def test_write_routes_views_mode(parsed_ds, tmp_path):
     assert set(paths) == {"info", "info_dup"}
     for p in paths.values():
         assert rd.read_parquet(p).count() == 10
+
+
+def test_broadcast_join_left_and_arrow_native(ray_session):
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from logray.stages.join import broadcast_join
+
+    ds = rd.from_arrow(pa.table({"k": [1, 2, 3, 2], "v": ["a", "b", "c", "d"]}))
+    dim = pd.DataFrame({"k": [1, 2], "name": ["one", "two"]})
+    out = broadcast_join(ds, ray.put(dim), on="k", how="left").to_pandas()
+    out = out.sort_values(["k", "v"]).reset_index(drop=True)
+    assert out["name"].where(out["name"].notna(), None).tolist() == [
+        "one", "two", "two", None
+    ]

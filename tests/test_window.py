@@ -261,3 +261,25 @@ def test_turn_context(ray_session):
     out = turn_context(rd.from_arrow(t), window=2, sep="|").to_pandas()
     got = {(r.conv_id, r.turn_idx): r.context for r in out.itertuples()}
     assert got == {("c", 0): "a", ("c", 1): "a|b", ("c", 2): "b|c", ("d", 0): "z"}
+
+
+def test_range_join_left_keeps_unmatched(ray_session):
+    import ray.data as rd
+
+    from logray.stages.join import range_join
+
+    ds = rd.from_arrow(pa.table({"value": pa.array([5.0, 55.0, 150.0, -1.0])}))
+    disjoint = pd.DataFrame({"band": ["a", "b"], "lo": [0.0, 50.0], "hi": [50.0, 100.0]})
+    out = range_join(ds, disjoint, "value", how="left").to_pandas()
+    got = sorted(zip(out["value"], out["band"].where(out["band"].notna(), None)),
+                 key=lambda x: x[0])
+    assert got == [(-1.0, None), (5.0, "a"), (55.0, "b"), (150.0, None)]
+
+    overlapping = pd.DataFrame({"band": ["x", "y"], "lo": [0.0, 40.0], "hi": [60.0, 100.0]})
+    out2 = range_join(ds, overlapping, "value", how="left").to_pandas()
+    # matched rows duplicate per matching interval; unmatched appear once with nulls
+    assert len(out2) == 5
+    assert out2["band"].isna().sum() == 2
+
+    with pytest.raises(ValueError, match="unsupported how"):
+        range_join(ds, disjoint, "value", how="full")
