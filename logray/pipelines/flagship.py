@@ -42,7 +42,9 @@ class PipelineConfig:
     conv_col: str = "conv_id"
     normalize: bool = False
     enrich: bool = True
-    parse_batch_size: int = 32768
+    # None = whole-block batches; keeps the read->parse->enrich->route->write
+    # chain ONE fused operator (see stages/parse.py::parse_stage)
+    parse_batch_size: int | None = None
     parse_concurrency: int | tuple | None = None
 
     def build_router(self) -> Router:

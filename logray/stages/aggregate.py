@@ -42,7 +42,8 @@ def histogram(ds, cols, as_pandas: bool = True):
     from ray.data.aggregate import Sum
 
     partial = ds.map_batches(
-        _partial_counts(cols), batch_format="pyarrow", zero_copy_batch=True, batch_size=131072
+        # batch_size=None: whole-block batches fuse into the upstream read
+        _partial_counts(cols), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     out = partial.groupby(cols).aggregate(Sum("partial_count", alias_name="n"))
     if not as_pandas:
@@ -198,7 +199,7 @@ def multi_histogram(ds, hist_cols: list[str], ts_col: str | None = None,
         lambda t: histogram_partials(t, hist_cols, ts_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=131072,
+        batch_size=None,  # whole-block batches: fuses into the upstream read
     )
     if fold == "distributed":
         folded = (

@@ -74,7 +74,7 @@ class EnrichBatch:
         return table
 
 
-def enrich_stage(ds, mappings=None, batch_size: int = 32768, concurrency=None):
+def enrich_stage(ds, mappings=None, batch_size: int | None = None, concurrency=None):
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
     if concurrency is not None:
         return ds.map_batches(

@@ -51,7 +51,7 @@ def parse_stage(
     format_string: str,
     text_col: str = "text",
     normalize: bool = False,
-    batch_size: int = 32768,
+    batch_size: int | None = None,
     concurrency=None,
 ):
     """``ds`` -> parsed ``ds`` with field columns + well_formatted appended.
@@ -59,7 +59,14 @@ def parse_stage(
     With ``concurrency`` set this runs as an actor pool (compiled format in
     actor state); otherwise as stateless tasks where each worker process
     still compiles the format only once per task.
-    """
+
+    ``batch_size=None`` (default) processes whole blocks as batches: this
+    lets Ray fuse the stage INTO the upstream read operator (an explicit
+    batch_size forces a separate operator and an object-store hop for every
+    read block — measured ~25% wall at 32 CPUs on the flagship), and the
+    vectorized parser is fastest on large batches anyway.  Blocks are
+    bounded by the read's target block size; the parser guards the 2 GiB
+    pathological case explicitly."""
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
     if concurrency is not None:
         return ds.map_batches(
