@@ -23,8 +23,14 @@ the fast path **verifies maximality post-hoc** and falls back row-wise:
    rule needs lookahead, and classes conservatively stop at CR), as do
    rows whose INT captures exceed 18 digits (strtol saturation) and rows
    the pattern does not match at all;
-5. DBL fields disqualify the whole format (atof reads the value through
-   text the cursor never consumes — not reconstructible from a capture).
+5. DBL atoms capture only the CURSOR span (digits + at most one dot,
+   possibly empty — parse_dbl never consumes whitespace/sign/exponent);
+   the atof VALUE, which may read past that span, is recomputed with the
+   interpreter's own lookahead kernel (vparse.parse_dbl_value_at) at the
+   offsets the captures reconstruct.  Maximality adds the one-dot rule
+   (a '.' following a dotless span means the match was backtracked), and
+   rows where an executed DBL fails the ``val!=0 or leading '0'`` success
+   rule fall back to the interpreter (mid-line parse failure).
 
 With maximality verified, a matching row's field spans are precisely the
 spans the sequential interpreter would produce, so captures and
@@ -76,11 +82,13 @@ def _class_mask(chars) -> np.ndarray:
 
 class _Atom:
     """rx: capture-group regex; consume_mask: byte-class table for the
-    maximality check (None = fixed-shape atom, no check needed)."""
+    maximality check (None = fixed-shape atom, no check needed); dbl atoms
+    additionally apply the one-dot rule and a lookahead value recompute."""
 
-    def __init__(self, rx: str, consume_mask: np.ndarray | None):
+    def __init__(self, rx: str, consume_mask: np.ndarray | None, dbl: bool = False):
         self.rx = rx
         self.consume_mask = consume_mask
+        self.dbl = dbl
 
 
 def _atom(f: Field, name: str) -> _Atom | None:
@@ -88,7 +96,11 @@ def _atom(f: Field, name: str) -> _Atom | None:
     if f.ftype == FieldType.INT:
         return _Atom(cap("[0-9]+"), _class_mask("0123456789"))
     if f.ftype == FieldType.DBL:
-        return None  # atof value not reconstructible from the consumed span
+        # the CURSOR span: digits then at most one dot then digits, possibly
+        # empty (parse_dbl never consumes whitespace, sign or exponent —
+        # the VALUE may read past this span and is recomputed with the
+        # interpreter's own lookahead kernel, see parse_array)
+        return _Atom(cap(r"[0-9]*(?:\.[0-9]*)?"), _class_mask("0123456789"), dbl=True)
     if f.ftype == FieldType.CHR:
         rx = cap(_esc(f.target) + ("+" if f.repeat else ""))
         return _Atom(rx, _class_mask(f.target) if f.repeat else None)
@@ -180,7 +192,67 @@ class Re2Parser:
                 continue
             b = padded[np.minimum(starts + boundary, len(data))]
             viol = inside & a.consume_mask[b]
+            if a.dbl:
+                # one-dot rule: a '.' after the span is only consumable by
+                # the cursor when the span has no dot yet (digit-after is
+                # already covered by the digit consume_mask)
+                no_dot = ~np.asarray(
+                    pc.fill_null(pc.match_substring(caps[k], "."), False)
+                )
+                viol |= inside & (b == ord(".")) & no_dot
             ok &= ~viol
+
+        # executed(k) <=> k <= L, L = last atom with a non-empty capture
+        nonempty_suffix = np.zeros((self.n_fields + 1, n), np.bool_)
+        for k in range(self.n_fields - 1, -1, -1):
+            nonempty_suffix[k] = nonempty_suffix[k + 1] | (lens[k] > 0)
+
+        # DBL values: the capture is only the CURSOR span; the atof VALUE
+        # may read past it (whitespace, sign, exponent).  For the common
+        # case — a non-empty digit[.digit] span NOT followed by e/E — the
+        # value is exactly float(capture) (one native Arrow cast).  Only
+        # the divergent rows (empty capture: ws/sign lookahead; lone '.';
+        # an exponent after the span) run the interpreter's lookahead
+        # kernel, and the _ClassIndex it needs is built only then.  Rows
+        # where the field executed but fails the reference's success rule
+        # (val==0 and not starting with '0') would make the line malformed
+        # mid-parse — route those to the interpreter instead of modelling
+        # the failure here.
+        dbl_vals: dict[int, np.ndarray] = {}
+        dbl_cols = [(i, f) for _n, i, f in self.columns if f.ftype == FieldType.DBL]
+        if dbl_cols and ok.any():
+            from logray.vparse import _ClassIndex, parse_dbl_value_at
+
+            cidx = None
+            for idx, f in dbl_cols:
+                fstart = starts + (ends[idx - 1] if idx > 0 else 0)
+                cap = caps[idx]
+                executed = nonempty_suffix[idx]
+                next_b = padded[np.minimum(starts + ends[idx], len(data))]
+                lone_dot = np.asarray(pc.fill_null(pc.equal(cap, "."), False))
+                need_kernel = executed & ok & (
+                    (lens[idx] == 0) | lone_dot
+                    | (next_b == ord("e")) | (next_b == ord("E"))
+                )
+                # rows already rejected (~ok) keep garbage captures (e.g.
+                # empty) — feed the cast a literal zero for them too
+                cast_in = pc.if_else(
+                    pa.array(need_kernel | ~executed | ~ok),
+                    pa.scalar("0", pa.string()),
+                    pc.fill_null(cap, "0"),
+                )
+                val = np.asarray(pc.cast(cast_in, pa.float64()), np.float64).copy()
+                first_b = padded[np.minimum(fstart, len(data))]
+                okv = (val != 0.0) | (first_b == ord("0"))
+                if need_kernel.any():
+                    if cidx is None:
+                        cidx = _ClassIndex(data, row_ends=row_ends)
+                    sel = np.flatnonzero(need_kernel)
+                    v2, ok2 = parse_dbl_value_at(cidx, fstart[sel], row_ends[sel])
+                    val[sel] = v2
+                    okv[sel] = ok2
+                dbl_vals[idx] = val
+                ok &= ~(executed & ~okv)
 
         use_np = ~ok
         out: dict[str, pa.Array] = {}
@@ -192,17 +264,15 @@ class Re2Parser:
         re2_mask = pa.array(ok)
         scatter_idx = np.cumsum(use_np) - 1
 
-        # executed(k) <=> k <= L, L = last atom with a non-empty capture
-        nonempty_suffix = np.zeros((self.n_fields + 1, n), np.bool_)
-        for k in range(self.n_fields - 1, -1, -1):
-            nonempty_suffix[k] = nonempty_suffix[k + 1] | (lens[k] > 0)
-
         for name, idx, f in self.columns:
             cap = caps[idx]
             executed = pa.array(nonempty_suffix[idx])
             if f.ftype == FieldType.INT:
                 fast = pc.cast(pc.if_else(executed, pc.fill_null(cap, "0"), "0"), pa.int64())
                 fast = pc.if_else(executed, fast, pa.scalar(None, pa.int64()))
+            elif f.ftype == FieldType.DBL:
+                vals = pa.array(dbl_vals.get(idx, np.zeros(n, np.float64)), pa.float64())
+                fast = pc.if_else(executed, vals, pa.scalar(None, pa.float64()))
             elif f.ftype == FieldType.CHR:
                 fast = pc.if_else(
                     executed, pa.scalar(f.target, pa.string()), pa.scalar(None, pa.string())

@@ -201,6 +201,45 @@ def _digits_to_int64(data_padded: np.ndarray, a: np.ndarray, b: np.ndarray) -> n
     return val
 
 
+def parse_dbl_value_at(cidx: _ClassIndex, p: np.ndarray, e: np.ndarray):
+    """The reference's ``parse_dbl`` VALUE semantics at positions ``p``
+    (row ends ``e``): atof skips C-whitespace and an optional sign, then
+    reads digits, at most one dot, and an optional exponent — possibly
+    consuming text the parse CURSOR never does (the cursor only advances
+    over digits + one dot starting exactly at ``p``); see
+    parsing_basics.cpp:15-22.  Returns ``(val float64, ok bool)`` with the
+    reference's success rule ``ok = (val != 0) or line[p] == '0'``.
+
+    Shared by the numpy interpreter and the RE2 fast path (which captures
+    the cursor span by regex but must recompute the value with this
+    bounded lookahead)."""
+    dp = cidx.padded
+    total = len(cidx.data)
+    sk = _first_at_or_after(cidx.non_c_space(), p, e)
+    sk_b = dp[np.minimum(sk, total)]
+    has_sign = (sk < e) & ((sk_b == ord("-")) | (sk_b == ord("+")))
+    d1s = sk + has_sign
+    d1e = np.maximum(_first_at_or_after(cidx.nondigit(), d1s, e), d1s)
+    has_dot = (d1e < e) & (dp[np.minimum(d1e, total)] == ord("."))
+    d2s = d1e + has_dot
+    d2e = np.maximum(_first_at_or_after(cidx.nondigit(), d2s, e), d2s)
+    tok_end = np.where(has_dot, d2e, d1e)
+    ndigits = (d1e - d1s) + np.where(has_dot, d2e - d2s, 0)
+    # optional exponent (value only)
+    eb = dp[np.minimum(tok_end, total)]
+    has_e = (tok_end < e) & ((eb == ord("e")) | (eb == ord("E"))) & (ndigits > 0)
+    es = tok_end + has_e
+    es_b = dp[np.minimum(es, total)]
+    e_sign = has_e & (es < e) & ((es_b == ord("-")) | (es_b == ord("+")))
+    exs = es + e_sign
+    exe = np.maximum(_first_at_or_after(cidx.nondigit(), exs, e), exs)
+    has_exp = has_e & (exe > exs)
+    tok_val_end = np.where(has_exp, exe, tok_end)
+    val = VectorParser._parse_float_tokens(dp, sk, tok_val_end, ndigits)
+    ok = (val != 0.0) | (dp[np.minimum(p, total)] == ord("0"))
+    return val, ok
+
+
 class VectorParser:
     """Compiled, reusable batch parser for one :class:`LineFormat`.
 
@@ -291,28 +330,7 @@ class VectorParser:
                 self._apply(pos, failed, ex, newp, ok)
 
             elif f.ftype == FieldType.DBL:
-                sk = _first_at_or_after(cidx.non_c_space(), p, e)
-                sk_b = dp[np.minimum(sk, total)]
-                has_sign = (sk < e) & ((sk_b == ord("-")) | (sk_b == ord("+")))
-                d1s = sk + has_sign
-                d1e = np.maximum(_first_at_or_after(cidx.nondigit(), d1s, e), d1s)
-                has_dot = (d1e < e) & (dp[np.minimum(d1e, total)] == ord("."))
-                d2s = d1e + has_dot
-                d2e = np.maximum(_first_at_or_after(cidx.nondigit(), d2s, e), d2s)
-                tok_end = np.where(has_dot, d2e, d1e)
-                ndigits = (d1e - d1s) + np.where(has_dot, d2e - d2s, 0)
-                # optional exponent (value only)
-                eb = dp[np.minimum(tok_end, total)]
-                has_e = (tok_end < e) & ((eb == ord("e")) | (eb == ord("E"))) & (ndigits > 0)
-                es = tok_end + has_e
-                es_b = dp[np.minimum(es, total)]
-                e_sign = has_e & (es < e) & ((es_b == ord("-")) | (es_b == ord("+")))
-                exs = es + e_sign
-                exe = np.maximum(_first_at_or_after(cidx.nondigit(), exs, e), exs)
-                has_exp = has_e & (exe > exs)
-                tok_val_end = np.where(has_exp, exe, tok_end)
-                val = self._parse_float_tokens(dp, sk, tok_val_end, ndigits)
-                ok = (val != 0.0) | (dp[p] == ord("0"))
+                val, ok = parse_dbl_value_at(cidx, p, e)
                 # cursor: digits plus at most one '.' starting exactly at pos
                 c1e = _first_at_or_after(cidx.nondigit(), p, e)
                 c_dot = (c1e < e) & (dp[np.minimum(c1e, total)] == ord("."))

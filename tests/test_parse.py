@@ -205,6 +205,17 @@ ADVERSARIAL_CASES = [
     # unicode NCHAR (character-count semantics)
     ("é¢6", "{STR:A,3}{INT:B}"),
     ("xé¢7", "{STR:A,3}{INT:B}"),
+    # DBL fast path: dot donation (regex backtracks the dot to the CHR
+    # literal; the one-dot maximality rule must reject to the interpreter)
+    ("1.5x", "{DBL:A}{CHR:C,.,0}{STR:B}"),
+    # DBL value reads past the cursor span (exponent / sign / whitespace)
+    ("1e3z", "{DBL:D}{STR:R}"),
+    ("12.34.56", "{DBL:D}{STR:R}"),
+    (" -5 x", "{INT:A} {DBL:B} {STR:C}"),
+    ("0", "{DBL:D}"),
+    ("00.5abc", "{DBL:D}{STR:R}"),
+    (".5", "{DBL:D}"),
+    ("..", "{DBL:D}"),
 ]
 
 
@@ -245,6 +256,28 @@ def test_fuzz_re2_combined_equals_oracle(fmtstr):
                 assert got == want, (fmtstr, repr(line), nm)
 
 
+def test_re2_dbl_fast_path_active():
+    """DBL formats now qualify for the RE2 fast path: clean rows must NOT
+    fall back to the interpreter, and values/flags must match the oracle."""
+    fmt = LineFormat.from_format_string("{INT:A} {DBL:B} {STR:C}")
+    vp = VectorParser(fmt, enable_re2=True)
+    assert vp.re2 is not None
+
+    lines = [f"{i} {i / 100:.2f} tail{i}" for i in range(1000)]
+    fallback_rows = {"n": 0}
+
+    def counting_interp(sub):
+        fallback_rows["n"] += len(sub)
+        return vp._parse_array_interp(sub)
+
+    cols = vp.re2.parse_array(pa.array(lines), counting_interp)
+    assert fallback_rows["n"] == 0
+    assert cols["well_formatted"].to_pylist() == [True] * 1000
+    for i in (0, 1, 57, 999):
+        assert cols["B"][i].as_py() == pytest.approx(i / 100)
+        assert cols["A"][i].as_py() == i
+
+
 def test_fuzz_random_formats_combined_equals_oracle():
     """Random FORMATS x random lines: the combined re2+interpreter path must
     match the oracle for arbitrary field layouts (greedy adjacency, NCHAR
@@ -257,10 +290,13 @@ def test_fuzz_random_formats_combined_equals_oracle():
         parts = []
         n = rng.integers(1, 7)
         for i in range(n):
-            kind = rng.choice(["INT", "STR", "STRN", "CHR", "CHRR", "WS", "LIT"])
+            kind = rng.choice(["INT", "DBL", "STR", "STRN", "CHR", "CHRR", "WS", "LIT"])
             name = f"F{i}"
             if kind == "INT":
                 parts.append("{INT:%s}" % name)
+            elif kind == "DBL":
+                parts.append("{DBL:%s}" % name)
+                parts.append(str(rng.choice([" ", ":", "x", ""])))
             elif kind == "STR":
                 parts.append("{STR:%s}" % name)
                 parts.append(str(rng.choice([" ", ":", ",", "x", ""])))
