@@ -134,18 +134,91 @@ def _events_to_transcript_cols(t: pa.Table) -> pa.Table:
     return out
 
 
-def _assign_turn_idx(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
-    g["turn_idx"] = np.arange(len(g), dtype=np.int32)
-    return g
+def _segmented_turn_idx(t: pa.Table, head_offset: int) -> pa.Table:
+    """Vectorized within-conversation rank for ONE block of the globally
+    (conv_id, ts, event_id)-sorted dataset: segmented cumcount over the
+    conv runs, with ``head_offset`` added to the first run (the part of a
+    conversation that began in earlier blocks)."""
+    n = t.num_rows
+    if n == 0:
+        return t.append_column("turn_idx", pa.array([], pa.int32()))
+    c = t["conv_id"].combine_chunks()
+    change = np.ones(n, np.bool_)
+    if n > 1:
+        change[1:] = ~np.asarray(pc.equal(c.slice(1), c.slice(0, n - 1)))
+    run_start = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    local = np.arange(n, dtype=np.int64) - run_start[run_id]
+    turn = local + np.where(run_id == 0, head_offset, 0)
+    return t.append_column("turn_idx", pa.array(turn.astype(np.int32)))
+
+
+def _block_conv_summary(t: pa.Table):
+    """(first_conv, last_conv, nrows, tail_run_len) of one sorted block."""
+    n = t.num_rows
+    if n == 0:
+        return None, None, 0, 0
+    first = t["conv_id"][0].as_py()
+    last = t["conv_id"][n - 1].as_py()
+    eq_rev = np.asarray(pc.equal(t["conv_id"], last))[::-1]
+    tail = n if eq_rev.all() else int(np.argmin(eq_rev))
+    return first, last, n, tail
+
+
+def assign_turn_idx_sorted(ds):
+    """turn_idx = rank of the event within its conversation by (ts,
+    event_id), computed WITHOUT per-group Python: one global sort by
+    (conv_id, ts, event_id), then a vectorized segmented cumcount per
+    block.  A conversation straddling block boundaries is fixed up with a
+    per-block head offset: tiny per-block (first, last, nrows, tail_run)
+    summaries are collected in block order and a driver-side scan derives
+    how many rows of each block's first conversation precede it.
+
+    This is the zipWithIndex shape — the one place the Dataset API cannot
+    express the dependency (a block's ranks depend on the previous blocks'
+    tail run), so it drops to raw Ray tasks over the sorted Dataset's own
+    block refs; everything stays distributed and vectorized."""
+    import ray
+    import ray.data as rd
+
+    sorted_ds = ds.sort(["conv_id", "ts", "event_id"]).materialize()
+    blocks = [
+        blk for bundle in sorted_ds.iter_internal_ref_bundles() for blk in bundle.blocks
+    ]
+    refs = [r for r, _m in blocks]
+    if not refs:
+        return sorted_ds.map_batches(
+            lambda t: _segmented_turn_idx(t, 0), batch_format="pyarrow"
+        )
+
+    summary_task = ray.remote(num_cpus=0.5)(_block_conv_summary)
+    apply_task = ray.remote(num_cpus=0.5)(_segmented_turn_idx)
+
+    summaries = ray.get([summary_task.remote(r) for r in refs])
+    offsets = []
+    run_conv, run_len = None, 0
+    for first, last, nrows, tail in summaries:
+        if nrows == 0:
+            offsets.append(0)
+            continue
+        off = run_len if first == run_conv else 0
+        offsets.append(off)
+        if last == first:
+            run_len = off + nrows
+        else:
+            run_len = tail
+        run_conv = last
+    out_refs = [apply_task.remote(r, off) for r, off in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)
 
 
 def transcripts_from_events(sf_dir: str, with_turn_idx: bool = True):
     """Build the transcript Dataset from ``{sf_dir}/events.parquet``.
 
     conv_id groups events by user; turn_idx is the rank of the event within
-    its conversation by (ts, event_id) — assigned via a ``groupby(conv_id)``
-    shuffle + per-group window, the engine's canonical partitioning key.
+    its conversation by (ts, event_id) — assigned via one global sort +
+    vectorized segmented cumcount (:func:`assign_turn_idx_sorted`), the
+    engine's canonical partitioning key.
     """
     import ray.data as rd
 
@@ -155,7 +228,7 @@ def transcripts_from_events(sf_dir: str, with_turn_idx: bool = True):
     )
     ds = ds.map_batches(_events_to_transcript_cols, batch_format="pyarrow")
     if with_turn_idx:
-        ds = ds.groupby("conv_id").map_groups(_assign_turn_idx, batch_format="pandas")
+        ds = assign_turn_idx_sorted(ds)
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"] if with_turn_idx else [
         "conv_id", "event_id", "role", "text", "tool", "ts"
     ]
