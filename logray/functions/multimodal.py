@@ -1,16 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images / audio / video travel as Arrow ``binary`` columns with sidecar
-metadata columns (mime, width/height or sample rate, nbytes).  The Ray-side
-plumbing — schema, small-batch actor-pool stages, output layout — is real
-and tested; the actual decode kernels are STUBBED because no image/audio
-library ships in this container:
+metadata columns (mime, width/height or sample rate, nbytes).  Each stage
+has TWO kernels:
 
-- with ``fake=True`` (default) each stage produces deterministic fake
-  features derived from the payload bytes (so pipelines and tests run
-  end-to-end);
-- with ``fake=False`` the stages raise ``NotImplementedError`` at the point
-  where a real decoder (Pillow / torchaudio / pyav) would be called.
+- ``fake=False`` — the REAL decode path, behind import guards: Pillow for
+  images, the stdlib ``wave`` module (always present) or ``soundfile`` for
+  audio, ``av`` (PyAV) for video frame sampling.  Where the needed library
+  is missing the stage raises with a clear message at construction time
+  (actor ``__init__``), not mid-stream.
+- ``fake=True`` (default, loudly logged once per actor) — deterministic
+  pseudo-features derived from payload bytes, so pipelines, tests and the
+  driver gate run end-to-end in containers without media libraries.
 
 Batch sizing note: binary payloads are large — these stages default to
 ``batch_size=256`` so batch x concurrency stays within worker heaps; tune
@@ -19,10 +20,15 @@ with the payload size.
 
 from __future__ import annotations
 
+import io
+import logging
+
 import numpy as np
 import pyarrow as pa
 
 from logray.functions.fingerprint import content_hash
+
+logger = logging.getLogger("logray.multimodal")
 
 DEFAULT_BATCH_SIZE = 256
 
@@ -51,21 +57,72 @@ def synth_media_table(n: int = 64, seed: int = 42, payload_bytes: int = 4096) ->
     )
 
 
+def synth_wav_bytes(seconds: float = 0.25, rate: int = 16000, freq: float = 440.0) -> bytes:
+    """A real, decodable mono 16-bit WAV payload (stdlib only) — used by
+    tests and as a sample input for the real audio path."""
+    import wave
+
+    n = int(seconds * rate)
+    samples = (np.sin(2 * np.pi * freq * np.arange(n) / rate) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _warn_fake(stage: str) -> None:
+    logger.warning(
+        "%s running with fake=True: producing DETERMINISTIC PSEUDO-FEATURES, "
+        "not real decoded media (pass fake=False with the decoder library "
+        "installed for the real path)", stage,
+    )
+
+
 class DecodeImageBatch:
     """image payload -> (width, height, channels) metadata + thumbnail bytes.
 
-    Real path: Pillow decode + resize.  Stubbed: deterministic pseudo-dims
-    from the payload hash; "thumbnail" = first 64 payload bytes."""
+    Real path (``fake=False``): Pillow decode + thumbnail re-encode (PNG).
+    Fake path: deterministic pseudo-dims from the payload hash; "thumbnail"
+    = first 64 payload bytes."""
 
     def __init__(self, fake: bool = True, thumb_px: int = 32):
         self.fake = fake
         self.thumb_px = thumb_px
+        if fake:
+            _warn_fake("DecodeImageBatch")
+        else:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:  # pragma: no cover - env dependent
+                raise ImportError(
+                    "DecodeImageBatch(fake=False) requires Pillow"
+                ) from e
+            self._Image = Image
+
+    def _real(self, t: pa.Table) -> pa.Table:
+        widths, heights, channels, thumbs = [], [], [], []
+        for p in t["payload"]:
+            img = self._Image.open(io.BytesIO(p.as_py()))
+            widths.append(img.width)
+            heights.append(img.height)
+            channels.append(len(img.getbands()))
+            img.thumbnail((self.thumb_px, self.thumb_px))
+            out = io.BytesIO()
+            img.save(out, format="PNG")
+            thumbs.append(out.getvalue())
+        return (
+            t.append_column("width", pa.array(widths, pa.int64()))
+            .append_column("height", pa.array(heights, pa.int64()))
+            .append_column("channels", pa.array(channels, pa.int64()))
+            .append_column("thumbnail", pa.array(thumbs, pa.binary()))
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "real image decode requires Pillow, not available in this container"
-            )
+            return self._real(t)
         # content_hash reads the raw Arrow buffer; binary columns share the
         # string layout so no cast is needed
         h = content_hash(t["payload"])
@@ -80,52 +137,127 @@ class DecodeImageBatch:
         )
 
 
+def _byte_stat_features(b: np.ndarray, dim: int) -> np.ndarray:
+    if not len(b):
+        return np.zeros(dim, np.float32)
+    qs = np.quantile(b, np.linspace(0, 1, dim - 2))
+    return np.concatenate([[b.mean(), b.std()], qs]).astype(np.float32)
+
+
 class ExtractAudioFeaturesBatch:
     """audio payload -> (duration_s, sample_rate, embedding list<float>).
 
-    Real path: decode + mel features.  Stubbed: deterministic features from
-    byte statistics (mean/std/quantiles of the payload)."""
+    Real path (``fake=False``): WAV via the stdlib ``wave`` module (always
+    available), anything else via ``soundfile`` when installed; features are
+    mean/std/quantiles of the decoded normalized samples.  Fake path:
+    the same statistics over raw payload BYTES (no decode)."""
 
     def __init__(self, fake: bool = True, dim: int = 8):
         self.fake = fake
         self.dim = dim
+        if fake:
+            _warn_fake("ExtractAudioFeaturesBatch")
+        else:
+            try:
+                import soundfile  # noqa: F401
+
+                self._soundfile = soundfile
+            except ImportError:
+                self._soundfile = None  # WAV-only via stdlib wave
+
+    def _decode(self, payload: bytes) -> tuple[np.ndarray, int]:
+        """(normalized float samples, sample_rate)."""
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                rate = w.getframerate()
+                width = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+            if width == 2:
+                samples = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+            elif width == 1:
+                samples = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+            else:
+                samples = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+            return samples, rate
+        except Exception:
+            if self._soundfile is None:
+                raise NotImplementedError(
+                    "non-WAV audio requires soundfile (not installed); "
+                    "stdlib wave handles audio/wav only"
+                )
+            samples, rate = self._soundfile.read(io.BytesIO(payload), dtype="float32")
+            if samples.ndim > 1:
+                samples = samples.mean(axis=1)
+            return samples, int(rate)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "real audio decode requires an audio library, not available here"
-            )
-        feats, durs = [], []
+        feats, durs, rates = [], [], []
         for p in t["payload"]:
-            b = np.frombuffer(p.as_py(), np.uint8).astype(np.float32)
-            qs = np.quantile(b, np.linspace(0, 1, self.dim - 2)) if len(b) else np.zeros(self.dim - 2)
-            feats.append(np.concatenate([[b.mean() if len(b) else 0.0, b.std() if len(b) else 0.0], qs]).astype(np.float32))
-            durs.append(len(b) / 16000.0)
+            if self.fake:
+                b = np.frombuffer(p.as_py(), np.uint8).astype(np.float32)
+                rate = 16000
+                dur = len(b) / rate
+            else:
+                b, rate = self._decode(p.as_py())
+                dur = len(b) / rate if rate else 0.0
+            feats.append(_byte_stat_features(b, self.dim))
+            durs.append(dur)
+            rates.append(rate)
         return (
             t.append_column("duration_s", pa.array(durs, pa.float64()))
-            .append_column("sample_rate", pa.array([16000] * t.num_rows, pa.int64()))
-            .append_column("audio_embedding", pa.array([f.tolist() for f in feats], pa.list_(pa.float32())))
+            .append_column("sample_rate", pa.array(rates, pa.int64()))
+            .append_column(
+                "audio_embedding",
+                pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+            )
         )
 
 
 class SampleFramesBatch:
-    """video payload -> every-Nth-chunk "frames" (list<binary>).
+    """video payload -> sampled frames (list<binary>).
 
-    Real path: pyav keyframe sampling.  Stubbed: fixed-stride byte chunks."""
+    Real path (``fake=False``): PyAV keyframe decode, ``n_frames`` evenly
+    spaced frames re-encoded as PNG.  Fake path: fixed-stride byte chunks
+    of the raw payload."""
 
     def __init__(self, fake: bool = True, n_frames: int = 4, chunk: int = 256):
         self.fake = fake
         self.n_frames = n_frames
         self.chunk = chunk
+        if fake:
+            _warn_fake("SampleFramesBatch")
+        else:
+            try:
+                import av  # noqa: F401
+            except ImportError as e:  # pragma: no cover - env dependent
+                raise ImportError(
+                    "SampleFramesBatch(fake=False) requires PyAV"
+                ) from e
+            self._av = av
+
+    def _real_one(self, payload: bytes) -> list[bytes]:  # pragma: no cover - needs av
+        container = self._av.open(io.BytesIO(payload))
+        frames = [f for f in container.decode(video=0)]
+        if not frames:
+            return []
+        idx = np.linspace(0, len(frames) - 1, min(self.n_frames, len(frames))).astype(int)
+        out = []
+        for i in idx:
+            img = frames[i].to_image()
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            out.append(buf.getvalue())
+        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "real frame sampling requires pyav, not available here"
-            )
         frames = []
         for p in t["payload"]:
             b = p.as_py()
+            if not self.fake:
+                frames.append(self._real_one(b))
+                continue
             stride = max(len(b) // max(self.n_frames, 1), 1)
             frames.append([b[i * stride : i * stride + self.chunk] for i in range(self.n_frames)])
         return t.append_column("frames", pa.array(frames, pa.list_(pa.binary())))

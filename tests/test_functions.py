@@ -281,14 +281,82 @@ def test_multimodal_stages(ray_session):
     assert all(len(f) == 4 for f in vid["frames"])
 
 
-def test_multimodal_real_path_raises():
+def test_multimodal_real_paths_guarded():
+    """fake=False either activates a real decoder (library present) or
+    fails fast with a clear error — never silently fakes."""
     t = synth_media_table(n=2)
-    with pytest.raises(NotImplementedError):
-        DecodeImageBatch(fake=False)(t)
-    with pytest.raises(NotImplementedError):
-        ExtractAudioFeaturesBatch(fake=False)(t)
-    with pytest.raises(NotImplementedError):
-        SampleFramesBatch(fake=False)(t)
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(ImportError, match="Pillow"):
+            DecodeImageBatch(fake=False)
+    try:
+        import av  # noqa: F401
+
+        have_av = True
+    except ImportError:
+        have_av = False
+    if not have_av:
+        with pytest.raises(ImportError, match="PyAV"):
+            SampleFramesBatch(fake=False)
+    # audio: random bytes are not a WAV container, and without soundfile
+    # the non-WAV branch must raise rather than fake
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(Exception):
+            ExtractAudioFeaturesBatch(fake=False)(t)
+
+
+def test_multimodal_real_audio_wav_stdlib():
+    """The REAL audio path decodes an actual WAV payload via the stdlib
+    wave module: exact sample rate and duration, features over decoded
+    samples (not raw container bytes)."""
+    from logray.functions.multimodal import synth_wav_bytes
+
+    wav = synth_wav_bytes(seconds=0.5, rate=8000, freq=220.0)
+    t = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "mime": ["audio/wav"],
+            "payload": pa.array([wav], pa.binary()),
+            "nbytes": pa.array([len(wav)], pa.int64()),
+        }
+    )
+    out = ExtractAudioFeaturesBatch(fake=False, dim=8)(t)
+    assert out["sample_rate"][0].as_py() == 8000
+    assert out["duration_s"][0].as_py() == pytest.approx(0.5, abs=1e-6)
+    emb = np.array(out["audio_embedding"][0].as_py())
+    # a pure sine: mean ~0, std ~ amplitude/sqrt(2) in normalized units
+    assert abs(emb[0]) < 0.01
+    assert 0.3 < emb[1] < 0.6
+
+
+def test_multimodal_real_image_if_pillow_available():
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    import io as _io
+
+    img = Image.new("RGB", (100, 40), (10, 200, 30))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    t = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "mime": ["image/png"],
+            "payload": pa.array([buf.getvalue()], pa.binary()),
+            "nbytes": pa.array([buf.tell()], pa.int64()),
+        }
+    )
+    out = DecodeImageBatch(fake=False)(t)
+    assert out["width"][0].as_py() == 100
+    assert out["height"][0].as_py() == 40
+    assert out["channels"][0].as_py() == 3
 
 
 def test_multimodal_determinism():
