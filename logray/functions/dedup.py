@@ -125,6 +125,42 @@ def _pairs_from_bucket(ids: np.ndarray, sigs: np.ndarray, threshold: float,
     return (np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_sim))
 
 
+def _explode_bands_fn(text_col: str, id_col: str, num_perm: int, bands: int,
+                      k: int, seed: int):
+    """map_batches fn: rows -> (band_id, band_hash, id, signature) band rows."""
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        sig = minhash_signatures(t[text_col], num_perm=num_perm, k=k, seed=seed)
+        bh = band_hashes(sig, bands)
+        n = len(sig)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        band_id = np.tile(np.arange(bands, dtype=np.int32), n)
+        return pa.table(
+            {
+                "band_id": pa.array(band_id),
+                "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+                id_col: pa.array(np.repeat(ids, bands)),
+                "sig": pa.array(list(np.repeat(sig, bands, axis=0).astype(np.int64))),
+            }
+        )
+
+    return explode_bands
+
+
+def _bucket_pairs_fn(id_col: str, threshold: float, num_perm: int, max_bucket: int):
+    """map_groups fn: one (band_id, band_hash) bucket -> verified pairs."""
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["sig"].to_numpy())
+        a, b, s = _pairs_from_bucket(ids, sigs, threshold, num_perm, max_bucket)
+        return pd.DataFrame({"id_a": a, "id_b": b, "est_jaccard": s})
+
+    return bucket_pairs
+
+
 def minhash_lsh_dedup(
     ds,
     text_col: str = "text",
@@ -144,34 +180,16 @@ def minhash_lsh_dedup(
     collides in several bands appears once per colliding band.  Downstream
     consumers that are idempotent over repeats (connected components /
     keep-min dedup) should pass False and save a full shuffle."""
-
-    def explode_bands(t: pa.Table) -> pa.Table:
-        sig = minhash_signatures(t[text_col], num_perm=num_perm, k=k, seed=seed)
-        bh = band_hashes(sig, bands)
-        n = len(sig)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        band_id = np.tile(np.arange(bands, dtype=np.int32), n)
-        return pa.table(
-            {
-                "band_id": pa.array(band_id),
-                "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
-                id_col: pa.array(np.repeat(ids, bands)),
-                "sig": pa.array(list(np.repeat(sig, bands, axis=0).astype(np.int64))),
-            }
-        )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
-        a, b, s = _pairs_from_bucket(ids, sigs, threshold, num_perm, max_bucket)
-        return pd.DataFrame({"id_a": a, "id_b": b, "est_jaccard": s})
-
     pairs = (
-        ds.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(
+            _explode_bands_fn(text_col, id_col, num_perm, bands, k, seed),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
         .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(
+            _bucket_pairs_fn(id_col, threshold, num_perm, max_bucket),
+            batch_format="pandas",
+        )
     )
     if not distinct:
         return pairs

@@ -594,3 +594,73 @@ def test_reservoir_per_key_bottom_k(ray_session):
     wset = set(map(tuple, want[["key", "id"]].to_numpy()))
     gset = set(map(tuple, out[["key", "id"]].to_numpy()))
     assert gset == wset
+
+
+def test_near_dedup_resumable_crash_and_resume(ray_session, tmp_path):
+    """The resumable near-dedup closure survives a mid-phase crash: on
+    restart, completed partitions of every phase are skipped and the final
+    output equals the single-shot dedup."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logray.functions.dedup import dedup_keep_min, minhash_lsh_dedup
+    from logray.functions.dedup_resumable import near_dedup_resumable
+    from logray.state.manifest import RunManifest
+
+    # 3 input files with duplicates within and ACROSS files
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump today",
+        "sphinx of black quartz judge my vow please",
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    did = 0
+    for f in range(3):
+        rows = []
+        for i in range(40):
+            rows.append(base[(did + i) % 4] + (f" tail{i % 7}" if i % 5 else ""))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(did, did + 40), pa.int64()),
+                      "text": rows}),
+            str(src / f"docs-{f}.parquet"),
+        )
+        did += 40
+
+    out = tmp_path / "dedup_out"
+    calls = []
+
+    def fault(phase, pid):
+        calls.append((phase, pid))
+        if phase == "pairs" and pid == "band002" and not getattr(fault, "armed", False):
+            fault.armed = True
+            raise RuntimeError("injected crash")
+
+    kw = dict(num_perm=32, bands=8, k=4, threshold=0.6, seed=1)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        near_dedup_resumable(str(src), str(out), _fault=fault, **kw)
+
+    # bands phase fully committed, pairs phase partially
+    assert len(RunManifest(str(out / "bands")).entries()) == 3
+    done_pairs = set(RunManifest(str(out / "pairs")).entries())
+    assert {"band000", "band001"} <= done_pairs and "band002" not in done_pairs
+
+    calls.clear()
+    metrics = near_dedup_resumable(str(src), str(out), _fault=fault, **kw)
+    # no bands partition re-ran; only the crashed band onward
+    assert not [c for c in calls if c[0] == "bands"]
+    assert ("pairs", "band002") in calls and ("pairs", "band001") not in calls
+
+    import glob as _glob
+
+    out_files = sorted(_glob.glob(str(out / "deduped" / "parts" / "*" / "*.parquet")))
+    kept = sorted(r["doc_id"] for r in rd.read_parquet(out_files).take_all())
+
+    # single-shot reference
+    docs = rd.read_parquet(str(src))
+    pairs = minhash_lsh_dedup(docs, **kw)
+    want = sorted(r["doc_id"] for r in dedup_keep_min(docs, pairs).take_all())
+    assert kept == want
+    assert metrics["rows"] == len(want)
+    assert metrics["dropped"] == 120 - len(want)
