@@ -793,6 +793,22 @@ def _q_fingerprints(sf_dir: str):
     return out
 
 
+def _q_model_score(sf_dir: str):
+    """Model-based batch scoring stage shape: deterministic linear-probe
+    'model' loaded once per actor, hashed-n-gram features per batch (the
+    GPU-pool contract with num_gpus is the same stage)."""
+    import ray.data as rd
+
+    from logray.functions.modelscore import model_score_stage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        model_score_stage(ds, concurrency=(1, 4))
+        .select_columns(["doc_id", "model_score"])
+        .to_pandas()
+    )
+
+
 def _q_sample_uniform(sf_dir: str):
     """Deterministic hash-based Bernoulli sample (reproducible across runs,
     partitionings and cluster sizes; exact SQL twin)."""
@@ -874,9 +890,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_histogram": _q_doc_histogram,
         "multimodal_decode": _q_multimodal,
         "doc_fingerprints": _q_fingerprints,
-        # sampling
+        # sampling / model scoring
         "sample_uniform": _q_sample_uniform,
         "reservoir_sample": _q_reservoir_sample,
+        "model_score": _q_model_score,
     }
 
 

@@ -664,3 +664,51 @@ def test_near_dedup_resumable_crash_and_resume(ray_session, tmp_path):
     assert kept == want
     assert metrics["rows"] == len(want)
     assert metrics["dropped"] == 120 - len(want)
+
+
+def test_hashed_ngram_features_row_isolation():
+    from logray.functions.modelscore import hashed_ngram_features
+
+    f = hashed_ngram_features(pa.array(["abcdef", "", "abcdef", "xyz"]), dim=64)
+    assert f.shape == (4, 64)
+    assert np.allclose(f[0], f[2])  # same text, same features
+    assert np.allclose(f[1], 0.0)  # empty row: zero vector (normalized guard)
+    assert not np.allclose(f[0], f[3])
+    # unit norm for non-empty rows
+    assert np.linalg.norm(f[0]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_model_score_stage_loads_once_per_actor(ray_session, tmp_path):
+    import glob as _glob
+    import os
+    import uuid
+
+    import ray.data as rd
+
+    from logray.functions.modelscore import default_linear_probe, model_score_stage
+
+    marker_dir = str(tmp_path / "loads")
+    os.makedirs(marker_dir)
+
+    def loader(md=marker_dir):
+        # one marker file per model construction
+        open(os.path.join(md, uuid.uuid4().hex), "w").write("x")
+        return default_linear_probe()
+
+    t = pa.table({"doc_id": pa.array(range(512), pa.int64()),
+                  "text": [f"document number {i} with content" for i in range(512)]})
+    out = model_score_stage(
+        rd.from_arrow(t).repartition(8), loader=loader,
+        concurrency=1, batch_size=64,
+    ).to_pandas()
+    assert len(out) == 512
+    assert out["model_score"].between(0, 1).all()
+    # 8 blocks / batches of 64 -> many batches, but the model loaded ONCE
+    assert len(_glob.glob(os.path.join(marker_dir, "*"))) == 1
+    # determinism
+    out2 = model_score_stage(
+        rd.from_arrow(t), concurrency=1, batch_size=None
+    ).to_pandas()
+    m1 = dict(zip(out["doc_id"], out["model_score"]))
+    m2 = dict(zip(out2["doc_id"], out2["model_score"]))
+    assert all(abs(m1[k] - m2[k]) < 1e-6 for k in m1)
