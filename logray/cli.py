@@ -174,11 +174,23 @@ def cmd_cfg(args) -> int:
 
 def cmd_dedup(args) -> int:
     """Near-dedup a document parquet: MinHash-LSH pairs -> components ->
-    keep-min; writes the kept rows as parquet and prints a summary."""
+    keep-min; writes the kept rows as parquet and prints a summary.
+    With --resumable the run goes through the manifest-checkpointed
+    4-phase closure and can be restarted after a crash."""
     _init_ray(args.num_cpus)
     import ray.data as rd
 
     from logray.functions.dedup import dedup_keep_min, minhash_lsh_dedup
+
+    if args.resumable:
+        from logray.functions.dedup_resumable import near_dedup_resumable
+
+        metrics = near_dedup_resumable(
+            args.input, args.out, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold,
+        )
+        print(json.dumps(metrics, default=str))
+        return 0
 
     ds = rd.read_parquet(args.input)
     pairs = minhash_lsh_dedup(
@@ -189,6 +201,50 @@ def cmd_dedup(args) -> int:
     kept.write_parquet(args.out)
     n_in, n_out = ds.count(), rd.read_parquet(args.out).count()
     print(json.dumps({"rows_in": n_in, "rows_kept": n_out, "dropped": n_in - n_out}))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Seeded deterministic sample of a parquet table: uniform Bernoulli
+    (hash of the id column) or bottom-k reservoir per key."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.functions.sample import reservoir_per_key, sample_uniform
+
+    ds = rd.read_parquet(args.input)
+    if args.per_key:
+        out = reservoir_per_key(ds, args.per_key, args.n, args.id_col, seed=args.seed)
+    else:
+        out = sample_uniform(ds, args.p, args.id_col, seed=args.seed)
+    out.write_parquet(args.out)
+    print(json.dumps({
+        "rows_in": ds.count(),
+        "rows_out": rd.read_parquet(args.out).count(),
+        "mode": f"per_key:{args.per_key}" if args.per_key else f"uniform:{args.p}",
+        "seed": args.seed,
+    }))
+    return 0
+
+
+def cmd_score(args) -> int:
+    """Model-score a document parquet (load-once actor pool)."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.functions.modelscore import model_score_stage
+
+    ds = rd.read_parquet(args.input)
+    from ray.data.aggregate import Max, Mean, Min
+
+    scored = model_score_stage(ds, text_col=args.text_col).materialize()
+    scored.write_parquet(args.out)
+    stats = scored.aggregate(
+        Min("model_score", alias_name="min"),
+        Max("model_score", alias_name="max"),
+        Mean("model_score", alias_name="mean"),
+    )
+    print(json.dumps({"rows": scored.count(), **{k: float(v) for k, v in stats.items()}}))
     return 0
 
 
@@ -281,7 +337,25 @@ def main(argv=None) -> int:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--threshold", type=float, default=0.8)
+    sp.add_argument("--resumable", action="store_true",
+                    help="manifest-checkpointed 4-phase run (crash-restartable)")
     sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("sample", help="seeded deterministic sample (uniform or per-key reservoir)")
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--id-col", required=True, help="integer id column the hash keys off")
+    sp.add_argument("-p", type=float, default=0.1, help="uniform keep probability")
+    sp.add_argument("--per-key", help="reservoir mode: partition key column")
+    sp.add_argument("-n", type=int, default=10, help="reservoir size per key")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("score", help="model-score documents (load-once actor pool)")
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--text-col", default="text")
+    sp.set_defaults(fn=cmd_score)
 
     sp = sub.add_parser("textstats", help="language/quality/token stats")
     sp.add_argument("input")

@@ -239,3 +239,45 @@ def test_preview_backward(small_ds):
     pv = preview(small_ds, n=3, from_key=anchor, backward=True)
     want = full.iloc[8:11][["conv_id", "turn_idx"]].values.tolist()
     assert pv[["conv_id", "turn_idx"]].values.tolist() == want
+
+
+def test_cli_sample_and_score(tmp_path):
+    """New CLI verbs: sample (uniform + per-key reservoir) and score."""
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(200), pa.int64()),
+                "grp": [f"g{i % 4}" for i in range(200)],
+                "text": [f"document body number {i}" for i in range(200)],
+            }
+        ),
+        str(src),
+    )
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "logray", "--num-cpus", "2", *argv],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        import json as _json
+
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    out1 = run("sample", str(src), "--out", str(tmp_path / "uni"),
+               "--id-col", "doc_id", "-p", "0.25", "--seed", "3")
+    assert 20 < out1["rows_out"] < 80 and out1["rows_in"] == 200
+
+    out2 = run("sample", str(src), "--out", str(tmp_path / "res"),
+               "--id-col", "doc_id", "--per-key", "grp", "-n", "5")
+    assert out2["rows_out"] == 20  # 4 keys x 5
+
+    out3 = run("score", str(src), "--out", str(tmp_path / "scored"))
+    assert out3["rows"] == 200 and 0.0 <= out3["min"] <= out3["max"] <= 1.0
