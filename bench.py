@@ -171,8 +171,9 @@ def run_bench() -> dict:
     from logray.stages.aggregate import turns_per_conversation
 
     def turns_agg():
+        # driver-fold path (the recommended one at metric cardinalities)
         ds = rd.read_parquet(corpus, columns=["conv_id"])
-        return turns_per_conversation(ds, as_pandas=False).count()
+        return len(turns_per_conversation(ds))
 
     timed("turns_per_conversation", turns_agg)
 

@@ -33,10 +33,17 @@ def _partial_counts(cols: list[str]):
     return fn
 
 
-def histogram(ds, cols, as_pandas: bool = True):
+def histogram(ds, cols, as_pandas: bool = True, fold: str = "driver"):
     """Exact row counts per distinct value combination of ``cols``.
-    Two-phase: per-batch Arrow group_by partials -> small groupby sum.
-    Output columns: cols + ['n'] (sorted by cols)."""
+    Two-phase: per-batch Arrow group_by partials -> fold of the (tiny)
+    partials.  Output columns: cols + ['n'] (sorted by cols).
+
+    ``fold="driver"`` (default for the pandas result) streams the partial
+    batches to the driver and folds them with a local Arrow group_by —
+    bounded memory at O(distinct keys) and several seconds faster per run
+    than Ray's Aggregate operator at metric-sized cardinalities.  A
+    Dataset result (``as_pandas=False``) or ``fold="distributed"`` keeps
+    the distributed groupby for huge key spaces."""
     if isinstance(cols, str):
         cols = [cols]
     from ray.data.aggregate import Sum
@@ -45,11 +52,30 @@ def histogram(ds, cols, as_pandas: bool = True):
         # batch_size=None: whole-block batches fuse into the upstream read
         _partial_counts(cols), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    out = partial.groupby(cols).aggregate(Sum("partial_count", alias_name="n"))
-    if not as_pandas:
-        return out
-    df = out.to_pandas().sort_values(cols).reset_index(drop=True)
-    return df
+    if not as_pandas or fold == "distributed":
+        out = partial.groupby(cols).aggregate(Sum("partial_count", alias_name="n"))
+        if not as_pandas:
+            return out
+        return out.to_pandas().sort_values(cols).reset_index(drop=True)
+
+    def fold_local(tables: list[pa.Table]) -> pa.Table:
+        g = pa.concat_tables(tables).group_by(cols).aggregate([("partial_count", "sum")])
+        return g.rename_columns(cols + ["partial_count"])
+
+    pending: list[pa.Table] = []
+    pending_rows = 0
+    for chunk in partial.iter_batches(batch_size=None, batch_format="pyarrow"):
+        pending.append(chunk)
+        pending_rows += chunk.num_rows
+        if pending_rows > 4_000_000:
+            pending = [fold_local(pending)]
+            pending_rows = pending[0].num_rows
+    if not pending:
+        import pandas as pd
+
+        return pd.DataFrame(columns=cols + ["n"])
+    folded = fold_local(pending).rename_columns(cols + ["n"])
+    return folded.to_pandas().sort_values(cols).reset_index(drop=True)
 
 
 def route_counts(ds_tagged, as_pandas: bool = True):
