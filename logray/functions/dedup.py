@@ -56,17 +56,25 @@ from logray.functions.fingerprint import (
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-``id_col`` row of each distinct ``text_col`` value.
-    Hash-partitioned: the shuffle key is the 64-bit content hash."""
+    Hash-partitioned: the shuffle key is the 64-bit content hash.
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        return t.append_column("__h", pa.array(content_hash(t[text_col]).astype(np.int64)))
+    A per-batch LOCAL pre-dedup runs before the shuffle (the combiner
+    pattern): duplicate-heavy corpora — the reason one runs exact dedup —
+    then shuffle one candidate row per distinct text per batch instead of
+    every row."""
+
+    def add_hash_and_local_dedup(t: pa.Table) -> pa.Table:
+        t = t.append_column("__h", pa.array(content_hash(t[text_col]).astype(np.int64)))
+        df = t.to_pandas()
+        df = df.sort_values(id_col, kind="mergesort").drop_duplicates(text_col, keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False, schema=t.schema)
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         # within a hash group, exact text equality guards collisions
         return g.sort_values(id_col, kind="mergesort").drop_duplicates(text_col, keep="first")
 
     out = (
-        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_hash_and_local_dedup, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__h")
         .map_groups(keep_first, batch_format="pandas")
     )
@@ -266,9 +274,14 @@ def dedup_keep_min(ds, pairs, id_col: str = "doc_id"):
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, k: int = 4,
-                  max_bucket: int = DEFAULT_MAX_BUCKET):
+                  max_bucket: int = DEFAULT_MAX_BUCKET,
+                  distinct: bool = True):
     """Near-duplicate pairs by SimHash: bucket on each of the four 16-bit
-    chunks (pigeonhole: hamming<=3 pairs share a chunk), verify popcount."""
+    chunks (pigeonhole: hamming<=3 pairs share a chunk), verify popcount.
+
+    ``distinct=False`` skips the pair-dedup shuffle (a pair surfacing from
+    several chunks repeats); idempotent consumers (components/keep-min)
+    should pass False — same contract as :func:`minhash_lsh_dedup`."""
 
     def explode_chunks(t: pa.Table) -> pa.Table:
         sh = simhash(t[text_col], k=k)
@@ -322,6 +335,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby(["chunk_id", "chunk"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+    if not distinct:
+        return pairs
 
     def drop_dup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["id_a", "id_b"])

@@ -261,11 +261,21 @@ def kth_smallest(ds, col: str, k: int):
     return rows[k][col]
 
 
-def top_k_groups(ds, key_cols, k: int, as_pandas: bool = True):
-    """Top-k groups by exact count (ties broken by key ascending):
-    histogram partials -> groupby sum -> sort -> limit."""
+def top_k_groups(ds, key_cols, k: int, as_pandas: bool = True, fold: str = "driver"):
+    """Top-k groups by exact count (ties broken by key ascending).
+
+    Default: histogram partials folded on the driver, then a local sort +
+    head — identical results to the distributed groupby+sort+limit path
+    (``fold="distributed"`` / ``as_pandas=False``), minus two Ray
+    all-to-all operators of fixed cost."""
     if isinstance(key_cols, str):
         key_cols = [key_cols]
-    counts = histogram(ds, key_cols, as_pandas=False)
-    out = counts.sort(["n"] + key_cols, descending=[True] + [False] * len(key_cols)).limit(k)
-    return out.to_pandas() if as_pandas else out
+    if not as_pandas or fold == "distributed":
+        counts = histogram(ds, key_cols, as_pandas=False)
+        out = counts.sort(["n"] + key_cols, descending=[True] + [False] * len(key_cols)).limit(k)
+        return out.to_pandas() if as_pandas else out
+    counts = histogram(ds, key_cols, as_pandas=True)
+    out = counts.sort_values(
+        ["n"] + key_cols, ascending=[False] + [True] * len(key_cols), kind="mergesort"
+    ).head(k)
+    return out.reset_index(drop=True)
