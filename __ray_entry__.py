@@ -809,6 +809,37 @@ def _q_model_score(sf_dir: str):
     )
 
 
+def _q_quantiles_price(sf_dir: str):
+    """Distributed EXACT discrete quantiles: one sort, then value lookup by
+    global position via block metadata (stages/aggregate.exact_quantiles)."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    qs = [0.25, 0.5, 0.75, 0.9]
+    got = exact_quantiles(ds, "o_totalprice", qs)
+    return pd.DataFrame({"q": qs, "value": [got[q] for q in qs]})
+
+
+_QUANTILES_PRICE_SQL = " UNION ALL ".join(
+    f"SELECT {q} AS q, quantile_disc(o_totalprice, {q}) AS value FROM orders"
+    for q in (0.25, 0.5, 0.75, 0.9)
+)
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct customers with orders (p=14,
+    ~0.8% expected error; deterministic across partitionings)."""
+    import ray.data as rd
+
+    from logray.functions.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    est = approx_distinct(ds, "o_custkey", p=14)
+    return pd.DataFrame({"metric": ["approx_distinct_custkey"], "value": [est]})
+
+
 def _q_sample_uniform(sf_dir: str):
     """Deterministic hash-based Bernoulli sample (reproducible across runs,
     partitionings and cluster sizes; exact SQL twin)."""
@@ -890,10 +921,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_histogram": _q_doc_histogram,
         "multimodal_decode": _q_multimodal,
         "doc_fingerprints": _q_fingerprints,
-        # sampling / model scoring
+        # sampling / model scoring / sketches
         "sample_uniform": _q_sample_uniform,
         "reservoir_sample": _q_reservoir_sample,
         "model_score": _q_model_score,
+        "quantiles_price": _q_quantiles_price,
+        "approx_distinct": _q_approx_distinct,
     }
 
 
@@ -928,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderpriority", 3, "o_orderkey", seed=7,
             cols="o_orderpriority, o_orderkey",
         ),
+        "quantiles_price": _QUANTILES_PRICE_SQL,
         "parse_fields": f"""
             SELECT event_id,
                    CASE WHEN {_WELL} THEN {_DATE} END AS Date,

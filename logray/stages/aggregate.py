@@ -261,6 +261,46 @@ def kth_smallest(ds, col: str, k: int):
     return rows[k][col]
 
 
+def exact_quantiles(ds, col: str, qs) -> dict:
+    """Distributed EXACT discrete quantiles of a column: ONE sort (the only
+    shuffle), then each requested quantile is located by GLOBAL POSITION
+    using only per-block row counts from the sorted Dataset's metadata —
+    no second pass over the data; one tiny remote lookup per touched block.
+
+    Semantics match DuckDB ``quantile_disc``: the element at 0-based index
+    ``max(ceil(q*n) - 1, 0)`` of the sorted multiset (pinned by test).
+    Returns {q: value} (None values for an empty dataset)."""
+    import math
+
+    import ray
+
+    sorted_ds = ds.sort(col).materialize()
+    blocks = [
+        blk for bundle in sorted_ds.iter_internal_ref_bundles() for blk in bundle.blocks
+    ]
+    counts = [m.num_rows for _r, m in blocks]
+    n = int(sum(counts))
+    if n == 0:
+        return {q: None for q in qs}
+    offs = np.cumsum([0] + counts)
+    by_block: dict[int, list] = {}
+    for q in qs:
+        idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
+        b = int(np.searchsorted(offs, idx, side="right") - 1)
+        by_block.setdefault(b, []).append((q, int(idx - offs[b])))
+
+    @ray.remote(num_cpus=0.25)
+    def fetch(block, pairs, column):
+        return {q: block[column][i].as_py() for q, i in pairs}
+
+    out: dict = {}
+    for part in ray.get(
+        [fetch.remote(blocks[b][0], pairs, col) for b, pairs in by_block.items()]
+    ):
+        out.update(part)
+    return {q: out[q] for q in qs}
+
+
 def top_k_groups(ds, key_cols, k: int, as_pandas: bool = True, fold: str = "driver"):
     """Top-k groups by exact count (ties broken by key ascending).
 

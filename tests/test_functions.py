@@ -712,3 +712,60 @@ def test_model_score_stage_loads_once_per_actor(ray_session, tmp_path):
     m1 = dict(zip(out["doc_id"], out["model_score"]))
     m2 = dict(zip(out2["doc_id"], out2["model_score"]))
     assert all(abs(m1[k] - m2[k]) < 1e-6 for k in m1)
+
+
+def test_hll_accuracy_and_merge_determinism(ray_session):
+    import ray.data as rd
+
+    from logray.functions.sketch import (
+        approx_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    # accuracy: p=14 -> ~0.8% expected error; allow 3%
+    vals = pa.array(np.arange(100_000, dtype=np.int64))
+    est = hll_estimate(hll_registers(vals, p=14))
+    assert abs(est - 100_000) / 100_000 < 0.03
+
+    # duplicates don't inflate
+    dup = pa.array(np.repeat(np.arange(1000, dtype=np.int64), 50))
+    est_dup = hll_estimate(hll_registers(dup, p=14))
+    assert abs(est_dup - 1000) / 1000 < 0.05
+
+    # merge of split halves == whole (deterministic, partition-independent)
+    a = hll_registers(pa.array(np.arange(0, 50_000, dtype=np.int64)), p=12)
+    b = hll_registers(pa.array(np.arange(25_000, 100_000, dtype=np.int64)), p=12)
+    whole = hll_registers(pa.array(np.arange(100_000, dtype=np.int64)), p=12)
+    assert (hll_merge(a, b) == whole).all()
+
+    # end-to-end over a Dataset, any partitioning
+    t = pa.table({"k": pa.array(np.arange(20_000, dtype=np.int64) % 7919)})
+    e1 = approx_distinct(rd.from_arrow(t), "k")
+    e2 = approx_distinct(rd.from_arrow(t).repartition(13), "k")
+    assert e1 == e2
+    assert abs(e1 - 7919) / 7919 < 0.03
+
+    # string columns
+    ts = pa.table({"s": [f"doc-{i}" for i in range(5000)]})
+    es = approx_distinct(rd.from_arrow(ts), "s", p=14)
+    assert abs(es - 5000) / 5000 < 0.05
+
+
+def test_exact_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.aggregate import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.standard_normal(10_001) * 100, 2)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(9)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.74, 0.76, 0.9, 1.0]
+    got = exact_quantiles(ds, "v", qs)
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": pa.array(vals)}).to_pandas())
+    for q in qs:
+        want = con.sql(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert got[q] == want, (q, got[q], want)
