@@ -54,31 +54,41 @@ from logray.functions.fingerprint import (
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 64):
     """Keep the min-``id_col`` row of each distinct ``text_col`` value.
-    Hash-partitioned: the shuffle key is the 64-bit content hash.
 
-    A per-batch LOCAL pre-dedup runs before the shuffle (the combiner
-    pattern): duplicate-heavy corpora — the reason one runs exact dedup —
-    then shuffle one candidate row per distinct text per batch instead of
-    every row."""
+    Scale shape: (1) per-batch LOCAL pre-dedup before the shuffle (the
+    combiner pattern — duplicate-heavy corpora then ship one candidate row
+    per distinct text per batch); (2) shuffle on ``hash(content) %
+    num_buckets`` and dedup each BUCKET with one vectorized
+    ``drop_duplicates`` — co-located texts share a bucket, and the group
+    count is ``num_buckets``, not the number of distinct texts (a
+    per-distinct-text ``map_groups`` builds one pandas group per document
+    at 1e8+ scale).  Exact text equality inside the bucket guards hash
+    collisions.  Size ``num_buckets`` so corpus/num_buckets candidate rows
+    fit one worker."""
 
     def add_hash_and_local_dedup(t: pa.Table) -> pa.Table:
-        t = t.append_column("__h", pa.array(content_hash(t[text_col]).astype(np.int64)))
+        h = content_hash(t[text_col])
+        t = t.append_column("__h", pa.array(h.astype(np.int64)))
+        t = t.append_column("__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
         df = t.to_pandas()
         df = df.sort_values(id_col, kind="mergesort").drop_duplicates(text_col, keep="first")
         return pa.Table.from_pandas(df, preserve_index=False, schema=t.schema)
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # within a hash group, exact text equality guards collisions
-        return g.sort_values(id_col, kind="mergesort").drop_duplicates(text_col, keep="first")
+        # one whole bucket: vectorized global min-id per (hash, text)
+        return g.sort_values(id_col, kind="mergesort").drop_duplicates(
+            ["__h", text_col], keep="first"
+        )
 
     out = (
         ds.map_batches(add_hash_and_local_dedup, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__h")
+        .groupby("__b")
         .map_groups(keep_first, batch_format="pandas")
     )
-    return out.drop_columns(["__h"])
+    return out.drop_columns(["__h", "__b"])
 
 
 # ---------------------------------------------------------------------------

@@ -117,18 +117,25 @@ def _bucketed_join(left, right, on, right_on, how, num_buckets):
 
 
 def asof_join(left, right, key: str, ts_col: str = "ts", right_cols=None,
-              suffix: str = "_right", tiebreak_col: str | None = None):
+              suffix: str = "_right", tiebreak_col: str | None = None,
+              num_buckets: int = 32):
     """As-of join: for each left row, the latest right row of the same key
     with ``right.ts <= left.ts`` (backward direction, SQL ASOF JOIN).
 
-    Both sides shuffle once on ``key``; within each key group a sorted
-    ``pd.merge_asof`` does the work — the documented partitioning
-    assumption is that one key's rows fit a worker (salt/split upstream for
-    pathological keys).  Right-side columns are suffixed on collision."""
+    Both sides shuffle once on ``hash(key) % num_buckets`` — NOT on the
+    raw key, so the group count is ``num_buckets``, not the key
+    cardinality (one pandas group per key is pure overhead at 1e8 keys).
+    Within each bucket ONE grouped ``pd.merge_asof(by=key)`` handles every
+    key vectorized.  The documented partitioning assumption is that one
+    bucket's rows fit a worker (raise ``num_buckets`` with data size;
+    salt/split upstream for a single pathological key).  Right-side
+    columns are suffixed on collision."""
     rcols = list(right_cols) if right_cols else None
 
     def tag(side):
         def fn(t: pa.Table) -> pa.Table:
+            kh = pd.util.hash_array(np.asarray(t[key].to_numpy(zero_copy_only=False)))
+            t = t.append_column("__bucket", pa.array((kh % num_buckets).astype(np.int64)))
             return t.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
         return fn
 
@@ -137,9 +144,11 @@ def asof_join(left, right, key: str, ts_col: str = "ts", right_cols=None,
     left_names = [c for c in left.schema().names]
     right_names = rcols or [c for c in right.schema().names if c != key]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == 0, left_names]
-        r = g.loc[g["__side"] == 1, [key, ts_col] + [c for c in right_names if c not in (key, ts_col)]]
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0].reindex(columns=left_names)
+        r = g.loc[g["__side"] == 1].reindex(
+            columns=[key, ts_col] + [c for c in right_names if c not in (key, ts_col)]
+        )
         order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
         l = l.sort_values([c for c in order if c in l.columns], kind="mergesort")
         r = r.sort_values(ts_col, kind="mergesort")
@@ -148,7 +157,7 @@ def asof_join(left, right, key: str, ts_col: str = "ts", right_cols=None,
         )
         return merged
 
-    return lt.union(rt).groupby(key).map_groups(per_key, batch_format="pandas")
+    return lt.union(rt).groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def range_join(left, right_intervals, value_col: str, lo_col: str = "lo",
