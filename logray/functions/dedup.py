@@ -211,12 +211,29 @@ def minhash_lsh_dedup(
     )
     if not distinct:
         return pairs
-
     # a pair can surface from several bands: keep one copy
-    def drop_dup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["id_a", "id_b"])
+    return _distinct_pairs(pairs)
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(drop_dup_pairs, batch_format="pandas")
+
+def _distinct_pairs(pairs, num_buckets: int = 64):
+    """Drop duplicate (id_a, id_b) pairs with a BUCKETED shuffle: group
+    count is ``num_buckets``, not the pair count (a groupby on the pair
+    itself builds one pandas group per pair)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(1000003) + b * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return t.append_column("__pb", pa.array(h.astype(np.int64)))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns="__pb")
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pb")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    )
 
 
 def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:
@@ -347,11 +364,7 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     )
     if not distinct:
         return pairs
-
-    def drop_dup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["id_a", "id_b"])
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(drop_dup_pairs, batch_format="pandas")
+    return _distinct_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -400,13 +413,16 @@ def ngram_jaccard_pairs(ds, group_cols, text_col: str = "text", id_col: str = "d
 
 def embedding_dedup(ds, emb_col: str = "embedding", id_col: str = "vec_id",
                     threshold: float = 0.95, n_planes: int = 8, seed: int = 2,
-                    dtype=np.float32):
+                    dtype=np.float32, max_bucket: int = DEFAULT_MAX_BUCKET):
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     Random-hyperplane LSH: bucket = sign pattern of n_planes projections
-    (similar vectors collide with high probability), exact cosine verify via
-    one matmul per bucket.  Raise n_planes for bigger corpora; recall can be
-    traded with multiple plane sets."""
+    (similar vectors collide with high probability), exact cosine verify
+    via CHUNKED matmuls per bucket (bounded memory even for a degenerate
+    bucket) with the hot-bucket cap applied (all-identical embeddings land
+    in one bucket; uncapped that is an O(k^2) similarity matrix on one
+    reducer).  Raise n_planes for bigger corpora; recall can be traded
+    with multiple plane sets."""
 
     state = {}
 
@@ -441,14 +457,28 @@ def embedding_dedup(ds, emb_col: str = "embedding", id_col: str = "vec_id",
         g = g.sort_values(id_col, kind="mergesort")
         ids = g[id_col].to_numpy()
         u = np.stack(g["unit"].to_numpy())
-        sim = u @ u.T
-        iu = np.triu_indices(len(ids), k=1)
-        hit = sim[iu] >= threshold
+        sel = _cap_bucket(ids, max_bucket, "embedding_lsh")
+        ids, u = ids[sel], u[sel]
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        col_idx = np.arange(n)
+        chunk = 1024
+        for s in range(0, n - 1, chunk):
+            e = min(s + chunk, n - 1)
+            sim = u[s:e] @ u.T  # (c, n) bounded by chunk * max_bucket
+            upper = col_idx[None, :] > col_idx[s:e, None]
+            ii, jj = np.nonzero((sim >= threshold) & upper)
+            if len(ii):
+                out_a.append(ids[ii + s])
+                out_b.append(ids[jj])
+                out_c.append(sim[ii, jj].astype(float))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         return pd.DataFrame(
             {
-                "id_a": ids[iu[0][hit]],
-                "id_b": ids[iu[1][hit]],
-                "cosine": sim[iu][hit].astype(float),
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
             }
         )
 
