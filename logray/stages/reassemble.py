@@ -104,18 +104,39 @@ def preview(view, n: int = 20, from_key: tuple | None = None, backward: bool = F
 
 
 def turn_context(ds, window: int = 3, sep: str = "\n", text_col: str = "text",
-                 conv_col: str = "conv_id", turn_col: str = "turn_idx"):
+                 conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                 num_buckets: int = 32):
     """Per-turn rolling context: for every turn, the concatenation of the
     last ``window`` turns (inclusive) in order — the training-data
-    "context window" assembly.  One conv-key shuffle; the rolling join is
-    vectorized pandas within each ordered group."""
+    "context window" assembly.
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(turn_col, kind="mergesort").reset_index(drop=True)
-        texts = g[text_col].astype(str).tolist()
-        ctx = [
-            sep.join(texts[max(0, i - window + 1) : i + 1]) for i in range(len(texts))
-        ]
+    One ``hash(conv) % num_buckets`` shuffle (group count = num_buckets,
+    not the conversation count); within a bucket the rolling join is
+    ``window-1`` vectorized shift+concat passes over the
+    (conv, turn)-sorted frame, masked at conversation boundaries."""
+    import numpy as np
+
+    def tag(t: pa.Table) -> pa.Table:
+        kh = pd.util.hash_array(np.asarray(t[conv_col].to_numpy(zero_copy_only=False)))
+        return t.append_column("__b", pa.array((kh % num_buckets).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, turn_col], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        texts = g[text_col].astype(str)
+        conv = g[conv_col].to_numpy()
+        ctx = texts.copy()
+        for w in range(1, window):
+            if n <= w:
+                break
+            same = np.zeros(n, np.bool_)
+            same[w:] = conv[w:] == conv[:-w]
+            shifted = texts.shift(w)
+            ctx = (shifted + sep + ctx).where(pd.Series(same), ctx)
         return pd.DataFrame({conv_col: g[conv_col], turn_col: g[turn_col], "context": ctx})
 
-    return ds.groupby(conv_col).map_groups(per_conv, batch_format="pandas")
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -47,37 +47,84 @@ def _session_ids(ts_us: np.ndarray, gap_us: int) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(gaps)]).astype(np.int64)
 
 
+def _bucket_tagger(key_col: str, num_buckets: int):
+    def tag(t: pa.Table) -> pa.Table:
+        kh = pd.util.hash_array(np.asarray(t[key_col].to_numpy(zero_copy_only=False)))
+        return t.append_column("__b", pa.array((kh % num_buckets).astype(np.int64)))
+
+    return tag
+
+
+def _segmented_sessions(g: pd.DataFrame, key_col: str, ts_col: str, gap_us: int,
+                        tiebreak_col: str | None):
+    """Sort one BUCKET by (key, ts, tiebreak) and return (sorted frame,
+    key-run starts mask, per-row session ids) — all vectorized, no
+    per-key Python."""
+    order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+    n = len(g)
+    ts_us = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+    keys = g[key_col].to_numpy()
+    new_key = np.ones(n, np.bool_)
+    if n > 1:
+        new_key[1:] = keys[1:] != keys[:-1]
+    brk = np.zeros(n, np.bool_)
+    if n > 1:
+        brk[1:] = (~new_key[1:]) & (np.diff(ts_us) > gap_us)
+    csum = np.cumsum(brk)
+    run_id = np.cumsum(new_key) - 1
+    start_csum = csum[new_key]
+    session = (csum - start_csum[run_id]).astype(np.int64)
+    return g, new_key, session
+
+
 def sessionize(ds, key_col: str, ts_col: str = "ts", gap_s: float = 1800.0,
-               tiebreak_col: str | None = None):
+               tiebreak_col: str | None = None, num_buckets: int = 32):
     """Append a ``session_id`` column: per key, rows sorted by (ts,
     tiebreak) belong to the same session while consecutive gaps stay <=
-    gap_s.  Shuffle key = key_col."""
+    gap_s.  Shuffle key = ``hash(key) % num_buckets`` — the group count is
+    ``num_buckets``, not the key cardinality, and session ids are computed
+    with one segmented-cumsum pass per bucket."""
     gap_us = int(gap_s * 1_000_000)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
-        g = g.sort_values(order, kind="mergesort")
-        ts_us = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
-        g["session_id"] = _session_ids(ts_us, gap_us)
-        return g
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, _new_key, session = _segmented_sessions(g, key_col, ts_col, gap_us, tiebreak_col)
+        g["session_id"] = session
+        return g.drop(columns="__b")
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return (
+        ds.map_batches(_bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def sessions_per_key(ds, key_col: str, ts_col: str = "ts", gap_s: float = 1800.0,
-                     tiebreak_col: str | None = None) -> pd.DataFrame:
+                     tiebreak_col: str | None = None,
+                     num_buckets: int = 32) -> pd.DataFrame:
     """(key, n_sessions): number of gap-delimited sessions per key."""
     gap_us = int(gap_s * 1_000_000)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
-        g = g.sort_values(order, kind="mergesort")
-        ts_us = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
-        ids = _session_ids(ts_us, gap_us)
-        n = int(ids[-1]) + 1 if len(ids) else 0
-        return pd.DataFrame({key_col: [g[key_col].iloc[0]], "n_sessions": np.array([n], dtype="int64")})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, new_key, session = _segmented_sessions(g, key_col, ts_col, gap_us, tiebreak_col)
+        if not len(g):
+            return pd.DataFrame({key_col: [], "n_sessions": pd.array([], dtype="int64")})
+        run_end = np.concatenate([new_key[1:], [True]])
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy()[new_key],
+                "n_sessions": (session[run_end] + 1).astype("int64"),
+            }
+        )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas").to_pandas()
+    return (
+        ds.map_batches(_bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 def salted_histogram(ds, cols, salt_buckets: int = 16, as_pandas: bool = True):
