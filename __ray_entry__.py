@@ -508,29 +508,22 @@ def _q_events_window(sf_dir: str):
 
 
 def _q_dialogue_concat(sf_dir: str):
-    from logray.stages.reassemble import fold_dialogue, reassemble_conversations
+    """Bucketed dialogue folding (one pandas groupby-join per bucket, not
+    one Ray group per conversation)."""
+    from logray.stages.reassemble import fold_dialogues
 
     ds = transcripts_from_events(sf_dir)
-    out = reassemble_conversations(ds, fold_dialogue(sep="\n")).to_pandas()
+    out = fold_dialogues(ds, sep="\n").to_pandas()
     return out[["conv_id", "dialogue"]]
 
 
 def _q_conv_stats(sf_dir: str):
-    from logray.stages.reassemble import reassemble_conversations
+    """Per-conversation stats with NO shuffle: per-batch Arrow partials,
+    chunked driver fold (reassemble.conversation_stats)."""
+    from logray.stages.reassemble import conversation_stats
 
     ds = transcripts_from_events(sf_dir)
-
-    def stats(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "n_turns": np.array([len(g)], dtype="int64"),
-                "ts_min": [g["ts"].min()],
-                "ts_max": [g["ts"].max()],
-            }
-        )
-
-    return reassemble_conversations(ds, stats).to_pandas()
+    return conversation_stats(ds)
 
 
 def _q_sessionize(sf_dir: str):

@@ -51,6 +51,68 @@ def fold_dialogue(sep: str = "\n", text_col: str = "text",
     return fn
 
 
+def fold_dialogues(ds, sep: str = "\n", text_col: str = "text",
+                   conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                   num_buckets: int = 32):
+    """One dialogue string per conversation (turns joined in order) —
+    the BUCKETED fast path for :func:`fold_dialogue`: shuffle on
+    ``hash(conv) % num_buckets`` and fold each bucket with one pandas
+    ``groupby(conv).agg(join)`` over the (conv, turn)-sorted frame, instead
+    of one Ray group per conversation."""
+    import numpy as np
+
+    def tag(t: pa.Table) -> pa.Table:
+        kh = pd.util.hash_array(np.asarray(t[conv_col].to_numpy(zero_copy_only=False)))
+        return t.append_column("__b", pa.array((kh % num_buckets).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, turn_col], kind="mergesort")
+        s = g.groupby(conv_col, sort=False)[text_col].agg(lambda x: sep.join(x.astype(str)))
+        return pd.DataFrame({conv_col: s.index.to_numpy(), "dialogue": s.to_numpy()})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def conversation_stats(ds, conv_col: str = "conv_id", ts_col: str = "ts"):
+    """(conv_id, n_turns, ts_min, ts_max) per conversation with NO shuffle:
+    per-batch Arrow group_by partials stream to the driver and fold with a
+    chunked local group_by — the histogram-partials pattern extended with
+    min/max columns.  Returns a pandas DataFrame sorted by conv_id."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([conv_col]).aggregate(
+            [([], "count_all"), (ts_col, "min"), (ts_col, "max")]
+        )
+        return g.rename_columns([conv_col, "n_turns", "ts_min", "ts_max"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+    def fold(tables: list[pa.Table]) -> pa.Table:
+        g = pa.concat_tables(tables).group_by([conv_col]).aggregate(
+            [("n_turns", "sum"), ("ts_min", "min"), ("ts_max", "max")]
+        )
+        return g.rename_columns([conv_col, "n_turns", "ts_min", "ts_max"])
+
+    pending: list[pa.Table] = []
+    pending_rows = 0
+    for chunk in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        pending.append(chunk)
+        pending_rows += chunk.num_rows
+        if pending_rows > 4_000_000:
+            pending = [fold(pending)]
+            pending_rows = pending[0].num_rows
+    if not pending:
+        return pd.DataFrame(columns=[conv_col, "n_turns", "ts_min", "ts_max"])
+    return (
+        fold(pending).to_pandas().sort_values(conv_col).reset_index(drop=True)
+    )
+
+
 def ordered_view(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx"):
     """Global total order by (conv_id, turn_idx) — the engine's analog of
     the reference's physical file order."""
