@@ -64,28 +64,31 @@ def sample_uniform_sql(table: str, p: float, id_col: str, seed: int = 0,
 
 
 def reservoir_per_key(ds, key: str, n: int, id_col: str, seed: int = 0,
-                      batch_size: int = 65536):
+                      batch_size: int | None = None, num_buckets: int = 32):
     """Deterministic per-key reservoir: the ``n`` rows with the smallest
     (hash(id), id) per key — an unbiased uniform-without-replacement draw
     per key under a random-oracle hash, but reproducible and
     partition-independent (the classic bottom-k sketch).
 
     Scale shape: each batch first prunes to its local bottom-n per key
-    (vectorized sort + groupby head), so the key shuffle moves at most
-    ``n * distinct_keys_per_batch`` rows, then one ``map_groups`` selects
-    the global bottom-n per key."""
+    (vectorized sort + groupby head), so the shuffle moves at most
+    ``n * distinct_keys_per_batch`` rows; the shuffle key is
+    ``hash(key) % num_buckets`` and each bucket selects the global
+    bottom-n for ALL its keys with one vectorized groupby-head (never one
+    Ray group per key)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(__h=_det_hash(df[id_col].to_numpy(), seed))
+        df = df.assign(__b=(pd.util.hash_array(df[key].to_numpy()) % num_buckets).astype("int64"))
         df = df.sort_values(["__h", id_col], kind="mergesort")
         return df.groupby(key, sort=False).head(n)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["__h", id_col], kind="mergesort").head(n)
-        return g.drop(columns="__h")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", id_col], kind="mergesort")
+        return g.groupby(key, sort=False).head(n).drop(columns=["__h", "__b"])
 
     pre = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-    return pre.groupby(key).map_groups(final, batch_format="pandas")
+    return pre.groupby("__b").map_groups(per_bucket, batch_format="pandas")
 
 
 def reservoir_per_key_sql(table: str, key: str, n: int, id_col: str,
