@@ -413,7 +413,8 @@ def ngram_jaccard_pairs(ds, group_cols, text_col: str = "text", id_col: str = "d
 
 def embedding_dedup(ds, emb_col: str = "embedding", id_col: str = "vec_id",
                     threshold: float = 0.95, n_planes: int = 8, seed: int = 2,
-                    dtype=np.float32, max_bucket: int = DEFAULT_MAX_BUCKET):
+                    dtype=np.float32, max_bucket: int = DEFAULT_MAX_BUCKET,
+                    n_tables: int = 1):
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     Random-hyperplane LSH: bucket = sign pattern of n_planes projections
@@ -421,33 +422,43 @@ def embedding_dedup(ds, emb_col: str = "embedding", id_col: str = "vec_id",
     via CHUNKED matmuls per bucket (bounded memory even for a degenerate
     bucket) with the hot-bucket cap applied (all-identical embeddings land
     in one bucket; uncapped that is an O(k^2) similarity matrix on one
-    reducer).  Raise n_planes for bigger corpora; recall can be traded
-    with multiple plane sets."""
+    reducer).  Raise n_planes for bigger corpora; ``n_tables`` > 1 trades
+    work for RECALL: each table is an independent plane set (seeded
+    seed+t), rows explode to one bucket row per table, and a pair
+    survives if it collides in ANY table (duplicate emissions removed
+    with the bucketed distinct shuffle)."""
 
     state = {}
 
     def planes(d):
         if "p" not in state:
-            rng = np.random.default_rng(seed)
-            state["p"] = rng.standard_normal((d, n_planes))
+            state["p"] = [
+                np.random.default_rng(seed + ti).standard_normal((d, n_planes))
+                for ti in range(n_tables)
+            ]
         return state["p"]
 
     def bucketize(t: pa.Table) -> pa.Table:
         emb = np.stack(t[emb_col].to_numpy(zero_copy_only=False)).astype(dtype)
+        n = len(emb)
         d = emb.shape[1]
-        proj = emb @ planes(d)
-        bits = (proj > 0).astype(np.uint64)
-        bucket = np.zeros(len(emb), np.uint64)
-        for j in range(n_planes):
-            bucket = (bucket << np.uint64(1)) | bits[:, j]
         norm = np.linalg.norm(emb, axis=1)
         norm[norm == 0] = 1.0
         unit = (emb / norm[:, None]).astype(dtype)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        buckets = np.empty((n_tables, n), np.uint64)
+        for ti, p in enumerate(planes(d)):
+            bits = (emb @ p > 0).astype(np.uint64)
+            b = np.zeros(n, np.uint64)
+            for j in range(n_planes):
+                b = (b << np.uint64(1)) | bits[:, j]
+            buckets[ti] = b
         return pa.table(
             {
-                "bucket": pa.array(bucket.astype(np.int64)),
-                id_col: t[id_col],
-                "unit": pa.array(list(unit)),
+                "table_id": pa.array(np.repeat(np.arange(n_tables, dtype=np.int32), n)),
+                "bucket": pa.array(buckets.reshape(-1).astype(np.int64)),
+                id_col: pa.array(np.tile(ids, n_tables)),
+                "unit": pa.array(list(np.tile(unit, (n_tables, 1)))),
             }
         )
 
@@ -482,11 +493,14 @@ def embedding_dedup(ds, emb_col: str = "embedding", id_col: str = "vec_id",
             }
         )
 
-    return (
+    pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
+        .groupby(["table_id", "bucket"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+    if n_tables == 1:
+        return pairs
+    return _distinct_pairs(pairs)
 
 
 _LABEL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])

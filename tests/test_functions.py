@@ -769,3 +769,34 @@ def test_exact_quantiles_matches_duckdb(ray_session):
     for q in qs:
         want = con.sql(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
         assert got[q] == want, (q, got[q], want)
+
+
+def test_embedding_dedup_multi_table_recall(ray_session):
+    """n_tables > 1 can only ADD pairs (union of independent plane sets)
+    and finds near-neighbors a single unlucky table misses."""
+    import ray.data as rd
+
+    from logray.functions.dedup import embedding_dedup
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((40, 24)).astype(np.float32)
+    # 40 anchors + a near-dup of each (cosine ~0.99)
+    near = base + rng.standard_normal((40, 24)).astype(np.float32) * 0.05
+    vecs = np.concatenate([base, near])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(80), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    one = embedding_dedup(ds, threshold=0.9, n_planes=10, n_tables=1).to_pandas()
+    four = embedding_dedup(ds, threshold=0.9, n_planes=10, n_tables=4).to_pandas()
+    p1 = {(int(a), int(b)) for a, b in zip(one.id_a, one.id_b)}
+    p4 = {(int(a), int(b)) for a, b in zip(four.id_a, four.id_b)}
+    assert p1 <= p4  # more tables never lose pairs
+    true_pairs = {(i, i + 40) for i in range(40)}
+    assert len(p4 & true_pairs) > len(p1 & true_pairs) * 0.99
+    # with 4 tables, recall of the planted pairs should be near total
+    assert len(p4 & true_pairs) >= 38
