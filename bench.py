@@ -134,13 +134,18 @@ def run_bench() -> dict:
         ds = rd.read_parquet(corpus, override_num_blocks=nblocks)
         return run_pipeline(ds, cfg, out_dir, write_metrics=False)
 
-    # best-of-2: first run pays one-time warmup (worker start, code import)
+    # best-of-3: first run pays one-time warmup (worker start, code import);
+    # the VM shows minutes-long 2-3x noise phases, so more samples per
+    # process materially stabilize the recorded number
     t0 = time.perf_counter()
     metrics = headline()
-    first = time.perf_counter() - t0
-    shutil.rmtree(out_dir, ignore_errors=True)
-    metrics = timed("pipeline", headline)
-    timings["pipeline"] = min(timings["pipeline"], round(first, 3))
+    best = time.perf_counter() - t0
+    for _ in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        metrics = headline()
+        best = min(best, time.perf_counter() - t0)
+    timings["pipeline"] = round(best, 3)
     n_turns = metrics["turns_total"]
 
     if os.environ.get("LOGRAY_BENCH_ONLY_PIPELINE"):
@@ -238,9 +243,9 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     # the sandbox VM shows multi-x run-to-run noise (host CPU sharing);
-    # interleave three rounds per level and keep the best of each
+    # interleave four rounds per level and keep the best of each
     r_lo, r_hi = run(lo), run(hi)
-    for _ in range(2):
+    for _ in range(3):
         r_lo2, r_hi2 = run(lo), run(hi)
         if r_lo2["value"] < r_lo["value"]:
             r_lo = r_lo2

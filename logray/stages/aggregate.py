@@ -16,6 +16,7 @@ single reducer receives the raw hot-key rows.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -171,20 +172,25 @@ def fold_partials_stream(partial_ds) -> pa.Table:
     return fold_partials_local(pending)
 
 
-def split_folded(folded, hist_cols: list[str], ts_col: str | None = None) -> dict:
+def split_folded(folded, hist_cols: list[str], ts_col: str | None = None,
+                 sort: bool = True) -> dict:
     """{col: DataFrame(col, n)} (+ '__ts' -> (min, max)) from a folded
-    partials table (Arrow table or DataFrame)."""
+    partials table (Arrow table or DataFrame).  Vectorized column reuse —
+    no Python-list round trips (a tolist() here cost 2.5s of
+    single-threaded driver time at ~1M distinct conversations).  Pass
+    ``sort=False`` when the consumer only folds the histograms into
+    scalars (len/sum/max), as the flagship metrics do."""
     df = folded if hasattr(folded, "iloc") else folded.to_pandas()
     out: dict = {}
     for col in hist_cols:
         part = df[df["metric"] == col]
         keys = part["key"].where(part["key"] != NULL_KEY, None)
-        out[col] = (
-            pa.table({col: keys.tolist(), "n": part["n"].tolist()})
-            .to_pandas()
-            .sort_values(col)
-            .reset_index(drop=True)
+        h = pd.DataFrame(
+            {col: keys.reset_index(drop=True), "n": part["n"].reset_index(drop=True)}
         )
+        if sort:
+            h = h.sort_values(col, kind="mergesort").reset_index(drop=True)
+        out[col] = h
     if ts_col is not None:
         part = df[df["metric"] == "__ts"]
         part = part[part["v_min"].notna()] if len(part) else part
