@@ -802,6 +802,47 @@ def _q_model_score(sf_dir: str):
     )
 
 
+def _q_semi_join_customers(sf_dir: str):
+    """Broadcast semi join: customers WITH at least one order (no shuffle;
+    pc.is_in against the broadcast distinct key set)."""
+    import ray.data as rd
+
+    from logray.stages.join import broadcast_semi_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return broadcast_semi_join(cust, keys, on="c_custkey").to_pandas()
+
+
+def _q_anti_join_customers(sf_dir: str):
+    """Broadcast anti join: customers with NO urgent-priority order
+    (selective key set read with a predicate pushdown)."""
+    import ray.data as rd
+
+    from logray.stages.join import broadcast_anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+    return broadcast_anti_join(cust, keys, on="c_custkey").to_pandas()
+
+
+def _q_clean_text(sf_dir: str):
+    """Vectorized RE2 text cleaning with a bit-identical DuckDB twin
+    (both engines run RE2)."""
+    import ray.data as rd
+
+    from logray.functions.textclean import clean_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = clean_text(ds, "text", out_col="cleaned", lower=True)
+    return out.select_columns(["doc_id", "cleaned"]).to_pandas()
+
+
 def _q_quantiles_price(sf_dir: str):
     """Distributed EXACT discrete quantiles: one sort, then value lookup by
     global position via block metadata (stages/aggregate.exact_quantiles)."""
@@ -920,6 +961,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_score": _q_model_score,
         "quantiles_price": _q_quantiles_price,
         "approx_distinct": _q_approx_distinct,
+        "semi_join_customers": _q_semi_join_customers,
+        "anti_join_customers": _q_anti_join_customers,
+        "clean_text": _q_clean_text,
     }
 
 
@@ -943,6 +987,7 @@ _MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 
 def oracle_sql() -> dict[str, str]:
     from logray.functions.sample import reservoir_per_key_sql, sample_uniform_sql
+    from logray.functions.textclean import clean_text_sql
 
     return {
         "transcript_build": _TSQL,
@@ -955,6 +1000,19 @@ def oracle_sql() -> dict[str, str]:
             cols="o_orderpriority, o_orderkey",
         ),
         "quantiles_price": _QUANTILES_PRICE_SQL,
+        "semi_join_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "clean_text": (
+            f"SELECT doc_id, {clean_text_sql('text', lower=True)} AS cleaned "
+            "FROM documents"
+        ),
         "parse_fields": f"""
             SELECT event_id,
                    CASE WHEN {_WELL} THEN {_DATE} END AS Date,

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 _ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer", "right": "right outer",
@@ -61,6 +62,44 @@ def broadcast_join(ds, small, on, how: str = "inner", batch_size: int = 32768):
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
+    """Semi join (``anti=False``: keep rows whose ``on`` value appears in
+    ``keys``) or anti join (``anti=True``: keep rows whose value does NOT).
+
+    ``keys`` is a small Dataset (its distinct ``on``/single column is
+    collected once), a list, or a ``ray.ObjectRef``; membership is tested
+    per batch with a vectorized ``pc.is_in`` against the broadcast set —
+    no shuffle (the generalization of the dedup drop-set filter)."""
+    import ray
+
+    if hasattr(keys, "unique"):
+        col = keys.schema().names[0]
+        keys = keys.unique(col)
+    if not isinstance(keys, ray.ObjectRef):
+        keys = ray.put(list(keys))
+
+    class Filter:
+        def __init__(self, ref):
+            vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.value_set = pa.array(vals)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = pc.is_in(t[on], value_set=self.value_set.cast(t[on].type))
+            if anti:
+                m = pc.invert(m)
+            # null keys drop either way (SQL IN / NOT IN semantics)
+            return t.filter(pc.fill_null(m, False))
+
+    return ds.map_batches(Filter, fn_constructor_kwargs=dict(ref=keys),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 8))
+
+
+def broadcast_anti_join(ds, keys, on: str):
+    """Rows of ``ds`` whose ``on`` value does NOT appear in ``keys``."""
+    return broadcast_semi_join(ds, keys, on, anti=True)
 
 
 def hash_join(left, right, on, right_on=None, how: str = "inner",

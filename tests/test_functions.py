@@ -800,3 +800,14 @@ def test_embedding_dedup_multi_table_recall(ray_session):
     assert len(p4 & true_pairs) > len(p1 & true_pairs) * 0.99
     # with 4 tables, recall of the planted pairs should be near total
     assert len(p4 & true_pairs) >= 38
+
+
+def test_clean_text_kernels():
+    from logray.functions.textclean import clean_text_table
+
+    t = pa.table({"text": ["  Hello\t\tWorld \n", "a\x00b\x07c", "UPPER  case"]})
+    out = clean_text_table(t, lower=True)
+    assert out["text"].to_pylist() == ["hello world", "abc", "upper case"]
+    out2 = clean_text_table(t, lower=False, collapse_ws=False, strip=False,
+                            drop_control=True)
+    assert out2["text"].to_pylist()[1] == "abc"

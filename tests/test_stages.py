@@ -341,3 +341,20 @@ def test_broadcast_join_left_and_arrow_native(ray_session):
     assert out["name"].where(out["name"].notna(), None).tolist() == [
         "one", "two", "two", None
     ]
+
+
+def test_broadcast_semi_anti_join(ray_session):
+    import ray.data as rd
+
+    from logray.stages.join import broadcast_anti_join, broadcast_semi_join
+
+    ds = rd.from_arrow(pa.table({"k": [1, 2, 3, 4, None], "v": list("abcde")}))
+    keys = rd.from_arrow(pa.table({"k": [2, 4, 4, 9]}))
+    semi = broadcast_semi_join(ds, keys, on="k").to_pandas()
+    assert sorted(semi["v"]) == ["b", "d"]
+    anti = broadcast_anti_join(ds, keys, on="k").to_pandas()
+    # null keys drop in BOTH directions (SQL IN / NOT IN semantics)
+    assert sorted(anti["v"]) == ["a", "c"]
+    # list input works too
+    semi2 = broadcast_semi_join(ds, [1], on="k").to_pandas()
+    assert semi2["v"].tolist() == ["a"]
