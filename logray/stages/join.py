@@ -89,8 +89,10 @@ def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
             m = pc.is_in(t[on], value_set=self.value_set.cast(t[on].type))
             if anti:
                 m = pc.invert(m)
-            # null keys drop either way (SQL IN / NOT IN semantics)
-            return t.filter(pc.fill_null(m, False))
+            # null keys drop either way (SQL IN / NOT IN semantics);
+            # Arrow's is_in maps null -> False, so gate validity explicitly
+            m = pc.and_(pc.fill_null(m, False), pc.is_valid(t[on]))
+            return t.filter(m)
 
     return ds.map_batches(Filter, fn_constructor_kwargs=dict(ref=keys),
                           batch_format="pyarrow", zero_copy_batch=True,
