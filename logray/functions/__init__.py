@@ -9,14 +9,26 @@ from logray.functions.dedup import (
     simhash_dedup,
     embedding_dedup,
 )
+from logray.functions.dedup_resumable import near_dedup_resumable
 from logray.functions.ann import ann_topk, ann_lsh_topk, ann_ivf_topk
 from logray.functions.fingerprint import FingerprintBatch
+from logray.functions.sample import reservoir_per_key, sample_uniform
+from logray.functions.sketch import approx_distinct
+from logray.functions.modelscore import ModelScoreBatch, model_score_stage
+from logray.functions.textclean import clean_text
+from logray.functions.multimodal import (
+    DecodeImageBatch,
+    ExtractAudioFeaturesBatch,
+    SampleFramesBatch,
+    decode_stage,
+)
 
 __all__ = [
     "TextStatsBatch",
     "text_stats",
     "connected_components",
     "connected_components_distributed",
+    "near_dedup_resumable",
     "ann_ivf_topk",
     "dedup_keep_min",
     "exact_dedup",
@@ -27,4 +39,14 @@ __all__ = [
     "ann_topk",
     "ann_lsh_topk",
     "FingerprintBatch",
+    "reservoir_per_key",
+    "sample_uniform",
+    "approx_distinct",
+    "ModelScoreBatch",
+    "model_score_stage",
+    "clean_text",
+    "DecodeImageBatch",
+    "ExtractAudioFeaturesBatch",
+    "SampleFramesBatch",
+    "decode_stage",
 ]

@@ -2,20 +2,31 @@ from logray.stages.parse import ParseBatch, normalize_text, parse_stage
 from logray.stages.route import Route, Router, route_datasets, route_exclusive, write_routes
 from logray.stages.enrich import EnrichBatch, enrich_stage, ROLE_TAXONOMY, TOOL_TAXONOMY
 from logray.stages.aggregate import (
+    exact_quantiles,
     histogram,
     min_max,
     route_counts,
+    top_k_groups,
     turns_per_conversation,
 )
 from logray.stages.search import find_next_occurrence
 from logray.stages.reassemble import (
+    conversation_stats,
     fold_dialogue,
+    fold_dialogues,
     ordered_view,
     preview,
     reassemble_conversations,
     turn_context,
 )
-from logray.stages.join import asof_join, broadcast_join, hash_join, range_join
+from logray.stages.join import (
+    asof_join,
+    broadcast_anti_join,
+    broadcast_join,
+    broadcast_semi_join,
+    hash_join,
+    range_join,
+)
 from logray.stages.window import (
     salted_histogram,
     sessionize,
@@ -36,7 +47,9 @@ __all__ = [
     "enrich_stage",
     "ROLE_TAXONOMY",
     "TOOL_TAXONOMY",
+    "exact_quantiles",
     "histogram",
+    "top_k_groups",
     "min_max",
     "route_counts",
     "turns_per_conversation",
@@ -44,10 +57,14 @@ __all__ = [
     "ordered_view",
     "preview",
     "reassemble_conversations",
+    "conversation_stats",
+    "fold_dialogues",
     "fold_dialogue",
     "turn_context",
     "asof_join",
     "broadcast_join",
+    "broadcast_semi_join",
+    "broadcast_anti_join",
     "hash_join",
     "range_join",
     "salted_histogram",
