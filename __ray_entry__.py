@@ -862,6 +862,20 @@ _QUANTILES_PRICE_SQL = " UNION ALL ".join(
 )
 
 
+def _q_grouped_quantiles(sf_dir: str):
+    """Per-key exact discrete quantiles (bucketed segmented-index pass)."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import grouped_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return grouped_quantiles(
+        ds, "o_orderpriority", "o_totalprice", [0.5, 0.9]
+    ).to_pandas()
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct customers with orders (p=14,
     ~0.8% expected error; deterministic across partitionings)."""
@@ -960,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample": _q_reservoir_sample,
         "model_score": _q_model_score,
         "quantiles_price": _q_quantiles_price,
+        "grouped_quantiles": _q_grouped_quantiles,
         "approx_distinct": _q_approx_distinct,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
@@ -988,6 +1003,7 @@ _MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 def oracle_sql() -> dict[str, str]:
     from logray.functions.sample import reservoir_per_key_sql, sample_uniform_sql
     from logray.functions.textclean import clean_text_sql
+    from logray.stages.aggregate import grouped_quantiles_sql
 
     return {
         "transcript_build": _TSQL,
@@ -1000,6 +1016,9 @@ def oracle_sql() -> dict[str, str]:
             cols="o_orderpriority, o_orderkey",
         ),
         "quantiles_price": _QUANTILES_PRICE_SQL,
+        "grouped_quantiles": grouped_quantiles_sql(
+            "orders", "o_orderpriority", "o_totalprice", [0.5, 0.9]
+        ),
         "semi_join_customers": """
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)

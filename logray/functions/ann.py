@@ -199,7 +199,15 @@ def ann_ivf_topk(ds, queries: dict, k: int = 10, n_lists: int = 16, nprobe: int 
     lists."""
     import ray
 
-    sample_rows = ds.limit(train_sample).take_all()
+    # deterministic hash-based uniform sample for the quantizer (a limit()
+    # takes the FIRST rows — biased when the corpus is ordered/clustered)
+    from logray.functions.sample import sample_uniform
+
+    n_total = ds.count()
+    p = min(1.0, (train_sample * 1.25) / max(n_total, 1))
+    sample_rows = sample_uniform(ds, p, id_col, seed=seed).limit(train_sample).take_all()
+    if not sample_rows:
+        sample_rows = ds.limit(train_sample).take_all()
     sample = np.stack([np.asarray(r[emb_col], np.float64) for r in sample_rows])
     centroids = _kmeans(sample, n_lists, seed=seed)
     cref = ray.put(centroids)

@@ -307,6 +307,66 @@ def exact_quantiles(ds, col: str, qs) -> dict:
     return {q: out[q] for q in qs}
 
 
+def grouped_quantiles(ds, key: str, col: str, qs, num_buckets: int = 32):
+    """EXACT discrete quantiles of ``col`` PER ``key`` group (DuckDB
+    ``quantile_disc`` semantics: element at 0-based index
+    ``max(ceil(q*n)-1, 0)`` of the group's sorted values).
+
+    Shuffle on ``hash(key) % num_buckets``; within each bucket every
+    group's quantile rows are selected with one vectorized
+    sort + segmented-index pass (cumcount == target), never a Python loop
+    per key.  Returns a Dataset (key, q, value)."""
+    import math
+
+    qs = list(qs)
+
+    def tag(t: pa.Table) -> pa.Table:
+        kh = pd.util.hash_array(np.asarray(t[key].to_numpy(zero_copy_only=False)))
+        return t.append_column("__b", pa.array((kh % num_buckets).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, col], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({key: [], "q": [], "value": []})
+        keys = g[key].to_numpy()
+        new_key = np.ones(n, np.bool_)
+        new_key[1:] = keys[1:] != keys[:-1]
+        run_id = np.cumsum(new_key) - 1
+        run_start = np.flatnonzero(new_key)
+        sizes = np.diff(np.append(run_start, n))
+        local = np.arange(n) - run_start[run_id]
+        outs = []
+        for q in qs:
+            # per-group target index, clamped like the global operator
+            tgt = np.minimum(
+                np.maximum(np.ceil(q * sizes).astype(np.int64) - 1, 0), sizes - 1
+            )
+            hit = local == tgt[run_id]
+            sel = g.loc[hit]
+            outs.append(pd.DataFrame(
+                {key: sel[key].to_numpy(), "q": np.full(len(sel), float(q)),
+                 "value": sel[col].to_numpy()}
+            ))
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def grouped_quantiles_sql(table: str, key: str, col: str, qs) -> str:
+    """DuckDB oracle for :func:`grouped_quantiles`."""
+    parts = [
+        f"SELECT {key}, {q} AS q, quantile_disc({col}, {q}) AS value "
+        f"FROM {table} GROUP BY {key}"
+        for q in qs
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def top_k_groups(ds, key_cols, k: int, as_pandas: bool = True, fold: str = "driver"):
     """Top-k groups by exact count (ties broken by key ascending).
 

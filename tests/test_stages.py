@@ -358,3 +358,34 @@ def test_broadcast_semi_anti_join(ray_session):
     # list input works too
     semi2 = broadcast_semi_join(ds, [1], on="k").to_pandas()
     assert semi2["v"].tolist() == ["a"]
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.aggregate import grouped_quantiles
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    t = pa.table(
+        {
+            "k": pa.array([f"g{i % 7}" for i in range(n)]),
+            "v": pa.array(np.round(rng.standard_normal(n) * 50, 2)),
+        }
+    )
+    got = (
+        grouped_quantiles(rd.from_arrow(t).repartition(5), "k", "v", [0.0, 0.5, 0.9, 1.0])
+        .to_pandas()
+        .sort_values(["k", "q"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    for _, row in got.iterrows():
+        want = con.sql(
+            f"SELECT quantile_disc(v, {row['q']}) FROM t WHERE k = '{row['k']}'"
+        ).fetchone()[0]
+        assert row["value"] == want, (row["k"], row["q"])
+    assert len(got) == 7 * 4
