@@ -59,8 +59,22 @@ def _split_file(path: str, data: bytes) -> pa.Table:
     )
 
 
+def _maybe_decompress(path: str, data: bytes) -> bytes:
+    """Transparent decompression by extension: .gz (gzip) and .zst
+    (zstandard via Arrow's codec) — at fleet scale raw logs ship
+    compressed, one non-splittable file per read task."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.decompress(data)
+    if path.endswith(".zst"):
+        return pa.Codec("zstd").decompress(data)
+    return data
+
+
 def read_log_lines(path: str):
-    """Dataset of (path, line_num, text) for a raw log file / directory."""
+    """Dataset of (path, line_num, text) for a raw log file / directory.
+    ``.gz`` / ``.zst`` files are decompressed in the read task."""
     import ray.data as rd
 
     ds = rd.read_binary_files(path, include_paths=True)
@@ -68,7 +82,7 @@ def read_log_lines(path: str):
     def split(batch: pa.Table) -> pa.Table:
         tables = []
         for p, b in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-            tables.append(_split_file(p, b))
+            tables.append(_split_file(p, _maybe_decompress(p, b)))
         if not tables:
             return _split_file("", b"")
         return pa.concat_tables(tables)

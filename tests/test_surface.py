@@ -281,3 +281,21 @@ def test_cli_sample_and_score(tmp_path):
 
     out3 = run("score", str(src), "--out", str(tmp_path / "scored"))
     assert out3["rows"] == 200 and 0.0 <= out3["min"] <= out3["max"] <= 1.0
+
+
+def test_read_log_lines_gzip(ray_session, tmp_path):
+    import gzip
+
+    from logray.sources.rawlog import read_log_lines
+
+    lines = "alpha\nbeta\r\ngamma\n"
+    plain = tmp_path / "a.log"
+    plain.write_text(lines)
+    gz = tmp_path / "b.log.gz"
+    gz.write_bytes(gzip.compress(lines.encode()))
+
+    got_plain = read_log_lines(str(plain)).to_pandas()
+    got_gz = read_log_lines(str(gz)).to_pandas()
+    assert got_plain["text"].tolist() == ["alpha", "beta", "gamma"]
+    assert got_gz["text"].tolist() == ["alpha", "beta", "gamma"]
+    assert got_gz["line_num"].tolist() == [0, 1, 2]
