@@ -60,14 +60,15 @@ def _split_file(path: str, data: bytes) -> pa.Table:
 
 
 def _maybe_decompress(path: str, data: bytes) -> bytes:
-    """Transparent decompression by extension: .gz (gzip) and .zst
-    (zstandard via Arrow's codec) — at fleet scale raw logs ship
-    compressed, one non-splittable file per read task."""
-    if path.endswith(".gz"):
+    """Safety net for compressed logs: Ray's ``read_binary_files`` already
+    auto-decompresses by extension through Arrow's filesystem layer, so
+    this only acts when the payload still carries a compression magic
+    (e.g. a source that bypassed the auto path)."""
+    if path.endswith(".gz") and data[:2] == b"\x1f\x8b":
         import gzip
 
         return gzip.decompress(data)
-    if path.endswith(".zst"):
+    if path.endswith(".zst") and data[:4] == b"\x28\xb5\x2f\xfd":
         return pa.Codec("zstd").decompress(data)
     return data
 
