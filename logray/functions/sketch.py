@@ -34,9 +34,12 @@ def _finalize(v: np.ndarray) -> np.ndarray:
 
 
 def _hash_column(col) -> np.ndarray:
-    """Deterministic, well-mixed 64-bit hashes of an Arrow column."""
+    """Deterministic, well-mixed 64-bit hashes of an Arrow column.
+    Nulls are dropped first (COUNT DISTINCT semantics ignore them)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        col = col.drop_null()
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
             or pa.types.is_binary(col.type):
         return _finalize(content_hash(col))

@@ -280,6 +280,12 @@ def exact_quantiles(ds, col: str, qs) -> dict:
 
     import ray
 
+    # quantile_disc ignores nulls; drop them before the sort so positions
+    # index only real values
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[col])),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
     sorted_ds = ds.sort(col).materialize()
     blocks = [
         blk for bundle in sorted_ds.iter_internal_ref_bundles() for blk in bundle.blocks

@@ -811,3 +811,28 @@ def test_clean_text_kernels():
     out2 = clean_text_table(t, lower=False, collapse_ws=False, strip=False,
                             drop_control=True)
     assert out2["text"].to_pylist()[1] == "abc"
+
+
+def test_hll_and_quantiles_ignore_nulls(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.sketch import approx_distinct
+    from logray.stages.aggregate import exact_quantiles
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, None, 2, 3, None], pa.int64()),
+            "v": pa.array([10.0, None, 30.0, 20.0, None, 40.0]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    est = approx_distinct(ds, "k", p=12)
+    assert est == 3  # linear-counting regime: exact at tiny cardinality
+
+    got = exact_quantiles(ds, "v", [0.5, 1.0])
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    for q in (0.5, 1.0):
+        want = con.sql(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert got[q] == want
