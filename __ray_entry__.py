@@ -862,6 +862,18 @@ _QUANTILES_PRICE_SQL = " UNION ALL ".join(
 )
 
 
+def _q_hopping_window(sf_dir: str):
+    """Hopping (sliding) window counts: 1h windows every 15min per
+    event_type (vectorized explode + histogram partials)."""
+    import ray.data as rd
+
+    from logray.stages.window import hopping_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return hopping_window(ds, "ts", width_s=3600.0, hop_s=900.0,
+                          key_cols="event_type")
+
+
 def _q_grouped_quantiles(sf_dir: str):
     """Per-key exact discrete quantiles (bucketed segmented-index pass)."""
     import ray.data as rd
@@ -975,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_score": _q_model_score,
         "quantiles_price": _q_quantiles_price,
         "grouped_quantiles": _q_grouped_quantiles,
+        "hopping_window": _q_hopping_window,
         "approx_distinct": _q_approx_distinct,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
@@ -1004,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.sample import reservoir_per_key_sql, sample_uniform_sql
     from logray.functions.textclean import clean_text_sql
     from logray.stages.aggregate import grouped_quantiles_sql
+    from logray.stages.window import hopping_window_sql
 
     return {
         "transcript_build": _TSQL,
@@ -1018,6 +1032,9 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_price": _QUANTILES_PRICE_SQL,
         "grouped_quantiles": grouped_quantiles_sql(
             "orders", "o_orderpriority", "o_totalprice", [0.5, 0.9]
+        ),
+        "hopping_window": hopping_window_sql(
+            "events", "ts", 3600.0, 900.0, key_cols="event_type"
         ),
         "semi_join_customers": """
             SELECT c_custkey, c_mktsegment FROM customer

@@ -39,6 +39,60 @@ def tumbling_window(ds, ts_col: str = "ts", key_cols=None, width: str = "hour",
     return histogram(win, key_cols + ["window_start"], as_pandas=as_pandas)
 
 
+def hopping_window(ds, ts_col: str = "ts", width_s: float = 3600.0,
+                   hop_s: float = 900.0, key_cols=None, as_pandas: bool = True):
+    """Exact row counts per (key..., window_start) for HOPPING (sliding)
+    windows of ``width_s`` advancing every ``hop_s`` (width must be a
+    multiple of hop).  Each row belongs to ``width/hop`` windows; the
+    explode is one vectorized repeat per batch, then the histogram partial
+    pattern — the window multiplicity never touches a shuffle key's skew.
+
+    ``window_start`` is int64 epoch microseconds (exactly reproducible in
+    SQL: ``(floor(epoch_us(ts)/hop) - j) * hop`` unioned over j)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols or [])
+    width_us = int(width_s * 1_000_000)
+    hop_us = int(hop_s * 1_000_000)
+    if width_us % hop_us:
+        raise ValueError("width_s must be a multiple of hop_s")
+    k = width_us // hop_us
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts_us = np.asarray(t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()))
+        base = np.floor_divide(ts_us, hop_us)
+        starts = ((np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64), n))
+                  * hop_us)
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        out = {c: pc.take(t[c], pa.array(idx)) for c in key_cols}
+        out["window_start"] = pa.array(starts)
+        return pa.table(out)
+
+    win = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    return histogram(win, key_cols + ["window_start"], as_pandas=as_pandas)
+
+
+def hopping_window_sql(table: str, ts_col: str, width_s: float, hop_s: float,
+                       key_cols=None) -> str:
+    """DuckDB oracle for :func:`hopping_window` (identical arithmetic)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols or [])
+    width_us = int(width_s * 1_000_000)
+    hop_us = int(hop_s * 1_000_000)
+    k = width_us // hop_us
+    keys = (", ".join(key_cols) + ", ") if key_cols else ""
+    eus = f"epoch_us({ts_col})"
+    selects = [
+        f"SELECT {keys}(CAST(floor({eus} / {hop_us}) AS BIGINT) - {j}) * {hop_us} "
+        f"AS window_start FROM {table}"
+        for j in range(k)
+    ]
+    inner = " UNION ALL ".join(selects)
+    return (
+        f"SELECT {keys}window_start, count(*) AS n FROM ({inner}) "
+        f"GROUP BY {keys}window_start"
+    )
+
+
 def _session_ids(ts_us: np.ndarray, gap_us: int) -> np.ndarray:
     """0-based session ids for an ascending timestamp array."""
     if len(ts_us) == 0:

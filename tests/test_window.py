@@ -283,3 +283,28 @@ def test_range_join_left_keeps_unmatched(ray_session):
 
     with pytest.raises(ValueError, match="unsupported how"):
         range_join(ds, disjoint, "value", how="full")
+
+
+def test_hopping_window_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.window import hopping_window, hopping_window_sql
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    ts = pa.array(rng.integers(0, 3 * 86_400_000_000, n), pa.int64()).cast(
+        pa.timestamp("us")
+    )
+    t = pa.table({"k": pa.array([f"e{i % 3}" for i in range(n)]), "ts": ts})
+    got = hopping_window(rd.from_arrow(t), "ts", width_s=3600.0, hop_s=900.0,
+                         key_cols="k")
+    # every event lands in exactly width/hop = 4 windows
+    assert got["n"].sum() == n * 4
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql(hopping_window_sql("t", "ts", 3600.0, 900.0, key_cols="k")).df()
+    g = got.sort_values(["k", "window_start"]).reset_index(drop=True)
+    w = want.sort_values(["k", "window_start"]).reset_index(drop=True)
+    assert g["n"].tolist() == w["n"].tolist()
+    assert g["window_start"].tolist() == w["window_start"].tolist()
