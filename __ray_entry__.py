@@ -862,6 +862,23 @@ _QUANTILES_PRICE_SQL = " UNION ALL ".join(
 )
 
 
+def _q_topk_per_key(sf_dir: str):
+    """Top-3 orders per priority by price (per-batch prune + bucketed
+    vectorized selection; deterministic tiebreak)."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import topk_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+    return topk_per_key(
+        ds, "o_orderpriority", "o_totalprice", 3, descending=True,
+        tiebreak_col="o_orderkey",
+    ).to_pandas()
+
+
 def _q_hopping_window(sf_dir: str):
     """Hopping (sliding) window counts: 1h windows every 15min per
     event_type (vectorized explode + histogram partials)."""
@@ -988,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_price": _q_quantiles_price,
         "grouped_quantiles": _q_grouped_quantiles,
         "hopping_window": _q_hopping_window,
+        "topk_per_key": _q_topk_per_key,
         "approx_distinct": _q_approx_distinct,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
@@ -1016,7 +1034,7 @@ _MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 def oracle_sql() -> dict[str, str]:
     from logray.functions.sample import reservoir_per_key_sql, sample_uniform_sql
     from logray.functions.textclean import clean_text_sql
-    from logray.stages.aggregate import grouped_quantiles_sql
+    from logray.stages.aggregate import grouped_quantiles_sql, topk_per_key_sql
     from logray.stages.window import hopping_window_sql
 
     return {
@@ -1035,6 +1053,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hopping_window": hopping_window_sql(
             "events", "ts", 3600.0, 900.0, key_cols="event_type"
+        ),
+        "topk_per_key": topk_per_key_sql(
+            "orders", "o_orderpriority", "o_totalprice", 3, descending=True,
+            tiebreak_col="o_orderkey",
+            cols="o_orderpriority, o_orderkey, o_totalprice",
         ),
         "semi_join_customers": """
             SELECT c_custkey, c_mktsegment FROM customer

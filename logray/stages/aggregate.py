@@ -363,6 +363,48 @@ def grouped_quantiles(ds, key: str, col: str, qs, num_buckets: int = 32):
     )
 
 
+def topk_per_key(ds, key: str, order_col: str, k: int, descending: bool = True,
+                 tiebreak_col: str | None = None, num_buckets: int = 32):
+    """The ``k`` best rows per key by ``order_col`` (ties broken by
+    ``tiebreak_col`` ascending) — the stratified selection every
+    training-data pipeline runs (best-quality documents per source,
+    longest conversations per user, ...).
+
+    Scale shape mirrors :func:`~logray.functions.sample.reservoir_per_key`:
+    per-batch local top-k prune (so the shuffle moves at most
+    ``k * keys_per_batch`` rows), then a ``hash(key) % num_buckets``
+    shuffle with one vectorized groupby-head per bucket."""
+    order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    asc = [not descending] + ([True] if tiebreak_col else [])
+
+    def local_topk(df):
+        df = df.sort_values(order, ascending=asc, kind="mergesort")
+        return df.groupby(key, sort=False).head(k)
+
+    def partial(df):
+        df = local_topk(df)
+        b = (pd.util.hash_array(df[key].to_numpy()) % num_buckets).astype("int64")
+        return df.assign(__b=b)
+
+    def per_bucket(g):
+        return local_topk(g).drop(columns="__b")
+
+    pre = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    return pre.groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+def topk_per_key_sql(table: str, key: str, order_col: str, k: int,
+                     descending: bool = True, tiebreak_col: str | None = None,
+                     cols: str = "*") -> str:
+    """DuckDB oracle for :func:`topk_per_key`."""
+    direction = "DESC" if descending else "ASC"
+    tb = f", {tiebreak_col} ASC" if tiebreak_col else ""
+    return (
+        f"SELECT {cols} FROM {table} QUALIFY row_number() OVER "
+        f"(PARTITION BY {key} ORDER BY {order_col} {direction}{tb}) <= {k}"
+    )
+
+
 def grouped_quantiles_sql(table: str, key: str, col: str, qs) -> str:
     """DuckDB oracle for :func:`grouped_quantiles`."""
     parts = [

@@ -389,3 +389,38 @@ def test_grouped_quantiles_matches_duckdb(ray_session):
         ).fetchone()[0]
         assert row["value"] == want, (row["k"], row["q"])
     assert len(got) == 7 * 4
+
+
+def test_topk_per_key_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.aggregate import topk_per_key, topk_per_key_sql
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    t = pa.table(
+        {
+            "k": pa.array([f"g{i % 5}" for i in range(n)]),
+            "id": pa.array(range(n), pa.int64()),
+            "score": pa.array(rng.integers(0, 50, n), pa.int64()),  # many ties
+        }
+    )
+    got = (
+        topk_per_key(rd.from_arrow(t).repartition(7), "k", "score", 4,
+                     descending=True, tiebreak_col="id")
+        .to_pandas()
+        .sort_values(["k", "score", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = (
+        con.sql(topk_per_key_sql("t", "k", "score", 4, True, "id"))
+        .df()
+        .sort_values(["k", "score", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert got[["k", "id", "score"]].equals(want[["k", "id", "score"]])
+    assert len(got) == 20
