@@ -862,6 +862,21 @@ _QUANTILES_PRICE_SQL = " UNION ALL ".join(
 )
 
 
+def _q_stratified_split(sf_dir: str):
+    """Deterministic train/val/test split counts (pure hash function of
+    the id — stable under repartitioning and incremental reprocessing)."""
+    import ray.data as rd
+
+    from logray.functions.sample import stratified_split
+    from logray.stages.aggregate import histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    tagged = stratified_split(
+        ds, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id", seed=5
+    )
+    return histogram(tagged, "split")
+
+
 def _q_topk_per_key(sf_dir: str):
     """Top-3 orders per priority by price (per-batch prune + bucketed
     vectorized selection; deterministic tiebreak)."""
@@ -1006,6 +1021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "hopping_window": _q_hopping_window,
         "topk_per_key": _q_topk_per_key,
+        "stratified_split": _q_stratified_split,
         "approx_distinct": _q_approx_distinct,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
@@ -1032,7 +1048,11 @@ _MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 
 
 def oracle_sql() -> dict[str, str]:
-    from logray.functions.sample import reservoir_per_key_sql, sample_uniform_sql
+    from logray.functions.sample import (
+        reservoir_per_key_sql,
+        sample_uniform_sql,
+        stratified_split_sql,
+    )
     from logray.functions.textclean import clean_text_sql
     from logray.stages.aggregate import grouped_quantiles_sql, topk_per_key_sql
     from logray.stages.window import hopping_window_sql
@@ -1053,6 +1073,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hopping_window": hopping_window_sql(
             "events", "ts", 3600.0, 900.0, key_cols="event_type"
+        ),
+        "stratified_split": (
+            "SELECT split, count(*) AS n FROM ("
+            + stratified_split_sql(
+                "documents", {"train": 0.8, "val": 0.1, "test": 0.1},
+                "doc_id", seed=5, cols="doc_id",
+            )
+            + ") GROUP BY split"
         ),
         "topk_per_key": topk_per_key_sql(
             "orders", "o_orderpriority", "o_totalprice", 3, descending=True,

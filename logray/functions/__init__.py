@@ -12,7 +12,11 @@ from logray.functions.dedup import (
 from logray.functions.dedup_resumable import near_dedup_resumable
 from logray.functions.ann import ann_topk, ann_lsh_topk, ann_ivf_topk
 from logray.functions.fingerprint import FingerprintBatch
-from logray.functions.sample import reservoir_per_key, sample_uniform
+from logray.functions.sample import (
+    reservoir_per_key,
+    sample_uniform,
+    stratified_split,
+)
 from logray.functions.sketch import approx_distinct
 from logray.functions.modelscore import ModelScoreBatch, model_score_stage
 from logray.functions.textclean import clean_text
@@ -41,6 +45,7 @@ __all__ = [
     "FingerprintBatch",
     "reservoir_per_key",
     "sample_uniform",
+    "stratified_split",
     "approx_distinct",
     "ModelScoreBatch",
     "model_score_stage",

@@ -98,3 +98,47 @@ def reservoir_per_key_sql(table: str, key: str, n: int, id_col: str,
         f"SELECT {cols} FROM {table} QUALIFY row_number() OVER "
         f"(PARTITION BY {key} ORDER BY {_hash_sql(id_col, seed)}, {id_col}) <= {n}"
     )
+
+
+def stratified_split(ds, fractions: dict, id_col: str, seed: int = 0,
+                     split_col: str = "split"):
+    """Append a deterministic train/val/test-style ``split_col``: each row's
+    bucket is a pure function of (id, seed), so the split is stable under
+    repartitioning, retries and incremental reprocessing (new rows join a
+    split without reshuffling old ones).  ``fractions`` maps name ->
+    fraction; fractions must sum to <= 1 and any remainder goes to the
+    LAST name.  No shuffle — one vectorized hash + searchsorted per batch."""
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    if cum[-1] > 1 + 1e-9:
+        raise ValueError("fractions sum to > 1")
+    bounds = (cum * _M32).astype(np.int64)
+    bounds[-1] = _M32  # remainder -> last split
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = _det_hash(t[id_col].to_numpy(zero_copy_only=False), seed)
+        idx = np.searchsorted(bounds, h, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        labels = pa.array(np.array(names, dtype=object)[idx].tolist(), pa.string())
+        if split_col in t.column_names:
+            t = t.drop_columns([split_col])
+        return t.append_column(split_col, labels)
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def stratified_split_sql(table: str, fractions: dict, id_col: str,
+                         seed: int = 0, cols: str = "*",
+                         split_col: str = "split") -> str:
+    """DuckDB oracle for :func:`stratified_split` (identical assignment)."""
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    bounds = (cum * _M32).astype(np.int64)
+    bounds[-1] = _M32
+    h = _hash_sql(id_col, seed)
+    case = "CASE "
+    for name, b in zip(names[:-1], bounds[:-1]):
+        case += f"WHEN {h} < {b} THEN '{name}' "
+    case += f"ELSE '{names[-1]}' END AS {split_col}"
+    return f"SELECT {cols}, {case} FROM {table}"

@@ -836,3 +836,22 @@ def test_hll_and_quantiles_ignore_nulls(ray_session):
     for q in (0.5, 1.0):
         want = con.sql(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
         assert got[q] == want
+
+
+def test_stratified_split_deterministic(ray_session):
+    import ray.data as rd
+
+    from logray.functions.sample import stratified_split
+
+    t = pa.table({"id": pa.array(range(10_000), pa.int64())})
+    a = stratified_split(rd.from_arrow(t), {"train": 0.8, "val": 0.1, "test": 0.1},
+                         "id", seed=4).to_pandas()
+    b = stratified_split(rd.from_arrow(t).repartition(9),
+                         {"train": 0.8, "val": 0.1, "test": 0.1}, "id", seed=4).to_pandas()
+    ma = dict(zip(a["id"], a["split"]))
+    mb = dict(zip(b["id"], b["split"]))
+    assert ma == mb  # partition-independent
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
