@@ -200,12 +200,18 @@ def ann_ivf_topk(ds, queries: dict, k: int = 10, n_lists: int = 16, nprobe: int 
     import ray
 
     # deterministic hash-based uniform sample for the quantizer (a limit()
-    # takes the FIRST rows — biased when the corpus is ordered/clustered)
+    # takes the FIRST rows — biased when the corpus is ordered/clustered);
+    # the hash sampler needs an integer id, so non-integer ids keep the
+    # plain limit() path rather than crashing
     from logray.functions.sample import sample_uniform
 
-    n_total = ds.count()
-    p = min(1.0, (train_sample * 1.25) / max(n_total, 1))
-    sample_rows = sample_uniform(ds, p, id_col, seed=seed).limit(train_sample).take_all()
+    sample_rows = []
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types)).get(id_col)
+    if id_type is not None and pa.types.is_integer(id_type) and seed < (1 << 30):
+        n_total = ds.count()
+        p = min(1.0, (train_sample * 1.25) / max(n_total, 1))
+        sample_rows = sample_uniform(ds, p, id_col, seed=seed).limit(train_sample).take_all()
     if not sample_rows:
         sample_rows = ds.limit(train_sample).take_all()
     sample = np.stack([np.asarray(r[emb_col], np.float64) for r in sample_rows])

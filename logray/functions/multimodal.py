@@ -165,6 +165,22 @@ class ExtractAudioFeaturesBatch:
             except ImportError:
                 self._soundfile = None  # WAV-only via stdlib wave
 
+    @staticmethod
+    def _pcm_to_float(raw: bytes, width: int) -> np.ndarray:
+        if width == 2:
+            return np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        if width == 1:
+            return (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+        if width == 3:
+            # 24-bit little-endian PCM: assemble + sign-extend, vectorized
+            b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v -= (v & 0x800000) << 1
+            return v.astype(np.float32) / 8388608.0
+        if width == 4:
+            return np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+        raise NotImplementedError(f"unsupported WAV sample width: {width} bytes")
+
     def _decode(self, payload: bytes) -> tuple[np.ndarray, int]:
         """(normalized float samples, sample_rate)."""
         import wave
@@ -174,13 +190,6 @@ class ExtractAudioFeaturesBatch:
                 rate = w.getframerate()
                 width = w.getsampwidth()
                 raw = w.readframes(w.getnframes())
-            if width == 2:
-                samples = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
-            elif width == 1:
-                samples = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
-            else:
-                samples = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
-            return samples, rate
         except Exception:
             if self._soundfile is None:
                 raise NotImplementedError(
@@ -191,6 +200,9 @@ class ExtractAudioFeaturesBatch:
             if samples.ndim > 1:
                 samples = samples.mean(axis=1)
             return samples, int(rate)
+        # a genuine WAV that fails PCM conversion should surface its real
+        # error, not a misleading "non-WAV" message
+        return self._pcm_to_float(raw, width), rate
 
     def __call__(self, t: pa.Table) -> pa.Table:
         feats, durs, rates = [], [], []

@@ -79,7 +79,9 @@ def reservoir_per_key(ds, key: str, n: int, id_col: str, seed: int = 0,
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(__h=_det_hash(df[id_col].to_numpy(), seed))
-        df = df.assign(__b=(pd.util.hash_array(df[key].to_numpy()) % num_buckets).astype("int64"))
+        from logray.stages.bucketing import bucket_of
+
+        df = df.assign(__b=bucket_of(df[key].to_numpy(), num_buckets))
         df = df.sort_values(["__h", id_col], kind="mergesort")
         return df.groupby(key, sort=False).head(n)
 

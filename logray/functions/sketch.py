@@ -35,7 +35,10 @@ def _finalize(v: np.ndarray) -> np.ndarray:
 
 def _hash_column(col) -> np.ndarray:
     """Deterministic, well-mixed 64-bit hashes of an Arrow column.
-    Nulls are dropped first (COUNT DISTINCT semantics ignore them)."""
+    Nulls are dropped first (COUNT DISTINCT semantics ignore them).
+    Floats hash by their bit pattern (an int64 cast would collapse every
+    value sharing an integer part), with -0.0 and NaN canonicalized so
+    equal-comparing values hash equally."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if col.null_count:
@@ -43,6 +46,11 @@ def _hash_column(col) -> np.ndarray:
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
             or pa.types.is_binary(col.type):
         return _finalize(content_hash(col))
+    if pa.types.is_floating(col.type):
+        f = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        f = f + 0.0  # -0.0 -> 0.0
+        f[np.isnan(f)] = np.nan  # canonical NaN bit pattern
+        return _finalize(f.view(np.uint64))
     v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     return _finalize(v)
 

@@ -69,7 +69,9 @@ def _maybe_decompress(path: str, data: bytes) -> bytes:
 
         return gzip.decompress(data)
     if path.endswith(".zst") and data[:4] == b"\x28\xb5\x2f\xfd":
-        return pa.Codec("zstd").decompress(data)
+        # Codec.decompress needs the decompressed size up front; the
+        # streaming reader does not
+        return pa.input_stream(pa.BufferReader(data), compression="zstd").read()
     return data
 
 

@@ -59,23 +59,16 @@ def histogram(ds, cols, as_pandas: bool = True, fold: str = "driver"):
             return out
         return out.to_pandas().sort_values(cols).reset_index(drop=True)
 
+    from logray.stages.bucketing import stream_fold
+
     def fold_local(tables: list[pa.Table]) -> pa.Table:
         g = pa.concat_tables(tables).group_by(cols).aggregate([("partial_count", "sum")])
         return g.rename_columns(cols + ["partial_count"])
 
-    pending: list[pa.Table] = []
-    pending_rows = 0
-    for chunk in partial.iter_batches(batch_size=None, batch_format="pyarrow"):
-        pending.append(chunk)
-        pending_rows += chunk.num_rows
-        if pending_rows > 4_000_000:
-            pending = [fold_local(pending)]
-            pending_rows = pending[0].num_rows
-    if not pending:
-        import pandas as pd
-
+    folded = stream_fold(partial, fold_local)
+    if folded is None:
         return pd.DataFrame(columns=cols + ["n"])
-    folded = fold_local(pending).rename_columns(cols + ["n"])
+    folded = folded.rename_columns(cols + ["n"])
     return folded.to_pandas().sort_values(cols).reset_index(drop=True)
 
 
@@ -161,15 +154,10 @@ def fold_partials_stream(partial_ds) -> pa.Table:
     """Streaming driver-side fold of a partials Dataset: buffer chunks,
     re-combine when the buffer passes ~4M rows — bounded at O(distinct
     keys), and the pull overlaps the distributed execution."""
-    pending: list[pa.Table] = []
-    pending_rows = 0
-    for chunk in partial_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-        pending.append(chunk)
-        pending_rows += chunk.num_rows
-        if pending_rows > 4_000_000:
-            pending = [fold_partials_local(pending)]
-            pending_rows = pending[0].num_rows
-    return fold_partials_local(pending)
+    from logray.stages.bucketing import stream_fold
+
+    folded = stream_fold(partial_ds, fold_partials_local)
+    return folded if folded is not None else fold_partials_local([])
 
 
 def split_folded(folded, hist_cols: list[str], ts_col: str | None = None,
@@ -324,11 +312,10 @@ def grouped_quantiles(ds, key: str, col: str, qs, num_buckets: int = 32):
     per key.  Returns a Dataset (key, q, value)."""
     import math
 
-    qs = list(qs)
+    from logray.stages.bucketing import bucket_tagger
 
-    def tag(t: pa.Table) -> pa.Table:
-        kh = pd.util.hash_array(np.asarray(t[key].to_numpy(zero_copy_only=False)))
-        return t.append_column("__b", pa.array((kh % num_buckets).astype(np.int64)))
+    qs = list(qs)
+    tag = bucket_tagger(key, num_buckets)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, col], kind="mergesort").reset_index(drop=True)
@@ -381,10 +368,11 @@ def topk_per_key(ds, key: str, order_col: str, k: int, descending: bool = True,
         df = df.sort_values(order, ascending=asc, kind="mergesort")
         return df.groupby(key, sort=False).head(k)
 
+    from logray.stages.bucketing import bucket_of
+
     def partial(df):
         df = local_topk(df)
-        b = (pd.util.hash_array(df[key].to_numpy()) % num_buckets).astype("int64")
-        return df.assign(__b=b)
+        return df.assign(__b=bucket_of(df[key].to_numpy(), num_buckets))
 
     def per_bucket(g):
         return local_topk(g).drop(columns="__b")

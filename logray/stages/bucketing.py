@@ -1,0 +1,50 @@
+"""Shared primitives for the two recurring scale patterns.
+
+- :func:`bucket_tagger` — the ``hash(key) % num_buckets`` batch tagger
+  behind every bucketed-group operator (sessionize, turn_context,
+  fold_dialogues, grouped_quantiles, asof_join, ...).  One definition, so
+  a change to the partitioning hash reaches every operator at once.
+- :func:`stream_fold` — the bounded-memory driver fold: stream partial
+  batches, re-fold whenever the pending buffer passes ``max_pending_rows``
+  (memory stays O(distinct keys), the pull overlaps distributed
+  execution).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def bucket_tagger(key_col: str, num_buckets: int, col_name: str = "__b"):
+    """map_batches fn appending ``col_name = hash(key_col) % num_buckets``."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        kh = pd.util.hash_array(np.asarray(t[key_col].to_numpy(zero_copy_only=False)))
+        return t.append_column(col_name, pa.array((kh % num_buckets).astype(np.int64)))
+
+    return tag
+
+
+def bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """The same bucket assignment for code already holding a numpy array."""
+    return (pd.util.hash_array(np.asarray(keys)) % num_buckets).astype("int64")
+
+
+def stream_fold(partials_ds, fold_fn, max_pending_rows: int = 4_000_000):
+    """Fold a Dataset of partial Arrow batches on the driver with bounded
+    memory.  ``fold_fn(list[pa.Table]) -> pa.Table`` must be associative
+    and idempotent over refolds.  Returns the folded table, or None for an
+    empty stream."""
+    pending: list[pa.Table] = []
+    pending_rows = 0
+    for chunk in partials_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        pending.append(chunk)
+        pending_rows += chunk.num_rows
+        if pending_rows > max_pending_rows:
+            pending = [fold_fn(pending)]
+            pending_rows = pending[0].num_rows
+    if not pending:
+        return None
+    return fold_fn(pending)

@@ -71,7 +71,12 @@ def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
     ``keys`` is a small Dataset (its distinct ``on``/single column is
     collected once), a list, or a ``ray.ObjectRef``; membership is tested
     per batch with a vectorized ``pc.is_in`` against the broadcast set —
-    no shuffle (the generalization of the dedup drop-set filter)."""
+    no shuffle (the generalization of the dedup drop-set filter).
+
+    Null handling: null PROBE keys drop in both directions (SQL IN /
+    NOT IN); nulls in the broadcast KEY SET are ignored — a documented
+    deviation from SQL's ``NOT IN (..., NULL)``, which returns zero rows
+    (never what a pipeline wants from a drop list with a stray null)."""
     import ray
 
     if hasattr(keys, "unique"):
@@ -83,13 +88,16 @@ def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
     class Filter:
         def __init__(self, ref):
             vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.value_set = pa.array(vals)
+            arr = pa.array(vals)
+            self.value_set = arr.drop_null() if arr.null_count else arr
+            self._cast_set = None  # resolved to the probe type on first batch
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = pc.is_in(t[on], value_set=self.value_set.cast(t[on].type))
+            if self._cast_set is None:
+                self._cast_set = self.value_set.cast(t[on].type)
+            m = pc.is_in(t[on], value_set=self._cast_set)
             if anti:
                 m = pc.invert(m)
-            # null keys drop either way (SQL IN / NOT IN semantics);
             # Arrow's is_in maps null -> False, so gate validity explicitly
             m = pc.and_(pc.fill_null(m, False), pc.is_valid(t[on]))
             return t.filter(m)
@@ -173,10 +181,12 @@ def asof_join(left, right, key: str, ts_col: str = "ts", right_cols=None,
     columns are suffixed on collision."""
     rcols = list(right_cols) if right_cols else None
 
+    from logray.stages.bucketing import bucket_of
+
     def tag(side):
         def fn(t: pa.Table) -> pa.Table:
-            kh = pd.util.hash_array(np.asarray(t[key].to_numpy(zero_copy_only=False)))
-            t = t.append_column("__bucket", pa.array((kh % num_buckets).astype(np.int64)))
+            b = bucket_of(t[key].to_numpy(zero_copy_only=False), num_buckets)
+            t = t.append_column("__bucket", pa.array(b))
             return t.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
         return fn
 

@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from logray.stages.bucketing import bucket_tagger, stream_fold
+
 
 def reassemble_conversations(ds, fn=None, conv_col: str = "conv_id", turn_col: str = "turn_idx"):
     """Per-conversation ordered view: rows of each conv sorted by turn_idx,
@@ -59,11 +61,7 @@ def fold_dialogues(ds, sep: str = "\n", text_col: str = "text",
     ``hash(conv) % num_buckets`` and fold each bucket with one pandas
     ``groupby(conv).agg(join)`` over the (conv, turn)-sorted frame, instead
     of one Ray group per conversation."""
-    import numpy as np
-
-    def tag(t: pa.Table) -> pa.Table:
-        kh = pd.util.hash_array(np.asarray(t[conv_col].to_numpy(zero_copy_only=False)))
-        return t.append_column("__b", pa.array((kh % num_buckets).astype(np.int64)))
+    tag = bucket_tagger(conv_col, num_buckets)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([conv_col, turn_col], kind="mergesort")
@@ -98,19 +96,10 @@ def conversation_stats(ds, conv_col: str = "conv_id", ts_col: str = "ts"):
         )
         return g.rename_columns([conv_col, "n_turns", "ts_min", "ts_max"])
 
-    pending: list[pa.Table] = []
-    pending_rows = 0
-    for chunk in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
-        pending.append(chunk)
-        pending_rows += chunk.num_rows
-        if pending_rows > 4_000_000:
-            pending = [fold(pending)]
-            pending_rows = pending[0].num_rows
-    if not pending:
+    folded = stream_fold(parts, fold)
+    if folded is None:
         return pd.DataFrame(columns=[conv_col, "n_turns", "ts_min", "ts_max"])
-    return (
-        fold(pending).to_pandas().sort_values(conv_col).reset_index(drop=True)
-    )
+    return folded.to_pandas().sort_values(conv_col).reset_index(drop=True)
 
 
 def ordered_view(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx"):
@@ -178,9 +167,7 @@ def turn_context(ds, window: int = 3, sep: str = "\n", text_col: str = "text",
     (conv, turn)-sorted frame, masked at conversation boundaries."""
     import numpy as np
 
-    def tag(t: pa.Table) -> pa.Table:
-        kh = pd.util.hash_array(np.asarray(t[conv_col].to_numpy(zero_copy_only=False)))
-        return t.append_column("__b", pa.array((kh % num_buckets).astype(np.int64)))
+    tag = bucket_tagger(conv_col, num_buckets)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([conv_col, turn_col], kind="mergesort").reset_index(drop=True)

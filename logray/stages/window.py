@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from logray.stages.aggregate import histogram
+from logray.stages.bucketing import bucket_tagger as _bucket_tagger
 
 
 def tumbling_window(ds, ts_col: str = "ts", key_cols=None, width: str = "hour",
@@ -100,13 +101,6 @@ def _session_ids(ts_us: np.ndarray, gap_us: int) -> np.ndarray:
     gaps = np.diff(ts_us) > gap_us
     return np.concatenate([[0], np.cumsum(gaps)]).astype(np.int64)
 
-
-def _bucket_tagger(key_col: str, num_buckets: int):
-    def tag(t: pa.Table) -> pa.Table:
-        kh = pd.util.hash_array(np.asarray(t[key_col].to_numpy(zero_copy_only=False)))
-        return t.append_column("__b", pa.array((kh % num_buckets).astype(np.int64)))
-
-    return tag
 
 
 def _segmented_sessions(g: pd.DataFrame, key_col: str, ts_col: str, gap_us: int,
