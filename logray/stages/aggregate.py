@@ -318,6 +318,8 @@ def grouped_quantiles(ds, key: str, col: str, qs, num_buckets: int = 32):
     tag = bucket_tagger(key, num_buckets)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # quantile_disc ignores nulls: drop before positions are computed
+        g = g.dropna(subset=[col])
         g = g.sort_values([key, col], kind="mergesort").reset_index(drop=True)
         n = len(g)
         if n == 0:
