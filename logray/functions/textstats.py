@@ -107,7 +107,8 @@ class TextStatsBatch:
 
 
 def text_stats(ds, text_col: str = "text", langid: bool = True,
-               batch_size: int = 16384, concurrency=None):
+               batch_size: int | None = None, concurrency=None):
+    # batch_size=None: whole-block batches fuse the stage into the read
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
     if concurrency is not None:
         return ds.map_batches(
@@ -120,7 +121,7 @@ def text_stats(ds, text_col: str = "text", langid: bool = True,
 
 
 def tokenize(ds, text_col: str = "text", id_col: str | None = None,
-             pattern: str = " ", lower: bool = False, batch_size: int = 16384):
+             pattern: str = " ", lower: bool = False, batch_size: int | None = None):
     """Explode text into one row per token (split on the literal
     ``pattern``, keeping empty tokens — matches SQL ``string_split``).
     Output columns: [id_col?] + token.  Fully vectorized: Arrow split to a
