@@ -25,7 +25,7 @@ _ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer", "right": "right oute
                     "outer": "full outer"}
 
 
-def broadcast_join(ds, small, on, how: str = "inner", batch_size: int = 32768):
+def broadcast_join(ds, small, on, how: str = "inner", batch_size: int | None = None):
     """Join `ds` against a small pandas DataFrame / Arrow table (or
     ray.ObjectRef of one) broadcast to every worker.
 
