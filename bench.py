@@ -125,13 +125,21 @@ def run_bench() -> dict:
 
     # one block per input file (~256 files = ~8 tasks per CPU at 32): no
     # SplitBlocks, so the read fuses with parse->enrich->route->write into
-    # ONE operator — measured 0.61 -> 0.80 scaling efficiency at 8->32
+    # ONE operator — measured 0.61 -> 0.80 scaling efficiency at 8->32.
+    # Files are listed LARGEST FIRST (LPT scheduling): the hot-conversation
+    # file is ~6x the mean task time, and starting it early hides the
+    # straggler tail instead of ending on it.
     import glob
 
-    nblocks = len(glob.glob(os.path.join(corpus, "*.parquet"))) or NUM_CPUS * 8
+    corpus_files = sorted(
+        glob.glob(os.path.join(corpus, "*.parquet")),
+        key=os.path.getsize,
+        reverse=True,
+    )
+    nblocks = len(corpus_files) or NUM_CPUS * 8
 
     def headline():
-        ds = rd.read_parquet(corpus, override_num_blocks=nblocks)
+        ds = rd.read_parquet(corpus_files or corpus, override_num_blocks=nblocks)
         return run_pipeline(ds, cfg, out_dir, write_metrics=False)
 
     # best-of-3: first run pays one-time warmup (worker start, code import);
