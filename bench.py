@@ -104,9 +104,15 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: the VM's noise phases reach 3-6x; a single-shot
+        # timing in a bad minute reads as a false regression
+        best, out = None, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # --- headline: full pipeline over the transcript corpus --------------
