@@ -35,7 +35,12 @@ def _det_hash(ids: np.ndarray, seed: int) -> np.ndarray:
     BIGINT side (no wraparound divergence); requires ``seed < 2**30``."""
     if not 0 <= seed < (1 << 30):
         raise ValueError("seed must be in [0, 2**30)")
-    v = ids.astype(np.int64) % _M31
+    v = ids.astype(np.int64)
+    if len(v) and v.min() < 0:
+        # numpy's % is always non-negative, DuckDB's follows the sign —
+        # negative ids would silently diverge from the SQL twin
+        raise ValueError("deterministic sampling requires non-negative ids")
+    v = v % _M31
     return ((v + seed) * _KNUTH) % _M32
 
 
