@@ -299,3 +299,16 @@ def test_read_log_lines_gzip(ray_session, tmp_path):
     assert got_plain["text"].tolist() == ["alpha", "beta", "gamma"]
     assert got_gz["text"].tolist() == ["alpha", "beta", "gamma"]
     assert got_gz["line_num"].tolist() == [0, 1, 2]
+
+
+def test_package_export_surface():
+    """Every name in __all__ resolves (catches broken re-exports)."""
+    import logray
+    import logray.functions as f
+    import logray.stages as s
+
+    for name in f.__all__:
+        assert hasattr(f, name), name
+    for name in s.__all__:
+        assert hasattr(s, name), name
+    assert hasattr(logray, "LineFormat")
