@@ -862,6 +862,17 @@ _QUANTILES_PRICE_SQL = " UNION ALL ".join(
 )
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Context-window chunking: one numpy gather per batch over the Arrow
+    buffer (UTF-8-safe), exploding docs into overlapping char windows."""
+    import ray.data as rd
+
+    from logray.functions.chunking import chunk_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_chars=200, overlap_chars=50).to_pandas()
+
+
 def _q_stratified_split(sf_dir: str):
     """Deterministic train/val/test split counts (pure hash function of
     the id — stable under repartitioning and incremental reprocessing)."""
@@ -1022,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _q_hopping_window,
         "topk_per_key": _q_topk_per_key,
         "stratified_split": _q_stratified_split,
+        "chunk_docs": _q_chunk_docs,
         "approx_distinct": _q_approx_distinct,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
@@ -1053,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         sample_uniform_sql,
         stratified_split_sql,
     )
+    from logray.functions.chunking import chunk_documents_sql
     from logray.functions.textclean import clean_text_sql
     from logray.stages.aggregate import grouped_quantiles_sql, topk_per_key_sql
     from logray.stages.window import hopping_window_sql
@@ -1073,6 +1086,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hopping_window": hopping_window_sql(
             "events", "ts", 3600.0, 900.0, key_cols="event_type"
+        ),
+        "chunk_docs": chunk_documents_sql(
+            "documents", chunk_chars=200, overlap_chars=50
         ),
         "stratified_split": (
             "SELECT split, count(*) AS n FROM ("

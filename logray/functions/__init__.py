@@ -19,6 +19,7 @@ from logray.functions.sample import (
 )
 from logray.functions.sketch import approx_distinct
 from logray.functions.modelscore import ModelScoreBatch, model_score_stage
+from logray.functions.chunking import chunk_documents
 from logray.functions.textclean import clean_text
 from logray.functions.multimodal import (
     DecodeImageBatch,
@@ -50,6 +51,7 @@ __all__ = [
     "ModelScoreBatch",
     "model_score_stage",
     "clean_text",
+    "chunk_documents",
     "DecodeImageBatch",
     "ExtractAudioFeaturesBatch",
     "SampleFramesBatch",

@@ -855,3 +855,47 @@ def test_stratified_split_deterministic(ray_session):
     assert abs(frac["train"] - 0.8) < 0.02
     assert abs(frac["val"] - 0.1) < 0.01
     assert abs(frac["test"] - 0.1) < 0.01
+
+
+def test_chunk_documents_matches_naive_and_unicode(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.chunking import chunk_documents, chunk_documents_sql
+
+    texts = [
+        "a" * 25,                      # 3 chunks at chunk=10, overlap=2
+        "short",                       # 1 chunk
+        "",                            # empty doc -> one empty chunk
+        "é¢漢" * 10,                   # multi-byte codepoints, 30 chars
+        "x" * 16,                      # exact multiple boundary
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    got = (
+        chunk_documents(rd.from_arrow(t), chunk_chars=10, overlap_chars=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+    # naive python reference with the same contract
+    want_rows = []
+    step = 8
+    for did, s in enumerate(texts):
+        L = len(s)
+        n = max(-(-(L - 2) // step), 1)
+        for i in range(n):
+            want_rows.append((did, i, s[i * step : i * step + 10]))
+    assert list(map(tuple, got[["doc_id", "chunk_idx", "chunk_text"]].to_numpy())) == want_rows
+
+    # and the SQL twin agrees
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    want = (
+        con.sql(chunk_documents_sql("docs", chunk_chars=10, overlap_chars=2))
+        .df()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert got["chunk_text"].tolist() == want["chunk_text"].tolist()
+    assert got["chunk_idx"].tolist() == want["chunk_idx"].tolist()
