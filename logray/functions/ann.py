@@ -30,6 +30,7 @@ def _unit(m: np.ndarray) -> np.ndarray:
 
 
 def _merge_topk(parts: list[pd.DataFrame], k: int) -> pd.DataFrame:
+    parts = [p for p in parts if not p.empty and "query_id" in p.columns]
     if not parts:
         return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": [], "rank": []})
     df = pd.concat(parts, ignore_index=True)
@@ -49,6 +50,13 @@ def _reduced_topk(scored, k: int, coalesce_rows: int = 1 << 20) -> pd.DataFrame:
     vec_id) tie-break ordering at every level."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # A reduce task whose input blocks were ALL empty candidate frames
+        # receives a columnless pd.DataFrame — return a schema-ful empty
+        # frame instead of KeyError'ing on the sort columns.
+        if df.empty or "query_id" not in df.columns:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
         df = df.sort_values(["query_id", "cosine", "vec_id"],
                             ascending=[True, False, True], kind="mergesort")
         return df.groupby("query_id", sort=True).head(k)
@@ -209,9 +217,14 @@ def ann_ivf_topk(ds, queries: dict, k: int = 10, n_lists: int = 16, nprobe: int 
     sch = ds.schema()
     id_type = dict(zip(sch.names, sch.types)).get(id_col)
     if id_type is not None and pa.types.is_integer(id_type) and seed < (1 << 30):
-        n_total = ds.count()
-        p = min(1.0, (train_sample * 1.25) / max(n_total, 1))
-        sample_rows = sample_uniform(ds, p, id_col, seed=seed).limit(train_sample).take_all()
+        try:
+            n_total = ds.count()
+            p = min(1.0, (train_sample * 1.25) / max(n_total, 1))
+            sample_rows = sample_uniform(ds, p, id_col, seed=seed).limit(train_sample).take_all()
+        except Exception:
+            # e.g. negative ids reject inside sample_uniform's _det_hash —
+            # honor the documented fallback instead of crashing the map task
+            sample_rows = []
     if not sample_rows:
         sample_rows = ds.limit(train_sample).take_all()
     sample = np.stack([np.asarray(r[emb_col], np.float64) for r in sample_rows])

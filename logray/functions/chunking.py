@@ -12,7 +12,9 @@ Windowing contract (mirrored exactly by the DuckDB twin):
 ``step = chunk_chars - overlap_chars``; a document of L characters yields
 ``max(ceil((L - overlap) / step), 1)`` chunks; chunk ``i`` covers
 characters ``[i*step, min(i*step + chunk_chars, L))`` (the final chunk is
-short rather than padded; an empty document yields one empty chunk).
+short rather than padded; an empty document yields one empty chunk; a
+null-text document yields NO chunks, like the SQL twin's
+``generate_series(0, NULL)``).
 """
 
 from __future__ import annotations
@@ -29,6 +31,11 @@ def chunk_table(t: pa.Table, text_col: str = "text", id_col: str = "doc_id",
     if overlap_chars >= chunk_chars:
         raise ValueError("overlap_chars must be < chunk_chars")
     step = chunk_chars - overlap_chars
+
+    # null-text documents are DROPPED (not emitted as one empty chunk) —
+    # matches the SQL twin, where generate_series(0, NULL) yields no rows
+    if t[text_col].null_count:
+        t = t.filter(pa.compute.is_valid(t[text_col]))
 
     col = t[text_col]
     if isinstance(col, pa.ChunkedArray):
@@ -115,5 +122,6 @@ def chunk_documents_sql(table: str, text_col: str = "text",
                                           / {step}.0) AS BIGINT) - 1, 0)
                    )) AS chunk_idx
             FROM {table}
+            WHERE {text_col} IS NOT NULL
         )
     """

@@ -325,8 +325,11 @@ def grouped_quantiles(ds, key: str, col: str, qs, num_buckets: int = 32):
         if n == 0:
             return pd.DataFrame({key: [], "q": [], "value": []})
         keys = g[key].to_numpy()
-        new_key = np.ones(n, np.bool_)
-        new_key[1:] = keys[1:] != keys[:-1]
+        # run_starts pools null keys into ONE group (SQL GROUP BY), where
+        # a naive != would split every NaN row into its own group
+        from logray.stages.bucketing import run_starts
+
+        new_key = run_starts(keys)
         run_id = np.cumsum(new_key) - 1
         run_start = np.flatnonzero(new_key)
         sizes = np.diff(np.append(run_start, n))

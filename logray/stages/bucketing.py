@@ -32,6 +32,19 @@ def bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     return (pd.util.hash_array(np.asarray(keys)) % num_buckets).astype("int64")
 
 
+def run_starts(keys: np.ndarray) -> np.ndarray:
+    """Boolean mask marking the first row of each key run in a SORTED key
+    array, pooling nulls into ONE run (SQL GROUP BY semantics): a naive
+    ``keys[1:] != keys[:-1]`` makes every float-NaN row its own group
+    because NaN != NaN."""
+    n = len(keys)
+    mask = np.ones(n, np.bool_)
+    if n > 1:
+        na = pd.isna(keys)
+        mask[1:] = (keys[1:] != keys[:-1]) & ~(na[1:] & na[:-1])
+    return mask
+
+
 def stream_fold(partials_ds, fold_fn, max_pending_rows: int = 4_000_000):
     """Fold a Dataset of partial Arrow batches on the driver with bounded
     memory.  ``fold_fn(list[pa.Table]) -> pa.Table`` must be associative

@@ -21,8 +21,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-_ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer", "right": "right outer",
-                    "outer": "full outer"}
+# Only inner/left are sound PER BATCH against a broadcast side: a per-batch
+# right/full-outer would re-emit every unmatched small-side row once per
+# batch (and null-extend matched keys in the batches that miss them).
+# right/outer joins must shuffle both sides — use hash_join.
+_ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer"}
 
 
 def broadcast_join(ds, small, on, how: str = "inner", batch_size: int | None = None):
@@ -35,6 +38,10 @@ def broadcast_join(ds, small, on, how: str = "inner", batch_size: int | None = N
     end-to-end with no per-batch pandas conversion.  Output row order
     within a batch is not guaranteed (hash-join semantics)."""
     keys = [on] if isinstance(on, str) else list(on)
+    if how not in _ARROW_JOIN_TYPE:
+        raise ValueError(
+            f"broadcast_join supports how in {sorted(_ARROW_JOIN_TYPE)}; "
+            f"{how!r} needs both sides shuffled — use hash_join")
     join_type = _ARROW_JOIN_TYPE[how]
 
     class Merge:

@@ -113,9 +113,9 @@ def _segmented_sessions(g: pd.DataFrame, key_col: str, ts_col: str, gap_us: int,
     n = len(g)
     ts_us = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
     keys = g[key_col].to_numpy()
-    new_key = np.ones(n, np.bool_)
-    if n > 1:
-        new_key[1:] = keys[1:] != keys[:-1]
+    from logray.stages.bucketing import run_starts
+
+    new_key = run_starts(keys)  # pools null keys into one run (GROUP BY)
     brk = np.zeros(n, np.bool_)
     if n > 1:
         brk[1:] = (~new_key[1:]) & (np.diff(ts_us) > gap_us)

@@ -899,3 +899,61 @@ def test_chunk_documents_matches_naive_and_unicode(ray_session):
     )
     assert got["chunk_text"].tolist() == want["chunk_text"].tolist()
     assert got["chunk_idx"].tolist() == want["chunk_idx"].tolist()
+
+
+def test_ann_lsh_empty_candidate_blocks(emb_ds):
+    # Regression: a reduce task whose input blocks are ALL empty candidate
+    # frames used to KeyError on 'query_id' inside _reduced_topk.partial.
+    ds, m = emb_ds
+    ds = ds.repartition(16)
+    q = m[42]
+    res = ann_lsh_topk(ds, {"query_id": [0], "matrix": q[None, :]}, k=5,
+                       n_planes=6, probes=1, batch_size=8)
+    # must not crash; identical vector still shares the query's bucket
+    assert res.iloc[0]["vec_id"] == 42
+
+    # probes=0 with many planes: most batches emit nothing at all
+    res0 = ann_lsh_topk(ds, {"query_id": [0], "matrix": q[None, :]}, k=5,
+                        n_planes=10, probes=0, batch_size=8)
+    assert list(res0.columns) == ["query_id", "vec_id", "cosine", "rank"]
+
+
+def test_ann_ivf_negative_ids_fallback(ray_session):
+    # Regression: negative integer ids used to crash sample_uniform's
+    # _det_hash inside the quantizer-sample map task; must fall back to
+    # the plain limit() training path instead.
+    import ray.data as rd
+
+    from logray.functions.ann import ann_ivf_topk
+
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((120, 8)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([i - 60 for i in range(120)], pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+    }))
+    q = m[30]
+    res = ann_ivf_topk(ds, {"query_id": [0], "matrix": q[None, :]}, k=3,
+                       n_lists=4, nprobe=4, train_sample=64)
+    assert res.iloc[0]["vec_id"] == 30 - 60
+
+
+def test_chunk_documents_null_text_dropped(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.chunking import chunk_documents, chunk_documents_sql
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["hello world stuff", None, "ok"], pa.string()),
+    })
+    got = (
+        chunk_documents(rd.from_arrow(t), chunk_chars=10, overlap_chars=2)
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    assert 1 not in set(got["doc_id"])  # null-text doc emits no chunks
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    want = con.sql(chunk_documents_sql("docs", chunk_chars=10, overlap_chars=2)).df()
+    assert len(got) == len(want)

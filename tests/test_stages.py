@@ -424,3 +424,59 @@ def test_topk_per_key_matches_duckdb(ray_session):
     )
     assert got[["k", "id", "score"]].equals(want[["k", "id", "score"]])
     assert len(got) == 20
+
+
+def test_broadcast_join_rejects_right_outer(ray_session):
+    # Per-batch right/full-outer against a broadcast side is wrong across
+    # batches (unmatched small rows re-emitted per batch): must raise.
+    import ray
+    import ray.data as rd
+
+    from logray.stages.join import broadcast_join
+
+    ds = rd.from_items([{"k": 1, "v": 2}])
+    dim = pd.DataFrame({"k": [1, 9], "name": ["a", "b"]})
+    for how in ("right", "outer"):
+        with pytest.raises(ValueError, match="hash_join"):
+            broadcast_join(ds, ray.put(dim), on="k", how=how)
+
+
+def test_grouped_quantiles_null_keys_pool(ray_session):
+    # NaN keys must form ONE group (SQL GROUP BY), not one group per row.
+    import ray.data as rd
+
+    from logray.stages.aggregate import grouped_quantiles
+
+    t = pa.table({
+        "k": pa.array([1.0, None, 2.0, None, None, 1.0], pa.float64()),
+        "v": pa.array([10.0, 5.0, 7.0, 1.0, 3.0, 20.0]),
+    })
+    got = (
+        grouped_quantiles(rd.from_arrow(t).repartition(3), "k", "v", [0.5])
+        .to_pandas()
+    )
+    nulls = got[got["k"].isna()]
+    assert len(nulls) == 1          # one pooled null group
+    assert nulls.iloc[0]["value"] == 3.0  # median of (1,3,5)
+    assert len(got) == 3
+
+
+def test_sessionize_null_keys_pool(ray_session):
+    import ray.data as rd
+
+    from logray.stages.window import sessionize
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:10:00",
+        "2024-01-01 03:00:00", "2024-01-01 00:05:00",
+    ])
+    t = pa.table({
+        "k": pa.array([None, None, None, "a"], pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    out = sessionize(rd.from_arrow(t).repartition(2), "k", "ts",
+                     gap_s=1800.0).to_pandas()
+    nulls = out[out["k"].isna()].sort_values("ts")
+    # three null-key rows: first two within the gap -> session 0, the
+    # 03:00 row breaks -> session 1 (NOT three independent session-0 rows)
+    assert nulls["session_id"].tolist() == [0, 0, 1]
