@@ -873,6 +873,85 @@ def _q_chunk_docs(sf_dir: str):
     return chunk_documents(ds, chunk_chars=200, overlap_chars=50).to_pandas()
 
 
+_BPE_CACHE: dict = {}
+
+
+def _bpe_for(sf_dir: str):
+    """Train (once per sf_dir per process) a deterministic byte-level BPE
+    vocab on a hash-sampled subset of the documents table.  Deterministic:
+    the sampler is a pure hash of doc_id and the trainer breaks ties
+    lexicographically, so the vocab is partitioning- and retry-stable."""
+    got = _BPE_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    import ray.data as rd
+
+    from logray.functions.sample import sample_uniform
+    from logray.functions.tokenize import train_bpe_on_dataset
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n = docs.count()
+    p = min(1.0, 400 / max(n, 1))
+    sample = sample_uniform(docs, p, "doc_id", seed=17) if p < 1.0 else docs
+    bpe = train_bpe_on_dataset(sample, vocab_size=512)
+    _BPE_CACHE[sf_dir] = bpe
+    return bpe
+
+
+def _q_tokenize_bpe(sf_dir: str):
+    """Trained byte-level BPE applied per batch: vocab broadcast once per
+    actor, vectorized pre-tokenize + factorize + cached merge loop
+    (functions/tokenize.py).  Rows-only gate (BPE ids are not
+    SQL-expressible); exactness is pinned by tests/fixtures/bpe_expected
+    and the lossless twin `tokenize_roundtrip`."""
+    import ray.data as rd
+
+    from logray.functions.tokenize import tokenize_bpe
+
+    bpe = _bpe_for(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = tokenize_bpe(docs, bpe).to_pandas()
+    out["ids_sum"] = out["token_ids"].map(lambda a: int(np.asarray(a, np.int64).sum()))
+    return out[["doc_id", "n_tokens", "ids_sum"]]
+
+
+def _q_tokenize_roundtrip(sf_dir: str):
+    """EXACT oracle for the tokenizer: byte-level BPE is lossless, so
+    encode -> decode through the full distributed path must reproduce
+    every document byte-for-byte; the SQL twin is simply the source
+    text."""
+    import ray.data as rd
+
+    from logray.functions.tokenize import detokenize, tokenize_bpe
+
+    bpe = _bpe_for(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"],
+                           filter=pc.field("text").is_valid())
+    # drop the source text BEFORE decoding so the decoded column can take
+    # the name "text": identical names in Ray and SQL mean the driver's
+    # value-hash compares decode output against the source column
+    tok = tokenize_bpe(docs, bpe).drop_columns(["text"])
+    out = detokenize(tok, bpe, out_col="text")
+    return out.select_columns(["doc_id", "text"]).to_pandas()
+
+
+def _q_chunk_docs_tokens(sf_dir: str):
+    """Token-budget context windows (token-count chunking + lossless
+    decode); rows-only (token boundaries are not SQL-expressible)."""
+    import ray.data as rd
+
+    from logray.functions.tokenize import chunk_documents_tokens
+
+    bpe = _bpe_for(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ch = chunk_documents_tokens(docs, bpe, max_tokens=128, overlap_tokens=32)
+    return ch.select_columns(["doc_id", "chunk_idx", "n_tokens"]).to_pandas()
+
+
 def _q_stratified_split(sf_dir: str):
     """Deterministic train/val/test split counts (pure hash function of
     the id — stable under repartitioning and incremental reprocessing)."""
@@ -1034,6 +1113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_key": _q_topk_per_key,
         "stratified_split": _q_stratified_split,
         "chunk_docs": _q_chunk_docs,
+        "tokenize_bpe": _q_tokenize_bpe,
+        "tokenize_roundtrip": _q_tokenize_roundtrip,
+        "chunk_docs_tokens": _q_chunk_docs_tokens,
         "approx_distinct": _q_approx_distinct,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
@@ -1089,6 +1171,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_docs": chunk_documents_sql(
             "documents", chunk_chars=200, overlap_chars=50
+        ),
+        # byte-level BPE is lossless: encode->decode through the full
+        # distributed path must equal the source text byte-for-byte
+        "tokenize_roundtrip": (
+            "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
         ),
         "stratified_split": (
             "SELECT split, count(*) AS n FROM ("

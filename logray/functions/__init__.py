@@ -20,6 +20,17 @@ from logray.functions.sample import (
 from logray.functions.sketch import approx_distinct
 from logray.functions.modelscore import ModelScoreBatch, model_score_stage
 from logray.functions.chunking import chunk_documents
+from logray.functions.tokenize import (
+    ByteBPE,
+    TokenizeBatch,
+    chunk_documents_tokens,
+    DetokenizeBatch,
+    detokenize,
+    tokenize_bpe,
+    train_bpe,
+    train_bpe_on_dataset,
+    word_frequencies,
+)
 from logray.functions.textclean import clean_text
 from logray.functions.multimodal import (
     DecodeImageBatch,
@@ -52,6 +63,15 @@ __all__ = [
     "model_score_stage",
     "clean_text",
     "chunk_documents",
+    "ByteBPE",
+    "TokenizeBatch",
+    "chunk_documents_tokens",
+    "DetokenizeBatch",
+    "detokenize",
+    "tokenize_bpe",
+    "train_bpe",
+    "train_bpe_on_dataset",
+    "word_frequencies",
     "DecodeImageBatch",
     "ExtractAudioFeaturesBatch",
     "SampleFramesBatch",

@@ -1,0 +1,549 @@
+"""Real byte-level BPE tokenization as a Ray Data stage.
+
+The round-2 engine counted tokens with a regex (`textstats.BPE_TOKEN_RE`);
+this module applies an actual TRAINED vocabulary — merges learned from a
+corpus, ids emitted per document — the single most common transform in a
+training-data pipeline.  Three pieces:
+
+- :func:`train_bpe` — deterministic byte-level BPE training (Sennrich-style
+  pair merging) over a word-frequency table; :func:`word_frequencies`
+  computes that table distributedly (map_batches partial counts folded with
+  the bounded driver fold), so training scans the corpus once.
+- :class:`TokenizeBatch` / :func:`tokenize_bpe` — the hot path: the trained
+  vocab is broadcast once (``ray.put``) and loaded per actor in
+  ``__init__``; each batch is pre-tokenized with ONE vectorized numpy pass
+  over the Arrow string buffer (byte-class boundaries, GPT-2-style
+  single-space attachment), unique pre-tokens are factorized in C and
+  encoded once through a persistent per-actor cache (Zipf makes the hit
+  rate ~1), and ids are scattered back to rows with the same
+  repeat/cumsum gather the chunker uses.  No Python loop over rows; the
+  only per-pre-token Python is a bytes slice + one dict probe, amortized
+  across the actor's lifetime by the cache.
+- :func:`chunk_documents_tokens` — the token-budget variant of
+  ``chunk_documents``: windows each document by TOKENS (max_tokens,
+  overlap_tokens) and decodes each window back to text (byte-level BPE is
+  lossless, so concatenating a row's token bytes reproduces the row).
+
+Pre-tokenization contract (fixed; mirrored by the pure-Python reference
+used in tests): bytes are classed ws / letter (incl. all >= 0x80, so a
+multi-byte UTF-8 char never splits) / digit / punct; a pre-token is a
+maximal same-class run, except that a SINGLE space directly before a
+non-ws run attaches to it (GPT-2's " word").  Pre-tokens partition the
+byte string, so decode == input.
+
+Reference anchor: generalizes the per-field extraction contract of
+/root/reference/src/line_parsing/parsing_basics.cpp:41-69 (cursor-advance
+over byte classes) to subword units.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from logray.vparse import _string_buffer_views
+
+# byte classes
+_WS, _LETTER, _DIGIT, _PUNCT = 0, 1, 2, 3
+_CLS = np.full(256, _PUNCT, np.uint8)
+for b in (0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20):
+    _CLS[b] = _WS
+_CLS[0x30:0x3A] = _DIGIT
+_CLS[0x41:0x5B] = _LETTER
+_CLS[0x61:0x7B] = _LETTER
+_CLS[0x80:] = _LETTER  # UTF-8 lead/continuation bytes: never split a char
+
+
+def pretokenize_spans(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Vectorized pre-tokenizer over a batch's string buffer.
+
+    Returns (span_starts, span_ends, row_id) — byte spans of every
+    pre-token and the row each belongs to.  One numpy pass, no Python
+    per token."""
+    n_bytes = len(data)
+    if n_bytes == 0 or len(starts) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    cls = _CLS[data]
+    boundary = np.zeros(n_bytes + 1, np.bool_)
+    boundary[0] = True
+    boundary[1:n_bytes] = cls[1:] != cls[:-1]
+    # row starts/ends are always boundaries (rows may be empty / adjacent)
+    boundary[starts[starts < n_bytes]] = True
+    boundary[ends] = True  # ends may be n_bytes -> the sentinel slot
+    row_start_mask = np.zeros(n_bytes + 1, np.bool_)
+    row_start_mask[starts] = True
+
+    # single-space attachment: drop the boundary between ' ' and a
+    # following non-ws byte when the space is a run of exactly one and
+    # both bytes are inside the same row
+    i = np.arange(1, n_bytes)
+    prev_is_space = data[:-1] == 0x20
+    cur_not_ws = cls[1:] != _WS
+    prev_single = np.ones(n_bytes - 1, np.bool_)
+    prev_single[1:] = (cls[:-2] != _WS) | row_start_mask[1 : n_bytes - 1 + 1][:-1]
+    # (byte i-1 starts a ws run if the byte before it is non-ws or i-1 is a row start)
+    attach = prev_is_space & cur_not_ws & ~row_start_mask[1:n_bytes + 1][:-1]
+    attach &= prev_single
+    boundary[i[attach]] = False
+
+    span_starts = np.flatnonzero(boundary[:n_bytes])
+    # a span ends at the next boundary
+    all_bounds = np.flatnonzero(boundary)
+    span_ends = all_bounds[np.searchsorted(all_bounds, span_starts, side="right")]
+    # drop spans that fall in inter-row gaps or are empty rows' phantoms
+    row_id = np.searchsorted(ends, span_starts, side="right")
+    valid = (span_starts >= starts[np.minimum(row_id, len(starts) - 1)]) & (
+        row_id < len(starts)
+    )
+    valid &= span_ends > span_starts
+    return span_starts[valid], span_ends[valid], row_id[valid]
+
+
+class ByteBPE:
+    """A trained byte-level BPE vocabulary: 256 base byte tokens + one
+    token per learned merge.  Serializable, hashable content."""
+
+    def __init__(self, merges: list[tuple[bytes, bytes]]):
+        self.merges = [(bytes(a), bytes(b)) for a, b in merges]
+        self.vocab: list[bytes] = [bytes([i]) for i in range(256)] + [
+            a + b for a, b in self.merges
+        ]
+        self.token_id = {tok: i for i, tok in enumerate(self.vocab)}
+        self.ranks = {pair: r for r, pair in enumerate(self.merges)}
+        self._cache: dict[bytes, np.ndarray] = {}
+
+    # -- persistence ------------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(
+            [[a.decode("latin-1"), b.decode("latin-1")] for a, b in self.merges]
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "ByteBPE":
+        return cls(
+            [(a.encode("latin-1"), b.encode("latin-1")) for a, b in json.loads(s)]
+        )
+
+    # -- encode/decode ----------------------------------------------------
+    def encode_word(self, w: bytes) -> np.ndarray:
+        """BPE merge loop for ONE pre-token; cached across calls."""
+        hit = self._cache.get(w)
+        if hit is not None:
+            return hit
+        syms = [w[i : i + 1] for i in range(len(w))]
+        while len(syms) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(syms) - 1):
+                r = self.ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i < 0:
+                break
+            merged = syms[best_i] + syms[best_i + 1]
+            # merge EVERY occurrence of the best-ranked pair, left to right
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] + syms[i + 1] == merged
+                    and self.ranks.get((syms[i], syms[i + 1])) == best_rank
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        ids = np.array([self.token_id[s] for s in syms], np.int32)
+        self._cache[w] = ids
+        return ids
+
+    def encode(self, text: str) -> np.ndarray:
+        """Driver-side single-string encode (tests / small inputs)."""
+        t = pa.table({"text": [text]})
+        lst, _ = self.encode_table(t, "text")
+        return np.asarray(lst.values, np.int32)
+
+    def decode(self, ids) -> str:
+        return b"".join(self.vocab[int(i)] for i in ids).decode("utf-8", "replace")
+
+    def encode_table(self, t: pa.Table, text_col: str):
+        """Vectorized batch encode: returns (list-of-np-int32 per row as a
+        pa.ListArray, n_tokens np array)."""
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        data, starts, ends = _string_buffer_views(col)
+        nrows = len(starts)
+        s, e, row_id = pretokenize_spans(data, starts, ends)
+        if len(s) == 0:
+            offs = np.zeros(nrows + 1, np.int32)
+            return (
+                pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                         pa.array([], pa.int32())),
+                np.zeros(nrows, np.int64),
+            )
+        bts = data.tobytes()
+        words = [bts[a:b] for a, b in zip(s.tolist(), e.tolist())]
+        codes, uniques = pd.factorize(np.asarray(words, dtype=object), sort=False)
+        enc = [self.encode_word(u) for u in uniques]
+        ulen = np.array([len(x) for x in enc], np.int64)
+        uflat = np.concatenate(enc) if enc else np.zeros(0, np.int32)
+        ustart = np.zeros(len(enc) + 1, np.int64)
+        np.cumsum(ulen, out=ustart[1:])
+
+        # gather each occurrence's id run: repeat/cumsum trick, no loop
+        occ_len = ulen[codes]
+        total = int(occ_len.sum())
+        occ_off = np.zeros(len(codes) + 1, np.int64)
+        np.cumsum(occ_len, out=occ_off[1:])
+        gather = np.repeat(ustart[codes], occ_len) + (
+            np.arange(total, dtype=np.int64) - np.repeat(occ_off[:-1], occ_len)
+        )
+        flat_ids = uflat[gather]
+
+        # per-row offsets: pre-tokens are emitted in byte order, so row_id
+        # is non-decreasing; tokens per row = sum of occ_len per row
+        per_row = np.zeros(nrows, np.int64)
+        np.add.at(per_row, row_id, occ_len)
+        offs = np.zeros(nrows + 1, np.int64)
+        np.cumsum(per_row, out=offs[1:])
+        # batch value buffers stay far below 2 GiB (see vparse note), so
+        # int32 list offsets always fit
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(flat_ids, pa.int32())
+        )
+        return lst, per_row
+
+
+def train_bpe(word_freqs: dict[bytes, int], num_merges: int) -> ByteBPE:
+    """Deterministic byte-level BPE training: repeatedly merge the most
+    frequent adjacent symbol pair (ties broken by smallest pair bytes) —
+    the Sennrich/GPT-2 training loop over a word-frequency table.
+
+    Incremental: pair counts and a pair -> words index are maintained
+    across merges (only words CONTAINING the merged pair are rewritten),
+    so each merge costs O(affected words), not O(corpus)."""
+    words = {w: [w[i : i + 1] for i in range(len(w))] for w in word_freqs}
+    pair_counts: dict[tuple[bytes, bytes], int] = {}
+    pair_words: dict[tuple[bytes, bytes], set[bytes]] = {}
+
+    def add_word(w: bytes, sign: int):
+        syms = words[w]
+        f = word_freqs[w] * sign
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(w)
+
+    for w in words:
+        add_word(w, +1)
+
+    merges: list[tuple[bytes, bytes]] = []
+    for _ in range(num_merges):
+        live = {p: c for p, c in pair_counts.items() if c > 0}
+        if not live:
+            break
+        # deterministic: max count, then lexicographically SMALLEST pair
+        top = max(live.values())
+        pair = min(p for p, c in live.items() if c == top)
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        for w in sorted(pair_words.get(pair, ())):
+            syms = words[w]
+            out = []
+            i = 0
+            changed = False
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if changed:
+                add_word(w, -1)
+                words[w] = out
+                add_word(w, +1)
+        pair_counts.pop(pair, None)
+        pair_words.pop(pair, None)
+    return ByteBPE(merges)
+
+
+def word_frequencies(ds, text_col: str = "text", max_pending_rows: int = 4_000_000) -> dict[bytes, int]:
+    """Distributed pre-token frequency table: per-batch vectorized
+    pre-tokenize + factorize count, partials folded on the driver with
+    bounded memory (stream_fold).  The scan is one pass over the corpus;
+    cap the input with a deterministic sample upstream for huge corpora."""
+    from logray.stages.bucketing import stream_fold
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        data, starts, ends = _string_buffer_views(col)
+        s, e, _rid = pretokenize_spans(data, starts, ends)
+        if len(s) == 0:
+            return pa.table({"word": pa.array([], pa.binary()),
+                             "n": pa.array([], pa.int64())})
+        bts = data.tobytes()
+        words = np.asarray([bts[a:b] for a, b in zip(s.tolist(), e.tolist())],
+                           dtype=object)
+        codes, uniques = pd.factorize(words, sort=False)
+        counts = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table({"word": pa.array(list(uniques), pa.binary()),
+                         "n": pa.array(counts)})
+
+    partials = ds.map_batches(count_batch, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def fold(tables: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tables)
+        return t.group_by("word").aggregate([("n", "sum")]).rename_columns(["word", "n"])
+
+    folded = stream_fold(partials, fold, max_pending_rows=max_pending_rows)
+    if folded is None:
+        return {}
+    return dict(zip(folded["word"].to_pylist(), folded["n"].to_pylist()))
+
+
+def train_bpe_on_dataset(ds, text_col: str = "text", vocab_size: int = 512) -> ByteBPE:
+    """One-stop trainer: distributed word counts, driver merge loop."""
+    wf = word_frequencies(ds, text_col)
+    return train_bpe(wf, max(vocab_size - 256, 0))
+
+
+class TokenizeBatch:
+    """Actor-pool stage: the trained vocab is fetched from the object
+    store ONCE per actor (``__init__``); the per-word encode cache
+    persists across every batch the actor sees."""
+
+    def __init__(self, bpe_ref, text_col: str = "text"):
+        import ray
+
+        b = bpe_ref
+        if isinstance(b, ray.ObjectRef):
+            b = ray.get(b)
+        if isinstance(b, str):
+            b = ByteBPE.from_json(b)
+        self.bpe = b
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lst, per_row = self.bpe.encode_table(t, self.text_col)
+        t = t.append_column("token_ids", lst)
+        return t.append_column("n_tokens", pa.array(per_row, pa.int64()))
+
+
+def tokenize_bpe(ds, bpe, text_col: str = "text", concurrency=(1, 8),
+                 batch_size: int | None = None):
+    """Append ``token_ids: list<int32>`` and ``n_tokens`` to every row.
+
+    ``bpe`` is a :class:`ByteBPE`, its JSON, or a ``ray.ObjectRef`` of
+    either (broadcast once for cluster runs)."""
+    import ray
+
+    if isinstance(bpe, ByteBPE):
+        bpe = ray.put(bpe.to_json())
+    return ds.map_batches(
+        TokenizeBatch,
+        fn_constructor_kwargs=dict(bpe_ref=bpe, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class DetokenizeBatch:
+    """Actor-pool stage: token ids -> text with ONE byte gather per batch
+    (vocab flattened once per actor).  Byte-level BPE is lossless, so
+    ``detokenize(tokenize(text)) == text``."""
+
+    def __init__(self, bpe_ref, ids_col: str = "token_ids",
+                 out_col: str = "text_decoded"):
+        import ray
+
+        b = bpe_ref
+        if isinstance(b, ray.ObjectRef):
+            b = ray.get(b)
+        if isinstance(b, str):
+            b = ByteBPE.from_json(b)
+        self.bpe = b
+        self.ids_col = ids_col
+        self.out_col = out_col
+        self._vlen = np.array([len(v) for v in b.vocab], np.int64)
+        self._voff = np.zeros(len(b.vocab) + 1, np.int64)
+        np.cumsum(self._vlen, out=self._voff[1:])
+        self._vflat = np.frombuffer(b"".join(b.vocab), np.uint8)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.ids_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.values, np.int64)
+        row_off = np.asarray(col.offsets, np.int64)
+        tok_len = self._vlen[flat]
+        bo = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(tok_len, out=bo[1:])
+        nb = int(bo[-1])
+        if nb:
+            gather = np.repeat(self._voff[flat], tok_len) + (
+                np.arange(nb, dtype=np.int64) - np.repeat(bo[:-1], tok_len)
+            )
+            data = self._vflat[gather]
+        else:
+            data = np.zeros(0, np.uint8)
+        raw = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(row_off) - 1,
+            [None, pa.py_buffer(bo[row_off].tobytes()),
+             pa.py_buffer(data.tobytes())],
+        )
+        try:
+            text = raw.cast(pa.string())
+        except pa.ArrowInvalid:
+            text = pa.array([v.decode("utf-8", "replace") for v in raw.to_pylist()],
+                            pa.string())
+        return t.append_column(self.out_col, text)
+
+
+def detokenize(ds, bpe, ids_col: str = "token_ids",
+               out_col: str = "text_decoded", concurrency=(1, 8)):
+    """Append ``out_col`` = decoded text of ``ids_col``."""
+    import ray
+
+    if isinstance(bpe, ByteBPE):
+        bpe = ray.put(bpe.to_json())
+    return ds.map_batches(
+        DetokenizeBatch,
+        fn_constructor_kwargs=dict(bpe_ref=bpe, ids_col=ids_col, out_col=out_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=concurrency,
+    )
+
+
+def chunk_documents_tokens(ds, bpe, max_tokens: int = 512,
+                           overlap_tokens: int = 64, text_col: str = "text",
+                           id_col: str = "doc_id", concurrency=(1, 8)):
+    """Token-budget chunking: window each document by TOKENS.
+
+    ``step = max_tokens - overlap_tokens``; a document of T tokens yields
+    ``max(ceil((T - overlap) / step), 1)`` chunks (same contract as the
+    char-based :func:`chunk_documents`); chunk i carries tokens
+    ``[i*step, min(i*step + max_tokens, T))`` plus the decoded
+    ``chunk_text`` (byte-level BPE decode is lossless, so the chunks
+    concatenate — minus window overlaps — back to the document).
+    Null-text documents are dropped.  Output: (id_col, chunk_idx,
+    token_ids, n_tokens, chunk_text)."""
+    import ray
+
+    if overlap_tokens >= max_tokens:
+        raise ValueError("overlap_tokens must be < max_tokens")
+    step = max_tokens - overlap_tokens
+    if isinstance(bpe, ByteBPE):
+        bpe = ray.put(bpe.to_json())
+
+    class ChunkTok:
+        def __init__(self, bpe_ref):
+            b = bpe_ref
+            if isinstance(b, ray.ObjectRef):
+                b = ray.get(b)
+            if isinstance(b, str):
+                b = ByteBPE.from_json(b)
+            self.bpe = b
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t[text_col].null_count:
+                t = t.filter(pa.compute.is_valid(t[text_col]))
+            lst, per_row = self.bpe.encode_table(t, text_col)
+            flat = np.asarray(lst.values, np.int32)
+            row_off = np.asarray(lst.offsets, np.int64)
+            T = per_row
+            n_chunks = np.maximum((T - overlap_tokens + step - 1) // step, 1)
+            total = int(n_chunks.sum())
+            parent = np.repeat(np.arange(len(T), dtype=np.int64), n_chunks)
+            coffs = np.zeros(len(T) + 1, np.int64)
+            np.cumsum(n_chunks, out=coffs[1:])
+            chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(coffs[:-1], n_chunks)
+            cstart = chunk_idx * step
+            cend = np.minimum(cstart + max_tokens, T[parent])
+            clen = np.maximum(cend - cstart, 0)
+            abs_start = row_off[:-1][parent] + cstart
+            o = np.zeros(total + 1, np.int64)
+            np.cumsum(clen, out=o[1:])
+            tot_ids = int(o[-1])
+            if tot_ids:
+                gather = np.repeat(abs_start, clen) + (
+                    np.arange(tot_ids, dtype=np.int64) - np.repeat(o[:-1], clen)
+                )
+                cflat = flat[gather]
+            else:
+                cflat = np.zeros(0, np.int32)
+            ids_arr = pa.ListArray.from_arrays(pa.array(o, pa.int32()),
+                                               pa.array(cflat, pa.int32()))
+            # decode chunk text with ONE byte gather (byte-level BPE is a
+            # byte partition): vocab flattened once per actor, then the
+            # same repeat/cumsum trick maps token ids -> chunk byte runs
+            if not hasattr(self, "_vflat"):
+                vocab_bytes = self.bpe.vocab
+                self._vlen = np.array([len(v) for v in vocab_bytes], np.int64)
+                self._voff = np.zeros(len(vocab_bytes) + 1, np.int64)
+                np.cumsum(self._vlen, out=self._voff[1:])
+                self._vflat = np.frombuffer(b"".join(vocab_bytes), np.uint8)
+            tok_len = self._vlen[cflat]
+            bo = np.zeros(tot_ids + 1, np.int64)
+            np.cumsum(tok_len, out=bo[1:])
+            nb = int(bo[-1])
+            if nb:
+                bgather = np.repeat(self._voff[cflat], tok_len) + (
+                    np.arange(nb, dtype=np.int64) - np.repeat(bo[:-1], tok_len)
+                )
+                chunk_bytes = self._vflat[bgather]
+            else:
+                chunk_bytes = np.zeros(0, np.uint8)
+            # chunk byte offsets = token-boundary offsets at each chunk edge
+            chunk_boff = bo[o]
+            raw = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), total, [None,
+                pa.py_buffer(chunk_boff.tobytes()),
+                pa.py_buffer(chunk_bytes.tobytes())],
+            )
+            try:
+                # fast path: the cast VALIDATES UTF-8 (zero-copy when clean)
+                chunk_text = raw.cast(pa.string())
+            except pa.ArrowInvalid:
+                # a token-granularity window can split a multi-byte char
+                # whose bytes stayed unmerged base tokens — repair those
+                # edges with replacement chars (rare: only chunks at a
+                # mid-character boundary)
+                chunk_text = pa.array(
+                    [v.decode("utf-8", "replace") for v in raw.to_pylist()],
+                    pa.string(),
+                )
+            ids = pa.compute.take(t[id_col], pa.array(parent))
+            return pa.table({
+                id_col: ids,
+                "chunk_idx": pa.array(chunk_idx),
+                "token_ids": ids_arr,
+                "n_tokens": pa.array(clen),
+                "chunk_text": chunk_text,
+            })
+
+    return ds.map_batches(
+        ChunkTok,
+        fn_constructor_kwargs=dict(bpe_ref=bpe),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=concurrency,
+    )
