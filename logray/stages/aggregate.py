@@ -255,50 +255,252 @@ def kth_smallest(ds, col: str, k: int):
     return rows[k][col]
 
 
-def exact_quantiles(ds, col: str, qs) -> dict:
-    """Distributed EXACT discrete quantiles of a column: ONE sort (the only
-    shuffle), then each requested quantile is located by GLOBAL POSITION
-    using only per-block row counts from the sorted Dataset's metadata —
-    no second pass over the data; one tiny remote lookup per touched block.
+def exact_quantiles(ds, col: str, qs, sample_per_batch: int = 64,
+                    max_bracket_rows: int = 4_000_000,
+                    max_passes: int = 48) -> dict:
+    """Distributed EXACT discrete quantiles by sample-guided bisection —
+    NO sort, NO shuffle, NO materialization of the dataset (the round-2
+    implementation sort-materialized the full corpus, which pins 100 TB
+    in the object store to read back a handful of rows).
+
+    Invariant per quantile: a value bracket ``(lo, hi]`` with EXACT counts
+    ``c_lo = #{v <= lo} <= rank < c_hi = #{v <= hi}``.  Each round is one
+    streaming counting pass: candidate pivots (sample values inside each
+    bracket, placed on an estimated-rank grid; value midpoints when the
+    sample is blind there) are counted EXACTLY with one
+    sort+searchsorted per batch, and every bracket narrows to the
+    adjacent pivot pair straddling its rank.  A bracket resolves when
+    (a) it holds <= ``max_bracket_rows`` rows — they are collected in one
+    final pass and the element selected directly — or (b) it is proven
+    to hold ONE duplicated value (#{v <= pred(hi)} == c_lo), which is
+    the answer with no collection at all.  Duplicates therefore cost
+    one extra counting pass, never a memory blowup.
 
     Semantics match DuckDB ``quantile_disc``: the element at 0-based index
     ``max(ceil(q*n) - 1, 0)`` of the sorted multiset (pinned by test).
     Returns {q: value} (None values for an empty dataset)."""
     import math
 
-    import ray
-
-    # quantile_disc ignores nulls; drop them before the sort so positions
-    # index only real values
+    qs = list(qs)
+    sch = ds.schema()
+    vtype = dict(zip(sch.names, sch.types))[col]
+    is_int = pa.types.is_integer(vtype)
+    # quantile_disc ignores nulls; drop them so ranks index real values
     ds = ds.map_batches(
         lambda t: t.filter(pc.is_valid(t[col])),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
-    sorted_ds = ds.sort(col).materialize()
-    blocks = [
-        blk for bundle in sorted_ds.iter_internal_ref_bundles() for blk in bundle.blocks
-    ]
-    counts = [m.num_rows for _r, m in blocks]
-    n = int(sum(counts))
+
+    def collect_sample(lo, hi):
+        """One stream pass: exact count in (lo, hi] + a weighted value
+        sample (even grid over each sorted batch; every grid carries
+        weight batch_rows/grid_len — an unbiased rank estimator)."""
+
+        def part(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False)
+            if lo is not None:
+                v = v[v > lo]
+            if hi is not None:
+                v = v[v <= hi]
+            n = len(v)
+            if n == 0:
+                return pa.table({"n": pa.array([0], pa.int64()),
+                                 "vals": pa.array([[]], pa.list_(pa.float64())),
+                                 "w": pa.array([0.0])})
+            k = min(n, sample_per_batch)
+            grid = np.sort(v)[np.linspace(0, n - 1, k).astype(np.int64)]
+            return pa.table({"n": pa.array([n], pa.int64()),
+                             "vals": pa.array([np.asarray(grid, np.float64)],
+                                              pa.list_(pa.float64())),
+                             "w": pa.array([n / k])})
+
+        total, vals, ws = 0, [], []
+        out = ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+            total += int(pc.sum(b["n"]).as_py() or 0)
+            for row_vals, row_w in zip(b["vals"].to_pylist(), b["w"].to_pylist()):
+                if row_vals:
+                    vals.append(np.asarray(row_vals))
+                    ws.append(np.full(len(row_vals), row_w))
+        if not vals:
+            return total, np.zeros(0), np.zeros(0)
+        v = np.concatenate(vals)
+        w = np.concatenate(ws)
+        order = np.argsort(v, kind="mergesort")
+        return total, v[order], w[order]
+
+    def count_leq(pivots: np.ndarray) -> np.ndarray:
+        """Exact #{v <= p} for each pivot — ONE streaming pass, one
+        sort+searchsorted per batch (vectorized over all pivots)."""
+
+        def part(t: pa.Table) -> pa.Table:
+            v = np.sort(t[col].to_numpy(zero_copy_only=False))
+            c = np.searchsorted(v, pivots, side="right")
+            return pa.table({"c": pa.array([c.astype(np.int64)],
+                                           pa.list_(pa.int64()))})
+
+        out = ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+        tot = np.zeros(len(pivots), np.int64)
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+            colv = b["c"]
+            if isinstance(colv, pa.ChunkedArray):
+                colv = colv.combine_chunks()
+            m = colv.flatten().to_numpy(zero_copy_only=False).reshape(
+                len(colv), len(pivots))
+            tot += m.sum(axis=0, dtype=np.int64)
+        return tot
+
+    def pred(x: float) -> float:
+        """Largest pivot strictly below x (int columns step whole units)."""
+        return x - 1.0 if is_int else float(np.nextafter(x, -np.inf))
+
+    n, sv, sw = collect_sample(None, None)
     if n == 0:
         return {q: None for q in qs}
-    offs = np.cumsum([0] + counts)
-    by_block: dict[int, list] = {}
-    for q in qs:
-        idx = min(max(math.ceil(q * n) - 1, 0), n - 1)
-        b = int(np.searchsorted(offs, idx, side="right") - 1)
-        by_block.setdefault(b, []).append((q, int(idx - offs[b])))
-
-    @ray.remote(num_cpus=0.25)
-    def fetch(block, pairs, column):
-        return {q: block[column][i].as_py() for q, i in pairs}
+    cum = np.cumsum(sw)
 
     out: dict = {}
-    for part in ray.get(
-        [fetch.remote(blocks[b][0], pairs, col) for b, pairs in by_block.items()]
-    ):
-        out.update(part)
+    # per-q bracket state: (lo, c_lo, hi, c_hi); None lo/hi = +-inf
+    state: dict = {}
+    for q in qs:
+        rank = min(max(math.ceil(q * n) - 1, 0), n - 1)
+        state[q] = [None, 0, None, n, rank]
+    pending = set(qs)
+    # sample for pivot placement, refreshed per-bracket when blind
+    samples = {q: (sv, sw, 0) for q in qs}  # (values, weights, base_rank)
+
+    for _pass in range(max_passes):
+        # resolve any bracket already under budget by direct collection
+        ready = [q for q in pending
+                 if state[q][3] - state[q][1] <= max_bracket_rows]
+        if ready:
+            brs = [(q, (state[q][0], state[q][2])) for q in sorted(ready)]
+
+            def gather_fn(brs=brs):
+                def fn(t: pa.Table) -> pa.Table:
+                    v = t[col].to_numpy(zero_copy_only=False)
+                    cols = {}
+                    for j, (_q, (lo, hi)) in enumerate(brs):
+                        m = np.ones(len(v), np.bool_)
+                        if lo is not None:
+                            m &= v > lo
+                        if hi is not None:
+                            m &= v <= hi
+                        cols[f"vals_{j}"] = pa.array(
+                            [pa.array(v[m], vtype)], pa.list_(vtype))
+                    return pa.table(cols)
+
+                return fn
+
+            res = ds.map_batches(gather_fn(), batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+            got: dict = {q: [] for q, _ in brs}
+            for b in res.iter_batches(batch_size=None, batch_format="pyarrow"):
+                for j, (q, _) in enumerate(brs):
+                    colv = b[f"vals_{j}"]
+                    if isinstance(colv, pa.ChunkedArray):
+                        colv = colv.combine_chunks()
+                    flat = colv.flatten().to_numpy(zero_copy_only=False)
+                    if len(flat):
+                        got[q].append(flat)
+            for q, _ in brs:
+                lo, c_lo, hi, c_hi, rank = state[q]
+                inb = np.concatenate(got[q]) if got[q] else np.zeros(0)
+                local = rank - c_lo
+                # counts are exact, so the bracket MUST hold the rank
+                sel = np.partition(inb, local)[local]
+                out[q] = int(sel) if is_int else float(sel)
+                pending.discard(q)
+        if not pending:
+            break
+
+        # build this round's pivot set
+        piv: list = []
+        piv_owner: list = []
+        for q in sorted(pending):
+            lo, c_lo, hi, c_hi, rank = state[q]
+            psv, psw, base = samples[q]
+            m = np.ones(len(psv), np.bool_)
+            if lo is not None:
+                m &= psv > lo
+            if hi is not None:
+                m &= psv < hi if hi is not None else m
+            inside = np.unique(psv[m])
+            if len(inside) > 13:
+                # an estimated-rank grid of 13 pivots across the bracket
+                pcs = np.cumsum(psw) + base
+                tgt = np.linspace(c_lo, c_hi, 15)[1:-1]
+                sel = np.unique(psv[np.clip(
+                    np.searchsorted(pcs, tgt), 0, len(psv) - 1)])
+                inside = sel[( (lo is None) | (sel > (lo if lo is not None else -np.inf)) )
+                             & (sel < (hi if hi is not None else np.inf))]
+            cand = list(inside)
+            if hi is not None:
+                cand.append(pred(hi))  # the single-value proof probe
+            if not cand and lo is not None and hi is not None:
+                mid = (lo + hi) / 2.0
+                if is_int:
+                    mid = float(math.floor(mid))
+                if lo < mid < hi:
+                    cand.append(mid)
+            piv.extend(cand)
+        if not piv:
+            # unbounded bracket with an empty sample: refresh samples
+            for q in sorted(pending):
+                lo, c_lo, hi, c_hi, rank = state[q]
+                sub_n, ssv, ssw = collect_sample(lo, hi)
+                samples[q] = (ssv, ssw, c_lo)
+            continue
+        pivots = np.unique(np.asarray(piv, np.float64))
+        counts = count_leq(pivots)
+
+        for q in sorted(pending):
+            lo, c_lo, hi, c_hi, rank = state[q]
+            # narrow to the adjacent pivot pair straddling the rank
+            for p, c in zip(pivots, counts):
+                # the two skips keep lo/hi strictly tightening in VALUE
+                # space; count monotonicity then guarantees
+                # c_lo <= c <= c_hi, so a pivot with c == c_hi may still
+                # tighten hi (e.g. a constant column where every count
+                # equals n)
+                if lo is not None and p <= lo:
+                    continue
+                if hi is not None and p >= hi:
+                    continue
+                if c <= rank:
+                    lo, c_lo = float(p), int(c)
+                else:
+                    hi, c_hi = float(p), int(c)
+            # single-duplicated-value proof: nothing below hi inside
+            if hi is not None and c_hi - c_lo > max_bracket_rows:
+                ph = pred(hi)
+                j = np.searchsorted(pivots, ph)
+                if j < len(pivots) and pivots[j] == ph:
+                    if counts[j] == c_lo:
+                        sel = hi
+                        out[q] = int(sel) if is_int else float(sel)
+                        pending.discard(q)
+                        continue
+            state[q] = [lo, c_lo, hi, c_hi, rank]
+            # refresh the sample when it is blind inside a still-big bracket
+            psv, psw, base = samples[q]
+            m = np.ones(len(psv), np.bool_)
+            if lo is not None:
+                m &= psv > lo
+            if hi is not None:
+                m &= psv < hi
+            if c_hi - c_lo > max_bracket_rows and m.sum() < 4:
+                sub_n, ssv, ssw = collect_sample(lo, hi)
+                samples[q] = (ssv, ssw, c_lo)
+
+    if pending:
+        raise RuntimeError(
+            f"exact_quantiles failed to converge for {sorted(pending)} after "
+            f"{max_passes} passes (raise max_bracket_rows or max_passes)")
     return {q: out[q] for q in qs}
+
 
 
 def grouped_quantiles(ds, key: str, col: str, qs, num_buckets: int = 32):

@@ -957,3 +957,47 @@ def test_chunk_documents_null_text_dropped(ray_session):
     con.register("docs", t.to_pandas())
     want = con.sql(chunk_documents_sql("docs", chunk_chars=10, overlap_chars=2)).df()
     assert len(got) == len(want)
+
+
+def test_exact_quantiles_never_materializes_or_sorts():
+    # Round-2 regression guard: the operator used to ds.sort().materialize()
+    # the FULL dataset (pins 100 TB in the object store); the bisection
+    # rewrite must stay sort-free and materialize-free.
+    import inspect
+
+    from logray.stages.aggregate import exact_quantiles
+
+    src = inspect.getsource(exact_quantiles)
+    assert ".materialize(" not in src
+    # np.sort per batch is fine; a Dataset-level sort shuffle is not
+    assert "ds.sort(" not in src and "Dataset.sort" not in src
+
+
+def test_exact_quantiles_duplicates_and_budget(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.aggregate import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 40, 50000).astype(np.int64)
+    t = pa.table({"x": pa.array([int(x) for x in v] + [None] * 100, pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    # a budget far below any single value's duplicate run forces the
+    # single-duplicated-value proof path; results must stay exact ints
+    got = exact_quantiles(ds, "x", [0.0, 0.5, 0.97, 1.0], max_bracket_rows=300)
+    for q in [0.0, 0.5, 0.97, 1.0]:
+        want = con.sql(f"select quantile_disc(x,{q}) from t").fetchone()[0]
+        assert got[q] == want and isinstance(got[q], int), (q, got[q], want)
+
+
+def test_exact_quantiles_constant_column(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([7] * 3000, pa.int64())})).repartition(4)
+    from logray.stages.aggregate import exact_quantiles
+
+    assert exact_quantiles(ds, "x", [0.0, 0.5, 1.0], max_bracket_rows=50) == {
+        0.0: 7, 0.5: 7, 1.0: 7}
