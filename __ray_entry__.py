@@ -862,6 +862,20 @@ _QUANTILES_PRICE_SQL = " UNION ALL ".join(
 )
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """Mergeable t-digest quantile sketch (combiner-shaped, one pass):
+    rows-only gate; the error bound vs quantile_disc is pinned by unit
+    test (functions/sketch.py TDigest)."""
+    import ray.data as rd
+
+    from logray.functions.sketch import approx_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    qs = [0.25, 0.5, 0.75, 0.9]
+    got = approx_quantiles(ds, "o_totalprice", qs)
+    return pd.DataFrame({"q": qs, "value": [got[q] for q in qs]})
+
+
 def _q_chunk_docs(sf_dir: str):
     """Context-window chunking: one numpy gather per batch over the Arrow
     buffer (UTF-8-safe), exploding docs into overlapping char windows."""
@@ -1117,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_roundtrip": _q_tokenize_roundtrip,
         "chunk_docs_tokens": _q_chunk_docs_tokens,
         "approx_distinct": _q_approx_distinct,
+        "approx_quantiles": _q_approx_quantiles,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
         "clean_text": _q_clean_text,

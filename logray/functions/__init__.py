@@ -17,7 +17,7 @@ from logray.functions.sample import (
     sample_uniform,
     stratified_split,
 )
-from logray.functions.sketch import approx_distinct
+from logray.functions.sketch import TDigest, approx_distinct, approx_quantiles
 from logray.functions.modelscore import ModelScoreBatch, model_score_stage
 from logray.functions.chunking import chunk_documents
 from logray.functions.tokenize import (
@@ -59,6 +59,8 @@ __all__ = [
     "sample_uniform",
     "stratified_split",
     "approx_distinct",
+    "TDigest",
+    "approx_quantiles",
     "ModelScoreBatch",
     "model_score_stage",
     "clean_text",

@@ -110,3 +110,150 @@ def approx_distinct(ds, col: str, p: int = 14) -> int:
         for buf in chunk["regs"]:
             regs = hll_merge(regs, np.frombuffer(buf.as_py(), np.uint8))
     return hll_estimate(regs)
+
+
+# ---------------------------------------------------------------------------
+# t-digest: mergeable approximate quantiles
+# ---------------------------------------------------------------------------
+#
+# The combiner-shaped alternative to stages/aggregate.exact_quantiles for
+# when streaming counting passes over 100 TB are not worth it: each batch
+# folds into <= ~2*delta (mean, weight) centroids (one vectorized
+# sort + k-scale binning pass — no Python loop over values), centroid sets
+# merge by concat + re-bin, and the driver folds one tiny centroid table
+# per block.  The k1 (arcsine) scale function concentrates resolution at
+# the tails (Dunning & Ertl, "Computing extremely accurate quantiles using
+# t-digests", 2019).
+#
+# Determinism: binning depends only on the sorted (mean, weight) multiset,
+# so a FIXED partitioning always reproduces the same digest (retry-stable).
+# Unlike the HLL, different partitionings pre-cluster differently and give
+# slightly different centroids — the rank-error bound (~1/delta) holds for
+# every layout, but bit-identical layout independence is not a t-digest
+# property.
+
+
+def _tdigest_bin(means: np.ndarray, weights: np.ndarray, delta: int):
+    """Cluster sorted-by-mean centroids with k1-scale binning (vectorized)."""
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    W = float(weights.sum())
+    if W <= 0:
+        return np.zeros(0), np.zeros(0)
+    cum = np.cumsum(weights)
+    q_mid = (cum - weights / 2.0) / W
+    # k1 scale: delta * (asin(2q-1)/pi + 1/2), binned by floor
+    k = delta * (np.arcsin(np.clip(2.0 * q_mid - 1.0, -1.0, 1.0)) / np.pi + 0.5)
+    bins = np.floor(k).astype(np.int64)
+    # segment-reduce per bin
+    uniq, inv = np.unique(bins, return_inverse=True)
+    out_w = np.zeros(len(uniq))
+    out_m = np.zeros(len(uniq))
+    np.add.at(out_w, inv, weights)
+    np.add.at(out_m, inv, means * weights)
+    return out_m / out_w, out_w
+
+
+class TDigest:
+    """A centroid list (means ascending, weights) + exact min/max."""
+
+    __slots__ = ("means", "weights", "vmin", "vmax", "delta")
+
+    def __init__(self, means, weights, vmin, vmax, delta: int = 200):
+        self.means = np.asarray(means, np.float64)
+        self.weights = np.asarray(weights, np.float64)
+        self.vmin = vmin
+        self.vmax = vmax
+        self.delta = delta
+
+    @classmethod
+    def of(cls, values: np.ndarray, delta: int = 200) -> "TDigest":
+        values = np.asarray(values, np.float64)
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return cls(np.zeros(0), np.zeros(0), None, None, delta)
+        m, w = _tdigest_bin(values, np.ones(len(values)), delta)
+        return cls(m, w, float(values.min()), float(values.max()), delta)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if len(other.means) == 0:
+            return self
+        if len(self.means) == 0:
+            return other
+        m, w = _tdigest_bin(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.weights, other.weights]),
+            self.delta,
+        )
+        return TDigest(m, w, min(self.vmin, other.vmin),
+                       max(self.vmax, other.vmax), self.delta)
+
+    def quantile(self, q: float) -> float | None:
+        if len(self.means) == 0:
+            return None
+        W = float(self.weights.sum())
+        if q <= 0:
+            return self.vmin
+        if q >= 1:
+            return self.vmax
+        target = q * W
+        cum = np.cumsum(self.weights)
+        mids = cum - self.weights / 2.0
+        i = int(np.searchsorted(mids, target))
+        if i == 0:
+            lo_x, lo_y = self.vmin, 0.0
+            hi_x, hi_y = self.means[0], mids[0]
+        elif i >= len(self.means):
+            lo_x, lo_y = self.means[-1], mids[-1]
+            hi_x, hi_y = self.vmax, W
+        else:
+            lo_x, lo_y = self.means[i - 1], mids[i - 1]
+            hi_x, hi_y = self.means[i], mids[i]
+        if hi_y == lo_y:
+            return float(lo_x)
+        f = (target - lo_y) / (hi_y - lo_y)
+        return float(lo_x + f * (hi_x - lo_x))
+
+    # -- serialization (one binary cell per partial row) -------------------
+    def to_bytes(self) -> bytes:
+        head = np.array([len(self.means),
+                         self.vmin if self.vmin is not None else np.nan,
+                         self.vmax if self.vmax is not None else np.nan,
+                         float(self.delta)], np.float64)
+        return head.tobytes() + self.means.tobytes() + self.weights.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "TDigest":
+        head = np.frombuffer(b[:32], np.float64)
+        n = int(head[0])
+        delta = int(head[3])
+        m = np.frombuffer(b[32:32 + 8 * n], np.float64)
+        w = np.frombuffer(b[32 + 8 * n:32 + 16 * n], np.float64)
+        vmin = None if np.isnan(head[1]) else float(head[1])
+        vmax = None if np.isnan(head[2]) else float(head[2])
+        return cls(m.copy(), w.copy(), vmin, vmax, delta)
+
+
+def approx_quantiles(ds, col: str, qs, delta: int = 200) -> dict:
+    """Approximate quantiles of a column via a distributed t-digest:
+    per-batch digest partials (one small binary row each) stream to the
+    driver and merge pairwise.  One pass over the corpus, O(delta) driver
+    memory, deterministic under repartitioning.  Returns {q: value}."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if c.null_count:
+            c = c.drop_null()
+        v = c.to_numpy(zero_copy_only=False)
+        return pa.table({"td": pa.array([TDigest.of(v, delta).to_bytes()],
+                                        pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    acc = TDigest(np.zeros(0), np.zeros(0), None, None, delta)
+    for chunk in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in chunk["td"]:
+            acc = acc.merge(TDigest.from_bytes(buf.as_py()))
+    return {q: acc.quantile(q) for q in qs}

@@ -1001,3 +1001,34 @@ def test_exact_quantiles_constant_column(ray_session):
 
     assert exact_quantiles(ds, "x", [0.0, 0.5, 1.0], max_bracket_rows=50) == {
         0.0: 7, 0.5: 7, 1.0: 7}
+
+
+def test_tdigest_approx_quantiles_dataset(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.sketch import TDigest, approx_quantiles
+
+    rng = np.random.default_rng(8)
+    v = np.concatenate([rng.standard_normal(40000) * 10,
+                        rng.uniform(50, 60, 10000)])
+    vals = [float(x) for x in v] + [None] * 200
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(t).repartition(16)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    got = approx_quantiles(ds, "x", qs)
+    # rank error of each estimate < 1% (t-digest with delta=200 is ~1e-4)
+    for q in qs:
+        rank = float((v <= got[q]).mean())
+        assert abs(rank - q) < 0.01, (q, got[q], rank)
+    # a different partitioning pre-clusters differently, but the
+    # rank-error bound holds for every layout
+    got2 = approx_quantiles(rd.from_arrow(t).repartition(4), "x", qs)
+    for q in qs:
+        assert abs(float((v <= got2[q]).mean()) - q) < 0.01, q
+
+    # serialization round trip
+    d = TDigest.of(v)
+    d2 = TDigest.from_bytes(d.to_bytes())
+    assert np.array_equal(d.means, d2.means)
+    assert d.vmin == d2.vmin and d.vmax == d2.vmax
