@@ -761,17 +761,34 @@ def _q_doc_histogram(sf_dir: str):
 
 
 def _q_multimodal(sf_dir: str):
+    """REAL multimodal decode, in-container: PNG payloads through the
+    pure-stdlib codec (functions/png.py), WAV payloads through stdlib
+    wave — actual pixels/samples, no fake path, no dependencies."""
     import ray.data as rd
 
     from logray.functions.multimodal import (
         DecodeImageBatch,
+        ExtractAudioFeaturesBatch,
         decode_stage,
-        synth_media_table,
+        synth_media_table_real,
     )
 
-    ds = rd.from_arrow(synth_media_table(n=64, seed=42))
-    out = decode_stage(ds, DecodeImageBatch, concurrency=1).to_pandas()
-    return out[["media_id", "mime", "nbytes", "width", "height", "channels"]]
+    media = synth_media_table_real(n=64, seed=42)
+    imgs = rd.from_arrow(media.filter(pc.equal(media["mime"], "image/png")))
+    wavs = rd.from_arrow(media.filter(pc.equal(media["mime"], "audio/wav")))
+    img_out = decode_stage(imgs, DecodeImageBatch, concurrency=1,
+                           fake=False).to_pandas()
+    wav_out = decode_stage(wavs, ExtractAudioFeaturesBatch, concurrency=1,
+                           fake=False).to_pandas()
+    img_part = img_out[["media_id", "mime", "nbytes", "width", "height"]].copy()
+    wav_part = wav_out[["media_id", "mime", "nbytes"]].copy()
+    wav_part["width"] = wav_out["sample_rate"]
+    wav_part["height"] = (wav_out["duration_s"] * 1000).astype("int64")
+    return (
+        pd.concat([img_part, wav_part], ignore_index=True)
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
 
 
 def _q_fingerprints(sf_dir: str):

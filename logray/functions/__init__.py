@@ -32,6 +32,7 @@ from logray.functions.tokenize import (
     word_frequencies,
 )
 from logray.functions.textclean import clean_text
+from logray.functions.png import decode_png, encode_png
 from logray.functions.multimodal import (
     DecodeImageBatch,
     ExtractAudioFeaturesBatch,
@@ -78,4 +79,6 @@ __all__ = [
     "ExtractAudioFeaturesBatch",
     "SampleFramesBatch",
     "decode_stage",
+    "decode_png",
+    "encode_png",
 ]

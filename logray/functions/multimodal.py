@@ -57,6 +57,42 @@ def synth_media_table(n: int = 64, seed: int = 42, payload_bytes: int = 4096) ->
     )
 
 
+def synth_png_bytes(width: int = 48, height: int = 32, seed: int = 0) -> bytes:
+    """A real, decodable RGB PNG payload (stdlib codec) — used by tests and
+    as a sample input for the real image path."""
+    from logray.functions.png import encode_png
+
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:height, 0:width]
+    arr = np.stack([
+        ((x * 255) // max(width - 1, 1)).astype(np.uint8),
+        ((y * 255) // max(height - 1, 1)).astype(np.uint8),
+        rng.integers(0, 256, (height, width), dtype=np.uint8),
+    ], axis=2)
+    return encode_png(arr)
+
+
+def synth_media_table_real(n: int = 64, seed: int = 42) -> pa.Table:
+    """Like :func:`synth_media_table` but with REAL decodable payloads:
+    PNG images (stdlib codec) and WAV audio (stdlib wave), alternating."""
+    rows_mime, rows_payload = [], []
+    for i in range(n):
+        if i % 2 == 0:
+            rows_mime.append("image/png")
+            rows_payload.append(synth_png_bytes(32 + (i % 5) * 8, 24 + (i % 3) * 8,
+                                                seed=seed + i))
+        else:
+            rows_mime.append("audio/wav")
+            rows_payload.append(synth_wav_bytes(0.05 + (i % 4) * 0.01,
+                                                freq=220.0 + 10 * i))
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "mime": pa.array(rows_mime),
+        "payload": pa.array(rows_payload, pa.binary()),
+        "nbytes": pa.array([len(p) for p in rows_payload], pa.int64()),
+    })
+
+
 def synth_wav_bytes(seconds: float = 0.25, rate: int = 16000, freq: float = 440.0) -> bytes:
     """A real, decodable mono 16-bit WAV payload (stdlib only) — used by
     tests and as a sample input for the real audio path."""
@@ -84,9 +120,13 @@ def _warn_fake(stage: str) -> None:
 class DecodeImageBatch:
     """image payload -> (width, height, channels) metadata + thumbnail bytes.
 
-    Real path (``fake=False``): Pillow decode + thumbnail re-encode (PNG).
-    Fake path: deterministic pseudo-dims from the payload hash; "thumbnail"
-    = first 64 payload bytes."""
+    Real path (``fake=False``): Pillow decode when installed (any format
+    Pillow reads); otherwise the pure-stdlib PNG codec
+    (:mod:`logray.functions.png`) decodes ``image/png`` payloads — real
+    pixels, in-container, no dependencies — and non-PNG formats raise
+    with a clear message.  Thumbnails are nearest-neighbor downscales
+    re-encoded as PNG.  Fake path: deterministic pseudo-dims from the
+    payload hash; "thumbnail" = first 64 payload bytes."""
 
     def __init__(self, fake: bool = True, thumb_px: int = 32):
         self.fake = fake
@@ -95,24 +135,38 @@ class DecodeImageBatch:
             _warn_fake("DecodeImageBatch")
         else:
             try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:  # pragma: no cover - env dependent
-                raise ImportError(
-                    "DecodeImageBatch(fake=False) requires Pillow"
-                ) from e
-            self._Image = Image
+                from PIL import Image
+
+                self._Image = Image
+            except ImportError:  # pure-stdlib PNG fallback
+                self._Image = None
 
     def _real(self, t: pa.Table) -> pa.Table:
+        from logray.functions import png as pngc
+
         widths, heights, channels, thumbs = [], [], [], []
         for p in t["payload"]:
-            img = self._Image.open(io.BytesIO(p.as_py()))
-            widths.append(img.width)
-            heights.append(img.height)
-            channels.append(len(img.getbands()))
-            img.thumbnail((self.thumb_px, self.thumb_px))
-            out = io.BytesIO()
-            img.save(out, format="PNG")
-            thumbs.append(out.getvalue())
+            data = p.as_py()
+            if self._Image is not None:
+                img = self._Image.open(io.BytesIO(data))
+                widths.append(img.width)
+                heights.append(img.height)
+                channels.append(len(img.getbands()))
+                img.thumbnail((self.thumb_px, self.thumb_px))
+                out = io.BytesIO()
+                img.save(out, format="PNG")
+                thumbs.append(out.getvalue())
+                continue
+            if data[:8] != b"\x89PNG\r\n\x1a\n":
+                raise NotImplementedError(
+                    "DecodeImageBatch(fake=False) without Pillow decodes "
+                    "PNG only (stdlib codec); install Pillow for other "
+                    "formats")
+            arr = pngc.decode_png(data)
+            heights.append(arr.shape[0])
+            widths.append(arr.shape[1])
+            channels.append(arr.shape[2])
+            thumbs.append(pngc.encode_png(pngc.thumbnail(arr, self.thumb_px)))
         return (
             t.append_column("width", pa.array(widths, pa.int64()))
             .append_column("height", pa.array(heights, pa.int64()))

@@ -1032,3 +1032,91 @@ def test_tdigest_approx_quantiles_dataset(ray_session):
     d2 = TDigest.from_bytes(d.to_bytes())
     assert np.array_equal(d.means, d2.means)
     assert d.vmin == d2.vmin and d.vmax == d2.vmax
+
+
+def test_png_codec_roundtrip_and_filters():
+    import struct
+    import zlib
+
+    from logray.functions.png import _SIG, _chunk, decode_png, encode_png, thumbnail
+
+    rng = np.random.default_rng(0)
+    for shape in [(5, 7), (16, 16, 3), (9, 3, 4), (1, 1, 1), (32, 48, 2)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        d = decode_png(encode_png(a))
+        want = a if a.ndim == 3 else a[:, :, None]
+        assert np.array_equal(d, want), shape
+
+    # decode PNGs built by an INDEPENDENT encoder using every filter type
+    def build_png(arr, filt_ids):
+        h, w, c = arr.shape
+        bpp = c
+        lines = []
+        prior = np.zeros(w * c, np.int64)
+        flat = arr.reshape(h, w * c).astype(np.int64)
+        for y in range(h):
+            f = filt_ids[y % len(filt_ids)]
+            rec = flat[y]
+            left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
+            if f == 0:
+                out = rec
+            elif f == 1:
+                out = (rec - left) % 256
+            elif f == 2:
+                out = (rec - prior) % 256
+            elif f == 3:
+                out = (rec - (left + prior) // 2) % 256
+            else:
+                out = np.zeros(w * c, np.int64)
+                for x in range(w * c):
+                    a_ = rec[x - bpp] if x >= bpp else 0
+                    b_ = prior[x]
+                    cc = prior[x - bpp] if x >= bpp else 0
+                    p = a_ + b_ - cc
+                    pa_, pb, pc_ = abs(p - a_), abs(p - b_), abs(p - cc)
+                    pred = a_ if (pa_ <= pb and pa_ <= pc_) else (b_ if pb <= pc_ else cc)
+                    out[x] = (rec[x] - pred) % 256
+            lines.append(bytes([f]) + bytes(out.astype(np.uint8)))
+            prior = rec
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + _chunk(b"IEND", b""))
+
+    for c in (1, 3, 4):
+        a = rng.integers(0, 256, (12, 9, c), dtype=np.uint8)
+        for filts in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            assert np.array_equal(decode_png(build_png(a, filts)), a), (c, filts)
+
+    t = thumbnail(rng.integers(0, 256, (100, 60, 3), dtype=np.uint8), 32)
+    assert max(t.shape[:2]) <= 32
+
+
+def test_decode_image_real_path_stdlib(ray_session):
+    # The REAL image path must work in this container (no Pillow): the
+    # stdlib PNG codec decodes actual pixels and re-encodes thumbnails.
+    import ray.data as rd
+
+    from logray.functions.multimodal import (
+        DecodeImageBatch,
+        decode_stage,
+        synth_media_table_real,
+    )
+    from logray.functions.png import decode_png
+
+    media = synth_media_table_real(n=16, seed=7)
+    imgs = media.filter(pa.compute.equal(media["mime"], "image/png"))
+    out = decode_stage(rd.from_arrow(imgs), DecodeImageBatch, concurrency=1,
+                       fake=False).to_pandas()
+    assert (out["channels"] == 3).all()
+    # dims match what synth_png_bytes generated
+    for _, r in out.iterrows():
+        i = int(r["media_id"])
+        assert r["width"] == 32 + (i % 5) * 8
+        assert r["height"] == 24 + (i % 3) * 8
+        th = decode_png(r["thumbnail"])  # thumbnails decode as valid PNGs
+        assert max(th.shape[:2]) <= 32
+        # pinned pixel check: the R channel is an x-gradient, so the
+        # thumbnail's left edge is darker than its right edge
+        assert th[:, 0, 0].mean() < th[:, -1, 0].mean()
