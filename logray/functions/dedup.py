@@ -73,9 +73,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         h = content_hash(t[text_col])
         t = t.append_column("__h", pa.array(h.astype(np.int64)))
         t = t.append_column("__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
-        df = t.to_pandas()
-        df = df.sort_values(id_col, kind="mergesort").drop_duplicates(text_col, keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False, schema=t.schema)
+        # Arrow-native local pre-dedup: min id per (hash, text), then keep
+        # those rows via is_in on the (unique) id — no pandas conversion of
+        # the full-corpus text column in this hot map
+        mins = t.group_by(["__h", text_col]).aggregate([(id_col, "min")])
+        return t.filter(pc.is_in(t[id_col], value_set=mins[f"{id_col}_min"].combine_chunks()))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         # one whole bucket: vectorized global min-id per (hash, text)
@@ -379,26 +381,62 @@ def _char_ngrams(s: str, n: int) -> set:
 
 
 def ngram_jaccard_pairs(ds, group_cols, text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 1, threshold: float = 0.0):
+                        n: int = 1, threshold: float = 0.0,
+                        max_bucket: int = DEFAULT_MAX_BUCKET, chunk: int = 128):
     """Exact char-n-gram Jaccard for all pairs WITHIN each group_cols
     partition (co-partitioned candidate generation; n=1 matches DuckDB's
-    ``jaccard`` character-set semantics for the SQL oracle)."""
+    ``jaccard`` character-set semantics for the SQL oracle).
+
+    Block-vectorized: each group builds a docs x distinct-grams presence
+    matrix (gram vocabulary factorized per group), pairwise intersections
+    come from CHUNKED matmuls (|A ∩ B| = a·b, |A ∪ B| = |a|+|b|-a·b) — no
+    Python set ops per pair.  Groups larger than ``max_bucket`` are capped
+    to their smallest ids with the dropped-pair count logged (the same
+    guard as the LSH miners): this is a verification op for co-partitioned
+    candidate groups, not a corpus-scale miner."""
     if isinstance(group_cols, str):
         group_cols = [group_cols]
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
         ids = g[id_col].to_numpy()
-        grams = [_char_ngrams(s, n) for s in g[text_col]]
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids) - 1):
-            for j in range(i + 1, len(ids)):
-                inter = len(grams[i] & grams[j])
-                union = len(grams[i] | grams[j])
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_j.append(jac)
-        res = pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+        sel = _cap_bucket(ids, max_bucket, "ngram_jaccard")
+        g = g.iloc[sel]
+        ids = ids[sel]
+        d = len(ids)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        if d < 2:
+            res = empty
+        else:
+            vocab: dict = {}
+            ri, ci = [], []
+            for i, s in enumerate(g[text_col]):
+                for gram in _char_ngrams(s, n):
+                    ci.append(vocab.setdefault(gram, len(vocab)))
+                    ri.append(i)
+            A = np.zeros((d, max(len(vocab), 1)), np.uint8)
+            if ri:
+                A[ri, ci] = 1
+            sizes = A.sum(axis=1).astype(np.int64)
+            At = A.astype(np.uint32)
+            out_a, out_b, out_j = [], [], []
+            col_idx = np.arange(d)
+            for s0 in range(0, d - 1, chunk):
+                e0 = min(s0 + chunk, d - 1)
+                inter = (At[s0:e0] @ At.T).astype(np.int64)  # (c, d)
+                union = sizes[s0:e0, None] + sizes[None, :] - inter
+                jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+                upper = col_idx[None, :] > col_idx[s0:e0, None]
+                ii, jj = np.nonzero((jac >= threshold) & upper)
+                if len(ii):
+                    out_a.append(ids[ii + s0])
+                    out_b.append(ids[jj])
+                    out_j.append(jac[ii, jj])
+            res = (pd.DataFrame({
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "jaccard": np.concatenate(out_j),
+            }) if out_a else empty)
         for c in group_cols:
             res[c] = g[c].iloc[0] if len(g) else None
         return res

@@ -1120,3 +1120,22 @@ def test_decode_image_real_path_stdlib(ray_session):
         # pinned pixel check: the R channel is an x-gradient, so the
         # thumbnail's left edge is darker than its right edge
         assert th[:, 0, 0].mean() < th[:, -1, 0].mean()
+
+
+def test_ngram_jaccard_cap_logged(ray_session, caplog):
+    import logging
+
+    import ray.data as rd
+
+    from logray.functions.dedup import ngram_jaccard_pairs
+
+    texts = [f"doc body {i} common shared tail" for i in range(12)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "grp": ["g"] * 12,
+        "text": texts,
+    }))
+    out = ngram_jaccard_pairs(ds, "grp", n=2, max_bucket=5).to_pandas()
+    # capped to the 5 smallest ids -> C(5,2)=10 pairs
+    assert len(out) == 10
+    assert out["id_a"].max() <= 4 and out["id_b"].max() <= 4
