@@ -879,6 +879,32 @@ _QUANTILES_PRICE_SQL = " UNION ALL ".join(
 )
 
 
+def _q_ann_ivf_persist(sf_dir: str):
+    """Persistent IVF: build the index once (train + partitioned write),
+    answer from the saved layout with path-level partition pruning —
+    repeated query batches never retrain (rows-only; recall pinned by
+    unit test)."""
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from logray.functions.ann import ann_ivf_query, build_ivf_index
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/logray_ivf_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    build_ivf_index(ds, path, n_lists=8, train_sample=512)
+    rows = ds.limit(4).take_all()
+    q = {"query_id": [int(r["vec_id"]) for r in rows],
+         "matrix": np.stack([np.asarray(r["embedding"], np.float64) for r in rows])}
+    out = ann_ivf_query(path, q, k=5, nprobe=3)
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def _q_approx_quantiles(sf_dir: str):
     """Mergeable t-digest quantile sketch (combiner-shaped, one pass):
     rows-only gate; the error bound vs quantile_disc is pinned by unit
@@ -1129,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_persist": _q_ann_ivf_persist,
         "text_stats": _q_text_stats,
         "lang_quality": _q_lang_quality,
         "doc_histogram": _q_doc_histogram,

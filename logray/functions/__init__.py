@@ -17,6 +17,7 @@ from logray.functions.sample import (
     sample_uniform,
     stratified_split,
 )
+from logray.functions.ann import ann_ivf_query, build_ivf_index
 from logray.functions.sketch import TDigest, approx_distinct, approx_quantiles
 from logray.functions.modelscore import ModelScoreBatch, model_score_stage
 from logray.functions.chunking import chunk_documents
@@ -47,6 +48,8 @@ __all__ = [
     "connected_components_distributed",
     "near_dedup_resumable",
     "ann_ivf_topk",
+    "build_ivf_index",
+    "ann_ivf_query",
     "dedup_keep_min",
     "exact_dedup",
     "minhash_lsh_dedup",

@@ -261,3 +261,150 @@ def ann_ivf_topk(ds, queries: dict, k: int = 10, n_lists: int = 16, nprobe: int 
                             batch_format="pyarrow", batch_size=batch_size,
                             concurrency=(1, 8), zero_copy_batch=True)
     return _reduced_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# persistent IVF index
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(ds, path: str, n_lists: int = 16, emb_col: str = "embedding",
+                    id_col: str = "vec_id", train_sample: int = 2048,
+                    seed: int = 11) -> dict:
+    """Train the coarse quantizer ONCE and persist the index to ``path``:
+
+    - ``centroids.parquet`` — the (n_lists, dim) unit centroids;
+    - ``manifest.json`` — params (n_lists, dim, columns, row count);
+    - ``data/__list=<i>/...parquet`` — every row hive-partitioned by its
+      nearest-centroid list (one streaming assign pass + partitioned
+      write, resumable layout: one directory per list).
+
+    Repeated query batches then probe only their lists' partitions via
+    partition pruning — no retraining, no full scan (how IVF is actually
+    used).  Returns the manifest dict."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from logray.functions.sample import sample_uniform
+
+    sample_rows = []
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types)).get(id_col)
+    n_total = ds.count()
+    if id_type is not None and pa.types.is_integer(id_type):
+        try:
+            p = min(1.0, (train_sample * 1.25) / max(n_total, 1))
+            sample_rows = sample_uniform(ds, p, id_col, seed=seed).limit(train_sample).take_all()
+        except Exception:
+            sample_rows = []
+    if not sample_rows:
+        sample_rows = ds.limit(train_sample).take_all()
+    sample = np.stack([np.asarray(r[emb_col], np.float64) for r in sample_rows])
+    centroids = _kmeans(sample, n_lists, seed=seed)
+    cref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self, cr):
+            self.c = ray.get(cr) if isinstance(cr, ray.ObjectRef) else cr
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = _unit(_as_matrix(t[emb_col], np.float64))
+            assign = np.argmax(emb @ self.c.T, axis=1).astype(np.int64)
+            return t.append_column("ivf_list", pa.array(assign))
+
+    os.makedirs(path, exist_ok=True)
+    (ds.map_batches(Assign, fn_constructor_kwargs=dict(cr=cref),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                    concurrency=(1, 8))
+       .write_parquet(os.path.join(path, "data"), partition_cols=["ivf_list"]))
+    pq.write_table(
+        pa.table({"list_id": pa.array(range(len(centroids)), pa.int64()),
+                  "centroid": pa.array([c.tolist() for c in centroids],
+                                       pa.list_(pa.float64()))}),
+        os.path.join(path, "centroids.parquet"))
+    manifest = {"n_lists": int(len(centroids)), "dim": int(centroids.shape[1]),
+                "emb_col": emb_col, "id_col": id_col, "rows": int(n_total),
+                "seed": seed}
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def ann_ivf_query(path: str, queries: dict, k: int = 10, nprobe: int = 2,
+                  batch_size: int = 4096) -> pd.DataFrame:
+    """Top-k over a persisted IVF index (see :func:`build_ivf_index`):
+    reads ONLY the ``nprobe`` nearest lists per query (hive partition
+    pruning on ``ivf_list``), scores them exactly, tree-reduces.  Multiple
+    query batches reuse the same index with zero retraining."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        man = json.load(f)
+    emb_col, id_col = man["emb_col"], man["id_col"]
+    ct = pq.read_table(os.path.join(path, "centroids.parquet"))
+    order = np.argsort(ct["list_id"].to_numpy(zero_copy_only=False))
+    centroids = np.stack(ct["centroid"].to_numpy(zero_copy_only=False)[order])
+
+    qid = np.asarray(queries["query_id"])
+    qm = _unit(np.asarray(queries["matrix"], np.float64))
+    q_lists = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    probe_set = sorted({int(x) for x in q_lists.ravel()})
+
+    # prune at the PATH level: only the probed lists' partition dirs are
+    # ever opened (Ray's fragment filter can't see hive partition fields,
+    # so the pruning is done on directories, which is also what an object
+    # store gives you for free)
+    import glob as _glob
+
+    parts = []
+    for li in probe_set:
+        files = sorted(_glob.glob(os.path.join(path, "data",
+                                               f"ivf_list={li}", "*.parquet")))
+        if not files:
+            continue
+        d = rd.read_parquet(files)
+
+        def tag(t: pa.Table, li=li) -> pa.Table:
+            # hive inference may have surfaced ivf_list already (as a
+            # string) — normalize to one int64 column either way
+            if "ivf_list" in t.column_names:
+                t = t.drop_columns(["ivf_list"])
+            return t.append_column(
+                "ivf_list", pa.array(np.full(t.num_rows, li, np.int64)))
+
+        d = d.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        parts.append(d)
+    if not parts:
+        return pd.DataFrame({"query_id": [], "vec_id": [],
+                             "cosine": [], "rank": []})
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        emb = _unit(_as_matrix(t[emb_col], np.float64))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        lists = t["ivf_list"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi in range(len(qm)):
+            probe = np.isin(lists, q_lists[qi])
+            if not probe.any():
+                continue
+            sim = emb[probe] @ qm[qi]
+            sel = ids[probe]
+            kk = min(k, len(sim))
+            part = np.argpartition(-sim, kk - 1)[:kk]
+            rows["query_id"].extend([int(qid[qi])] * kk)
+            rows["vec_id"].extend(sel[part].tolist())
+            rows["cosine"].extend(sim[part].astype(float).tolist())
+        return pd.DataFrame(rows)
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            batch_size=batch_size, zero_copy_batch=True)
+    return _reduced_topk(scored, k)

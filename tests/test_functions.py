@@ -1139,3 +1139,33 @@ def test_ngram_jaccard_cap_logged(ray_session, caplog):
     # capped to the 5 smallest ids -> C(5,2)=10 pairs
     assert len(out) == 10
     assert out["id_a"].max() <= 4 and out["id_b"].max() <= 4
+
+
+def test_ivf_index_persist_and_requery(ray_session, tmp_path):
+    import ray.data as rd
+
+    from logray.functions.ann import ann_topk, build_ivf_index, ann_ivf_query
+
+    rng = np.random.default_rng(13)
+    # clustered data so IVF recall is meaningful
+    centers = rng.standard_normal((4, 10)) * 5
+    m = np.concatenate([c + rng.standard_normal((100, 10)) for c in centers])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+    })).repartition(8)
+    path = str(tmp_path / "ivf")
+    man = build_ivf_index(ds, path, n_lists=4, train_sample=200)
+    assert man["n_lists"] == 4 and man["rows"] == 400
+
+    # two query batches reuse the SAME persisted index (no retraining)
+    for probe_rows in ([5, 105], [205, 305]):
+        q = {"query_id": probe_rows, "matrix": m[probe_rows]}
+        res = ann_ivf_query(path, q, k=5, nprobe=2)
+        truth = ann_topk(ds, q, k=5)
+        for r in probe_rows:
+            got = set(res[res.query_id == r]["vec_id"])
+            want = set(truth[truth.query_id == r]["vec_id"])
+            # self must be found; recall vs brute force high on clustered data
+            assert r in got
+            assert len(got & want) >= 4, (r, got, want)
