@@ -4,6 +4,7 @@ from logray.functions.dedup import (
     connected_components_distributed,
     dedup_keep_min,
     exact_dedup,
+    hash_pairs_to_int64,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash_dedup,
@@ -52,6 +53,7 @@ __all__ = [
     "ann_ivf_query",
     "dedup_keep_min",
     "exact_dedup",
+    "hash_pairs_to_int64",
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
     "simhash_dedup",

@@ -223,8 +223,9 @@ def _distinct_pairs(pairs, num_buckets: int = 64):
     itself builds one pandas group per pair)."""
 
     def tag(t: pa.Table) -> pa.Table:
-        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # pd.util.hash_array is id-type-generic (int AND string doc ids)
+        a = pd.util.hash_array(np.asarray(t["id_a"].to_numpy(zero_copy_only=False))).astype(np.uint64)
+        b = pd.util.hash_array(np.asarray(t["id_b"].to_numpy(zero_copy_only=False))).astype(np.uint64)
         h = (a * np.uint64(1000003) + b * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
         return t.append_column("__pb", pa.array(h.astype(np.int64)))
 
@@ -246,50 +247,135 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b") -> pd.Da
     the driver is the right tool; the distributed alternative for a
     pathological pair volume is iterated min-label propagation with one
     groupby per round.  Returns DataFrame (doc_id, component) where
-    component is the minimum id of the cluster; singletons are absent."""
+    component is the minimum id of the cluster (the id type's own
+    ordering — numeric for ints, lexicographic for string doc ids);
+    singletons are absent.  Ids of any orderable type are supported
+    directly — real corpora key on string doc ids as often as ints."""
     df = pairs.to_pandas() if not isinstance(pairs, pd.DataFrame) else pairs
-    parent: dict[int, int] = {}
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         while parent.setdefault(x, x) != x:
             parent[x] = parent[parent[x]]  # path halving
             x = parent[x]
         return x
 
-    for a, b in zip(df[id_a].astype("int64"), df[id_b].astype("int64")):
-        ra, rb = find(int(a)), find(int(b))
+    int_ids = pd.api.types.is_integer_dtype(df[id_a])
+    for a, b in zip(df[id_a], df[id_b]):
+        if int_ids:
+            a, b = int(a), int(b)
+        ra, rb = find(a), find(b)
         if ra != rb:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
     rows = sorted((x, find(x)) for x in parent)
+    dtype = "int64" if int_ids else None
     return pd.DataFrame(
-        {"doc_id": pd.array([r[0] for r in rows], dtype="int64"),
-         "component": pd.array([r[1] for r in rows], dtype="int64")}
+        {"doc_id": pd.array([r[0] for r in rows], dtype=dtype),
+         "component": pd.array([r[1] for r in rows], dtype=dtype)}
     )
 
 
-def dedup_keep_min(ds, pairs, id_col: str = "doc_id"):
-    """Full near-dedup: keep one representative (the min id) per duplicate
-    cluster.  ``pairs`` is a (id_a, id_b) Dataset/DataFrame from any of the
-    pair miners; the drop-set (non-minimum cluster members) is broadcast
-    once and applied as a vectorized filter inside map_batches."""
+def hash_pairs_to_int64(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                        check_collisions: bool = True):
+    """Map a STRING-id pair Dataset to int64-id pairs via content_hash —
+    the bridge that lets string-keyed corpora use the int64 CC machinery
+    (:func:`connected_components_distributed`).
+
+    The optional collision check is exact and distributed: the hash is a
+    function of the id, so collisions can only REDUCE the distinct count —
+    ``#distinct(hash) == #distinct(id)`` over the pair vertex set proves
+    injectivity on this run's ids (two small shuffles over the pair set)."""
+
+    def hash_fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_a: pa.array(content_hash(t[id_a]).astype(np.int64)),
+            id_b: pa.array(content_hash(t[id_b]).astype(np.int64)),
+        })
+
+    hashed = pairs.map_batches(hash_fn, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+    if check_collisions:
+        def explode(cols):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table({"v": pa.concat_arrays(
+                    [t[c].combine_chunks().cast(pa.string()) if cols == "str"
+                     else pa.array(content_hash(t[c]).astype(np.int64))
+                     for c in (id_a, id_b)])})
+            return fn
+
+        n_ids = (pairs.map_batches(explode("str"), batch_format="pyarrow")
+                 .groupby("v").count().count())
+        n_hashes = (pairs.map_batches(explode("hash"), batch_format="pyarrow")
+                    .groupby("v").count().count())
+        if n_ids != n_hashes:
+            raise RuntimeError(
+                f"id hash collision detected: {n_ids} distinct ids -> "
+                f"{n_hashes} distinct hashes; use the driver "
+                f"connected_components (type-generic) or re-key the corpus")
+    return hashed
+
+
+def dedup_keep_min(ds, pairs, id_col: str = "doc_id", distributed: bool = False,
+                   num_shards: int = 8):
+    """Full near-dedup: keep one representative per duplicate cluster.
+    ``pairs`` is a (id_a, id_b) Dataset/DataFrame from any of the pair
+    miners; the drop-set (non-representative cluster members) is broadcast
+    once and applied as a vectorized filter inside map_batches.
+
+    Ids may be ints OR strings.  Driver path (default): type-generic
+    union-find, representative = minimum id.  ``distributed=True`` routes
+    through the sharded-actor CC for pathological pair volumes; string ids
+    are hashed to int64 first (exact collision check, see
+    :func:`hash_pairs_to_int64`) and the representative becomes the
+    min-HASH member — deterministic, but not the lexicographic minimum."""
     import ray
     import pyarrow.compute as _pc
 
+    if distributed:
+        sch = pairs.schema()
+        atype = dict(zip(sch.names, sch.types))["id_a"]
+        string_ids = not pa.types.is_integer(atype)
+        hp = hash_pairs_to_int64(pairs) if string_ids else pairs
+        comp_ds = connected_components_distributed(hp, num_shards=num_shards)
+        drop_df = comp_ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t["doc_id"], t["component"])),
+            batch_format="pyarrow", batch_size=None,
+        ).to_pandas()
+        drop = drop_df["doc_id"].tolist()
+        drop_ref = ray.put(drop)
+
+        class DropHashed:
+            def __init__(self, ref):
+                vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+                self.drop_set = pa.array(vals, pa.int64())
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                probe = (pa.array(content_hash(t[id_col]).astype(np.int64))
+                         if string_ids else t[id_col].cast(pa.int64()))
+                keep = _pc.invert(_pc.is_in(probe, value_set=self.drop_set))
+                return t.filter(_pc.fill_null(keep, True))
+
+        return ds.map_batches(DropHashed, fn_constructor_kwargs=dict(ref=drop_ref),
+                              batch_format="pyarrow", concurrency=(1, 8))
+
     comp = connected_components(pairs)
-    drop = comp.loc[comp["doc_id"] != comp["component"], "doc_id"].astype("int64").tolist()
+    drop = comp.loc[comp["doc_id"] != comp["component"], "doc_id"].tolist()
     drop_ref = ray.put(drop)
 
     class DropDups:
         def __init__(self, ref):
             vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.drop_set = pa.array(vals, pa.int64())
+            self.drop_set = pa.array(vals)
+            self._cast_set = None  # resolved to the id column type lazily
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keep = _pc.invert(
-                _pc.is_in(t[id_col].cast(pa.int64()), value_set=self.drop_set)
-            )
+            if self._cast_set is None:
+                self._cast_set = (self.drop_set.cast(t[id_col].type)
+                                  if len(self.drop_set) else
+                                  pa.array([], t[id_col].type))
+            keep = _pc.invert(_pc.is_in(t[id_col], value_set=self._cast_set))
             return t.filter(_pc.fill_null(keep, True))
 
     return ds.map_batches(DropDups, fn_constructor_kwargs=dict(ref=drop_ref),

@@ -1169,3 +1169,69 @@ def test_ivf_index_persist_and_requery(ray_session, tmp_path):
             # self must be found; recall vs brute force high on clustered data
             assert r in got
             assert len(got & want) >= 4, (r, got, want)
+
+
+def test_near_dedup_string_ids_driver(ray_session):
+    import ray.data as rd
+
+    from logray.functions.dedup import (
+        connected_components,
+        dedup_keep_min,
+        minhash_lsh_dedup,
+    )
+
+    texts = [
+        "aaaa bbbb cccc dddd",
+        "aaaa bbbb cccc dddd",
+        "aaaa bbbb cccc eeee",
+        "totally different document body",
+        "aaaa bbbb cccc dddd",
+        "another unique document text here",
+    ]
+    ids = [f"doc-{chr(ord('a') + i)}" for i in range(len(texts))]  # string keys
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.string()),
+                                 "text": texts}))
+    pairs = minhash_lsh_dedup(ds, num_perm=64, bands=16, k=4, threshold=0.5)
+    comp = connected_components(pairs.to_pandas())
+    # string components: representative is the lexicographic minimum
+    assert set(comp["doc_id"]) >= {"doc-a", "doc-b", "doc-e"}
+    assert (comp["component"] == "doc-a").sum() >= 2
+    kept = dedup_keep_min(ds, pairs, id_col="doc_id").to_pandas()
+    assert "doc-a" in set(kept["doc_id"])
+    assert {"doc-b", "doc-e"}.isdisjoint(set(kept["doc_id"]))
+    assert {"doc-d", "doc-f"} <= set(kept["doc_id"])
+
+
+def test_near_dedup_string_ids_distributed(ray_session):
+    import ray.data as rd
+
+    from logray.functions.dedup import dedup_keep_min
+
+    ids = [f"u-{i:03d}" for i in range(8)]
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array(["u-000", "u-001", "u-005"], pa.string()),
+        "id_b": pa.array(["u-001", "u-002", "u-006"], pa.string()),
+    }))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.string()),
+                                 "x": pa.array(range(8), pa.int64())}))
+    kept = dedup_keep_min(ds, pairs, id_col="doc_id", distributed=True,
+                          num_shards=2).to_pandas()
+    # clusters {000,001,002} and {005,006}: one representative kept each
+    kept_ids = set(kept["doc_id"])
+    assert len(kept_ids & {"u-000", "u-001", "u-002"}) == 1
+    assert len(kept_ids & {"u-005", "u-006"}) == 1
+    assert {"u-003", "u-004", "u-007"} <= kept_ids
+
+
+def test_hash_pairs_collision_check(ray_session):
+    import ray.data as rd
+
+    from logray.functions.dedup import hash_pairs_to_int64
+
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array(["a", "b"], pa.string()),
+        "id_b": pa.array(["b", "c"], pa.string()),
+    }))
+    hp = hash_pairs_to_int64(pairs).to_pandas()
+    assert len(hp) == 2
+    assert hp["id_a"].dtype == np.int64
