@@ -292,8 +292,10 @@ def test_multimodal_real_paths_guarded():
     except ImportError:
         have_pil = False
     if not have_pil:
-        with pytest.raises(ImportError, match="Pillow"):
-            DecodeImageBatch(fake=False)
+        # without Pillow the stdlib PNG codec is the real path: non-PNG
+        # payloads must fail fast (never silently fake), PNG must decode
+        with pytest.raises(Exception, match="PNG"):
+            DecodeImageBatch(fake=False)(t)
     try:
         import av  # noqa: F401
 
