@@ -1053,6 +1053,46 @@ def _q_hopping_window(sf_dir: str):
                           key_cols="event_type")
 
 
+def _q_lag_lead_events(sf_dir: str):
+    """Per-user LAG/LEAD navigation over the event stream (bucketed
+    shuffle + segmented vectorized shift; SQL-window exact)."""
+    import ray.data as rd
+
+    from logray.stages.windowfn import lag_lead
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    return lag_lead(
+        ds, "user_id", "ts", "value", n=1, tiebreak_col="event_id"
+    ).to_pandas()
+
+
+def _q_rolling_events(sf_dir: str):
+    """Trailing 4-row rolling sum/count/mean of event value (cents) per
+    user — cumsum-difference kernel, exact vs a SQL ROWS frame."""
+    import ray.data as rd
+
+    from logray.stages.windowfn import rolling_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return t.drop_columns(["value"]).append_column("cents", c)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return rolling_agg(
+        ds, "user_id", "ts", "cents", window=4, tiebreak_col="event_id"
+    ).to_pandas()
+
+
 def _q_grouped_quantiles(sf_dir: str):
     """Per-key exact discrete quantiles (bucketed segmented-index pass)."""
     import ray.data as rd
@@ -1168,6 +1208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_price": _q_quantiles_price,
         "grouped_quantiles": _q_grouped_quantiles,
         "hopping_window": _q_hopping_window,
+        "lag_lead_events": _q_lag_lead_events,
+        "rolling_events": _q_rolling_events,
         "topk_per_key": _q_topk_per_key,
         "stratified_split": _q_stratified_split,
         "chunk_docs": _q_chunk_docs,
@@ -1210,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.textclean import clean_text_sql
     from logray.stages.aggregate import grouped_quantiles_sql, topk_per_key_sql
     from logray.stages.window import hopping_window_sql
+    from logray.stages.windowfn import lag_lead_sql, rolling_agg_sql
 
     return {
         "transcript_build": _TSQL,
@@ -1227,6 +1270,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hopping_window": hopping_window_sql(
             "events", "ts", 3600.0, 900.0, key_cols="event_type"
+        ),
+        "lag_lead_events": lag_lead_sql(
+            "events", "user_id", "ts", "value", n=1, tiebreak_col="event_id",
+            cols="user_id, ts, event_id, value",
+        ),
+        "rolling_events": rolling_agg_sql(
+            "(SELECT user_id, ts, event_id, "
+            "CAST(round(value*100) AS BIGINT) AS cents FROM events) ev",
+            "user_id", "ts", "cents", window=4, tiebreak_col="event_id",
+            cols="user_id, ts, event_id, cents",
         ),
         "chunk_docs": chunk_documents_sql(
             "documents", chunk_chars=200, overlap_chars=50

@@ -1,0 +1,169 @@
+"""Per-key ORDERED analytic window functions (SQL LAG / LEAD / rolling
+frame aggregates) — the row-wise counterpart of the bucketed windows in
+``stages/window.py``.
+
+The reference engine exposes ordered per-view navigation (previous /
+next row within a filtered view, ``src/file_parsing/filtered_file_reader
+.cpp`` findNextOccurence and the LineBlock pager); these operators are
+the dataset-level generalization: for every row, the value n rows
+before/after (``lag_lead``) or an aggregate over the trailing row frame
+(``rolling_agg``) *within its key partition*, ordered by (order col,
+tiebreak).
+
+Scale shape (same as sessionize / grouped_quantiles): one
+``hash(key) % num_buckets`` tag + ONE bucket shuffle, then a single
+mergesort + segmented vectorized kernel per bucket — group count is
+``num_buckets``, never the key cardinality, and no per-key Python.
+Rolling sums use the cumsum-difference trick clipped at partition
+starts, so a bucket of B rows costs O(B log B) regardless of window
+width.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from logray.stages.bucketing import bucket_tagger as _bucket_tagger
+from logray.stages.bucketing import run_starts
+
+
+def _sorted_runs(g: pd.DataFrame, key_col: str, order_cols: list[str]):
+    """Sort one bucket by (key, order...) and return (frame, per-row
+    run_id, per-row index of its run's first row)."""
+    g = g.sort_values([key_col] + order_cols, kind="mergesort").reset_index(drop=True)
+    n = len(g)
+    starts = run_starts(g[key_col].to_numpy())
+    run_id = np.cumsum(starts) - 1
+    idx = np.arange(n, dtype=np.int64)
+    first_of_run = idx[starts][run_id] if n else idx
+    return g, run_id, first_of_run
+
+
+def _shift_within_runs(values: pd.Series, run_id: np.ndarray, n: int) -> pd.Series:
+    """values shifted by n (positive = lag, negative = lead), null where
+    the source row falls outside the row's key run."""
+    ln = len(values)
+    idx = np.arange(ln, dtype=np.int64)
+    src = idx - n
+    ok = (src >= 0) & (src < ln)
+    same = np.zeros(ln, np.bool_)
+    same[ok] = run_id[src[ok]] == run_id[ok]
+    taken = values.iloc[np.clip(src, 0, max(ln - 1, 0))].reset_index(drop=True)
+    if pd.api.types.is_integer_dtype(taken) or pd.api.types.is_float_dtype(taken):
+        out = taken.astype("float64").where(pd.Series(same), np.nan)
+    else:
+        out = taken.where(pd.Series(same), None)
+    return out
+
+
+def lag_lead(ds, key_col: str, order_col: str, value_col: str, n: int = 1,
+             tiebreak_col: str | None = None, num_buckets: int = 32):
+    """Append ``lag_<value>`` / ``lead_<value>``: the value n rows
+    before / after within the key partition ordered by (order, tiebreak).
+    Numeric values come back float64 (null -> NaN), matching SQL
+    LAG/LEAD which are nullable even over NOT NULL inputs."""
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, run_id, _first = _sorted_runs(g, key_col, order_cols)
+        g[f"lag_{value_col}"] = _shift_within_runs(g[value_col], run_id, n)
+        g[f"lead_{value_col}"] = _shift_within_runs(g[value_col], run_id, -n)
+        return g.drop(columns="__b")
+
+    return (
+        ds.map_batches(_bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def lag_lead_sql(table: str, key_col: str, order_col: str, value_col: str,
+                 n: int = 1, tiebreak_col: str | None = None,
+                 cols: str | None = None) -> str:
+    """DuckDB twin of :func:`lag_lead` (CAST to DOUBLE mirrors the
+    engine's nullable-float64 output for numeric inputs)."""
+    order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    cols = cols or "*"
+    return (
+        f"SELECT {cols}, "
+        f"CAST(LAG({value_col}, {n}) OVER w AS DOUBLE) AS lag_{value_col}, "
+        f"CAST(LEAD({value_col}, {n}) OVER w AS DOUBLE) AS lead_{value_col} "
+        f"FROM {table} WINDOW w AS (PARTITION BY {key_col} ORDER BY {order})"
+    )
+
+
+def rolling_agg(ds, key_col: str, order_col: str, value_col: str,
+                window: int, tiebreak_col: str | None = None,
+                num_buckets: int = 32):
+    """Trailing-frame aggregates per row: SQL
+    ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW`` over the key
+    partition ordered by (order, tiebreak).  Appends ``roll_sum``,
+    ``roll_n`` (non-null count) and ``roll_mean`` (= sum / n, null for
+    an all-null frame).
+
+    Integer inputs sum exactly in int64 (roll_sum stays int64); float
+    inputs sum via float64 cumsum differences — for bit-exact parity
+    with a SQL oracle feed integer units (e.g. cents)."""
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, _run_id, first = _sorted_runs(g, key_col, order_cols)
+        n = len(g)
+        if not n:
+            g["roll_sum"] = pd.array([], dtype="int64")
+            g["roll_n"] = pd.array([], dtype="int64")
+            g["roll_mean"] = pd.array([], dtype="float64")
+            return g.drop(columns="__b")
+        s = g[value_col]
+        int_exact = pd.api.types.is_integer_dtype(s) and not s.isna().any()
+        if int_exact:
+            v = s.to_numpy(np.int64)
+            nn = np.ones(n, np.bool_)
+            v0 = v
+        else:
+            v = s.to_numpy(np.float64, na_value=np.nan)
+            nn = ~np.isnan(v)
+            v0 = np.where(nn, v, 0.0)
+        csum = np.cumsum(v0)
+        cnt = np.cumsum(nn.astype(np.int64))
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(first, idx - (window - 1))
+        prev = lo - 1
+        has_prev = prev >= 0
+        base_s = np.where(has_prev, csum[np.clip(prev, 0, None)], 0)
+        base_c = np.where(has_prev, cnt[np.clip(prev, 0, None)], 0)
+        roll_sum = csum - base_s
+        roll_n = (cnt - base_c).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            roll_mean = np.where(roll_n > 0, roll_sum.astype(np.float64) / roll_n, np.nan)
+        g["roll_sum"] = roll_sum if int_exact else np.where(roll_n > 0, roll_sum, np.nan)
+        g["roll_n"] = roll_n
+        g["roll_mean"] = roll_mean
+        return g.drop(columns="__b")
+
+    return (
+        ds.map_batches(_bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def rolling_agg_sql(table: str, key_col: str, order_col: str, value_col: str,
+                    window: int, tiebreak_col: str | None = None,
+                    cols: str | None = None) -> str:
+    """DuckDB twin of :func:`rolling_agg` for an integer, non-null value
+    column (exact int64 sums; mean = exact-int division in float64)."""
+    order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    frame = f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    cols = cols or "*"
+    return (
+        f"SELECT {cols}, "
+        f"CAST(SUM({value_col}) OVER w AS BIGINT) AS roll_sum, "
+        f"CAST(COUNT({value_col}) OVER w AS BIGINT) AS roll_n, "
+        f"CAST(SUM({value_col}) OVER w AS DOUBLE) / COUNT({value_col}) OVER w AS roll_mean "
+        f"FROM {table} WINDOW w AS "
+        f"(PARTITION BY {key_col} ORDER BY {order} {frame})"
+    )

@@ -308,3 +308,124 @@ def test_hopping_window_matches_duckdb(ray_session):
     w = want.sort_values(["k", "window_start"]).reset_index(drop=True)
     assert g["n"].tolist() == w["n"].tolist()
     assert g["window_start"].tolist() == w["window_start"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# lag/lead + rolling frame aggregates (stages/windowfn.py)
+# ---------------------------------------------------------------------------
+
+
+def _windowfn_fixture():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(77)
+    n = 3000
+    return pa.table(
+        {
+            "k": pa.array((rng.integers(0, 40, n)).astype("int64")),
+            "ord": pa.array(rng.permutation(n).astype("int64")),
+            "id": pa.array(np.arange(n, dtype="int64")),
+            "v": pa.array(rng.integers(-100, 1000, n).astype("int64")),
+        }
+    )
+
+
+def test_lag_lead_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.windowfn import lag_lead, lag_lead_sql
+
+    t = _windowfn_fixture()
+    got = (
+        lag_lead(rd.from_arrow(t).repartition(7), "k", "ord", "v", n=2,
+                 tiebreak_col="id", num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "ord", "id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql(
+        lag_lead_sql("t", "k", "ord", "v", n=2, tiebreak_col="id")
+        + " ORDER BY k, ord, id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["k", "ord", "id", "v", "lag_v", "lead_v"]],
+        want[["k", "ord", "id", "v", "lag_v", "lead_v"]],
+    )
+
+
+def test_lag_lead_string_values_and_single_row_runs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logray.stages.windowfn import lag_lead
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "c", "c", "c"]),
+            "ord": pa.array([2, 1, 5, 1, 2, 3], pa.int64()),
+            "s": pa.array(["x", "y", "z", "p", "q", "r"]),
+        }
+    )
+    got = (
+        lag_lead(rd.from_arrow(t), "k", "ord", "s", n=1, num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "ord"])
+        .reset_index(drop=True)
+    )
+    # key a ordered: (1,'y'),(2,'x'); key b single row; key c: p,q,r
+    assert got["lag_s"].tolist() == [None, "y", None, None, "p", "q"]
+    assert got["lead_s"].tolist() == ["x", None, None, "q", "r", None]
+
+
+def test_rolling_agg_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.windowfn import rolling_agg, rolling_agg_sql
+
+    t = _windowfn_fixture()
+    got = (
+        rolling_agg(rd.from_arrow(t).repartition(6), "k", "ord", "v",
+                    window=4, tiebreak_col="id", num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "ord", "id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql(
+        rolling_agg_sql("t", "k", "ord", "v", window=4, tiebreak_col="id")
+        + " ORDER BY k, ord, id"
+    ).df()
+    cols = ["k", "ord", "id", "v", "roll_sum", "roll_n", "roll_mean"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+
+
+def test_rolling_agg_nulls_and_window_one(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logray.stages.windowfn import rolling_agg
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 5),
+            "ord": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array([1.0, None, 3.0, None, None], pa.float64()),
+        }
+    )
+    got = (
+        rolling_agg(rd.from_arrow(t), "k", "ord", "v", window=2, num_buckets=2)
+        .to_pandas()
+        .sort_values("ord")
+        .reset_index(drop=True)
+    )
+    # SQL frame semantics: nulls excluded from SUM/COUNT; all-null frame -> NULL
+    assert got["roll_n"].tolist() == [1, 1, 1, 1, 0]
+    assert got["roll_sum"].tolist()[:4] == [1.0, 1.0, 3.0, 3.0]
+    assert np.isnan(got["roll_sum"].iloc[4]) and np.isnan(got["roll_mean"].iloc[4])
