@@ -1093,6 +1093,60 @@ def _q_rolling_events(sf_dir: str):
     ).to_pandas()
 
 
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.7 call +1 (415) 555-0199 ssn 123-45-6789'"
+)
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII scrubbing: synthesize deterministic PII into every document,
+    then redact with the shared RE2 rule chain (bit-identical to the
+    DuckDB regexp_replace twin)."""
+    import ray.data as rd
+
+    from logray.functions.pii import redact_pii_table
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def seed_and_redact(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        # doc_id % 256 (ids are non-negative) == doc_id & 255
+        mod = pc.cast(pc.bit_wise_and(t["doc_id"], 255), pa.string())
+        seeded = pc.binary_join_element_wise(
+            t["text"], " contact user", did, "@example.com ip 10.0.", mod,
+            ".7 call +1 (415) 555-0199 ssn 123-45-6789", "",
+        )
+        t = pa.table({"doc_id": t["doc_id"], "text": seeded})
+        return redact_pii_table(t, "text", out_col="redacted").drop_columns(["text"])
+
+    return ds.map_batches(seed_and_redact, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None).to_pandas()
+
+
+def _q_gopher_quality(sf_dir: str):
+    """Gopher repetition/quality metrics + keep flag per document (one
+    vectorized pass; exact DuckDB twin over line/word groupings)."""
+    import ray.data as rd
+
+    from logray.functions.quality import gopher_quality
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return gopher_quality(ds).to_pandas()
+
+
+def _q_top_ngram_repetition(sf_dir: str):
+    """Most-frequent-2-gram character fraction per document (Gopher
+    repetition rule; tie order is engine-defined, so rows-only)."""
+    import ray.data as rd
+
+    from logray.functions.quality import top_ngram_char_fraction
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return top_ngram_char_fraction(ds, n=2).to_pandas()
+
+
 def _q_grouped_quantiles(sf_dir: str):
     """Per-key exact discrete quantiles (bucketed segmented-index pass)."""
     import ray.data as rd
@@ -1216,6 +1270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_bpe": _q_tokenize_bpe,
         "tokenize_roundtrip": _q_tokenize_roundtrip,
         "chunk_docs_tokens": _q_chunk_docs_tokens,
+        "pii_redact": _q_pii_redact,
+        "gopher_quality": _q_gopher_quality,
+        "top_ngram_repetition": _q_top_ngram_repetition,
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
         "semi_join_customers": _q_semi_join_customers,
@@ -1253,6 +1310,8 @@ def oracle_sql() -> dict[str, str]:
     from logray.stages.aggregate import grouped_quantiles_sql, topk_per_key_sql
     from logray.stages.window import hopping_window_sql
     from logray.stages.windowfn import lag_lead_sql, rolling_agg_sql
+    from logray.functions.pii import redact_pii_sql
+    from logray.functions.quality import gopher_quality_sql
 
     return {
         "transcript_build": _TSQL,
@@ -1315,6 +1374,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {clean_text_sql('text', lower=True)} AS cleaned "
             "FROM documents"
         ),
+        "pii_redact": (
+            f"SELECT doc_id, {redact_pii_sql(f'({_PII_SUFFIX_SQL})')} "
+            "AS redacted FROM documents"
+        ),
+        "gopher_quality": gopher_quality_sql("documents"),
         "parse_fields": f"""
             SELECT event_id,
                    CASE WHEN {_WELL} THEN {_DATE} END AS Date,

@@ -1,0 +1,268 @@
+"""Gopher-style repetition / quality metrics for a document corpus.
+
+Per-document signals from the Gopher (Rae et al. 2021, arXiv:2112.11446)
+data-quality rules: duplicate-line fractions, word statistics, symbol
+ratios, bullet / ellipsis line shares, and the derived keep/drop flag.
+Everything is computed in ONE pass per batch with Arrow list kernels +
+numpy segment sums (``np.bincount`` over list-parent indices) — no
+Python per row, no shuffle (the operator is embarrassingly parallel and
+fuses into the upstream read).
+
+Definitions (all exactly mirrored by the DuckDB twin in __ray_entry__
+``gopher_quality``):
+
+- lines = ``text`` split on ``\\n`` (empty lines count);
+  ``dup_line_frac`` = 1 - distinct_lines / n_lines;
+  ``dup_line_char_frac`` = chars in repeat occurrences / total line chars.
+- words = maximal ``\\S+`` runs; ``mean_word_length`` in codepoints;
+  ``alpha_word_frac`` = words containing [A-Za-z];
+  ``symbol_word_ratio`` = occurrences of ``#``/``...``/``…`` per word.
+- ``bullet_line_frac`` / ``ellipsis_line_frac`` = lines starting with a
+  bullet / ending with an ellipsis.
+- 0-word or 0-char denominators yield NULL (NaN) metrics.
+
+``top_ngram_char_fraction`` (the most expensive Gopher rule) is separate:
+fraction of all word characters covered by occurrences of the single
+most frequent word n-gram of the document.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SYMBOL_PATTERN = r"#|\.\.\.|…"
+BULLET_PATTERN = r"^[-*•]"
+ELLIPSIS_PATTERN = r"(\.\.\.|…)$"
+
+# Gopher keep-thresholds (Rae et al. 2021 table A1, adapted to the
+# metrics above).  A document passes when every populated metric is in
+# range; NULL metrics (empty doc) fail.
+GOPHER_RULES = dict(
+    min_words=50, max_words=100_000,
+    min_mean_word_length=3.0, max_mean_word_length=10.0,
+    max_symbol_word_ratio=0.1,
+    min_alpha_word_frac=0.8,
+    max_bullet_line_frac=0.9, max_ellipsis_line_frac=0.3,
+    max_dup_line_frac=0.3, max_dup_line_char_frac=0.2,
+)
+
+
+def _seg_sum(parent: np.ndarray, weights, n: int) -> np.ndarray:
+    return np.bincount(parent, weights=weights, minlength=n).astype(np.float64)
+
+
+def _flatten(list_arr):
+    """(parent_indices, flat_values) for a ChunkedArray/Array of lists."""
+    if isinstance(list_arr, pa.ChunkedArray):
+        list_arr = list_arr.combine_chunks()
+    parent = pc.list_parent_indices(list_arr).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(list_arr)
+    return parent.astype(np.int64), flat
+
+
+def quality_table(t: pa.Table, col: str = "text", id_col: str = "doc_id",
+                  apply_rules: bool = True) -> pa.Table:
+    """One batch -> one metrics row per (non-null-text) document."""
+    t = t.filter(pc.is_valid(t[col]))
+    n = t.num_rows
+    text = t[col]
+
+    # --- line metrics -----------------------------------------------------
+    lp, lines = _flatten(pc.split_pattern(text, "\n"))
+    llen = pc.utf8_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    codes, _ = pd.factorize(lines.to_pandas(), sort=False)
+    m = int(codes.max()) + 1 if len(codes) else 1
+    key = lp * m + codes
+    uk, first_idx, counts = np.unique(key, return_index=True, return_counts=True)
+    doc_g = uk // m
+    glen = llen[first_idx]
+    n_lines = np.bincount(lp, minlength=n).astype(np.float64)
+    n_unique = np.bincount(doc_g, minlength=n).astype(np.float64)
+    dup_chars = _seg_sum(doc_g, glen * (counts - 1), n)
+    line_chars = _seg_sum(lp, llen, n)
+    bullets = _seg_sum(
+        lp, pc.match_substring_regex(lines, BULLET_PATTERN)
+        .to_numpy(zero_copy_only=False), n)
+    ellipses = _seg_sum(
+        lp, pc.match_substring_regex(lines, ELLIPSIS_PATTERN)
+        .to_numpy(zero_copy_only=False), n)
+
+    # --- word metrics -----------------------------------------------------
+    wp, words = _flatten(pc.split_pattern_regex(text, r"\s+"))
+    nonempty = pc.utf8_length(words).to_numpy(zero_copy_only=False) > 0
+    wp = wp[nonempty]
+    words = words.filter(pa.array(nonempty))
+    wlen = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = np.bincount(wp, minlength=n).astype(np.float64)
+    word_chars = _seg_sum(wp, wlen, n)
+    alpha = _seg_sum(
+        wp, pc.match_substring_regex(words, r"[A-Za-z]")
+        .to_numpy(zero_copy_only=False), n)
+    symbols = pc.cast(
+        pc.count_substring_regex(text, SYMBOL_PATTERN), pa.int64()
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
+
+    def ratio(num, den):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(den > 0, num / den, np.nan)
+
+    out = {
+        id_col: t[id_col],
+        "n_lines": pa.array(n_lines.astype(np.int64)),
+        "n_words": pa.array(n_words.astype(np.int64)),
+        "dup_line_frac": pa.array(1.0 - ratio(n_unique, n_lines)),
+        "dup_line_char_frac": pa.array(ratio(dup_chars, line_chars)),
+        "mean_word_length": pa.array(ratio(word_chars, n_words)),
+        "symbol_word_ratio": pa.array(ratio(symbols, n_words)),
+        "alpha_word_frac": pa.array(ratio(alpha, n_words)),
+        "bullet_line_frac": pa.array(ratio(bullets, n_lines)),
+        "ellipsis_line_frac": pa.array(ratio(ellipses, n_lines)),
+    }
+    if apply_rules:
+        r = GOPHER_RULES
+        nw = n_words
+        mwl = np.asarray(out["mean_word_length"])
+        ok = (
+            (nw >= r["min_words"]) & (nw <= r["max_words"])
+            & (mwl >= r["min_mean_word_length"]) & (mwl <= r["max_mean_word_length"])
+            & (np.asarray(out["symbol_word_ratio"]) <= r["max_symbol_word_ratio"])
+            & (np.asarray(out["alpha_word_frac"]) >= r["min_alpha_word_frac"])
+            & (np.asarray(out["bullet_line_frac"]) <= r["max_bullet_line_frac"])
+            & (np.asarray(out["ellipsis_line_frac"]) <= r["max_ellipsis_line_frac"])
+            & (np.asarray(out["dup_line_frac"]) <= r["max_dup_line_frac"])
+            & (np.asarray(out["dup_line_char_frac"]) <= r["max_dup_line_char_frac"])
+        )
+        out["gopher_pass"] = pa.array(np.where(np.isnan(mwl), False, ok))
+    return pa.table(out)
+
+
+def gopher_quality(ds, col: str = "text", id_col: str = "doc_id",
+                   apply_rules: bool = True):
+    """Dataset-level quality stage (fuses into the upstream read)."""
+    return ds.map_batches(
+        lambda t: quality_table(t, col, id_col, apply_rules),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+def gopher_quality_sql(table: str, col: str = "text", id_col: str = "doc_id",
+                       apply_rules: bool = True) -> str:
+    """DuckDB twin of :func:`gopher_quality` (identical definitions;
+    exact-int numerators divided in float64)."""
+    r = GOPHER_RULES
+    pass_expr = f"""
+        COALESCE(
+          w.n_words >= {r["min_words"]} AND w.n_words <= {r["max_words"]}
+          AND w.mean_word_length >= {r["min_mean_word_length"]}
+          AND w.mean_word_length <= {r["max_mean_word_length"]}
+          AND w.symbol_word_ratio <= {r["max_symbol_word_ratio"]}
+          AND w.alpha_word_frac >= {r["min_alpha_word_frac"]}
+          AND l.bullet_line_frac <= {r["max_bullet_line_frac"]}
+          AND l.ellipsis_line_frac <= {r["max_ellipsis_line_frac"]}
+          AND l.dup_line_frac <= {r["max_dup_line_frac"]}
+          AND l.dup_line_char_frac <= {r["max_dup_line_char_frac"]}, FALSE)
+        AS gopher_pass"""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {col} AS txt FROM {table} WHERE {col} IS NOT NULL
+),
+line_groups AS (
+  SELECT id, line, count(*) AS cnt, length(line) AS len
+  FROM (SELECT id, unnest(string_split(txt, chr(10))) AS line FROM base)
+  GROUP BY id, line
+),
+l AS (
+  SELECT id,
+         CAST(sum(cnt) AS BIGINT) AS n_lines,
+         1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS dup_line_frac,
+         CASE WHEN sum(len * cnt) > 0
+              THEN CAST(sum(len * (cnt - 1)) AS DOUBLE) / sum(len * cnt)
+              END AS dup_line_char_frac,
+         CAST(sum(CASE WHEN regexp_matches(line, '{BULLET_PATTERN}')
+                       THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt)
+           AS bullet_line_frac,
+         CAST(sum(CASE WHEN regexp_matches(line, '{ELLIPSIS_PATTERN}')
+                       THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt)
+           AS ellipsis_line_frac
+  FROM line_groups GROUP BY id
+),
+word_rows AS (
+  SELECT id, w FROM (
+    SELECT id, unnest(regexp_split_to_array(txt, '\\s+')) AS w FROM base
+  ) WHERE length(w) > 0
+),
+w0 AS (
+  SELECT id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(length(w)) AS DOUBLE) / count(*) AS mean_word_length,
+         CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS alpha_word_frac
+  FROM word_rows GROUP BY id
+),
+w AS (
+  SELECT b.id,
+         COALESCE(w0.n_words, 0) AS n_words,
+         w0.mean_word_length,
+         CASE WHEN w0.n_words > 0
+              THEN CAST(length(regexp_extract_all(b.txt, '{SYMBOL_PATTERN}'))
+                        AS DOUBLE) / w0.n_words END AS symbol_word_ratio,
+         w0.alpha_word_frac
+  FROM base b LEFT JOIN w0 ON b.id = w0.id
+)
+SELECT l.id AS {id_col}, l.n_lines, w.n_words, l.dup_line_frac,
+       l.dup_line_char_frac, w.mean_word_length, w.symbol_word_ratio,
+       w.alpha_word_frac, l.bullet_line_frac, l.ellipsis_line_frac
+       {"," + pass_expr if apply_rules else ""}
+FROM l JOIN w ON l.id = w.id
+"""
+
+
+def top_ngram_char_fraction(ds, n: int = 2, col: str = "text",
+                            id_col: str = "doc_id"):
+    """Fraction of word characters covered by the document's single most
+    frequent word n-gram (Gopher repetition rule).  One vectorized pass:
+    n-gram keys are joint hashes of n consecutive word hashes within a
+    document; the winning gram's char mass is a segment max."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[col]))
+        nd = t.num_rows
+        wp, words = _flatten(pc.split_pattern_regex(t[col], r"\s+"))
+        keep = pc.utf8_length(words).to_numpy(zero_copy_only=False) > 0
+        wp = wp[keep]
+        words = words.filter(pa.array(keep))
+        wlen = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        word_chars = _seg_sum(wp, wlen, nd)
+        codes, _ = pd.factorize(words.to_pandas(), sort=False)
+        codes = codes.astype(np.int64)
+        frac = np.zeros(nd, np.float64)
+        if len(codes) >= n:
+            # joint hash of n consecutive word codes, valid where the whole
+            # window sits in one document
+            h = codes[: len(codes) - n + 1].copy()
+            glen = wlen[: len(codes) - n + 1].copy()
+            ok = wp[: len(codes) - n + 1] == wp[n - 1:]
+            for j in range(1, n):
+                h = h * np.int64(1_000_003) + codes[j: len(codes) - n + 1 + j]
+                glen = glen + wlen[j: len(codes) - n + 1 + j]
+            gp = wp[: len(codes) - n + 1][ok]
+            df = pd.DataFrame({"p": gp, "h": h[ok], "chars": glen[ok]})
+            if len(df):
+                g = df.groupby(["p", "h"], sort=False)["chars"].agg(["count", "first"])
+                g = g.reset_index()
+                g["mass"] = g["count"] * g["first"]
+                # most frequent gram (ties: larger char mass)
+                g = g.sort_values(["p", "count", "mass"]).groupby("p").tail(1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    f = g["mass"].to_numpy(np.float64) / word_chars[g["p"].to_numpy()]
+                frac[g["p"].to_numpy()] = np.nan_to_num(f)
+        return pa.table({
+            id_col: t[id_col],
+            f"top_{n}gram_char_frac": pa.array(frac),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)

@@ -1,0 +1,144 @@
+"""Tests for PII redaction (functions/pii.py) and Gopher quality metrics
+(functions/quality.py)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+ADVERSARIAL_DOCS = [
+    # repeated lines + bullets + ellipsis
+    "intro line\n- bullet one\n- bullet one\n- bullet two\nmore text...\nintro line",
+    # single line, clean prose
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    # symbol heavy
+    "### section ### more #tags and ... ellipsis ... inline …",
+    # numeric words (low alpha fraction)
+    "123 456 789 000 111 alpha 222 333",
+    # empty text
+    "",
+    # whitespace only
+    "   \n \t ",
+]
+
+
+def test_pii_redaction_matches_duckdb_bit_for_bit():
+    from logray.functions.pii import redact_pii_array, redact_pii_sql
+
+    samples = [
+        "mail john.doe+x@ex-ample.co.uk now",
+        "ssn 123-45-6789 card 4111111111111111",
+        "host 192.168.0.1 and 255.255.255.255.",
+        "call +1 (415) 555-0199 or 0171-222 3344",
+        "clean text, nothing to scrub 3.14",
+        "",
+    ]
+    got = redact_pii_array(pa.array(samples)).to_pylist()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": samples}))
+    want = con.sql(f"SELECT {redact_pii_sql('x')} AS r FROM t").df()["r"].tolist()
+    assert got == want
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "ssn <SSN> card <CC>"
+    assert "<IP>" in got[2] and "192" not in got[2]
+
+
+def test_pii_count_columns():
+    from logray.functions.pii import count_pii_table
+
+    t = pa.table({"text": ["a@b.co and c@d.io", "ip 1.2.3.4", "none"]})
+    out = count_pii_table(t)
+    assert out["n_email"].to_pylist() == [2, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 1, 0]
+
+
+def test_pii_redact_dataset_stage(ray_session):
+    import ray.data as rd
+
+    from logray.functions.pii import redact_pii
+
+    ds = rd.from_items([{"text": "reach me: a@b.co / 10.0.0.1"}] * 10)
+    out = redact_pii(ds).to_pandas()
+    assert (out["text"] == "reach me: <EMAIL> / <IP>").all()
+
+
+def test_gopher_quality_matches_duckdb_adversarial(ray_session):
+    import ray.data as rd
+
+    from logray.functions.quality import gopher_quality, gopher_quality_sql
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(ADVERSARIAL_DOCS), dtype=np.int64),
+        "text": ADVERSARIAL_DOCS,
+    })
+    got = (
+        gopher_quality(rd.from_pandas(df).repartition(3))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", df)
+    want = con.sql(
+        gopher_quality_sql("docs") + " ORDER BY doc_id"
+    ).df().reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_gopher_metrics_values(ray_session):
+    import ray.data as rd
+
+    from logray.functions.quality import gopher_quality
+
+    df = pd.DataFrame({"doc_id": [0], "text": [ADVERSARIAL_DOCS[0]]})
+    m = gopher_quality(rd.from_pandas(df)).to_pandas().iloc[0]
+    # 6 lines, 'intro line' x2 and '- bullet one' x2 -> 2 repeat lines
+    assert m["n_lines"] == 6
+    assert m["dup_line_frac"] == pytest.approx(2 / 6)
+    assert m["bullet_line_frac"] == pytest.approx(3 / 6)
+    assert m["ellipsis_line_frac"] == pytest.approx(1 / 6)
+    assert not m["gopher_pass"]  # too few words
+
+
+def test_top_ngram_char_fraction_naive(ray_session):
+    import ray.data as rd
+
+    from logray.functions.quality import top_ngram_char_fraction
+
+    docs = [
+        "a b a b a b c",          # top 2-gram 'a b' x3 (chars 2 per occ + nothing)
+        "x y z w",                # all 2-grams unique
+        "solo",                   # fewer than 2 words
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "text": docs})
+    out = (
+        top_ngram_char_fraction(rd.from_pandas(df), n=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    def naive(text, n=2):
+        words = [w for w in text.split() if w]
+        total = sum(len(w) for w in words)
+        if len(words) < n or total == 0:
+            return 0.0
+        from collections import Counter
+        grams = [tuple(words[i:i + n]) for i in range(len(words) - n + 1)]
+        cnt = Counter(grams)
+        best = max(cnt.items(), key=lambda kv: (kv[1], sum(map(len, kv[0]))))
+        return best[1] * sum(map(len, best[0])) / total
+
+    for i, text in enumerate(docs):
+        assert out["top_2gram_char_frac"].iloc[i] == pytest.approx(naive(text)), i
+
+
+def test_top_ngram_no_cross_document_grams(ray_session):
+    import ray.data as rd
+
+    from logray.functions.quality import top_ngram_char_fraction
+
+    # 'b a' spans the doc boundary if parents are ignored
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "a b"]})
+    out = top_ngram_char_fraction(rd.from_pandas(df), n=2).to_pandas()
+    assert (out["top_2gram_char_frac"] == 1.0).all()
