@@ -1147,6 +1147,26 @@ def _q_top_ngram_repetition(sf_dir: str):
     return top_ngram_char_fraction(ds, n=2).to_pandas()
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag documents sharing any 6-word-gram
+    with the held-out eval slice (doc_id % 37 == 0) — broadcast n-gram
+    index + vectorized membership probe, no join/shuffle."""
+    import ray.data as rd
+
+    from logray.functions.decontam import build_contamination_index, flag_contaminated
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def eval_slice(t: pa.Table) -> pa.Table:
+        mod = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 37), 37))
+        return t.filter(pc.equal(mod, 0))
+
+    ev = ds.map_batches(eval_slice, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    idx = build_contamination_index(ev, n=6)
+    return flag_contaminated(ds, idx, n=6).to_pandas()
+
+
 def _q_grouped_quantiles(sf_dir: str):
     """Per-key exact discrete quantiles (bucketed segmented-index pass)."""
     import ray.data as rd
@@ -1273,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "gopher_quality": _q_gopher_quality,
         "top_ngram_repetition": _q_top_ngram_repetition,
+        "decontaminate": _q_decontaminate,
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
         "semi_join_customers": _q_semi_join_customers,
@@ -1312,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.stages.windowfn import lag_lead_sql, rolling_agg_sql
     from logray.functions.pii import redact_pii_sql
     from logray.functions.quality import gopher_quality_sql
+    from logray.functions.decontam import decontaminate_sql
 
     return {
         "transcript_build": _TSQL,
@@ -1379,6 +1401,9 @@ def oracle_sql() -> dict[str, str]:
             "AS redacted FROM documents"
         ),
         "gopher_quality": gopher_quality_sql("documents"),
+        "decontaminate": decontaminate_sql(
+            "documents", "(SELECT * FROM documents WHERE doc_id % 37 = 0)", n=6
+        ),
         "parse_fields": f"""
             SELECT event_id,
                    CASE WHEN {_WELL} THEN {_DATE} END AS Date,

@@ -142,3 +142,82 @@ def test_top_ngram_no_cross_document_grams(ray_session):
     df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "a b"]})
     out = top_ngram_char_fraction(rd.from_pandas(df), n=2).to_pandas()
     assert (out["top_2gram_char_frac"] == 1.0).all()
+
+
+# ---------------------------------------------------------------------------
+# decontamination (functions/decontam.py)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_overlap_and_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from logray.functions.decontam import (
+        build_contamination_index,
+        decontaminate_sql,
+        flag_contaminated,
+    )
+
+    evdf = pd.DataFrame({
+        "doc_id": np.array([100, 101], dtype=np.int64),
+        "text": [
+            "the secret benchmark answer is forty two exactly",
+            "unrelated evaluation prompt about data pipelines",
+        ],
+    })
+    trdf = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            # contains a full 5-gram from eval doc 100 (case-insensitive)
+            "we think The Secret Benchmark Answer Is something else",
+            "completely novel content with no overlap at all here",
+            "benchmark answer is forty", # only a 4-gram -> clean at n=5
+            "data pipelines are fun",
+        ],
+    })
+    idx = build_contamination_index(rd.from_pandas(evdf), n=5)
+    got = (
+        flag_contaminated(rd.from_pandas(trdf).repartition(2), idx, n=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["contaminated"].tolist() == [True, False, False, False]
+    assert got["n_contaminated"].tolist()[0] == 1  # 'the secret benchmark answer is'
+
+    con = duckdb.connect()
+    con.register("tr", trdf)
+    con.register("ev", evdf)
+    want = con.sql(
+        decontaminate_sql("tr", "ev", n=5) + " ORDER BY doc_id"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_contaminated", "contaminated"]],
+        want[["doc_id", "n_contaminated", "contaminated"]],
+        check_dtype=False,
+    )
+
+
+def test_decontaminate_gram_windows_stay_in_document(ray_session):
+    import ray.data as rd
+
+    from logray.functions.decontam import build_contamination_index, flag_contaminated
+
+    # eval gram "c d e f g" would only arise by concatenating the two
+    # training docs; neither alone contains it
+    ev = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["c d e f g"]}))
+    tr = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["a b c d", "e f g h"],
+    }))
+    idx = build_contamination_index(ev, n=5)
+    got = flag_contaminated(tr, idx, n=5).to_pandas()
+    assert not got["contaminated"].any()
+
+
+def test_decontaminate_empty_index(ray_session):
+    import ray.data as rd
+
+    from logray.functions.decontam import flag_contaminated
+
+    tr = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a b c"]}))
+    got = flag_contaminated(tr, np.zeros(0, np.uint64), n=3).to_pandas()
+    assert got["n_contaminated"].tolist() == [0]
