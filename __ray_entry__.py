@@ -1147,6 +1147,21 @@ def _q_top_ngram_repetition(sf_dir: str):
     return top_ngram_char_fraction(ds, n=2).to_pandas()
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_events(sf_dir: str):
+    """Wide per-user crosstab of event-type counts (long partials folded,
+    widened only after the fold; fixed column schema)."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import pivot_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return pivot_agg(ds, "user_id", "event_type", pivot_values=_EVENT_TYPES)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag documents sharing any 6-word-gram
     with the held-out eval slice (doc_id % 37 == 0) — broadcast n-gram
@@ -1294,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "top_ngram_repetition": _q_top_ngram_repetition,
         "decontaminate": _q_decontaminate,
+        "pivot_events": _q_pivot_events,
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
         "semi_join_customers": _q_semi_join_customers,
@@ -1328,7 +1344,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from logray.functions.chunking import chunk_documents_sql
     from logray.functions.textclean import clean_text_sql
-    from logray.stages.aggregate import grouped_quantiles_sql, topk_per_key_sql
+    from logray.stages.aggregate import (
+        grouped_quantiles_sql,
+        pivot_agg_sql,
+        topk_per_key_sql,
+    )
     from logray.stages.window import hopping_window_sql
     from logray.stages.windowfn import lag_lead_sql, rolling_agg_sql
     from logray.functions.pii import redact_pii_sql
@@ -1403,6 +1423,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": gopher_quality_sql("documents"),
         "decontaminate": decontaminate_sql(
             "documents", "(SELECT * FROM documents WHERE doc_id % 37 = 0)", n=6
+        ),
+        "pivot_events": pivot_agg_sql(
+            "events", "user_id", "event_type", pivot_values=_EVENT_TYPES
         ),
         "parse_fields": f"""
             SELECT event_id,

@@ -628,3 +628,92 @@ def top_k_groups(ds, key_cols, k: int, as_pandas: bool = True, fold: str = "driv
         ["n"] + key_cols, ascending=[False] + [True] * len(key_cols), kind="mergesort"
     ).head(k)
     return out.reset_index(drop=True)
+
+
+def pivot_agg(ds, key_col: str, pivot_col: str, value_col: str | None = None,
+              pivot_values=None, prefix: str | None = None,
+              fold: str = "driver"):
+    """Wide crosstab: one row per key, one column per pivot value, cells
+    = exact ``count(*)`` (``value_col=None``) or exact integer
+    ``sum(value_col)``; absent (key, pivot) combinations are 0.
+
+    Scale shape: per-batch Arrow ``group_by([key, pivot])`` partials (the
+    long form never exceeds keys x pivot-values rows per batch), folded
+    like :func:`histogram`; only the folded long table is widened.  Pass
+    ``pivot_values`` in production for a fixed output schema independent
+    of which values a given input slice happens to contain (and to fail
+    fast on unexpected categories downstream); by default the observed
+    values define the columns.  Null pivot values are dropped (they have
+    no column); null keys pool into one row like GROUP BY.
+
+    Column naming: ``f"{prefix}{value}"`` with prefix defaulting to
+    ``n_`` for counts and ``sum_`` for sums — mirror it in the SQL twin
+    (``SUM(CASE WHEN pivot = v THEN 1/val ELSE 0 END) AS n_v``).
+    """
+    if prefix is None:
+        prefix = "n_" if value_col is None else "sum_"
+
+    def partial(t: pa.Table) -> pa.Table:
+        if value_col is None:
+            g = t.group_by([key_col, pivot_col]).aggregate([([], "count_all")])
+        else:
+            g = t.group_by([key_col, pivot_col]).aggregate([(value_col, "sum")])
+        return g.rename_columns([key_col, pivot_col, "pv"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+    if fold == "distributed":
+        from ray.data.aggregate import Sum
+
+        folded = (
+            parts.groupby([key_col, pivot_col])
+            .aggregate(Sum("pv", alias_name="pv"))
+            .to_pandas()
+        )
+    else:
+        from logray.stages.bucketing import stream_fold
+
+        def fold_local(tables: list[pa.Table]) -> pa.Table:
+            g = pa.concat_tables(tables).group_by([key_col, pivot_col]).aggregate(
+                [("pv", "sum")]
+            )
+            return g.rename_columns([key_col, pivot_col, "pv"])
+
+        f = stream_fold(parts, fold_local)
+        folded = (f.to_pandas() if f is not None
+                  else pd.DataFrame({key_col: [], pivot_col: [], "pv": []}))
+
+    folded = folded[folded[pivot_col].notna()]
+    if pivot_values is None:
+        pivot_values = sorted(folded[pivot_col].unique().tolist())
+    if not len(folded):
+        return pd.DataFrame({key_col: [],
+                             **{f"{prefix}{v}": pd.array([], dtype="int64")
+                                for v in pivot_values}})
+    wide = folded.pivot_table(index=key_col, columns=pivot_col, values="pv",
+                              aggfunc="sum", fill_value=0, dropna=False)
+    wide = wide.reindex(columns=pivot_values, fill_value=0)
+    wide.columns = [f"{prefix}{v}" for v in pivot_values]
+    wide = wide.reset_index()
+    for c in wide.columns[1:]:
+        wide[c] = wide[c].fillna(0).astype("int64")
+    return wide.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+
+
+def pivot_agg_sql(table: str, key_col: str, pivot_col: str,
+                  value_col: str | None = None, pivot_values=(),
+                  prefix: str | None = None) -> str:
+    """DuckDB twin of :func:`pivot_agg` (conditional aggregation)."""
+    if prefix is None:
+        prefix = "n_" if value_col is None else "sum_"
+    cell = "1" if value_col is None else value_col
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN {pivot_col} = '{v}' THEN {cell} ELSE 0 END) "
+        f"AS BIGINT) AS \"{prefix}{v}\""
+        for v in pivot_values
+    )
+    return (
+        f"SELECT {key_col}, {cols} FROM {table} "
+        f"GROUP BY {key_col}"
+    )

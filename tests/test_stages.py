@@ -480,3 +480,49 @@ def test_sessionize_null_keys_pool(ray_session):
     # three null-key rows: first two within the gap -> session 0, the
     # 03:00 row breaks -> session 1 (NOT three independent session-0 rows)
     assert nulls["session_id"].tolist() == [0, 0, 1]
+
+
+def test_pivot_agg_counts_and_sums_match_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.aggregate import pivot_agg, pivot_agg_sql
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array((rng.integers(0, 50, n)).astype("int64")),
+            "cat": pa.array([["a", "b", "c"][i] for i in rng.integers(0, 3, n)]),
+            "v": pa.array(rng.integers(-10, 100, n).astype("int64")),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+
+    got = pivot_agg(rd.from_arrow(t).repartition(4), "k", "cat")
+    want = con.sql(
+        pivot_agg_sql("t", "k", "cat", pivot_values=["a", "b", "c"]) + " ORDER BY k"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got_sum = pivot_agg(rd.from_arrow(t).repartition(4), "k", "cat", value_col="v")
+    want_sum = con.sql(
+        pivot_agg_sql("t", "k", "cat", value_col="v", pivot_values=["a", "b", "c"])
+        + " ORDER BY k"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_sum, want_sum, check_dtype=False)
+
+
+def test_pivot_agg_fixed_schema_and_missing_values(ray_session):
+    import ray.data as rd
+
+    from logray.stages.aggregate import pivot_agg
+
+    t = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "cat": pa.array(["a", "a", "b"])})
+    out = pivot_agg(rd.from_arrow(t), "k", "cat", pivot_values=["a", "b", "z"])
+    assert list(out.columns) == ["k", "n_a", "n_b", "n_z"]
+    assert out["n_z"].tolist() == [0, 0]
+    assert out["n_a"].tolist() == [2, 0]
