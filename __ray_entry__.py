@@ -1162,6 +1162,23 @@ def _q_pivot_events(sf_dir: str):
     return pivot_agg(ds, "user_id", "event_type", pivot_values=_EVENT_TYPES)
 
 
+def _q_bm25_search(sf_dir: str):
+    """BM25 top-10 documents for three keyword queries — query-vocab df
+    stats pass + matmul scoring pass + tree-reduce winner merge (no
+    global inverted index).  Float score ordering has no bit-exact SQL
+    twin; correctness is pinned by unit tests vs a naive reference."""
+    import ray.data as rd
+
+    from logray.functions.search_text import bm25_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(
+        ds,
+        [(0, "hash join strategy"), (1, "window aggregate"), (2, "vector scan")],
+        k=10,
+    )
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag documents sharing any 6-word-gram
     with the held-out eval slice (doc_id % 37 == 0) — broadcast n-gram
@@ -1310,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngram_repetition": _q_top_ngram_repetition,
         "decontaminate": _q_decontaminate,
         "pivot_events": _q_pivot_events,
+        "bm25_search": _q_bm25_search,
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
         "semi_join_customers": _q_semi_join_customers,

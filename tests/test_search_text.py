@@ -1,0 +1,91 @@
+"""BM25 full-text search tests (functions/search_text.py)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+DOCS = [
+    "the cat sat on the mat",
+    "the dog chased the cat around the yard",
+    "quantum computing with superconducting qubits",
+    "a cat and a dog and another cat",
+    "mat weaving techniques of the old world",
+    "dogs are loyal animals, cats are independent",
+]
+
+
+def _naive_bm25(docs, query, k1=1.5, b=0.75):
+    import re
+
+    def toks(s):
+        return [w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+
+    corpus = [toks(d) for d in docs]
+    n = len(corpus)
+    avgdl = sum(len(c) for c in corpus) / n
+    qts = sorted(set(toks(query)))
+    scores = []
+    for c in corpus:
+        s = 0.0
+        for t in qts:
+            df = sum(1 for cc in corpus if t in cc)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            f = c.count(t)
+            s += idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * len(c) / avgdl))
+        scores.append(s)
+    return scores
+
+
+def test_bm25_topk_matches_naive(ray_session):
+    import ray.data as rd
+
+    from logray.functions.search_text import bm25_topk
+
+    df = pd.DataFrame({"doc_id": np.arange(len(DOCS), dtype=np.int64),
+                       "text": DOCS})
+    out = bm25_topk(rd.from_pandas(df).repartition(3),
+                    [(0, "cat mat"), (1, "dog"), (2, "quantum qubits")], k=3)
+    for qid, qtext in [(0, "cat mat"), (1, "dog"), (2, "quantum qubits")]:
+        naive = _naive_bm25(DOCS, qtext)
+        want_order = sorted(range(len(DOCS)), key=lambda i: (-naive[i], i))[:3]
+        got = out[out["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == want_order, (qid, naive)
+        for d, s in zip(got["doc_id"], got["score"]):
+            assert s == pytest.approx(naive[d], rel=1e-12), (qid, d)
+
+
+def test_bm25_stats_reuse_and_zero_hit_query(ray_session):
+    import ray.data as rd
+
+    from logray.functions.search_text import bm25_topk, corpus_stats, tokenize_terms
+
+    df = pd.DataFrame({"doc_id": np.arange(len(DOCS), dtype=np.int64),
+                       "text": DOCS})
+    ds = rd.from_pandas(df).repartition(2)
+    queries = [(7, "cat"), (8, "zzz nothing matches")]
+    vocab = sorted({t for _, q in queries for t in tokenize_terms(q)})
+    stats = corpus_stats(ds, vocab)
+    assert stats["n_docs"] == len(DOCS)
+    out = bm25_topk(ds, queries, k=2, stats=stats)
+    z = out[out["query_id"] == 8]
+    # no matching term -> all scores 0; rows still returned (rank by doc id)
+    assert (z["score"] == 0).all()
+    c = out[out["query_id"] == 7].sort_values("rank")
+    assert c["score"].iloc[0] > 0
+
+
+def test_bm25_corpus_stats_df_counts(ray_session):
+    import ray.data as rd
+
+    from logray.functions.search_text import corpus_stats
+
+    df = pd.DataFrame({"doc_id": np.arange(len(DOCS), dtype=np.int64),
+                       "text": DOCS})
+    stats = corpus_stats(rd.from_pandas(df).repartition(3), ["cat", "dog", "zzz"])
+    order = stats["order"]
+    assert stats["df"][order["cat"]] == 3   # docs 0, 1, 3 ('cats' != 'cat')
+    assert stats["df"][order["dog"]] == 2   # docs 1, 3 ('dogs' != 'dog')
+    assert stats["df"][order["zzz"]] == 0
