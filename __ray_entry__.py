@@ -861,8 +861,9 @@ def _q_clean_text(sf_dir: str):
 
 
 def _q_quantiles_price(sf_dir: str):
-    """Distributed EXACT discrete quantiles: one sort, then value lookup by
-    global position via block metadata (stages/aggregate.exact_quantiles)."""
+    """Distributed EXACT discrete quantiles by sample-guided bisection —
+    streaming counting passes, no sort/shuffle/materialize
+    (stages/aggregate.exact_quantiles)."""
     import ray.data as rd
 
     from logray.stages.aggregate import exact_quantiles
@@ -875,6 +876,26 @@ def _q_quantiles_price(sf_dir: str):
 
 _QUANTILES_PRICE_SQL = " UNION ALL ".join(
     f"SELECT {q} AS q, quantile_disc(o_totalprice, {q}) AS value FROM orders"
+    for q in (0.25, 0.5, 0.75, 0.9)
+)
+
+
+def _q_quantiles_cont(sf_dir: str):
+    """Interpolated (PERCENTILE_CONT) exact quantiles: both bracketing
+    order statistics found in one shared bisection run, then float64
+    interpolation (stages/aggregate.quantile_cont)."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import quantile_cont
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    qs = [0.25, 0.5, 0.75, 0.9]
+    got = quantile_cont(ds, "o_totalprice", qs)
+    return pd.DataFrame({"q": qs, "value": [got[q] for q in qs]})
+
+
+_QUANTILES_CONT_SQL = " UNION ALL ".join(
+    f"SELECT {q} AS q, quantile_cont(o_totalprice, {q}) AS value FROM orders"
     for q in (0.25, 0.5, 0.75, 0.9)
 )
 
@@ -1312,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample": _q_reservoir_sample,
         "model_score": _q_model_score,
         "quantiles_price": _q_quantiles_price,
+        "quantiles_cont": _q_quantiles_cont,
         "grouped_quantiles": _q_grouped_quantiles,
         "hopping_window": _q_hopping_window,
         "lag_lead_events": _q_lag_lead_events,
@@ -1384,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
             cols="o_orderpriority, o_orderkey",
         ),
         "quantiles_price": _QUANTILES_PRICE_SQL,
+        "quantiles_cont": _QUANTILES_CONT_SQL,
         "grouped_quantiles": grouped_quantiles_sql(
             "orders", "o_orderpriority", "o_totalprice", [0.5, 0.9]
         ),

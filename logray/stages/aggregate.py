@@ -257,7 +257,7 @@ def kth_smallest(ds, col: str, k: int):
 
 def exact_quantiles(ds, col: str, qs, sample_per_batch: int = 64,
                     max_bracket_rows: int = 4_000_000,
-                    max_passes: int = 48) -> dict:
+                    max_passes: int = 48, rank_of=None) -> dict:
     """Distributed EXACT discrete quantiles by sample-guided bisection —
     NO sort, NO shuffle, NO materialization of the dataset (the round-2
     implementation sort-materialized the full corpus, which pins 100 TB
@@ -365,7 +365,12 @@ def exact_quantiles(ds, col: str, qs, sample_per_batch: int = 64,
     # per-q bracket state: (lo, c_lo, hi, c_hi); None lo/hi = +-inf
     state: dict = {}
     for q in qs:
-        rank = min(max(math.ceil(q * n) - 1, 0), n - 1)
+        # default: quantile_disc rank; rank_of(label, n) generalizes to
+        # arbitrary order statistics (see quantile_cont)
+        if rank_of is not None:
+            rank = min(max(int(rank_of(q, n)), 0), n - 1)
+        else:
+            rank = min(max(math.ceil(q * n) - 1, 0), n - 1)
         state[q] = [None, 0, None, n, rank]
     pending = set(qs)
     # sample for pivot placement, refreshed per-bracket when blind
@@ -717,3 +722,41 @@ def pivot_agg_sql(table: str, key_col: str, pivot_col: str,
         f"SELECT {key_col}, {cols} FROM {table} "
         f"GROUP BY {key_col}"
     )
+
+
+def quantile_cont(ds, col: str, qs, **kw) -> dict:
+    """Distributed EXACT interpolated quantiles (SQL ``quantile_cont`` /
+    PERCENTILE_CONT): the order statistics at ranks floor(h) and ceil(h)
+    of h = q*(n-1) are found with the same sample-guided bisection as
+    :func:`exact_quantiles` (both ranks in ONE shared run — the counting
+    passes are vectorized over all brackets), then interpolated
+    ``lo*(1-frac) + hi*frac`` in float64 (DuckDB's association order —
+    ``lo + frac*(hi-lo)`` differs in the last ulp).  No sort, no
+    shuffle, no materialization.  Returns {q: float} (None when empty)."""
+    import math
+
+    qs = list(qs)
+    cell: dict = {}
+
+    labels = []
+    for q in qs:
+        labels.append((float(q), 0))
+        labels.append((float(q), 1))
+
+    def rank_of(label, n):
+        cell["n"] = n
+        q, which = label
+        h = q * (n - 1)
+        return int(math.floor(h)) if which == 0 else int(math.ceil(h))
+
+    vals = exact_quantiles(ds, col, labels, rank_of=rank_of, **kw)
+    if not cell:  # empty dataset: exact_quantiles returned all-None
+        return {q: None for q in qs}
+    n = cell["n"]
+    out = {}
+    for q in qs:
+        lo, hi = vals[(float(q), 0)], vals[(float(q), 1)]
+        h = q * (n - 1)
+        frac = h - math.floor(h)
+        out[q] = float(lo) * (1.0 - frac) + float(hi) * frac
+    return out

@@ -526,3 +526,35 @@ def test_pivot_agg_fixed_schema_and_missing_values(ray_session):
     assert list(out.columns) == ["k", "n_a", "n_b", "n_z"]
     assert out["n_z"].tolist() == [0, 0]
     assert out["n_a"].tolist() == [2, 0]
+
+
+def test_quantile_cont_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.aggregate import quantile_cont
+
+    rng = np.random.default_rng(17)
+    for arr in [np.round(rng.standard_normal(5000) * 40, 2),
+                rng.integers(0, 500, 5000).astype("int64")]:
+        t = pa.table({"v": pa.array(arr)})
+        got = quantile_cont(rd.from_arrow(t).repartition(6), "v",
+                            [0.0, 0.1, 0.5, 0.95, 1.0])
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        for q, g in got.items():
+            w = con.sql(f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
+            assert g == w, (q, g, w)
+
+
+def test_quantile_cont_empty_and_single(ray_session):
+    import ray.data as rd
+
+    from logray.stages.aggregate import quantile_cont
+
+    empty = pa.table({"v": pa.array([], pa.float64())})
+    assert quantile_cont(rd.from_arrow(empty), "v", [0.5]) == {0.5: None}
+    one = pa.table({"v": pa.array([42.0])})
+    assert quantile_cont(rd.from_arrow(one), "v", [0.0, 0.5, 1.0]) == {
+        0.0: 42.0, 0.5: 42.0, 1.0: 42.0}
