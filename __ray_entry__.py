@@ -848,6 +848,32 @@ def _q_anti_join_customers(sf_dir: str):
     return broadcast_anti_join(cust, keys, on="c_custkey").to_pandas()
 
 
+def _orders_priority_side(sf_dir: str, prio: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+                           filter=pc.field("o_orderpriority") == prio)
+
+
+def _q_intersect_users(sf_dir: str):
+    """SQL INTERSECT: customers with BOTH an urgent AND a low-priority order
+    (per-side local distinct combiner, one bucket shuffle; stages/setops.py)."""
+    from logray.stages.setops import intersect_distinct
+
+    return intersect_distinct(_orders_priority_side(sf_dir, "1-URGENT"),
+                              _orders_priority_side(sf_dir, "5-LOW"),
+                              "o_custkey").to_pandas()
+
+
+def _q_except_users(sf_dir: str):
+    """SQL EXCEPT: customers with an urgent order but NO low-priority order."""
+    from logray.stages.setops import except_distinct
+
+    return except_distinct(_orders_priority_side(sf_dir, "1-URGENT"),
+                           _orders_priority_side(sf_dir, "5-LOW"),
+                           "o_custkey").to_pandas()
+
+
 def _q_clean_text(sf_dir: str):
     """Vectorized RE2 text cleaning with a bit-identical DuckDB twin
     (both engines run RE2)."""
@@ -1354,6 +1380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _q_approx_quantiles,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
+        "intersect_users": _q_intersect_users,
+        "except_users": _q_except_users,
         "clean_text": _q_clean_text,
     }
 
@@ -1452,6 +1480,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE c_custkey NOT IN
               (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "intersect_users": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        """,
+        "except_users": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
         """,
         "clean_text": (
             f"SELECT doc_id, {clean_text_sql('text', lower=True)} AS cleaned "

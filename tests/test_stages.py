@@ -558,3 +558,42 @@ def test_quantile_cont_empty_and_single(ray_session):
     one = pa.table({"v": pa.array([42.0])})
     assert quantile_cont(rd.from_arrow(one), "v", [0.0, 0.5, 1.0]) == {
         0.0: 42.0, 0.5: 42.0, 1.0: 42.0}
+
+
+def test_setops_match_duckdb(ray_session):
+    """INTERSECT/EXCEPT distinct vs DuckDB, with null keys and multi-column
+    tuples (SQL set ops treat NULLs as equal)."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.setops import except_distinct, intersect_distinct
+
+    rng = np.random.default_rng(7)
+    da = pd.DataFrame({"k": rng.integers(0, 20, 200).astype(float),
+                       "s": rng.choice(list("abc"), 200)})
+    db = pd.DataFrame({"k": rng.integers(10, 30, 150).astype(float),
+                       "s": rng.choice(list("bcd"), 150)})
+    da.loc[rng.choice(200, 20, replace=False), "k"] = None
+    db.loc[rng.choice(150, 10, replace=False), "k"] = None
+    A, B = rd.from_pandas(da).repartition(5), rd.from_pandas(db).repartition(4)
+    con = duckdb.connect()
+    for op, sql in ((intersect_distinct, "INTERSECT"), (except_distinct, "EXCEPT")):
+        got = (op(A, B, ["k", "s"]).to_pandas()
+               .sort_values(["k", "s"], na_position="last").reset_index(drop=True))
+        want = (con.execute(f"SELECT k,s FROM da {sql} SELECT k,s FROM db").df()
+                .sort_values(["k", "s"], na_position="last").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_setops_single_column_and_disjoint(ray_session):
+    import ray.data as rd
+
+    from logray.stages.setops import except_distinct, intersect_distinct
+
+    A = rd.from_items([{"v": i} for i in [1, 2, 2, 3]])
+    B = rd.from_items([{"v": i} for i in [3, 4]])
+    assert intersect_distinct(A, B, "v").to_pandas()["v"].tolist() == [3]
+    assert sorted(except_distinct(A, B, "v").to_pandas()["v"]) == [1, 2]
+    C = rd.from_items([{"v": 99}])
+    assert intersect_distinct(A, C, "v").to_pandas().empty
