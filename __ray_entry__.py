@@ -874,6 +874,17 @@ def _q_except_users(sf_dir: str):
                            "o_custkey").to_pandas()
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """EXACT frequent users in two streaming passes, NO shuffle
+    (Misra-Gries candidates + broadcast recount; functions/heavyhitters.py)."""
+    import ray.data as rd
+
+    from logray.functions.heavyhitters import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters(ds, "user_id", threshold=0.0075)
+
+
 def _q_clean_text(sf_dir: str):
     """Vectorized RE2 text cleaning with a bit-identical DuckDB twin
     (both engines run RE2)."""
@@ -1382,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": _q_anti_join_customers,
         "intersect_users": _q_intersect_users,
         "except_users": _q_except_users,
+        "heavy_hitters": _q_heavy_hitters,
         "clean_text": _q_clean_text,
     }
 
@@ -1422,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.pii import redact_pii_sql
     from logray.functions.quality import gopher_quality_sql
     from logray.functions.decontam import decontaminate_sql
+    from logray.functions.heavyhitters import heavy_hitters_sql
 
     return {
         "transcript_build": _TSQL,
@@ -1491,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
         """,
+        "heavy_hitters": heavy_hitters_sql("events", "user_id", 0.0075),
         "clean_text": (
             f"SELECT doc_id, {clean_text_sql('text', lower=True)} AS cleaned "
             "FROM documents"

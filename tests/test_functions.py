@@ -1237,3 +1237,49 @@ def test_hash_pairs_collision_check(ray_session):
     hp = hash_pairs_to_int64(pairs).to_pandas()
     assert len(hp) == 2
     assert hp["id_a"].dtype == np.int64
+
+
+def test_heavy_hitters_exact_vs_bruteforce(ray_session):
+    """Two-pass MG heavy hitters returns the EXACT frequent-item set +
+    counts even when pass-1 must compress (k << distinct), with nulls."""
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.heavyhitters import heavy_hitters
+
+    rng = np.random.default_rng(1)
+    vals = (rng.zipf(1.3, 50_000) % 2000).astype(np.int64)
+    df = pd.DataFrame({"v": vals.astype(float)})
+    df.loc[rng.choice(len(df), 200, replace=False), "v"] = None
+    ds = rd.from_pandas(df).repartition(16)
+    th = 0.01
+    got = heavy_hitters(ds, "v", th, k=220)
+    s = df.v.dropna()
+    vc = s.value_counts()
+    want = vc[vc > len(s) * th].reset_index()
+    want.columns = ["v", "cnt"]
+    want = want.sort_values(["cnt", "v"], ascending=[False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"v": float, "cnt": np.int64}),
+                                  want.astype({"v": float, "cnt": np.int64}))
+
+
+def test_heavy_hitters_guards_and_empty(ray_session):
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from logray.functions.heavyhitters import _mg_compress, heavy_hitters
+
+    ds = rd.from_pandas(pd.DataFrame({"v": np.arange(500)}))
+    out = heavy_hitters(ds, "v", 0.5)
+    assert out.empty and list(out.columns) == ["v", "cnt"]
+    with pytest.raises(ValueError):
+        heavy_hitters(ds, "v", 0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters(ds, "v", 0.01, k=5)  # k < 1/threshold
+    # compression keeps every item with count > n/(k+1) (MG guarantee)
+    items = np.arange(100)
+    counts = np.ones(100, np.int64)
+    counts[7] = 500
+    it2, c2 = _mg_compress(items, counts, 10)
+    assert 7 in it2 and len(it2) <= 10
