@@ -885,6 +885,30 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, "user_id", threshold=0.0075)
 
 
+def _q_explode_embeddings(sf_dir: str):
+    """UNNEST WITH ORDINALITY over the embedding list column — pure
+    per-batch Arrow kernels, fuses into the read (stages/reshape.py)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.stages import explode_list
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = explode_list(ds, "embedding", id_cols="vec_id", val_col="val")
+    # exact widening to float64 so the oracle's DOUBLE column hashes equal
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("val"),
+            "val",
+            pc.cast(t["val"], "float64"),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def _q_clean_text(sf_dir: str):
     """Vectorized RE2 text cleaning with a bit-identical DuckDB twin
     (both engines run RE2)."""
@@ -1394,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_users": _q_intersect_users,
         "except_users": _q_except_users,
         "heavy_hitters": _q_heavy_hitters,
+        "explode_embeddings": _q_explode_embeddings,
         "clean_text": _q_clean_text,
     }
 
@@ -1505,6 +1530,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
         """,
         "heavy_hitters": heavy_hitters_sql("events", "user_id", 0.0075),
+        "explode_embeddings": """
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        """,
         "clean_text": (
             f"SELECT doc_id, {clean_text_sql('text', lower=True)} AS cleaned "
             "FROM documents"

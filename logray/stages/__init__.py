@@ -11,6 +11,7 @@ from logray.stages.aggregate import (
     topk_per_key,
     turns_per_conversation,
 )
+from logray.stages.reshape import explode_list
 from logray.stages.search import find_next_occurrence
 from logray.stages.reassemble import (
     conversation_stats,
@@ -51,6 +52,7 @@ __all__ = [
     "ROLE_TAXONOMY",
     "TOOL_TAXONOMY",
     "exact_quantiles",
+    "explode_list",
     "grouped_quantiles",
     "topk_per_key",
     "hopping_window",

@@ -1,0 +1,86 @@
+"""explode_list (UNNEST WITH ORDINALITY) over list-typed columns.
+
+The reference turns one line into one row of fields
+(src/line_parsing/line_format.cpp); this is the inverse for list columns.
+Semantics pinned against SQL UNNEST: null/empty lists emit no rows,
+ordinality is 1-based within each parent row.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from logray.stages import explode_list
+
+
+def _table():
+    return pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "tag": ["a", "b", "c", "d", "e"],
+            "vals": pa.array(
+                [[1.5, 2.5], [], None, [7.0], [8.0, 9.0, 10.0]],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+
+
+def test_explode_basic(ray_session):
+    ds = rd.from_arrow(_table())
+    out = explode_list(ds, "vals", id_cols=["doc_id", "tag"]).to_pandas()
+    out = out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    assert list(out.columns) == ["doc_id", "tag", "pos", "vals"]
+    assert out["doc_id"].tolist() == [10, 10, 13, 14, 14, 14]
+    assert out["pos"].tolist() == [1, 2, 1, 1, 2, 3]
+    assert out["vals"].tolist() == [1.5, 2.5, 7.0, 8.0, 9.0, 10.0]
+    assert out["tag"].tolist() == ["a", "a", "d", "e", "e", "e"]
+
+
+def test_explode_rename_and_no_pos(ray_session):
+    ds = rd.from_arrow(_table())
+    out = explode_list(
+        ds, "vals", id_cols="doc_id", val_col="v", pos_col=None
+    ).to_pandas()
+    assert list(out.columns) == ["doc_id", "v"]
+    assert len(out) == 6
+
+
+def test_explode_multiblock_ordinality(ray_session):
+    # ordinality restarts per parent row even across many blocks
+    n = 200
+    rng = np.random.default_rng(7)
+    lens = rng.integers(0, 5, size=n)
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "vals": pa.array(
+                [list(range(int(k))) for k in lens], pa.list_(pa.int64())
+            ),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(8)
+    out = explode_list(ds, "vals", id_cols="doc_id").to_pandas()
+    out = out.sort_values(["doc_id", "pos"])
+    assert len(out) == int(lens.sum())
+    for doc, grp in out.groupby("doc_id"):
+        assert grp["pos"].tolist() == list(range(1, len(grp) + 1))
+        assert grp["vals"].tolist() == list(range(len(grp)))
+
+
+def test_explode_empty_batch(ray_session):
+    # the per-batch kernel keeps a full schema on 0-row input (downstream
+    # reduces must never see a column-less frame; cf. ADVICE ann reduce bug)
+    tab = _table().slice(0, 0)
+    captured = {}
+
+    class _Probe:
+        def map_batches(self, f, **kw):
+            captured["fn"] = f
+            return self
+
+    explode_list(_Probe(), "vals", id_cols="doc_id")
+    out = captured["fn"](tab)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "pos", "vals"]
