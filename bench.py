@@ -220,6 +220,30 @@ def run_bench() -> dict:
 
     timed("textstats", textstats_corpus)
 
+    from logray.functions.tokenize import tokenize_bpe, train_bpe_on_dataset
+
+    # vocab trained once on the (small) documents table, then the broadcast
+    # apply runs over the full transcript corpus — the realistic shape:
+    # train on a sample, tokenize everything
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    bpe = train_bpe_on_dataset(docs, vocab_size=512)
+
+    def tokenize_corpus():
+        ds = rd.read_parquet(corpus, columns=["text"])
+        return tokenize_bpe(ds, bpe).map_batches(
+            lambda t: t.select(["n_tokens"]), batch_format="pyarrow"
+        ).sum("n_tokens")
+
+    timed("tokenize_bpe", tokenize_corpus)
+
+    from logray.stages.aggregate import exact_quantiles
+
+    def quantiles_corpus():
+        ds = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["value"])
+        return exact_quantiles(ds, "value", [0.5, 0.9, 0.99])
+
+    timed("exact_quantiles", quantiles_corpus)
+
     ray.shutdown()
 
     headline_sec = timings["pipeline"]

@@ -9,9 +9,11 @@ training-data pipeline.  Three pieces:
   pair merging) over a word-frequency table; :func:`word_frequencies`
   computes that table distributedly (map_batches partial counts folded with
   the bounded driver fold), so training scans the corpus once.
-- :class:`TokenizeBatch` / :func:`tokenize_bpe` — the hot path: the trained
-  vocab is broadcast once (``ray.put``) and loaded per actor in
-  ``__init__``; each batch is pre-tokenized with ONE vectorized numpy pass
+- :func:`tokenize_bpe` — the hot path: a plain FUSED task map (it rides
+  the read operator; an actor pool would break fusion and pay startup —
+  measured 3x slower) whose trained vocab is built once per worker
+  process and cached in ``_WORKER_BPE``; each batch is pre-tokenized
+  with ONE vectorized numpy pass
   over the Arrow string buffer (byte-class boundaries, GPT-2-style
   single-space attachment), unique pre-tokens are factorized in C and
   encoded once through a persistent per-actor cache (Zipf makes the hit
@@ -74,13 +76,13 @@ def pretokenize_spans(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     # row starts/ends are always boundaries (rows may be empty / adjacent)
     boundary[starts[starts < n_bytes]] = True
     boundary[ends] = True  # ends may be n_bytes -> the sentinel slot
+    boundary[n_bytes] = True
     row_start_mask = np.zeros(n_bytes + 1, np.bool_)
     row_start_mask[starts] = True
 
     # single-space attachment: drop the boundary between ' ' and a
     # following non-ws byte when the space is a run of exactly one and
     # both bytes are inside the same row
-    i = np.arange(1, n_bytes)
     prev_is_space = data[:-1] == 0x20
     cur_not_ws = cls[1:] != _WS
     prev_single = np.ones(n_bytes - 1, np.bool_)
@@ -88,12 +90,14 @@ def pretokenize_spans(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     # (byte i-1 starts a ws run if the byte before it is non-ws or i-1 is a row start)
     attach = prev_is_space & cur_not_ws & ~row_start_mask[1:n_bytes + 1][:-1]
     attach &= prev_single
-    boundary[i[attach]] = False
+    boundary[np.flatnonzero(attach) + 1] = False
 
-    span_starts = np.flatnonzero(boundary[:n_bytes])
-    # a span ends at the next boundary
+    # Arrow string buffers are gap-free (starts[i+1] == ends[i]), so the
+    # boundary set partitions [0, n_bytes] and consecutive bound pairs ARE
+    # the spans — no per-span binary search needed
     all_bounds = np.flatnonzero(boundary)
-    span_ends = all_bounds[np.searchsorted(all_bounds, span_starts, side="right")]
+    span_starts = all_bounds[:-1]
+    span_ends = all_bounds[1:]
     # drop spans that fall in inter-row gaps or are empty rows' phantoms
     row_id = np.searchsorted(ends, span_starts, side="right")
     valid = (span_starts >= starts[np.minimum(row_id, len(starts) - 1)]) & (
@@ -101,6 +105,85 @@ def pretokenize_spans(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     )
     valid &= span_ends > span_starts
     return span_starts[valid], span_ends[valid], row_id[valid]
+
+
+# polynomial span-hash constants: odd base (invertible mod 2^64) and its
+# modular inverse, so prefix sums can be taken in Binv-weighted form and a
+# span's hash depends only on its CONTENT (relative offsets), never on its
+# absolute buffer position — which also makes chunked computation exact
+_HB = 0x9E3779B97F4A7C15
+_HBINV = pow(_HB, -1, 1 << 64)
+_U64 = np.uint64
+
+# group identical pre-tokens by vectorized span hash instead of per-
+# occurrence Python bytes; measured SLOWER on the single-socket bench box
+# (the per-byte prefix/power temporaries are ~24x the text and numpy's
+# scan kernels there are fast only for int64), so the object path is the
+# default — flip on for bandwidth-rich multi-node runs
+_SPAN_HASH = False
+
+
+def _factorize_spans(data: np.ndarray, s: np.ndarray, e: np.ndarray,
+                     chunk_bytes: int = 1 << 24):
+    """Group identical byte spans of ``data`` WITHOUT materializing a
+    Python object per occurrence: vectorized 64-bit polynomial hash →
+    int factorize → exact byte-for-byte verification of every occurrence
+    against its code's representative.
+
+    Returns ``(codes, first_idx, verified)``; ``verified=False`` signals
+    a (astronomically rare) hash collision — callers must fall back to
+    object-based grouping.  Spans must be non-overlapping and in byte
+    order (the pre-tokenizer's output).  Work is chunked so temporaries
+    stay ~24× ``chunk_bytes`` regardless of batch size."""
+    nspan = len(s)
+    wlen = (e - s).astype(np.int64)
+    h = np.empty(nspan, _U64)
+    lo = 0
+    while lo < nspan:
+        base = int(s[lo])
+        hi = int(np.searchsorted(e, base + chunk_bytes, side="left")) + 1
+        hi = max(lo + 1, min(hi, nspan))
+        seg = data[base : int(e[hi - 1])].astype(_U64)
+        m = len(seg)
+        pwinv = np.empty(m + 1, _U64)
+        pwinv[0] = 1
+        np.cumprod(np.full(m, _HBINV, _U64), out=pwinv[1:])
+        powb = np.empty(m + 1, _U64)
+        powb[0] = 1
+        np.cumprod(np.full(m, _HB, _U64), out=powb[1:])
+        prefix = np.zeros(m + 1, _U64)
+        np.cumsum((seg + _U64(1)) * pwinv[:m], out=prefix[1:])
+        sl = s[lo:hi] - base
+        el = e[lo:hi] - base
+        h[lo:hi] = (prefix[el] - prefix[sl]) * powb[sl]
+        lo = hi
+    from logray.functions.sketch import _finalize
+
+    h = _finalize(h ^ (wlen.view(_U64) * _U64(0xD6E8FEB86659FD93)))
+    codes, _ = pd.factorize(h, sort=False)
+    _, first_idx = np.unique(codes, return_index=True)
+    # exact verification: same code ⇒ identical length and identical bytes
+    rep_s = s[first_idx][codes]
+    if not np.array_equal(wlen, wlen[first_idx][codes]):
+        return codes, first_idx, False
+    cumw = np.zeros(nspan + 1, np.int64)
+    np.cumsum(wlen, out=cumw[1:])
+    lo = 0
+    while lo < nspan:
+        hi = int(np.searchsorted(cumw, cumw[lo] + chunk_bytes, side="left"))
+        hi = max(lo + 1, min(hi, nspan))
+        wl = wlen[lo:hi]
+        total = int(wl.sum())
+        if total:
+            off = np.zeros(hi - lo + 1, np.int64)
+            np.cumsum(wl, out=off[1:])
+            within = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], wl)
+            occ = np.repeat(s[lo:hi], wl) + within
+            rep = np.repeat(rep_s[lo:hi], wl) + within
+            if not np.array_equal(data[occ], data[rep]):
+                return codes, first_idx, False
+        lo = hi
+    return codes, first_idx, True
 
 
 class ByteBPE:
@@ -173,6 +256,17 @@ class ByteBPE:
     def decode(self, ids) -> str:
         return b"".join(self.vocab[int(i)] for i in ids).decode("utf-8", "replace")
 
+    def flat_vocab(self):
+        """(token_len, token_byte_offset, flat_bytes) — lazily built and
+        cached on the instance (so the per-worker vocab cache amortizes
+        it), used by the one-gather decode paths."""
+        if not hasattr(self, "_vflat"):
+            self._vlen = np.array([len(v) for v in self.vocab], np.int64)
+            self._voff = np.zeros(len(self.vocab) + 1, np.int64)
+            np.cumsum(self._vlen, out=self._voff[1:])
+            self._vflat = np.frombuffer(b"".join(self.vocab), np.uint8)
+        return self._vlen, self._voff, self._vflat
+
     def encode_table(self, t: pa.Table, text_col: str):
         """Vectorized batch encode: returns (list-of-np-int32 per row as a
         pa.ListArray, n_tokens np array)."""
@@ -189,10 +283,24 @@ class ByteBPE:
                                          pa.array([], pa.int32())),
                 np.zeros(nrows, np.int64),
             )
-        bts = data.tobytes()
-        words = [bts[a:b] for a, b in zip(s.tolist(), e.tolist())]
-        codes, uniques = pd.factorize(np.asarray(words, dtype=object), sort=False)
-        enc = [self.encode_word(u) for u in uniques]
+        verified = False
+        if _SPAN_HASH:
+            codes, first_idx, verified = _factorize_spans(data, s, e)
+        if verified:
+            # Python objects only for the UNIQUE pre-tokens (Zipf: ≪ the
+            # occurrence count), sliced zero-copy from the buffer view
+            mv = memoryview(data)
+            enc = [
+                self.encode_word(bytes(mv[a:b]))
+                for a, b in zip(s[first_idx].tolist(), e[first_idx].tolist())
+            ]
+        else:  # detected 64-bit hash collision: exact object-based grouping
+            bts = data.tobytes()
+            words = [bts[a:b] for a, b in zip(s.tolist(), e.tolist())]
+            codes, uniques = pd.factorize(
+                np.asarray(words, dtype=object), sort=False
+            )
+            enc = [self.encode_word(u) for u in uniques]
         ulen = np.array([len(x) for x in enc], np.int64)
         uflat = np.concatenate(enc) if enc else np.zeros(0, np.int32)
         ustart = np.zeros(len(enc) + 1, np.int64)
@@ -321,120 +429,173 @@ def train_bpe_on_dataset(ds, text_col: str = "text", vocab_size: int = 512) -> B
     return train_bpe(wf, max(vocab_size - 256, 0))
 
 
+# per-worker-process vocab cache: worker processes persist across tasks,
+# so a plain-function map stage gets load-once semantics WITHOUT an actor
+# pool — and, unlike an actor stage, it FUSES with the read operator
+# (measured 9.0s -> 3.1s over the 3.27M-turn bench corpus)
+_WORKER_BPE: dict = {}
+
+
+def _resolve_bpe(bpe_ref) -> "ByteBPE":
+    """ByteBPE | json-str | ObjectRef of either -> cached ByteBPE."""
+    import ray
+
+    if isinstance(bpe_ref, ByteBPE):
+        return bpe_ref
+    if isinstance(bpe_ref, ray.ObjectRef):
+        key = bpe_ref.hex()
+        hit = _WORKER_BPE.get(key)
+        if hit is None:
+            v = ray.get(bpe_ref)
+            hit = v if isinstance(v, ByteBPE) else ByteBPE.from_json(v)
+            _WORKER_BPE[key] = hit
+    else:  # JSON string (arrives with the task spec; dedup by content)
+        key = (len(bpe_ref), hash(bpe_ref))
+        hit = _WORKER_BPE.get(key)
+        if hit is None:
+            hit = ByteBPE.from_json(bpe_ref)
+            _WORKER_BPE[key] = hit
+    return hit
+
+
+def _tokenize_fn(t: pa.Table, bpe_ref=None, text_col: str = "text") -> pa.Table:
+    b = _resolve_bpe(bpe_ref)
+    lst, per_row = b.encode_table(t, text_col)
+    t = t.append_column("token_ids", lst)
+    return t.append_column("n_tokens", pa.array(per_row, pa.int64()))
+
+
 class TokenizeBatch:
-    """Actor-pool stage: the trained vocab is fetched from the object
-    store ONCE per actor (``__init__``); the per-word encode cache
-    persists across every batch the actor sees."""
+    """Actor-pool form of :func:`_tokenize_fn` (kept for callers that
+    want an explicit `(min, max)` actor pool, e.g. GPU-adjacent setups);
+    the default task-based path in :func:`tokenize_bpe` is faster on CPU
+    because it fuses with the read."""
 
     def __init__(self, bpe_ref, text_col: str = "text"):
-        import ray
-
-        b = bpe_ref
-        if isinstance(b, ray.ObjectRef):
-            b = ray.get(b)
-        if isinstance(b, str):
-            b = ByteBPE.from_json(b)
-        self.bpe = b
+        self.bpe = _resolve_bpe(bpe_ref)
         self.text_col = text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        lst, per_row = self.bpe.encode_table(t, self.text_col)
-        t = t.append_column("token_ids", lst)
-        return t.append_column("n_tokens", pa.array(per_row, pa.int64()))
+        return _tokenize_fn(t, self.bpe, self.text_col)
 
 
-def tokenize_bpe(ds, bpe, text_col: str = "text", concurrency=(1, 8),
+def tokenize_bpe(ds, bpe, text_col: str = "text", concurrency=None,
                  batch_size: int | None = None):
     """Append ``token_ids: list<int32>`` and ``n_tokens`` to every row.
 
     ``bpe`` is a :class:`ByteBPE`, its JSON, or a ``ray.ObjectRef`` of
-    either (broadcast once for cluster runs)."""
+    either (``ray.put`` it once for cluster runs with big vocabs).  The
+    stage is a plain fused task map with a per-worker vocab cache; pass a
+    ``(min, max)`` tuple as ``concurrency`` to force an actor pool."""
     import ray
 
+    if isinstance(concurrency, tuple):
+        if isinstance(bpe, ByteBPE):
+            bpe = ray.put(bpe.to_json())
+        return ds.map_batches(
+            TokenizeBatch,
+            fn_constructor_kwargs=dict(bpe_ref=bpe, text_col=text_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     if isinstance(bpe, ByteBPE):
-        bpe = ray.put(bpe.to_json())
+        bpe = bpe.to_json()
+    kw = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(
-        TokenizeBatch,
-        fn_constructor_kwargs=dict(bpe_ref=bpe, text_col=text_col),
+        _tokenize_fn,
+        fn_kwargs=dict(bpe_ref=bpe, text_col=text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
+        **kw,
     )
 
 
-class DetokenizeBatch:
-    """Actor-pool stage: token ids -> text with ONE byte gather per batch
-    (vocab flattened once per actor).  Byte-level BPE is lossless, so
+def _detokenize_fn(t: pa.Table, bpe_ref=None, ids_col: str = "token_ids",
+                   out_col: str = "text_decoded") -> pa.Table:
+    """Token ids -> text with ONE byte gather per batch (flat vocab cached
+    on the per-worker ByteBPE).  Byte-level BPE is lossless, so
     ``detokenize(tokenize(text)) == text``."""
+    b = _resolve_bpe(bpe_ref)
+    vlen, voff, vflat = b.flat_vocab()
+    col = t[ids_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.values, np.int64)
+    row_off = np.asarray(col.offsets, np.int64)
+    tok_len = vlen[flat]
+    bo = np.zeros(len(flat) + 1, np.int64)
+    np.cumsum(tok_len, out=bo[1:])
+    nb = int(bo[-1])
+    if nb:
+        gather = np.repeat(voff[flat], tok_len) + (
+            np.arange(nb, dtype=np.int64) - np.repeat(bo[:-1], tok_len)
+        )
+        data = vflat[gather]
+    else:
+        data = np.zeros(0, np.uint8)
+    raw = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(row_off) - 1,
+        [None, pa.py_buffer(bo[row_off].tobytes()),
+         pa.py_buffer(data.tobytes())],
+    )
+    try:
+        text = raw.cast(pa.string())
+    except pa.ArrowInvalid:
+        text = pa.array([v.decode("utf-8", "replace") for v in raw.to_pylist()],
+                        pa.string())
+    return t.append_column(out_col, text)
+
+
+class DetokenizeBatch:
+    """Actor-pool form of :func:`_detokenize_fn` (see TokenizeBatch)."""
 
     def __init__(self, bpe_ref, ids_col: str = "token_ids",
                  out_col: str = "text_decoded"):
-        import ray
-
-        b = bpe_ref
-        if isinstance(b, ray.ObjectRef):
-            b = ray.get(b)
-        if isinstance(b, str):
-            b = ByteBPE.from_json(b)
-        self.bpe = b
+        self.bpe = _resolve_bpe(bpe_ref)
         self.ids_col = ids_col
         self.out_col = out_col
-        self._vlen = np.array([len(v) for v in b.vocab], np.int64)
-        self._voff = np.zeros(len(b.vocab) + 1, np.int64)
-        np.cumsum(self._vlen, out=self._voff[1:])
-        self._vflat = np.frombuffer(b"".join(b.vocab), np.uint8)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        col = t[self.ids_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = np.asarray(col.values, np.int64)
-        row_off = np.asarray(col.offsets, np.int64)
-        tok_len = self._vlen[flat]
-        bo = np.zeros(len(flat) + 1, np.int64)
-        np.cumsum(tok_len, out=bo[1:])
-        nb = int(bo[-1])
-        if nb:
-            gather = np.repeat(self._voff[flat], tok_len) + (
-                np.arange(nb, dtype=np.int64) - np.repeat(bo[:-1], tok_len)
-            )
-            data = self._vflat[gather]
-        else:
-            data = np.zeros(0, np.uint8)
-        raw = pa.LargeBinaryArray.from_buffers(
-            pa.large_binary(), len(row_off) - 1,
-            [None, pa.py_buffer(bo[row_off].tobytes()),
-             pa.py_buffer(data.tobytes())],
-        )
-        try:
-            text = raw.cast(pa.string())
-        except pa.ArrowInvalid:
-            text = pa.array([v.decode("utf-8", "replace") for v in raw.to_pylist()],
-                            pa.string())
-        return t.append_column(self.out_col, text)
+        return _detokenize_fn(t, self.bpe, self.ids_col, self.out_col)
 
 
 def detokenize(ds, bpe, ids_col: str = "token_ids",
-               out_col: str = "text_decoded", concurrency=(1, 8)):
-    """Append ``out_col`` = decoded text of ``ids_col``."""
+               out_col: str = "text_decoded", concurrency=None):
+    """Append ``out_col`` = decoded text of ``ids_col``.  Fused task map
+    by default; pass a ``(min, max)`` tuple to force an actor pool."""
     import ray
 
+    if isinstance(concurrency, tuple):
+        if isinstance(bpe, ByteBPE):
+            bpe = ray.put(bpe.to_json())
+        return ds.map_batches(
+            DetokenizeBatch,
+            fn_constructor_kwargs=dict(bpe_ref=bpe, ids_col=ids_col,
+                                       out_col=out_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+            concurrency=concurrency,
+        )
     if isinstance(bpe, ByteBPE):
-        bpe = ray.put(bpe.to_json())
+        bpe = bpe.to_json()
+    kw = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(
-        DetokenizeBatch,
-        fn_constructor_kwargs=dict(bpe_ref=bpe, ids_col=ids_col, out_col=out_col),
+        _detokenize_fn,
+        fn_kwargs=dict(bpe_ref=bpe, ids_col=ids_col, out_col=out_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,
-        concurrency=concurrency,
+        **kw,
     )
 
 
 def chunk_documents_tokens(ds, bpe, max_tokens: int = 512,
                            overlap_tokens: int = 64, text_col: str = "text",
-                           id_col: str = "doc_id", concurrency=(1, 8)):
+                           id_col: str = "doc_id", concurrency=None):
     """Token-budget chunking: window each document by TOKENS.
 
     ``step = max_tokens - overlap_tokens``; a document of T tokens yields
@@ -444,106 +605,93 @@ def chunk_documents_tokens(ds, bpe, max_tokens: int = 512,
     ``chunk_text`` (byte-level BPE decode is lossless, so the chunks
     concatenate — minus window overlaps — back to the document).
     Null-text documents are dropped.  Output: (id_col, chunk_idx,
-    token_ids, n_tokens, chunk_text)."""
-    import ray
-
+    token_ids, n_tokens, chunk_text).  Fused task map with the
+    per-worker vocab cache (``concurrency`` caps concurrent tasks)."""
     if overlap_tokens >= max_tokens:
         raise ValueError("overlap_tokens must be < max_tokens")
     step = max_tokens - overlap_tokens
     if isinstance(bpe, ByteBPE):
-        bpe = ray.put(bpe.to_json())
+        bpe = bpe.to_json()
 
-    class ChunkTok:
-        def __init__(self, bpe_ref):
-            b = bpe_ref
-            if isinstance(b, ray.ObjectRef):
-                b = ray.get(b)
-            if isinstance(b, str):
-                b = ByteBPE.from_json(b)
-            self.bpe = b
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t[text_col].null_count:
-                t = t.filter(pa.compute.is_valid(t[text_col]))
-            lst, per_row = self.bpe.encode_table(t, text_col)
-            flat = np.asarray(lst.values, np.int32)
-            row_off = np.asarray(lst.offsets, np.int64)
-            T = per_row
-            n_chunks = np.maximum((T - overlap_tokens + step - 1) // step, 1)
-            total = int(n_chunks.sum())
-            parent = np.repeat(np.arange(len(T), dtype=np.int64), n_chunks)
-            coffs = np.zeros(len(T) + 1, np.int64)
-            np.cumsum(n_chunks, out=coffs[1:])
-            chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(coffs[:-1], n_chunks)
-            cstart = chunk_idx * step
-            cend = np.minimum(cstart + max_tokens, T[parent])
-            clen = np.maximum(cend - cstart, 0)
-            abs_start = row_off[:-1][parent] + cstart
-            o = np.zeros(total + 1, np.int64)
-            np.cumsum(clen, out=o[1:])
-            tot_ids = int(o[-1])
-            if tot_ids:
-                gather = np.repeat(abs_start, clen) + (
-                    np.arange(tot_ids, dtype=np.int64) - np.repeat(o[:-1], clen)
-                )
-                cflat = flat[gather]
-            else:
-                cflat = np.zeros(0, np.int32)
-            ids_arr = pa.ListArray.from_arrays(pa.array(o, pa.int32()),
-                                               pa.array(cflat, pa.int32()))
-            # decode chunk text with ONE byte gather (byte-level BPE is a
-            # byte partition): vocab flattened once per actor, then the
-            # same repeat/cumsum trick maps token ids -> chunk byte runs
-            if not hasattr(self, "_vflat"):
-                vocab_bytes = self.bpe.vocab
-                self._vlen = np.array([len(v) for v in vocab_bytes], np.int64)
-                self._voff = np.zeros(len(vocab_bytes) + 1, np.int64)
-                np.cumsum(self._vlen, out=self._voff[1:])
-                self._vflat = np.frombuffer(b"".join(vocab_bytes), np.uint8)
-            tok_len = self._vlen[cflat]
-            bo = np.zeros(tot_ids + 1, np.int64)
-            np.cumsum(tok_len, out=bo[1:])
-            nb = int(bo[-1])
-            if nb:
-                bgather = np.repeat(self._voff[cflat], tok_len) + (
-                    np.arange(nb, dtype=np.int64) - np.repeat(bo[:-1], tok_len)
-                )
-                chunk_bytes = self._vflat[bgather]
-            else:
-                chunk_bytes = np.zeros(0, np.uint8)
-            # chunk byte offsets = token-boundary offsets at each chunk edge
-            chunk_boff = bo[o]
-            raw = pa.LargeBinaryArray.from_buffers(
-                pa.large_binary(), total, [None,
-                pa.py_buffer(chunk_boff.tobytes()),
-                pa.py_buffer(chunk_bytes.tobytes())],
+    def chunk_fn(t: pa.Table, bpe_ref=None) -> pa.Table:
+        b = _resolve_bpe(bpe_ref)
+        if t[text_col].null_count:
+            t = t.filter(pa.compute.is_valid(t[text_col]))
+        lst, per_row = b.encode_table(t, text_col)
+        flat = np.asarray(lst.values, np.int32)
+        row_off = np.asarray(lst.offsets, np.int64)
+        T = per_row
+        n_chunks = np.maximum((T - overlap_tokens + step - 1) // step, 1)
+        total = int(n_chunks.sum())
+        parent = np.repeat(np.arange(len(T), dtype=np.int64), n_chunks)
+        coffs = np.zeros(len(T) + 1, np.int64)
+        np.cumsum(n_chunks, out=coffs[1:])
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(coffs[:-1], n_chunks)
+        cstart = chunk_idx * step
+        cend = np.minimum(cstart + max_tokens, T[parent])
+        clen = np.maximum(cend - cstart, 0)
+        abs_start = row_off[:-1][parent] + cstart
+        o = np.zeros(total + 1, np.int64)
+        np.cumsum(clen, out=o[1:])
+        tot_ids = int(o[-1])
+        if tot_ids:
+            gather = np.repeat(abs_start, clen) + (
+                np.arange(tot_ids, dtype=np.int64) - np.repeat(o[:-1], clen)
             )
-            try:
-                # fast path: the cast VALIDATES UTF-8 (zero-copy when clean)
-                chunk_text = raw.cast(pa.string())
-            except pa.ArrowInvalid:
-                # a token-granularity window can split a multi-byte char
-                # whose bytes stayed unmerged base tokens — repair those
-                # edges with replacement chars (rare: only chunks at a
-                # mid-character boundary)
-                chunk_text = pa.array(
-                    [v.decode("utf-8", "replace") for v in raw.to_pylist()],
-                    pa.string(),
-                )
-            ids = pa.compute.take(t[id_col], pa.array(parent))
-            return pa.table({
-                id_col: ids,
-                "chunk_idx": pa.array(chunk_idx),
-                "token_ids": ids_arr,
-                "n_tokens": pa.array(clen),
-                "chunk_text": chunk_text,
-            })
+            cflat = flat[gather]
+        else:
+            cflat = np.zeros(0, np.int32)
+        ids_arr = pa.ListArray.from_arrays(pa.array(o, pa.int32()),
+                                           pa.array(cflat, pa.int32()))
+        # decode chunk text with ONE byte gather (byte-level BPE is a
+        # byte partition): the same repeat/cumsum trick maps token ids
+        # -> chunk byte runs over the cached flat vocab
+        vlen, voff, vflat = b.flat_vocab()
+        tok_len = vlen[cflat]
+        bo = np.zeros(tot_ids + 1, np.int64)
+        np.cumsum(tok_len, out=bo[1:])
+        nb = int(bo[-1])
+        if nb:
+            bgather = np.repeat(voff[cflat], tok_len) + (
+                np.arange(nb, dtype=np.int64) - np.repeat(bo[:-1], tok_len)
+            )
+            chunk_bytes = vflat[bgather]
+        else:
+            chunk_bytes = np.zeros(0, np.uint8)
+        # chunk byte offsets = token-boundary offsets at each chunk edge
+        chunk_boff = bo[o]
+        raw = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), total, [None,
+            pa.py_buffer(chunk_boff.tobytes()),
+            pa.py_buffer(chunk_bytes.tobytes())],
+        )
+        try:
+            # fast path: the cast VALIDATES UTF-8 (zero-copy when clean)
+            chunk_text = raw.cast(pa.string())
+        except pa.ArrowInvalid:
+            # a token-granularity window can split a multi-byte char
+            # whose bytes stayed unmerged base tokens — repair those
+            # edges with replacement chars (rare: only chunks at a
+            # mid-character boundary)
+            chunk_text = pa.array(
+                [v.decode("utf-8", "replace") for v in raw.to_pylist()],
+                pa.string(),
+            )
+        ids = pa.compute.take(t[id_col], pa.array(parent))
+        return pa.table({
+            id_col: ids,
+            "chunk_idx": pa.array(chunk_idx),
+            "token_ids": ids_arr,
+            "n_tokens": pa.array(clen),
+            "chunk_text": chunk_text,
+        })
 
+    kw = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(
-        ChunkTok,
-        fn_constructor_kwargs=dict(bpe_ref=bpe),
+        chunk_fn,
+        fn_kwargs=dict(bpe_ref=bpe),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,
-        concurrency=concurrency,
+        **kw,
     )

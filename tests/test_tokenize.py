@@ -208,3 +208,50 @@ def test_detokenize_roundtrip_dataset(ray_session, pinned_bpe):
     out = (detokenize(tokenize_bpe(ds, pinned_bpe), pinned_bpe)
            .to_pandas().sort_values("doc_id"))
     assert (out["text_decoded"] == out["text"]).all()
+
+
+def test_factorize_spans_matches_object_grouping():
+    # fuzz: hash-based span grouping must agree exactly with Python-object
+    # grouping, including with a tiny chunk budget that forces the chunked
+    # prefix-hash and chunked verification paths
+    from logray.functions.tokenize import _factorize_spans, pretokenize_spans
+
+    rng = np.random.default_rng(42)
+    vocab = [b"the", b"cat", b"sat", b"  ", b"42", b"\xc3\xa9", b".", b"a"]
+    rows = [
+        b"".join(rng.choice(vocab, size=rng.integers(0, 30)).tolist())
+        for _ in range(200)
+    ]
+    col = pa.array([r.decode("latin-1") for r in rows])
+    data, starts, ends = _string_buffer_views(col)
+    s, e, _ = pretokenize_spans(data, starts, ends)
+    bts = data.tobytes()
+    words = np.asarray([bts[a:b] for a, b in zip(s.tolist(), e.tolist())],
+                       dtype=object)
+    want_codes, want_uniq = pd.factorize(words, sort=False)
+    for chunk in (1 << 24, 17):
+        codes, first_idx, verified = _factorize_spans(data, s, e,
+                                                      chunk_bytes=chunk)
+        assert verified
+        # same partition into groups and same representative bytes
+        assert np.array_equal(codes, want_codes)
+        got_uniq = [bts[s[i]:e[i]] for i in first_idx.tolist()]
+        assert got_uniq == list(want_uniq)
+
+
+def test_factorize_spans_collision_detection():
+    # force every hash equal: verification must catch differing spans
+    from logray.functions import tokenize as tk
+
+    data = np.frombuffer(b"abcxyz", np.uint8)
+    s = np.array([0, 3], np.int64)
+    e = np.array([3, 6], np.int64)
+    import logray.functions.sketch as sk
+
+    real = sk._finalize
+    try:
+        sk._finalize = lambda v: np.zeros_like(v)
+        codes, first_idx, verified = tk._factorize_spans(data, s, e)
+        assert not verified
+    finally:
+        sk._finalize = real
