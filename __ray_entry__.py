@@ -1150,6 +1150,23 @@ def _q_lag_lead_events(sf_dir: str):
     ).to_pandas()
 
 
+def _q_rank_orders(sf_dir: str):
+    """ROW_NUMBER / RANK / DENSE_RANK per customer over order dates
+    (bucketed shuffle + one segmented vectorized pass; ties on the date
+    exercise the rank-vs-dense-rank gap)."""
+    import ray.data as rd
+
+    from logray.stages.windowfn import rank_window
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    return rank_window(
+        ds, "o_custkey", "o_orderdate", tiebreak_col="o_orderkey"
+    ).to_pandas()
+
+
 def _q_rolling_events(sf_dir: str):
     """Trailing 4-row rolling sum/count/mean of event value (cents) per
     user — cumsum-difference kernel, exact vs a SQL ROWS frame."""
@@ -1399,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _q_hopping_window,
         "lag_lead_events": _q_lag_lead_events,
         "rolling_events": _q_rolling_events,
+        "rank_orders": _q_rank_orders,
         "topk_per_key": _q_topk_per_key,
         "stratified_split": _q_stratified_split,
         "chunk_docs": _q_chunk_docs,
@@ -1455,7 +1473,11 @@ def oracle_sql() -> dict[str, str]:
         topk_per_key_sql,
     )
     from logray.stages.window import hopping_window_sql
-    from logray.stages.windowfn import lag_lead_sql, rolling_agg_sql
+    from logray.stages.windowfn import (
+        lag_lead_sql,
+        rank_window_sql,
+        rolling_agg_sql,
+    )
     from logray.functions.pii import redact_pii_sql
     from logray.functions.quality import gopher_quality_sql
     from logray.functions.decontam import decontaminate_sql
@@ -1488,6 +1510,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(value*100) AS BIGINT) AS cents FROM events) ev",
             "user_id", "ts", "cents", window=4, tiebreak_col="event_id",
             cols="user_id, ts, event_id, cents",
+        ),
+        "rank_orders": rank_window_sql(
+            "orders", "o_custkey", "o_orderdate", tiebreak_col="o_orderkey",
+            cols="o_orderkey, o_custkey, o_orderdate",
         ),
         "chunk_docs": chunk_documents_sql(
             "documents", chunk_chars=200, overlap_chars=50

@@ -30,6 +30,7 @@ from logray.stages.join import (
     hash_join,
     range_join,
 )
+from logray.stages.windowfn import lag_lead, rank_window, rolling_agg
 from logray.stages.window import (
     hopping_window,
     salted_histogram,
@@ -75,6 +76,9 @@ __all__ = [
     "broadcast_anti_join",
     "hash_join",
     "range_join",
+    "lag_lead",
+    "rank_window",
+    "rolling_agg",
     "salted_histogram",
     "sessionize",
     "sessions_per_key",

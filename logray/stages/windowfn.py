@@ -167,3 +167,52 @@ def rolling_agg_sql(table: str, key_col: str, order_col: str, value_col: str,
         f"FROM {table} WINDOW w AS "
         f"(PARTITION BY {key_col} ORDER BY {order} {frame})"
     )
+
+
+def rank_window(ds, key_col: str, order_col: str,
+                tiebreak_col: str | None = None, num_buckets: int = 32):
+    """Append SQL ``row_num`` / ``rnk`` / ``dense_rnk`` per key partition.
+
+    ``row_num`` numbers rows by (order, tiebreak) — pass a tiebreak for a
+    deterministic result; ``rnk`` / ``dense_rnk`` follow SQL semantics:
+    computed over ``order_col`` alone, ties share a rank (RANK leaves
+    gaps, DENSE_RANK doesn't), and null order values tie with each other
+    (SQL treats nulls as equal in ORDER BY ranking, sorted last)."""
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, run_id, first = _sorted_runs(g, key_col, order_cols)
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        # a "step" is a run start or a change in the order value (nulls
+        # pooled, same contract as run_starts)
+        step = run_starts(g[order_col].to_numpy())
+        step |= idx == first  # run starts always begin a step
+        last_step = np.maximum.accumulate(np.where(step, idx, 0))
+        csteps = np.cumsum(step.astype(np.int64))
+        g["row_num"] = idx - first + 1
+        g["rnk"] = last_step - first + 1
+        g["dense_rnk"] = csteps - (csteps[first] - 1)
+        return g.drop(columns="__b")
+
+    return (
+        ds.map_batches(_bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def rank_window_sql(table: str, key_col: str, order_col: str,
+                    tiebreak_col: str | None = None,
+                    cols: str | None = None) -> str:
+    """DuckDB twin of :func:`rank_window`."""
+    rn_order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    cols = cols or "*"
+    return (
+        f"SELECT {cols}, "
+        f"ROW_NUMBER() OVER (PARTITION BY {key_col} ORDER BY {rn_order}) AS row_num, "
+        f"RANK() OVER (PARTITION BY {key_col} ORDER BY {order_col}) AS rnk, "
+        f"DENSE_RANK() OVER (PARTITION BY {key_col} ORDER BY {order_col}) AS dense_rnk "
+        f"FROM {table}"
+    )

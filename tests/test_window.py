@@ -429,3 +429,61 @@ def test_rolling_agg_nulls_and_window_one(ray_session):
     assert got["roll_n"].tolist() == [1, 1, 1, 1, 0]
     assert got["roll_sum"].tolist()[:4] == [1.0, 1.0, 3.0, 3.0]
     assert np.isnan(got["roll_sum"].iloc[4]) and np.isnan(got["roll_mean"].iloc[4])
+
+
+def test_rank_window_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.windowfn import rank_window, rank_window_sql
+
+    # low-cardinality order column -> real ties, so RANK gaps and
+    # DENSE_RANK compaction are actually exercised
+    rng = np.random.default_rng(5)
+    n = 2000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 25, n).astype("int64")),
+            "ord": pa.array(rng.integers(0, 8, n).astype("int64")),
+            "id": pa.array(np.arange(n, dtype="int64")),
+        }
+    )
+    got = (
+        rank_window(rd.from_arrow(t).repartition(6), "k", "ord",
+                    tiebreak_col="id", num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "ord", "id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql(
+        rank_window_sql("t", "k", "ord", tiebreak_col="id")
+        + " ORDER BY k, ord, id"
+    ).df()
+    cols = ["k", "ord", "id", "row_num", "rnk", "dense_rnk"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+
+
+def test_rank_window_null_order_values(ray_session):
+    import ray.data as rd
+
+    from logray.stages.windowfn import rank_window
+
+    # nulls sort last and TIE with each other (SQL ranking semantics)
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1], pa.int64()),
+            "ord": pa.array([2.0, None, None, 1.0], pa.float64()),
+            "id": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    out = (
+        rank_window(rd.from_arrow(t), "k", "ord", tiebreak_col="id")
+        .to_pandas()
+        .sort_values("row_num")
+        .reset_index(drop=True)
+    )
+    assert out["id"].tolist() == [3, 0, 1, 2]
+    assert out["rnk"].tolist() == [1, 2, 3, 3]
+    assert out["dense_rnk"].tolist() == [1, 2, 3, 3]
