@@ -909,6 +909,21 @@ def _q_explode_embeddings(sf_dir: str):
     )
 
 
+_REGEX_DOCS_PAT = r"(?P<prev>[a-z]+) (?P<kw>spark|window)"
+
+
+def _q_regex_extract_docs(sf_dir: str):
+    """Named-group regex extraction (RE2 both engines; non-matching rows
+    null via struct-validity pushdown; functions/textclean.py)."""
+    import ray.data as rd
+
+    from logray.functions.textclean import regexp_extract
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = regexp_extract(ds, "text", _REGEX_DOCS_PAT)
+    return out.select_columns(["doc_id", "prev", "kw"]).to_pandas()
+
+
 def _q_clean_text(sf_dir: str):
     """Vectorized RE2 text cleaning with a bit-identical DuckDB twin
     (both engines run RE2)."""
@@ -1437,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_users": _q_except_users,
         "heavy_hitters": _q_heavy_hitters,
         "explode_embeddings": _q_explode_embeddings,
+        "regex_extract_docs": _q_regex_extract_docs,
         "clean_text": _q_clean_text,
     }
 
@@ -1466,7 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         stratified_split_sql,
     )
     from logray.functions.chunking import chunk_documents_sql
-    from logray.functions.textclean import clean_text_sql
+    from logray.functions.textclean import clean_text_sql, regexp_extract_sql
     from logray.stages.aggregate import (
         grouped_quantiles_sql,
         pivot_agg_sql,
@@ -1565,6 +1581,13 @@ def oracle_sql() -> dict[str, str]:
         "clean_text": (
             f"SELECT doc_id, {clean_text_sql('text', lower=True)} AS cleaned "
             "FROM documents"
+        ),
+        "regex_extract_docs": (
+            "SELECT doc_id, "
+            + regexp_extract_sql("text", _REGEX_DOCS_PAT, 1, "prev")
+            + ", "
+            + regexp_extract_sql("text", _REGEX_DOCS_PAT, 2, "kw")
+            + " FROM documents"
         ),
         "pii_redact": (
             f"SELECT doc_id, {redact_pii_sql(f'({_PII_SUFFIX_SQL})')} "

@@ -53,3 +53,41 @@ def clean_text_sql(col: str, lower: bool = False, collapse_ws: bool = True,
     if lower:
         e = f"lower({e})"
     return e
+
+
+def regexp_extract_table(t: pa.Table, col: str, pattern: str) -> pa.Table:
+    """Append one column per NAMED capture group of ``pattern``
+    (RE2 via Arrow ``extract_regex``); all groups null when the pattern
+    doesn't match.  Mirrors the reference's per-field extraction contract
+    (src/line_parsing/parsing_basics.cpp:41-69) for free-form regexes."""
+    st = pc.extract_regex(t[col], pattern=pattern)
+    if isinstance(st, pa.ChunkedArray):
+        st = st.combine_chunks()
+    # a non-match is a null STRUCT whose children still read '' — push
+    # the struct validity down into each extracted column
+    valid = st.is_valid()
+    for field in st.type:
+        child = pc.if_else(valid, st.field(field.name),
+                           pa.scalar(None, field.type))
+        t = t.append_column(field.name, child)
+    return t
+
+
+def regexp_extract(ds, col: str, pattern: str):
+    """Dataset-level named-group extraction (fuses into the read)."""
+    return ds.map_batches(
+        lambda t: regexp_extract_table(t, col, pattern),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+def regexp_extract_sql(col: str, pattern: str, group_idx: int,
+                       name: str) -> str:
+    """DuckDB expression for ONE group of :func:`regexp_extract`: null
+    (not DuckDB's default '') when the row doesn't match, matching
+    Arrow's null-struct semantics."""
+    p = pattern.replace("'", "''")
+    return (
+        f"CASE WHEN regexp_matches({col}, '{p}') "
+        f"THEN regexp_extract({col}, '{p}', {group_idx}) END AS {name}"
+    )

@@ -1283,3 +1283,36 @@ def test_heavy_hitters_guards_and_empty(ray_session):
     counts[7] = 500
     it2, c2 = _mg_compress(items, counts, 10)
     assert 7 in it2 and len(it2) <= 10
+
+
+def test_regexp_extract_matches_duckdb():
+    import duckdb
+
+    from logray.functions.textclean import (
+        regexp_extract_sql,
+        regexp_extract_table,
+    )
+
+    rows = ["abc 123 def", "no digits here", "", "42", "x-7.5y",
+            "émile 007", "key=val;key2=val2", None, "UPPER lower 99x"]
+    pat = r"(?P<word>[a-z]+)[ =](?P<num>[0-9]+)"
+    t = pa.table({"s": rows})
+    got = regexp_extract_table(t, "s", pat).to_pandas()[["word", "num"]]
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    sql = ", ".join([regexp_extract_sql("s", pat, 1, "word"),
+                     regexp_extract_sql("s", pat, 2, "num")])
+    want = con.sql(f"SELECT {sql} FROM t").df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_regexp_extract_dataset(ray_session):
+    import ray.data as rd
+
+    from logray.functions.textclean import regexp_extract
+
+    ds = rd.from_items([{"s": "go 7"}, {"s": "nope"}])
+    out = regexp_extract(ds, "s", r"(?P<n>[0-9]+)").to_pandas()
+    vals = out.sort_values("s")["n"].tolist()  # "go 7" < "nope"
+    assert vals[0] == "7"
+    assert vals[1] is None
