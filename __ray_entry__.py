@@ -1165,6 +1165,20 @@ def _q_lag_lead_events(sf_dir: str):
     ).to_pandas()
 
 
+def _q_collect_events(sf_dir: str):
+    """Ordered ARRAY_AGG per user (inverse of explode; one bucket
+    shuffle + run-boundary split; stages/reshape.py)."""
+    import ray.data as rd
+
+    from logray.stages.reshape import collect_list
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    return collect_list(
+        ds, "user_id", "event_id", "ts", tiebreak_col="event_id",
+        out_col="event_ids",
+    ).to_pandas()
+
+
 def _q_rank_orders(sf_dir: str):
     """ROW_NUMBER / RANK / DENSE_RANK per customer over order dates
     (bucketed shuffle + one segmented vectorized pass; ties on the date
@@ -1432,6 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_lead_events": _q_lag_lead_events,
         "rolling_events": _q_rolling_events,
         "rank_orders": _q_rank_orders,
+        "collect_events": _q_collect_events,
         "topk_per_key": _q_topk_per_key,
         "stratified_split": _q_stratified_split,
         "chunk_docs": _q_chunk_docs,
@@ -1527,6 +1542,11 @@ def oracle_sql() -> dict[str, str]:
             "user_id", "ts", "cents", window=4, tiebreak_col="event_id",
             cols="user_id, ts, event_id, cents",
         ),
+        "collect_events": """
+            SELECT user_id,
+                   list(event_id ORDER BY ts, event_id) AS event_ids
+            FROM events GROUP BY user_id
+        """,
         "rank_orders": rank_window_sql(
             "orders", "o_custkey", "o_orderdate", tiebreak_col="o_orderkey",
             cols="o_orderkey, o_custkey, o_orderdate",

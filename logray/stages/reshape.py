@@ -13,10 +13,11 @@ NULL and empty lists emit no rows (SQL UNNEST semantics).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["explode_list"]
+__all__ = ["collect_list", "explode_list"]
 
 
 def explode_list(ds, list_col: str, id_cols=None, val_col: str | None = None,
@@ -46,3 +47,42 @@ def explode_list(ds, list_col: str, id_cols=None, val_col: str | None = None,
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def collect_list(ds, key_col: str, value_col: str, order_col: str,
+                 tiebreak_col: str | None = None, num_buckets: int = 32,
+                 out_col: str | None = None):
+    """The inverse of :func:`explode_list`: SQL
+    ``list(value ORDER BY order, tiebreak) GROUP BY key``.
+
+    Scale shape (same as sessionize / rank_window): ONE ``hash(key) % B``
+    bucket shuffle, then a single mergesort + run-boundary split per
+    bucket — group count is ``num_buckets``, never the key cardinality.
+    Output: one row per key with ``out_col`` = the ordered value array."""
+    from logray.stages.bucketing import bucket_tagger, run_starts
+
+    out = out_col or f"{value_col}_list"
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # return a real Arrow list column (NOT a pandas object column of
+        # arrays, which Ray would wrap in its tensor extension type and
+        # break list kernels downstream, e.g. explode_list)
+        g = g.sort_values([key_col] + order_cols,
+                          kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        starts = np.flatnonzero(run_starts(g[key_col].to_numpy()))
+        offsets = np.append(starts, n).astype(np.int64)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.Array.from_pandas(g[value_col])
+        )
+        return pa.table(
+            {key_col: pa.Array.from_pandas(g[key_col].iloc[starts]), out: lst}
+        )
+
+    return (
+        ds.map_batches(bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -12,6 +12,7 @@ import pytest
 import ray.data as rd
 
 from logray.stages import explode_list
+from logray.stages.reshape import collect_list
 
 
 def _table():
@@ -84,3 +85,50 @@ def test_explode_empty_batch(ray_session):
     out = captured["fn"](tab)
     assert out.num_rows == 0
     assert out.column_names == ["doc_id", "pos", "vals"]
+
+
+def test_collect_list_matches_duckdb(ray_session):
+    import duckdb
+
+    from logray.stages.reshape import collect_list
+
+    rng = np.random.default_rng(3)
+    n = 1500
+    tab = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 30, n).astype("int64")),
+            "ord": pa.array(rng.permutation(n).astype("int64")),
+            "v": pa.array(rng.integers(-5, 5, n).astype("int64")),
+        }
+    )
+    out = (
+        collect_list(rd.from_arrow(tab).repartition(6), "k", "v", "ord",
+                     num_buckets=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tab.to_pandas())
+    want = con.sql(
+        "SELECT k, list(v ORDER BY ord) AS v_list FROM t GROUP BY k ORDER BY k"
+    ).df()
+    assert out["k"].tolist() == want["k"].tolist()
+    for a, b in zip(out["v_list"], want["v_list"]):
+        assert list(a) == list(b)
+
+
+def test_collect_list_roundtrip_with_explode(ray_session):
+    # explode(collect(x)) == x
+    tab = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2, 2], pa.int64()),
+            "ord": pa.array([2, 1, 30, 10, 20], pa.int64()),
+            "v": pa.array([20, 10, 300, 100, 200], pa.int64()),
+        }
+    )
+    coll = collect_list(rd.from_arrow(tab), "k", "v", "ord")
+    back = explode_list(coll, "v_list", id_cols="k", val_col="v").to_pandas()
+    back = back.sort_values(["k", "pos"]).reset_index(drop=True)
+    assert back["v"].tolist() == [10, 20, 100, 200, 300]
+    assert back["pos"].tolist() == [1, 2, 1, 2, 3]
