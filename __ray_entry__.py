@@ -1165,6 +1165,31 @@ def _q_lag_lead_events(sf_dir: str):
     ).to_pandas()
 
 
+def _q_cumulative_events(sf_dir: str):
+    """Per-user running totals (EXPANDING frame = ROWS UNBOUNDED
+    PRECEDING; same cumsum kernel with lo pinned at the run start)."""
+    import ray.data as rd
+
+    from logray.stages.windowfn import rolling_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return t.drop_columns(["value"]).append_column("cents", c)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return rolling_agg(
+        ds, "user_id", "ts", "cents", window=None, tiebreak_col="event_id"
+    ).to_pandas()
+
+
 def _q_collect_events(sf_dir: str):
     """Ordered ARRAY_AGG per user (inverse of explode; one bucket
     shuffle + run-boundary split; stages/reshape.py)."""
@@ -1192,7 +1217,7 @@ def _q_rank_orders(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
     return rank_window(
-        ds, "o_custkey", "o_orderdate", tiebreak_col="o_orderkey"
+        ds, "o_custkey", "o_orderdate", tiebreak_col="o_orderkey", ntile=4
     ).to_pandas()
 
 
@@ -1447,6 +1472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_events": _q_rolling_events,
         "rank_orders": _q_rank_orders,
         "collect_events": _q_collect_events,
+        "cumulative_events": _q_cumulative_events,
         "topk_per_key": _q_topk_per_key,
         "stratified_split": _q_stratified_split,
         "chunk_docs": _q_chunk_docs,
@@ -1542,6 +1568,12 @@ def oracle_sql() -> dict[str, str]:
             "user_id", "ts", "cents", window=4, tiebreak_col="event_id",
             cols="user_id, ts, event_id, cents",
         ),
+        "cumulative_events": rolling_agg_sql(
+            "(SELECT user_id, ts, event_id, "
+            "CAST(round(value*100) AS BIGINT) AS cents FROM events) ev",
+            "user_id", "ts", "cents", window=None, tiebreak_col="event_id",
+            cols="user_id, ts, event_id, cents",
+        ),
         "collect_events": """
             SELECT user_id,
                    list(event_id ORDER BY ts, event_id) AS event_ids
@@ -1549,7 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rank_orders": rank_window_sql(
             "orders", "o_custkey", "o_orderdate", tiebreak_col="o_orderkey",
-            cols="o_orderkey, o_custkey, o_orderdate",
+            cols="o_orderkey, o_custkey, o_orderdate", ntile=4,
         ),
         "chunk_docs": chunk_documents_sql(
             "documents", chunk_chars=200, overlap_chars=50

@@ -95,13 +95,14 @@ def lag_lead_sql(table: str, key_col: str, order_col: str, value_col: str,
 
 
 def rolling_agg(ds, key_col: str, order_col: str, value_col: str,
-                window: int, tiebreak_col: str | None = None,
+                window: int | None, tiebreak_col: str | None = None,
                 num_buckets: int = 32):
     """Trailing-frame aggregates per row: SQL
     ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW`` over the key
-    partition ordered by (order, tiebreak).  Appends ``roll_sum``,
-    ``roll_n`` (non-null count) and ``roll_mean`` (= sum / n, null for
-    an all-null frame).
+    partition ordered by (order, tiebreak); ``window=None`` is the
+    EXPANDING frame (``ROWS UNBOUNDED PRECEDING`` — running totals).
+    Appends ``roll_sum``, ``roll_n`` (non-null count) and ``roll_mean``
+    (= sum / n, null for an all-null frame).
 
     Integer inputs sum exactly in int64 (roll_sum stays int64); float
     inputs sum via float64 cumsum differences — for bit-exact parity
@@ -129,7 +130,7 @@ def rolling_agg(ds, key_col: str, order_col: str, value_col: str,
         csum = np.cumsum(v0)
         cnt = np.cumsum(nn.astype(np.int64))
         idx = np.arange(n, dtype=np.int64)
-        lo = np.maximum(first, idx - (window - 1))
+        lo = first if window is None else np.maximum(first, idx - (window - 1))
         prev = lo - 1
         has_prev = prev >= 0
         base_s = np.where(has_prev, csum[np.clip(prev, 0, None)], 0)
@@ -152,12 +153,16 @@ def rolling_agg(ds, key_col: str, order_col: str, value_col: str,
 
 
 def rolling_agg_sql(table: str, key_col: str, order_col: str, value_col: str,
-                    window: int, tiebreak_col: str | None = None,
+                    window: int | None, tiebreak_col: str | None = None,
                     cols: str | None = None) -> str:
     """DuckDB twin of :func:`rolling_agg` for an integer, non-null value
     column (exact int64 sums; mean = exact-int division in float64)."""
     order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
-    frame = f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    frame = (
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if window is None
+        else f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    )
     cols = cols or "*"
     return (
         f"SELECT {cols}, "
@@ -170,14 +175,17 @@ def rolling_agg_sql(table: str, key_col: str, order_col: str, value_col: str,
 
 
 def rank_window(ds, key_col: str, order_col: str,
-                tiebreak_col: str | None = None, num_buckets: int = 32):
+                tiebreak_col: str | None = None, num_buckets: int = 32,
+                ntile: int | None = None):
     """Append SQL ``row_num`` / ``rnk`` / ``dense_rnk`` per key partition.
 
     ``row_num`` numbers rows by (order, tiebreak) — pass a tiebreak for a
     deterministic result; ``rnk`` / ``dense_rnk`` follow SQL semantics:
     computed over ``order_col`` alone, ties share a rank (RANK leaves
     gaps, DENSE_RANK doesn't), and null order values tie with each other
-    (SQL treats nulls as equal in ORDER BY ranking, sorted last)."""
+    (SQL treats nulls as equal in ORDER BY ranking, sorted last).
+    ``ntile=n`` also appends ``tile``: rows split into n near-equal
+    groups, the first ``len % n`` groups one row larger (SQL NTILE)."""
     order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -193,6 +201,21 @@ def rank_window(ds, key_col: str, order_col: str,
         g["row_num"] = idx - first + 1
         g["rnk"] = last_step - first + 1
         g["dense_rnk"] = csteps - (csteps[first] - 1)
+        if ntile is not None:
+            # run length via the NEXT run's first index (sentinel n)
+            nxt = np.append(first[run_starts(g[key_col].to_numpy())], n) \
+                if n else np.array([0], np.int64)
+            run_len = (nxt[1:] - nxt[:-1])[run_id] if n else np.zeros(0, np.int64)
+            i = idx - first
+            q, r = run_len // ntile, run_len % ntile
+            big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tile = np.where(
+                    i < big,
+                    i // np.maximum(q + 1, 1),
+                    r + (i - big) // np.maximum(q, 1),
+                )
+            g["tile"] = tile + 1
         return g.drop(columns="__b")
 
     return (
@@ -205,14 +228,19 @@ def rank_window(ds, key_col: str, order_col: str,
 
 def rank_window_sql(table: str, key_col: str, order_col: str,
                     tiebreak_col: str | None = None,
-                    cols: str | None = None) -> str:
+                    cols: str | None = None,
+                    ntile: int | None = None) -> str:
     """DuckDB twin of :func:`rank_window`."""
     rn_order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
     cols = cols or "*"
+    tile = (
+        f", NTILE({ntile}) OVER (PARTITION BY {key_col} ORDER BY {rn_order}) AS tile"
+        if ntile is not None else ""
+    )
     return (
         f"SELECT {cols}, "
         f"ROW_NUMBER() OVER (PARTITION BY {key_col} ORDER BY {rn_order}) AS row_num, "
         f"RANK() OVER (PARTITION BY {key_col} ORDER BY {order_col}) AS rnk, "
-        f"DENSE_RANK() OVER (PARTITION BY {key_col} ORDER BY {order_col}) AS dense_rnk "
-        f"FROM {table}"
+        f"DENSE_RANK() OVER (PARTITION BY {key_col} ORDER BY {order_col}) AS dense_rnk"
+        f"{tile} FROM {table}"
     )

@@ -487,3 +487,59 @@ def test_rank_window_null_order_values(ray_session):
     assert out["id"].tolist() == [3, 0, 1, 2]
     assert out["rnk"].tolist() == [1, 2, 3, 3]
     assert out["dense_rnk"].tolist() == [1, 2, 3, 3]
+
+
+def test_rank_window_ntile_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.windowfn import rank_window, rank_window_sql
+
+    rng = np.random.default_rng(11)
+    n = 1200
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 17, n).astype("int64")),
+            "ord": pa.array(rng.integers(0, 50, n).astype("int64")),
+            "id": pa.array(np.arange(n, dtype="int64")),
+        }
+    )
+    got = (
+        rank_window(rd.from_arrow(t).repartition(5), "k", "ord",
+                    tiebreak_col="id", num_buckets=8, ntile=4)
+        .to_pandas()
+        .sort_values(["k", "ord", "id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql(
+        rank_window_sql("t", "k", "ord", tiebreak_col="id", ntile=4)
+        + " ORDER BY k, ord, id"
+    ).df()
+    cols = ["k", "ord", "id", "row_num", "rnk", "dense_rnk", "tile"]
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+
+def test_rolling_agg_expanding_frame(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.windowfn import rolling_agg, rolling_agg_sql
+
+    t = _windowfn_fixture()
+    got = (
+        rolling_agg(rd.from_arrow(t).repartition(4), "k", "ord", "v",
+                    window=None, tiebreak_col="id", num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "ord", "id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql(
+        rolling_agg_sql("t", "k", "ord", "v", window=None, tiebreak_col="id")
+        + " ORDER BY k, ord, id"
+    ).df()
+    cols = ["k", "ord", "id", "v", "roll_sum", "roll_n", "roll_mean"]
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
