@@ -1165,6 +1165,22 @@ def _q_lag_lead_events(sf_dir: str):
     ).to_pandas()
 
 
+def _q_approx_quantiles_grouped(sf_dir: str):
+    """Per-key t-digest quantiles (combiner-shaped: only tiny digest
+    partials cross the wire; rows-only gate, 2% error bound pinned by
+    unit test vs quantile_cont)."""
+    import ray.data as rd
+
+    from logray.functions.sketch import approx_quantiles_grouped
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return approx_quantiles_grouped(
+        ds, "o_orderpriority", "o_totalprice", [0.5, 0.9]
+    ).to_pandas()
+
+
 def _q_cumulative_events(sf_dir: str):
     """Per-user running totals (EXPANDING frame = ROWS UNBOUNDED
     PRECEDING; same cumsum kernel with lo pinned at the run start)."""
@@ -1473,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_orders": _q_rank_orders,
         "collect_events": _q_collect_events,
         "cumulative_events": _q_cumulative_events,
+        "approx_quantiles_grouped": _q_approx_quantiles_grouped,
         "topk_per_key": _q_topk_per_key,
         "stratified_split": _q_stratified_split,
         "chunk_docs": _q_chunk_docs,

@@ -257,3 +257,65 @@ def approx_quantiles(ds, col: str, qs, delta: int = 200) -> dict:
         for buf in chunk["td"]:
             acc = acc.merge(TDigest.from_bytes(buf.as_py()))
     return {q: acc.quantile(q) for q in qs}
+
+
+def approx_quantiles_grouped(ds, key_col: str, value_col: str, qs,
+                             delta: int = 200, num_buckets: int = 32):
+    """Per-key approximate quantiles — the combiner-shaped alternative to
+    the exact ``grouped_quantiles`` when shuffling raw rows is too
+    expensive: per-batch PER-KEY digest partials (one small binary row
+    per key per batch — the only data that crosses the wire), ONE
+    ``hash(key) % B`` bucket shuffle of those partials, then a per-bucket
+    merge + quantile evaluation.  Null keys are dropped (same contract as
+    ``grouped_quantiles``); null values are ignored.
+
+    Output: one row per key with a float64 ``q<percent>`` column per
+    requested quantile (``0.5 -> q50``)."""
+    import pandas as pd
+
+    from logray.stages.bucketing import bucket_tagger
+
+    qs = list(qs)
+    qnames = [f"q{round(q * 100):d}" for q in qs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = pa.table({key_col: t[key_col], "v": t[value_col]})
+        if cols[key_col].null_count:
+            cols = cols.filter(pa.compute.is_valid(cols[key_col]))
+        keys = cols[key_col].to_pandas()
+        vals = cols["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(keys, sort=False)
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        bounds = np.flatnonzero(
+            np.r_[True, sorted_codes[1:] != sorted_codes[:-1]]
+        )
+        bounds = np.append(bounds, len(sorted_codes))
+        sv = vals[order]
+        tds = [
+            TDigest.of(sv[bounds[i]:bounds[i + 1]], delta).to_bytes()
+            for i in range(len(uniq))
+        ]
+        return pa.table({key_col: pa.Array.from_pandas(pd.Series(uniq)),
+                         "td": pa.array(tds, pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = {key_col: [], **{n: [] for n in qnames}}
+        for k, sub in g.groupby(key_col, sort=False):
+            acc = TDigest(np.zeros(0), np.zeros(0), None, None, delta)
+            for buf in sub["td"]:
+                acc = acc.merge(TDigest.from_bytes(buf))
+            out[key_col].append(k)
+            for n, q in zip(qnames, qs):
+                out[n].append(acc.quantile(q))
+        return pd.DataFrame(out)
+
+    return (
+        parts.map_batches(bucket_tagger(key_col, num_buckets),
+                          batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -1316,3 +1316,56 @@ def test_regexp_extract_dataset(ray_session):
     vals = out.sort_values("s")["n"].tolist()  # "go 7" < "nope"
     assert vals[0] == "7"
     assert vals[1] is None
+
+
+def test_tdigest_grouped_quantiles_error_bound(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.sketch import approx_quantiles_grouped
+
+    rng = np.random.default_rng(13)
+    n = 60_000
+    keys = rng.integers(0, 20, n).astype("int64")
+    vals = rng.lognormal(0.0, 1.0, n)
+    t = pa.table({"k": keys, "v": vals})
+    out = (
+        approx_quantiles_grouped(
+            rd.from_arrow(t).repartition(8), "k", "v", [0.5, 0.9],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql(
+        "SELECT k, quantile_cont(v, 0.5) AS q50, quantile_cont(v, 0.9) AS q90 "
+        "FROM t GROUP BY k ORDER BY k"
+    ).df()
+    assert out["k"].tolist() == want["k"].tolist()
+    for c in ("q50", "q90"):
+        rel = np.abs(out[c].to_numpy() - want[c].to_numpy()) / want[c].to_numpy()
+        assert rel.max() < 0.02, (c, rel.max())
+
+
+def test_tdigest_grouped_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from logray.functions.sketch import approx_quantiles_grouped
+
+    rng = np.random.default_rng(7)
+    t = pa.table({"k": rng.integers(0, 5, 5000).astype("int64"),
+                  "v": rng.normal(0, 1, 5000)})
+    outs = []
+    for parts in (2, 9):
+        outs.append(
+            approx_quantiles_grouped(
+                rd.from_arrow(t).repartition(parts), "k", "v", [0.5]
+            ).to_pandas().sort_values("k").reset_index(drop=True)
+        )
+    # both partitionings see identical per-batch partials only when blocks
+    # align, so allow sketch-level tolerance, not exact equality
+    d = np.abs(outs[0]["q50"].to_numpy() - outs[1]["q50"].to_numpy())
+    assert d.max() < 0.05
