@@ -1262,6 +1262,52 @@ def _q_rolling_events(sf_dir: str):
     ).to_pandas()
 
 
+def _q_range_rolling_events(sf_dir: str):
+    """Time-interval trailing frame: 1-hour RANGE rolling sum/count/mean
+    of event cents per user (single searchsorted pair on a per-run lifted
+    axis; exact vs a SQL RANGE frame including the peers-after-current
+    rule)."""
+    import ray.data as rd
+
+    from logray.stages.windowfn import rolling_agg_range
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        # timestamp[us] -> epoch microseconds (zero-copy int64 view)
+        ts_us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts_us": ts_us, "cents": cents})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return rolling_agg_range(
+        ds, "user_id", "ts_us", "cents", preceding=3_600_000_000
+    ).to_pandas()
+
+
+def _q_pct_rank_orders(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST per customer over order dates — exact-int
+    ratios divided once in float64, bit-identical to the SQL window
+    doubles."""
+    import ray.data as rd
+
+    from logray.stages.windowfn import rank_window
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    return rank_window(
+        ds, "o_custkey", "o_orderdate", tiebreak_col="o_orderkey", pct=True
+    ).to_pandas()
+
+
 _PII_SUFFIX_SQL = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
     "'@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
@@ -1487,6 +1533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_lead_events": _q_lag_lead_events,
         "rolling_events": _q_rolling_events,
         "rank_orders": _q_rank_orders,
+        "pct_rank_orders": _q_pct_rank_orders,
+        "range_rolling_events": _q_range_rolling_events,
         "collect_events": _q_collect_events,
         "cumulative_events": _q_cumulative_events,
         "approx_quantiles_grouped": _q_approx_quantiles_grouped,
@@ -1550,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.stages.windowfn import (
         lag_lead_sql,
         rank_window_sql,
+        rolling_agg_range_sql,
         rolling_agg_sql,
     )
     from logray.functions.pii import redact_pii_sql
@@ -1599,6 +1648,16 @@ def oracle_sql() -> dict[str, str]:
         "rank_orders": rank_window_sql(
             "orders", "o_custkey", "o_orderdate", tiebreak_col="o_orderkey",
             cols="o_orderkey, o_custkey, o_orderdate", ntile=4,
+        ),
+        "pct_rank_orders": rank_window_sql(
+            "orders", "o_custkey", "o_orderdate", tiebreak_col="o_orderkey",
+            cols="o_orderkey, o_custkey, o_orderdate", pct=True,
+        ),
+        "range_rolling_events": rolling_agg_range_sql(
+            "(SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "CAST(round(value*100) AS BIGINT) AS cents FROM events) ev",
+            "user_id", "ts_us", "cents", preceding=3_600_000_000,
+            cols="user_id, ts_us, cents",
         ),
         "chunk_docs": chunk_documents_sql(
             "documents", chunk_chars=200, overlap_chars=50

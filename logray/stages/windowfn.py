@@ -174,9 +174,104 @@ def rolling_agg_sql(table: str, key_col: str, order_col: str, value_col: str,
     )
 
 
+def rolling_agg_range(ds, key_col: str, order_col: str, value_col: str,
+                      preceding: int, num_buckets: int = 32):
+    """Value-based (time-interval) trailing frame: SQL ``RANGE BETWEEN
+    preceding PRECEDING AND CURRENT ROW`` per key partition ordered by an
+    INTEGER order column (epoch seconds for timestamps).  The frame is
+    every row of the partition whose order value lies in
+    ``[order - preceding, order]`` — including peers that sort AFTER the
+    current row (SQL RANGE frames end at the last peer, not the current
+    row).  Appends ``roll_sum`` / ``roll_n`` / ``roll_mean``.
+
+    Scale shape matches :func:`rolling_agg`: one bucket shuffle, then per
+    bucket a single mergesort plus ONE global ``searchsorted`` pair — the
+    per-run order arrays are lifted onto a shared monotonic axis by
+    adding per-run offsets spaced ``> preceding`` apart, so no per-key
+    loop and no per-row bisect."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, run_id, first = _sorted_runs(g, key_col, [order_col])
+        n = len(g)
+        if not n:
+            g["roll_sum"] = pd.array([], dtype="int64")
+            g["roll_n"] = pd.array([], dtype="int64")
+            g["roll_mean"] = pd.array([], dtype="float64")
+            return g.drop(columns="__b")
+        o = g[order_col].to_numpy()
+        if not np.issubdtype(o.dtype, np.integer):
+            raise TypeError(
+                f"rolling_agg_range needs an integer order column "
+                f"(epoch seconds); got {o.dtype}"
+            )
+        o = o.astype(np.int64)
+        starts = run_starts(g[key_col].to_numpy())
+        f_idx = np.flatnonzero(starts)          # first row of each run
+        l_idx = np.append(f_idx[1:], n) - 1     # last row of each run
+        # per-run offset: each run's lifted range begins > preceding past
+        # the previous run's lifted max, so a left-bisect of
+        # (lifted - preceding) can never cross a run boundary
+        gap = np.zeros(len(f_idx), np.int64)
+        if len(f_idx) > 1:
+            gap[1:] = (o[l_idx[:-1]] - o[f_idx[1:]]) + preceding + 1
+        off = np.cumsum(gap)
+        gv = o + off[run_id]
+        if np.any(np.diff(gv) < 0):  # int64 overflow in the lift
+            raise OverflowError("order range too wide for the range-frame lift")
+        lo = np.searchsorted(gv, gv - preceding, side="left")
+        hi = np.searchsorted(gv, gv, side="right") - 1
+        s = g[value_col]
+        int_exact = pd.api.types.is_integer_dtype(s) and not s.isna().any()
+        if int_exact:
+            v = s.to_numpy(np.int64)
+            nn = np.ones(n, np.bool_)
+            v0 = v
+        else:
+            v = s.to_numpy(np.float64, na_value=np.nan)
+            nn = ~np.isnan(v)
+            v0 = np.where(nn, v, 0.0)
+        csum = np.cumsum(v0)
+        cnt = np.cumsum(nn.astype(np.int64))
+        has_prev = lo > 0
+        base_s = np.where(has_prev, csum[np.clip(lo - 1, 0, None)], 0)
+        base_c = np.where(has_prev, cnt[np.clip(lo - 1, 0, None)], 0)
+        roll_sum = csum[hi] - base_s
+        roll_n = (cnt[hi] - base_c).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            roll_mean = np.where(roll_n > 0, roll_sum.astype(np.float64) / roll_n, np.nan)
+        g["roll_sum"] = roll_sum if int_exact else np.where(roll_n > 0, roll_sum, np.nan)
+        g["roll_n"] = roll_n
+        g["roll_mean"] = roll_mean
+        return g.drop(columns="__b")
+
+    return (
+        ds.map_batches(_bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def rolling_agg_range_sql(table: str, key_col: str, order_col: str,
+                          value_col: str, preceding: int,
+                          cols: str | None = None) -> str:
+    """DuckDB twin of :func:`rolling_agg_range` for an integer, non-null
+    value column."""
+    cols = cols or "*"
+    return (
+        f"SELECT {cols}, "
+        f"CAST(SUM({value_col}) OVER w AS BIGINT) AS roll_sum, "
+        f"CAST(COUNT({value_col}) OVER w AS BIGINT) AS roll_n, "
+        f"CAST(SUM({value_col}) OVER w AS DOUBLE) / COUNT({value_col}) OVER w AS roll_mean "
+        f"FROM {table} WINDOW w AS "
+        f"(PARTITION BY {key_col} ORDER BY {order_col} "
+        f"RANGE BETWEEN {preceding} PRECEDING AND CURRENT ROW)"
+    )
+
+
 def rank_window(ds, key_col: str, order_col: str,
                 tiebreak_col: str | None = None, num_buckets: int = 32,
-                ntile: int | None = None):
+                ntile: int | None = None, pct: bool = False):
     """Append SQL ``row_num`` / ``rnk`` / ``dense_rnk`` per key partition.
 
     ``row_num`` numbers rows by (order, tiebreak) — pass a tiebreak for a
@@ -185,7 +280,11 @@ def rank_window(ds, key_col: str, order_col: str,
     gaps, DENSE_RANK doesn't), and null order values tie with each other
     (SQL treats nulls as equal in ORDER BY ranking, sorted last).
     ``ntile=n`` also appends ``tile``: rows split into n near-equal
-    groups, the first ``len % n`` groups one row larger (SQL NTILE)."""
+    groups, the first ``len % n`` groups one row larger (SQL NTILE).
+    ``pct=True`` also appends ``pct_rank`` = (rnk-1)/(run_len-1) (0.0 for
+    a single-row partition) and ``cume_dist`` = peers-through-here /
+    run_len — exact-int ratios divided once in float64, so bit-identical
+    to DuckDB's double window results."""
     order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -201,11 +300,12 @@ def rank_window(ds, key_col: str, order_col: str,
         g["row_num"] = idx - first + 1
         g["rnk"] = last_step - first + 1
         g["dense_rnk"] = csteps - (csteps[first] - 1)
-        if ntile is not None:
+        if ntile is not None or pct:
             # run length via the NEXT run's first index (sentinel n)
             nxt = np.append(first[run_starts(g[key_col].to_numpy())], n) \
                 if n else np.array([0], np.int64)
             run_len = (nxt[1:] - nxt[:-1])[run_id] if n else np.zeros(0, np.int64)
+        if ntile is not None:
             i = idx - first
             q, r = run_len // ntile, run_len % ntile
             big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
@@ -216,6 +316,19 @@ def rank_window(ds, key_col: str, order_col: str,
                     r + (i - big) // np.maximum(q, 1),
                 )
             g["tile"] = tile + 1
+        if pct:
+            rnk = g["rnk"].to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                g["pct_rank"] = np.where(
+                    run_len > 1,
+                    (rnk - 1).astype(np.float64) / np.maximum(run_len - 1, 1),
+                    0.0,
+                )
+            # last index of the row's peer group: csteps is nondecreasing,
+            # so a right-bisect of each row's own step id lands just past
+            # its final peer
+            last_peer = np.searchsorted(csteps, csteps, side="right") - 1
+            g["cume_dist"] = (last_peer - first + 1).astype(np.float64) / run_len
         return g.drop(columns="__b")
 
     return (
@@ -229,7 +342,7 @@ def rank_window(ds, key_col: str, order_col: str,
 def rank_window_sql(table: str, key_col: str, order_col: str,
                     tiebreak_col: str | None = None,
                     cols: str | None = None,
-                    ntile: int | None = None) -> str:
+                    ntile: int | None = None, pct: bool = False) -> str:
     """DuckDB twin of :func:`rank_window`."""
     rn_order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
     cols = cols or "*"
@@ -237,10 +350,15 @@ def rank_window_sql(table: str, key_col: str, order_col: str,
         f", NTILE({ntile}) OVER (PARTITION BY {key_col} ORDER BY {rn_order}) AS tile"
         if ntile is not None else ""
     )
+    pct_sql = (
+        f", PERCENT_RANK() OVER (PARTITION BY {key_col} ORDER BY {order_col}) AS pct_rank"
+        f", CUME_DIST() OVER (PARTITION BY {key_col} ORDER BY {order_col}) AS cume_dist"
+        if pct else ""
+    )
     return (
         f"SELECT {cols}, "
         f"ROW_NUMBER() OVER (PARTITION BY {key_col} ORDER BY {rn_order}) AS row_num, "
         f"RANK() OVER (PARTITION BY {key_col} ORDER BY {order_col}) AS rnk, "
         f"DENSE_RANK() OVER (PARTITION BY {key_col} ORDER BY {order_col}) AS dense_rnk"
-        f"{tile} FROM {table}"
+        f"{tile}{pct_sql} FROM {table}"
     )

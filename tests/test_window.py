@@ -543,3 +543,97 @@ def test_rolling_agg_expanding_frame(ray_session):
     ).df()
     cols = ["k", "ord", "id", "v", "roll_sum", "roll_n", "roll_mean"]
     pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+
+def test_rank_window_pct_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.windowfn import rank_window, rank_window_sql
+
+    # low-cardinality order values -> real peer groups for CUME_DIST,
+    # plus single-row partitions (PERCENT_RANK's 0/0 edge)
+    rng = np.random.default_rng(11)
+    n = 1500
+    k = rng.integers(0, 30, n).astype("int64")
+    k[0] = 999  # guaranteed single-row partition
+    t = pa.table(
+        {
+            "k": pa.array(k),
+            "ord": pa.array(rng.integers(0, 6, n).astype("int64")),
+            "id": pa.array(np.arange(n, dtype="int64")),
+        }
+    )
+    got = (
+        rank_window(rd.from_arrow(t).repartition(6), "k", "ord",
+                    tiebreak_col="id", num_buckets=8, pct=True)
+        .to_pandas()
+        .sort_values(["k", "ord", "id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql(
+        rank_window_sql("t", "k", "ord", tiebreak_col="id", pct=True)
+        + " ORDER BY k, ord, id"
+    ).df()
+    cols = ["k", "ord", "id", "row_num", "rnk", "dense_rnk",
+            "pct_rank", "cume_dist"]
+    # exact (not approx) equality: both sides divide the same exact ints
+    # in float64
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+
+def test_rolling_agg_range_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.windowfn import rolling_agg_range, rolling_agg_range_sql
+
+    # duplicate order values exercise the peers-after-current-row rule of
+    # SQL RANGE frames; negative values exercise the lift
+    rng = np.random.default_rng(23)
+    n = 2500
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 35, n).astype("int64")),
+            "ord": pa.array(rng.integers(-50, 400, n).astype("int64")),
+            "v": pa.array(rng.integers(-100, 1000, n).astype("int64")),
+        }
+    )
+    got = (
+        rolling_agg_range(rd.from_arrow(t).repartition(7), "k", "ord", "v",
+                          preceding=25, num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "ord", "v"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql(
+        rolling_agg_range_sql("t", "k", "ord", "v", preceding=25)
+        + " ORDER BY k, ord, v"
+    ).df()
+    # ord collides within (k, ord) pairs only when v also ties -> rows
+    # identical; frame columns are peer-invariant so the sort is stable
+    # enough for comparison
+    cols = ["k", "ord", "v", "roll_sum", "roll_n", "roll_mean"]
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+
+def test_rolling_agg_range_rejects_non_integer_order(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from logray.stages.windowfn import rolling_agg_range
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "ord": pa.array([1.0, 2.0], pa.float64()),
+            "v": pa.array([1, 2], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception):
+        rolling_agg_range(rd.from_arrow(t), "k", "ord", "v",
+                          preceding=1, num_buckets=2).to_pandas()

@@ -2,7 +2,7 @@
 and compare with oracle_sql() via DuckDB (row count + sorted-column
 order-insensitive value comparison).
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [--only name1,name2,...]
 """
 
 from __future__ import annotations
@@ -54,7 +54,13 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     import ray
 
     if not ray.is_initialized():
@@ -74,6 +80,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             got = _to_df(fn(sf_dir))
