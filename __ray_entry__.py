@@ -1468,6 +1468,30 @@ def _q_reservoir_sample(sf_dir: str):
     ).to_pandas()
 
 
+def _q_stats_events(sf_dir: str):
+    """Per-event-type variance/stddev/covariance/correlation of event value
+    (cents) vs user_id — exact integer limb moments, no shuffle, doubles
+    bit-identical to the HUGEINT SQL twin."""
+    import ray.data as rd
+
+    from logray.stages.stats import stats_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "user_id"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return t.drop_columns(["value"]).append_column("cents", c)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return stats_agg(ds, "event_type", "cents", "user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # transcript / log-pipeline core
@@ -1560,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_embeddings": _q_explode_embeddings,
         "regex_extract_docs": _q_regex_extract_docs,
         "clean_text": _q_clean_text,
+        "stats_events": _q_stats_events,
     }
 
 
@@ -1605,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.quality import gopher_quality_sql
     from logray.functions.decontam import decontaminate_sql
     from logray.functions.heavyhitters import heavy_hitters_sql
+    from logray.stages.stats import stats_agg_sql
 
     return {
         "transcript_build": _TSQL,
@@ -1620,6 +1646,11 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_cont": _QUANTILES_CONT_SQL,
         "grouped_quantiles": grouped_quantiles_sql(
             "orders", "o_orderpriority", "o_totalprice", [0.5, 0.9]
+        ),
+        "stats_events": stats_agg_sql(
+            "(SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents, "
+            "user_id FROM events) ev",
+            "event_type", "cents", "user_id",
         ),
         "hopping_window": hopping_window_sql(
             "events", "ts", 3600.0, 900.0, key_cols="event_type"

@@ -597,3 +597,67 @@ def test_setops_single_column_and_disjoint(ray_session):
     assert sorted(except_distinct(A, B, "v").to_pandas()["v"]) == [1, 2]
     C = rd.from_items([{"v": 99}])
     assert intersect_distinct(A, C, "v").to_pandas().empty
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates (stages/stats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_stats_agg_bit_exact_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.stats import stats_agg, stats_agg_sql
+
+    rng = np.random.default_rng(3)
+    n = 8000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n).astype("int64"),
+            # large signed cents: limb reassembly actually matters
+            "x": rng.integers(-40_000_000_000, 40_000_000_000, n) // 1000,
+            "y": rng.integers(0, 50, n).astype("int64"),
+        }
+    )
+    df.loc[0, "k"] = 100  # single-row key -> NULL variance (SQL var_samp)
+    df = pd.concat(
+        [df, pd.DataFrame({"k": [200] * 5, "x": [7] * 5, "y": [1, 2, 3, 4, 5]})],
+        ignore_index=True,
+    )  # zero-variance key -> NULL corr
+    got = (
+        stats_agg(rd.from_pandas(df).repartition(9), "k", "x", "y")
+        .sort_values("k").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(stats_agg_sql("t", "k", "x", "y") + " ORDER BY k").df()
+    for c in ["k", "n_rows", "mean_x", "var_x", "stddev_x", "covar_xy", "corr_xy"]:
+        g, w = got[c], want[c]
+        same = (g.isna() & w.isna()) | (g == w)
+        # bitwise equality, not approx: both sides run the identical
+        # int->double->op sequence over exact integer moments
+        assert same.all(), (c, got[~same], want[~same])
+
+
+def test_stats_agg_rejects_floats_and_overflow(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from logray.stages.stats import stats_agg
+
+    with pytest.raises(Exception):
+        stats_agg(
+            rd.from_pandas(pd.DataFrame({"k": [1], "x": [1.5]})), "k", "x"
+        )
+    with pytest.raises(Exception):
+        stats_agg(
+            rd.from_pandas(
+                pd.DataFrame({"k": [1], "x": np.array([1 << 40], np.int64)})
+            ),
+            "k", "x",
+        )
