@@ -1468,6 +1468,44 @@ def _q_reservoir_sample(sf_dir: str):
     ).to_pandas()
 
 
+def _q_dedup_lines(sf_dir: str):
+    """C4-style corpus-global line dedup: segments occurring more than
+    once across the corpus survive only at their first (doc_id, idx)
+    occurrence, then documents are reassembled.  The synthetic word-soup
+    corpus has no newlines, so ' table ' serves as the line boundary."""
+    import ray.data as rd
+
+    from logray.functions.linededup import dedup_lines
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_lines(ds, min_len=1, sep=" table ", num_buckets=32).to_pandas()
+
+
+def _q_value_window_events(sf_dir: str):
+    """FIRST/LAST/NTH value of event cents per user over the full
+    partition frame ordered by (ts, event_id)."""
+    import ray.data as rd
+
+    from logray.stages.windowfn import value_window
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return t.drop_columns(["value"]).append_column("cents", c)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return value_window(
+        ds, "user_id", "ts", "cents", nth=3, tiebreak_col="event_id"
+    ).to_pandas()
+
+
 def _q_stats_events(sf_dir: str):
     """Per-event-type variance/stddev/covariance/correlation of event value
     (cents) vs user_id — exact integer limb moments, no shuffle, doubles
@@ -1585,6 +1623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract_docs": _q_regex_extract_docs,
         "clean_text": _q_clean_text,
         "stats_events": _q_stats_events,
+        "value_window_events": _q_value_window_events,
+        "dedup_lines_docs": _q_dedup_lines,
     }
 
 
@@ -1625,12 +1665,14 @@ def oracle_sql() -> dict[str, str]:
         rank_window_sql,
         rolling_agg_range_sql,
         rolling_agg_sql,
+        value_window_sql,
     )
     from logray.functions.pii import redact_pii_sql
     from logray.functions.quality import gopher_quality_sql
     from logray.functions.decontam import decontaminate_sql
     from logray.functions.heavyhitters import heavy_hitters_sql
     from logray.stages.stats import stats_agg_sql
+    from logray.functions.linededup import dedup_lines_sql
 
     return {
         "transcript_build": _TSQL,
@@ -1646,6 +1688,15 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_cont": _QUANTILES_CONT_SQL,
         "grouped_quantiles": grouped_quantiles_sql(
             "orders", "o_orderpriority", "o_totalprice", [0.5, 0.9]
+        ),
+        "dedup_lines_docs": dedup_lines_sql(
+            "documents", sep_sql="' table '", min_len=1
+        ),
+        "value_window_events": value_window_sql(
+            "(SELECT user_id, ts, event_id, "
+            "CAST(round(value*100) AS BIGINT) AS cents FROM events) ev",
+            "user_id", "ts", "cents", nth=3, tiebreak_col="event_id",
+            cols="user_id, ts, event_id, cents",
         ),
         "stats_events": stats_agg_sql(
             "(SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents, "

@@ -339,6 +339,78 @@ def rank_window(ds, key_col: str, order_col: str,
     )
 
 
+def value_window(ds, key_col: str, order_col: str, value_col: str,
+                 nth: int | None = None, tiebreak_col: str | None = None,
+                 num_buckets: int = 32):
+    """Append SQL ``first_<v>`` / ``last_<v>`` (and ``nth_<v>`` when
+    ``nth`` is given) per key partition ordered by (order, tiebreak),
+    over the FULL-partition frame (``ROWS BETWEEN UNBOUNDED PRECEDING
+    AND UNBOUNDED FOLLOWING``) — the deterministic frame; SQL's default
+    running frame makes LAST_VALUE famously useless.
+
+    first/last keep the value's dtype (a partition is never empty);
+    ``nth_<v>`` is nullable (float64 for numerics) since partitions
+    shorter than ``nth`` yield null, matching SQL NTH_VALUE.  Scale
+    shape: one bucket shuffle + one segmented gather per bucket."""
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, run_id, first = _sorted_runs(g, key_col, order_cols)
+        n = len(g)
+        if not n:
+            g[f"first_{value_col}"] = g[value_col]
+            g[f"last_{value_col}"] = g[value_col]
+            if nth is not None:
+                g[f"nth_{value_col}"] = pd.array([], dtype="float64")
+            return g.drop(columns="__b")
+        starts = run_starts(g[key_col].to_numpy())
+        f_idx = np.flatnonzero(starts)
+        nxt = np.append(f_idx[1:], n)
+        last = (nxt - 1)[run_id]
+        v = g[value_col]
+        g[f"first_{value_col}"] = v.iloc[first].reset_index(drop=True)
+        g[f"last_{value_col}"] = v.iloc[last].reset_index(drop=True)
+        if nth is not None:
+            pos = first + (nth - 1)
+            ok = pos <= last
+            taken = v.iloc[np.clip(pos, 0, n - 1)].reset_index(drop=True)
+            if pd.api.types.is_integer_dtype(taken) or pd.api.types.is_float_dtype(taken):
+                g[f"nth_{value_col}"] = taken.astype("float64").where(
+                    pd.Series(ok), np.nan)
+            else:
+                g[f"nth_{value_col}"] = taken.where(pd.Series(ok), None)
+        return g.drop(columns="__b")
+
+    return (
+        ds.map_batches(_bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def value_window_sql(table: str, key_col: str, order_col: str,
+                     value_col: str, nth: int | None = None,
+                     tiebreak_col: str | None = None,
+                     cols: str | None = None) -> str:
+    """DuckDB twin of :func:`value_window` (full-partition frame; NTH
+    cast to DOUBLE to mirror the engine's nullable-float64 output)."""
+    order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    cols = cols or "*"
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    nth_sql = (
+        f", CAST(NTH_VALUE({value_col}, {nth}) OVER w AS DOUBLE) AS nth_{value_col}"
+        if nth is not None else ""
+    )
+    return (
+        f"SELECT {cols}, "
+        f"FIRST_VALUE({value_col}) OVER w AS first_{value_col}, "
+        f"LAST_VALUE({value_col}) OVER w AS last_{value_col}"
+        f"{nth_sql} FROM {table} WINDOW w AS "
+        f"(PARTITION BY {key_col} ORDER BY {order} {frame})"
+    )
+
+
 def rank_window_sql(table: str, key_col: str, order_col: str,
                     tiebreak_col: str | None = None,
                     cols: str | None = None,

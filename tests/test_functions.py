@@ -1369,3 +1369,71 @@ def test_tdigest_grouped_partition_invariant(ray_session):
     # align, so allow sketch-level tolerance, not exact equality
     d = np.abs(outs[0]["q50"].to_numpy() - outs[1]["q50"].to_numpy())
     assert d.max() < 0.05
+
+
+# ---------------------------------------------------------------------------
+# corpus-global line dedup (functions/linededup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_lines_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.linededup import dedup_lines, dedup_lines_sql
+
+    rng = np.random.default_rng(5)
+    boiler = ["COOKIE BANNER", "(c) 2020 Example Corp", "nav | home"]
+    docs = []
+    for i in range(200):
+        lines = []
+        for j in range(rng.integers(1, 8)):
+            r = rng.random()
+            if r < 0.4:
+                lines.append(boiler[rng.integers(0, 3)])
+            elif r < 0.5:
+                lines.append("")  # blank: exempt at min_len=1
+            else:
+                lines.append(f"unique {i}-{j} {rng.integers(0, 10**6)}")
+        docs.append({"doc_id": i, "text": "\n".join(lines)})
+    docs.append({"doc_id": 900, "text": None})  # drops (SQL unnest(NULL))
+    docs.append({"doc_id": 901, "text": ""})    # one blank line, exempt
+    df = pd.DataFrame(docs)
+
+    got = (
+        dedup_lines(rd.from_pandas(df).repartition(7), min_len=1, num_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(dedup_lines_sql("documents") + " ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "text", "n_lines"]], want[["doc_id", "text", "n_lines"]]
+    )
+    # each boilerplate line survives exactly once across the whole corpus
+    kept = [l for t in got["text"] for l in t.split("\n")]
+    for b in boiler:
+        assert kept.count(b) == 1
+    assert 900 not in set(got["doc_id"])
+    assert got.loc[got.doc_id == 901, "text"].item() == ""
+
+
+def test_dedup_lines_keep_first_and_min_len(ray_session):
+    import ray.data as rd
+
+    from logray.functions.linededup import dedup_lines
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["dup\nab\nx", "dup\nab\ny", "dup\nonly mine"],
+        }
+    )
+    # min_len=3 exempts 'ab' and 'x'/'y'; 'dup' (len 3) dedups keep-first
+    got = (
+        dedup_lines(rd.from_pandas(df), min_len=3, num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["text"].tolist() == ["dup\nab\nx", "ab\ny", "only mine"]
+    assert got["n_lines"].tolist() == [3, 2, 1]

@@ -637,3 +637,52 @@ def test_rolling_agg_range_rejects_non_integer_order(ray_session):
     with pytest.raises(Exception):
         rolling_agg_range(rd.from_arrow(t), "k", "ord", "v",
                           preceding=1, num_buckets=2).to_pandas()
+
+
+def test_value_window_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.windowfn import value_window, value_window_sql
+
+    t = _windowfn_fixture()
+    got = (
+        value_window(rd.from_arrow(t).repartition(7), "k", "ord", "v",
+                     nth=3, tiebreak_col="id", num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "ord", "id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql(
+        value_window_sql("t", "k", "ord", "v", nth=3, tiebreak_col="id")
+        + " ORDER BY k, ord, id"
+    ).df()
+    cols = ["k", "ord", "id", "v", "first_v", "last_v", "nth_v"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+
+
+def test_value_window_strings_and_short_runs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logray.stages.windowfn import value_window
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "c", "c", "c"]),
+            "ord": pa.array([2, 1, 5, 1, 2, 3], pa.int64()),
+            "s": pa.array(["x", "y", "z", "p", "q", "r"]),
+        }
+    )
+    got = (
+        value_window(rd.from_arrow(t), "k", "ord", "s", nth=2, num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "ord"])
+        .reset_index(drop=True)
+    )
+    assert got["first_s"].tolist() == ["y", "y", "z", "p", "p", "p"]
+    assert got["last_s"].tolist() == ["x", "x", "z", "r", "r", "r"]
+    # nth=2: key a -> 'x', single-row key b -> null, key c -> 'q'
+    assert got["nth_s"].tolist() == ["x", "x", None, "q", "q", "q"]
