@@ -1468,6 +1468,41 @@ def _q_reservoir_sample(sf_dir: str):
     ).to_pandas()
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed k-means over the embedding column: per-iteration
+    streaming passes with exact fixed-point partials (bit-deterministic
+    under any partitioning); returns per-cluster size and inertia.
+    Iterative — no SQL twin (rows-only check)."""
+    import ray.data as rd
+
+    from logray.functions.cluster import kmeans_fit
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    _cent, info = kmeans_fit(ds, k=8, id_col="vec_id", iters=8, seed=17)
+    return info
+
+
+_MIX_RATES = {"click": 0.25, "purchase": 2.5, "error": 0.0}
+
+
+def _q_mixture_sample(sf_dir: str):
+    """Domain-mixture resampling of events by type: clicks thinned 4x,
+    purchases repeated 2.5x, errors dropped, everything else (default
+    rate 1.0) kept once — deterministic, shuffle-free."""
+    import ray.data as rd
+
+    from logray.functions.sample import mixture_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "user_id"]
+    )
+    return mixture_sample(
+        ds, _MIX_RATES, "event_type", "event_id", seed=99, default_rate=1.0
+    ).to_pandas()
+
+
 def _q_dedup_lines(sf_dir: str):
     """C4-style corpus-global line dedup: segments occurring more than
     once across the corpus survive only at their first (doc_id, idx)
@@ -1625,6 +1660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_events": _q_stats_events,
         "value_window_events": _q_value_window_events,
         "dedup_lines_docs": _q_dedup_lines,
+        "mixture_sample": _q_mixture_sample,
+        "kmeans_embeddings": _q_kmeans,
     }
 
 
@@ -1648,6 +1685,7 @@ _MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 
 def oracle_sql() -> dict[str, str]:
     from logray.functions.sample import (
+        mixture_sample_sql,
         reservoir_per_key_sql,
         sample_uniform_sql,
         stratified_split_sql,
@@ -1688,6 +1726,10 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_cont": _QUANTILES_CONT_SQL,
         "grouped_quantiles": grouped_quantiles_sql(
             "orders", "o_orderpriority", "o_totalprice", [0.5, 0.9]
+        ),
+        "mixture_sample": mixture_sample_sql(
+            "events", _MIX_RATES, "event_type", "event_id", seed=99,
+            default_rate=1.0, cols="event_id, event_type, user_id",
         ),
         "dedup_lines_docs": dedup_lines_sql(
             "documents", sep_sql="' table '", min_len=1

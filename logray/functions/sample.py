@@ -107,6 +107,74 @@ def reservoir_per_key_sql(table: str, key: str, n: int, id_col: str,
     )
 
 
+def _mixture_plan(rates: dict, default_rate: float):
+    """Per-key (full_copies, fractional int threshold) — precomputed in
+    Python ints so the engine and the SQL twin share EXACT thresholds (no
+    float expression ever evaluates inside either engine)."""
+    def one(r: float):
+        if r < 0:
+            raise ValueError("mixture rate must be >= 0")
+        full = int(r)
+        return full, int(round((r - full) * _M32))
+
+    return {k: one(r) for k, r in rates.items()}, one(default_rate)
+
+
+def mixture_sample(ds, rates: dict, key_col: str, id_col: str, seed: int = 0,
+                   default_rate: float = 0.0, copy_col: str = "copy_idx"):
+    """Domain-mixture resampling: each row is emitted ``floor(rate)`` times
+    plus one more with probability ``frac(rate)``, where ``rate`` is the
+    row's key's target rate (``default_rate`` for unlisted keys) — the
+    up/down-sampling step behind Pile/Dolma-style training mixtures
+    (rate < 1 downsamples a domain, rate > 1 repeats it).  Emitted copies
+    carry ``copy_col`` = 1..n.
+
+    Deterministic: the fractional draw is the same (id, seed) hash as
+    :func:`sample_uniform`, so the mixture is stable under repartitioning,
+    retries and resume.  Pure per-batch expansion — NO shuffle; the rates
+    table rides into tasks as a tiny closure dict (broadcast once)."""
+    plan, dflt = _mixture_plan(rates, default_rate)
+    full_map = {k: v[0] for k, v in plan.items()}
+    thr_map = {k: v[1] for k, v in plan.items()}
+
+    def expand(t: pa.Table) -> pa.Table:
+        keys = pd.Series(t[key_col].to_numpy(zero_copy_only=False))
+        full = keys.map(full_map).fillna(dflt[0]).to_numpy(np.int64)
+        thr = keys.map(thr_map).fillna(dflt[1]).to_numpy(np.int64)
+        h = _det_hash(t[id_col].to_numpy(zero_copy_only=False), seed)
+        n = full + (h < thr)
+        idx = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        out = t.take(pa.array(idx))
+        starts = np.repeat(np.cumsum(n) - n, n)
+        copy_idx = np.arange(len(idx), dtype=np.int64) - starts + 1
+        return out.append_column(copy_col, pa.array(copy_idx))
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mixture_sample_sql(table: str, rates: dict, key_col: str, id_col: str,
+                       seed: int = 0, default_rate: float = 0.0,
+                       cols: str = "*", copy_col: str = "copy_idx") -> str:
+    """DuckDB oracle for :func:`mixture_sample` (identical copies)."""
+    plan, dflt = _mixture_plan(rates, default_rate)
+
+    def case(pick: int, default_v: int) -> str:
+        whens = " ".join(
+            f"WHEN '{k}' THEN {v[pick]}" for k, v in plan.items()
+        )
+        return f"CASE {key_col} {whens} ELSE {default_v} END"
+
+    h = _hash_sql(id_col, seed)
+    n_expr = (
+        f"{case(0, dflt[0])} + CASE WHEN {h} < {case(1, dflt[1])} "
+        f"THEN 1 ELSE 0 END"
+    )
+    return (
+        f"SELECT {cols}, unnest(generate_series(1, n)) AS {copy_col} "
+        f"FROM (SELECT {cols}, {n_expr} AS n FROM {table})"
+    )
+
+
 def stratified_split(ds, fractions: dict, id_col: str, seed: int = 0,
                      split_col: str = "split"):
     """Append a deterministic train/val/test-style ``split_col``: each row's

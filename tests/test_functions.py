@@ -1437,3 +1437,162 @@ def test_dedup_lines_keep_first_and_min_len(ray_session):
     )
     assert got["text"].tolist() == ["dup\nab\nx", "ab\ny", "only mine"]
     assert got["n_lines"].tolist() == [3, 2, 1]
+
+
+# ---------------------------------------------------------------------------
+# domain-mixture resampling (functions/sample.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.sample import mixture_sample, mixture_sample_sql
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "dom": np.array(["web", "code", "books", "wiki"])[
+                rng.integers(0, 4, n)
+            ],
+        }
+    )
+    rates = {"web": 0.25, "code": 2.5, "books": 0.0}  # wiki -> default 1.0
+    got = (
+        mixture_sample(rd.from_pandas(df).repartition(6), rates, "dom", "id",
+                       seed=42, default_rate=1.0)
+        .to_pandas().sort_values(["id", "copy_idx"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        mixture_sample_sql("t", rates, "dom", "id", seed=42,
+                           default_rate=1.0, cols="id, dom")
+        + " ORDER BY id, copy_idx"
+    ).df()
+    pd.testing.assert_frame_equal(got[["id", "dom", "copy_idx"]],
+                                  want[["id", "dom", "copy_idx"]])
+    # semantics: books fully dropped, wiki kept exactly once,
+    # code repeated 2 or 3 times, web thinned to roughly a quarter
+    by = got.groupby("dom")["id"].count()
+    n_by = df.groupby("dom")["id"].count()
+    assert "books" not in by
+    assert by["wiki"] == n_by["wiki"]
+    assert 2 * n_by["code"] <= by["code"] <= 3 * n_by["code"]
+    assert by["web"] < 0.4 * n_by["web"]
+    # copies of one row are numbered 1..n
+    code_copies = got[got.dom == "code"].groupby("id")["copy_idx"].max()
+    assert set(code_copies.unique()) <= {2, 3}
+
+
+def test_mixture_sample_partition_invariance(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.sample import mixture_sample
+
+    df = pd.DataFrame({"id": np.arange(999, dtype=np.int64), "dom": "x"})
+    outs = [
+        mixture_sample(rd.from_pandas(df).repartition(p), {"x": 1.5}, "dom",
+                       "id", seed=3)
+        .to_pandas().sort_values(["id", "copy_idx"]).reset_index(drop=True)
+        for p in (1, 13)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (functions/cluster.py)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_ref(df, k, iters, seed):
+    """Driver-side replica of kmeans_fit's exact algorithm (same init,
+    same fixed-point arithmetic) for bit-equality checks."""
+    import numpy as np
+
+    from logray.functions.sample import _det_hash
+
+    ids = df["doc_id"].to_numpy()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    h = _det_hash(ids, seed)
+    order = np.lexsort((ids, h))[:k]
+    cent = m[order].copy()
+    FP = float(1 << 20)
+    for _ in range(iters):
+        d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (m @ cent.T)
+        assign = np.argmin(d, axis=1)
+        for c in range(k):
+            rows = m[assign == c]
+            if len(rows):
+                s = np.rint(rows * FP).astype(np.int64).sum(axis=0)
+                cent[c] = (s.astype(np.float64) / FP) / len(rows)
+    return cent
+
+
+def test_kmeans_bit_deterministic_and_matches_reference(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.cluster import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(8)
+    n, dim, k = 1200, 16, 5
+    centers = rng.normal(size=(k, dim)) * 8
+    m = centers[rng.integers(0, k, n)] + rng.normal(size=(n, dim))
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "embedding": list(m.astype(np.float32)),
+    })
+    fits = [
+        kmeans_fit(rd.from_pandas(df).repartition(p), k, iters=6, seed=17)
+        for p in (2, 11)
+    ]
+    # bit-identical centroids under different partitionings
+    assert (fits[0][0] == fits[1][0]).all()
+    pd.testing.assert_frame_equal(fits[0][1], fits[1][1])
+    # and identical to the driver-side replica of the same algorithm
+    ref = _kmeans_ref(df, k, iters=6, seed=17)
+    assert (fits[0][0] == ref).all()
+    # clusters recover the planted structure: assignment agrees with
+    # nearest planted center for almost all points
+    cent, info = fits[0]
+    assert info["n_rows"].sum() == n
+    assigned = (
+        kmeans_assign(rd.from_pandas(df), cent).to_pandas()
+        .sort_values("doc_id")["cluster"].to_numpy()
+    )
+    planted = np.argmin(
+        ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2), axis=1
+    )
+    # cluster ids are arbitrary: check partition agreement via pair counts
+    from collections import Counter
+    best = sum(
+        c for _, c in Counter(zip(planted, assigned)).most_common(k)
+    )
+    assert best > 0.9 * n
+
+
+def test_kmeans_inertia_decreases(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.cluster import kmeans_fit
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "doc_id": np.arange(400, dtype=np.int64),
+        "embedding": list(rng.normal(size=(400, 8)).astype(np.float32)),
+    })
+    ds = rd.from_pandas(df)
+    prev = None
+    for iters in (1, 3, 8):
+        _, info = kmeans_fit(ds, 4, iters=iters, seed=3)
+        tot = info["inertia"].sum()
+        if prev is not None:
+            assert tot <= prev + 1e-6
+        prev = tot
