@@ -1468,6 +1468,61 @@ def _q_reservoir_sample(sf_dir: str):
     ).to_pandas()
 
 
+def _q_unpivot_lineitem(sf_dir: str):
+    """UNPIVOT lineitem's four measures into long (name, value) rows —
+    the inverse of pivot_agg; per-batch Arrow, no shuffle."""
+    import ray.data as rd
+
+    from logray.stages.reshape import unpivot
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return unpivot(
+        ds, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).to_pandas()
+
+
+def _q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP (status, priority) over order price cents: exact
+    sums at every hierarchy level from one pass of finest-level partials."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import rollup_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return t.drop_columns(["o_totalprice"]).append_column("cents", c)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return rollup_agg(ds, ["o_orderstatus", "o_orderpriority"], "cents")
+
+
+def _q_pack_docs(sf_dir: str):
+    """Concat-and-cut sequence packing: documents laid head-to-tail by
+    doc_id and cut every 2048 chars; each doc gets its starting
+    (seq_id, seq_offset).  Global prefix sum via the zipWithIndex shape."""
+    import ray.data as rd
+
+    from logray.functions.packing import pack_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_documents(ds, budget=2048).to_pandas()
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed k-means over the embedding column: per-iteration
     streaming passes with exact fixed-point partials (bit-deterministic
@@ -1662,6 +1717,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines_docs": _q_dedup_lines,
         "mixture_sample": _q_mixture_sample,
         "kmeans_embeddings": _q_kmeans,
+        "pack_docs": _q_pack_docs,
+        "rollup_orders": _q_rollup_orders,
+        "unpivot_lineitem": _q_unpivot_lineitem,
     }
 
 
@@ -1695,6 +1753,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.stages.aggregate import (
         grouped_quantiles_sql,
         pivot_agg_sql,
+        rollup_agg_sql,
         topk_per_key_sql,
     )
     from logray.stages.window import hopping_window_sql
@@ -1711,6 +1770,8 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.heavyhitters import heavy_hitters_sql
     from logray.stages.stats import stats_agg_sql
     from logray.functions.linededup import dedup_lines_sql
+    from logray.functions.packing import pack_documents_sql
+    from logray.stages.reshape import unpivot_sql
 
     return {
         "transcript_build": _TSQL,
@@ -1726,6 +1787,16 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_cont": _QUANTILES_CONT_SQL,
         "grouped_quantiles": grouped_quantiles_sql(
             "orders", "o_orderpriority", "o_totalprice", [0.5, 0.9]
+        ),
+        "pack_docs": pack_documents_sql("documents", budget=2048),
+        "unpivot_lineitem": unpivot_sql(
+            "lineitem", ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        "rollup_orders": rollup_agg_sql(
+            "(SELECT o_orderstatus, o_orderpriority, "
+            "CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders) o",
+            ["o_orderstatus", "o_orderpriority"], "cents",
         ),
         "mixture_sample": mixture_sample_sql(
             "events", _MIX_RATES, "event_type", "event_id", seed=99,

@@ -760,3 +760,77 @@ def quantile_cont(ds, col: str, qs, **kw) -> dict:
         frac = h - math.floor(h)
         out[q] = float(lo) * (1.0 - frac) + float(hi) * frac
     return out
+
+
+def rollup_agg(ds, key_cols, value_col: str, as_pandas: bool = True):
+    """SQL ``GROUP BY ROLLUP (key_cols...)``: exact count + integer sum at
+    every prefix level of the key hierarchy plus the grand total, with
+    NULL in rolled-up key columns and ``grp_id`` = the GROUPING() bitmask
+    (first key = most significant bit, so level i has grp_id 2^(k-i)-1).
+
+    Scale shape: ONE streaming pass of per-batch Arrow group_by partials
+    at the FINEST level; the driver folds the tiny partials (O(finest
+    cardinality), the conv_stats pattern) and derives every coarser level
+    locally — rolling up partials, never re-reading data.  Value column
+    must be integer (use cents) for exact sums."""
+    from logray.stages.bucketing import stream_fold
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    k = len(key_cols)
+    sum_col, n_col = f"sum_{value_col}", "n_rows"
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(key_cols).aggregate(
+            [(value_col, "sum"), ([], "count_all")])
+        g = g.rename_columns(key_cols + [sum_col, n_col])
+        if t.num_rows == 0:
+            g = g.cast(pa.schema(
+                [t.schema.field(c) for c in key_cols]
+                + [pa.field(sum_col, pa.int64()), pa.field(n_col, pa.int64())]
+            ))
+        return g
+
+    def fold(tables: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tables, promote_options="permissive")
+        g = t.group_by(key_cols).aggregate([(sum_col, "sum"), (n_col, "sum")])
+        return g.rename_columns(key_cols + [sum_col, n_col])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    finest = stream_fold(parts, fold)
+    if finest is None:
+        finest = pa.table({c: [] for c in key_cols + [sum_col, n_col]})
+    df = finest.to_pandas()
+
+    frames = []
+    for lvl in range(k, -1, -1):
+        keep = key_cols[:lvl]
+        if lvl == k:
+            f = df.copy()
+        elif keep:
+            f = (df.groupby(keep, dropna=False, sort=False)[[sum_col, n_col]]
+                 .sum().reset_index())
+        else:
+            f = pd.DataFrame({sum_col: [df[sum_col].sum()],
+                              n_col: [df[n_col].sum()]})
+        for c in key_cols[lvl:]:
+            f[c] = None
+        f["grp_id"] = (1 << (k - lvl)) - 1
+        frames.append(f[key_cols + [n_col, sum_col, "grp_id"]])
+    out = pd.concat(frames, ignore_index=True)
+    out[n_col] = out[n_col].astype("int64")
+    out[sum_col] = out[sum_col].astype("int64")
+    out["grp_id"] = out["grp_id"].astype("int64")
+    return out if as_pandas else pa.Table.from_pandas(out, preserve_index=False)
+
+
+def rollup_agg_sql(table: str, key_cols, value_col: str) -> str:
+    """DuckDB twin of :func:`rollup_agg`."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ks = ", ".join(key_cols)
+    return (
+        f"SELECT {ks}, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum({value_col}) AS BIGINT) AS sum_{value_col}, "
+        f"CAST(GROUPING({ks}) AS BIGINT) AS grp_id "
+        f"FROM {table} GROUP BY ROLLUP ({ks})"
+    )

@@ -86,3 +86,44 @@ def collect_list(ds, key_col: str, value_col: str, order_col: str,
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def unpivot(ds, id_cols, value_cols, var_col: str = "name",
+            val_col: str = "value"):
+    """SQL UNPIVOT / pandas melt — the inverse of ``pivot_agg``'s widening:
+    one output row per (input row, value column), carrying the column's
+    name and its value.  Value columns must share (or be castable to) one
+    type; they are cast to float64.  Pure per-batch Arrow concat + take —
+    fuses into the read, no shuffle, NULL values dropped (SQL UNPIVOT
+    semantics)."""
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    value_cols = list(value_cols)
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for c in value_cols:
+            vals = t[c].cast(pa.float64())
+            cols = {i: t[i] for i in id_cols}
+            cols[var_col] = pa.array(np.repeat(c, n))
+            cols[val_col] = vals
+            part = pa.table(cols)
+            parts.append(part.filter(pc.is_valid(part[val_col])))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def unpivot_sql(table: str, id_cols, value_cols, var_col: str = "name",
+                val_col: str = "value") -> str:
+    """DuckDB twin of :func:`unpivot`."""
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    ids = ", ".join(id_cols)
+    on = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in value_cols)
+    return (
+        f"SELECT {ids}, {var_col}, {val_col} FROM ("
+        f"UNPIVOT (SELECT {ids}, {on} FROM {table}) "
+        f"ON {', '.join(value_cols)} "
+        f"INTO NAME {var_col} VALUE {val_col})"
+    )

@@ -1596,3 +1596,62 @@ def test_kmeans_inertia_decreases(ray_session):
         if prev is not None:
             assert tot <= prev + 1e-6
         prev = tot
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (functions/packing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_documents_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.packing import pack_documents, pack_documents_sql
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(700, dtype=np.int64),
+            "text": ["x" * int(n) for n in rng.integers(1, 400, 700)],
+        }
+    )
+    df.loc[5, "text"] = None  # dropped on both sides
+    got = (
+        pack_documents(rd.from_pandas(df).repartition(9), budget=1024)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(
+        pack_documents_sql("documents", budget=1024) + " ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # tape invariants: offsets stay inside the budget, seq ids cover
+    # 0..ceil(total/budget)-1 without gaps, layout is gap-free
+    assert (got["seq_offset"] < 1024).all() and (got["seq_offset"] >= 0).all()
+    total = got["len"].sum()
+    assert set(got["seq_id"]) == set(range(-(-int(total) // 1024)))
+    tape = got["seq_id"] * 1024 + got["seq_offset"]
+    assert (tape.to_numpy() == np.concatenate([[0], np.cumsum(got["len"])[:-1]])).all()
+
+
+def test_pack_documents_precomputed_len_and_partition_invariance(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.packing import pack_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "n_tokens": np.random.default_rng(2).integers(1, 900, 200),
+    })
+    outs = [
+        pack_documents(rd.from_pandas(df).repartition(p), budget=2048,
+                       len_col="n_tokens")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for p in (1, 8)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0]["len"].tolist() == df["n_tokens"].tolist()

@@ -132,3 +132,34 @@ def test_collect_list_roundtrip_with_explode(ray_session):
     back = back.sort_values(["k", "pos"]).reset_index(drop=True)
     assert back["v"].tolist() == [10, 20, 100, 200, 300]
     assert back["pos"].tolist() == [1, 2, 1, 2, 3]
+
+
+def test_unpivot_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.reshape import unpivot, unpivot_sql
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame(
+        {
+            "k": np.arange(400, dtype=np.int64),
+            "a": rng.normal(size=400),
+            "b": rng.integers(0, 100, 400).astype("float64"),
+            "c": rng.normal(size=400),
+        }
+    )
+    df.loc[3, "a"] = None  # dropped on both sides
+    got = (
+        unpivot(rd.from_pandas(df).repartition(5), "k", ["a", "b", "c"])
+        .to_pandas().sort_values(["k", "name"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        unpivot_sql("t", "k", ["a", "b", "c"]) + " ORDER BY k, name"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 3 * 400 - 1

@@ -661,3 +661,37 @@ def test_stats_agg_rejects_floats_and_overflow(ray_session):
             ),
             "k", "x",
         )
+
+
+def test_rollup_agg_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.aggregate import rollup_agg, rollup_agg_sql
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "region": np.array(["eu", "us", "apac"])[rng.integers(0, 3, 5000)],
+            "seg": np.array(["a", "b", "c", "d"])[rng.integers(0, 4, 5000)],
+            "cents": rng.integers(0, 100000, 5000),
+        }
+    )
+    got = (
+        rollup_agg(rd.from_pandas(df).repartition(7), ["region", "seg"], "cents")
+        .sort_values(["grp_id", "region", "seg"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        rollup_agg_sql("t", ["region", "seg"], "cents")
+        + " ORDER BY grp_id, region NULLS LAST, seg NULLS LAST"
+    ).df()
+    cols = ["region", "seg", "n_rows", "sum_cents", "grp_id"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+    # levels: 12 finest + 3 per-region + 1 grand total
+    assert got["grp_id"].value_counts().to_dict() == {0: 12, 1: 3, 3: 1}
+    assert got.loc[got.grp_id == 3, "n_rows"].item() == 5000
