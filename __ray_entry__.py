@@ -1468,6 +1468,19 @@ def _q_reservoir_sample(sf_dir: str):
     ).to_pandas()
 
 
+def _q_tfidf_docs(sf_dir: str):
+    """Hashed TF-IDF vectors over documents; the query projects the
+    SQL-expressible (doc_id, n_terms) for the exact oracle — embedding
+    values are pinned bit-exactly by the unit-test reference replica."""
+    import ray.data as rd
+
+    from logray.functions.tfidf import tfidf_vectors
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = tfidf_vectors(ds, dim=256).to_pandas()
+    return out[["doc_id", "n_terms"]]
+
+
 def _q_unpivot_lineitem(sf_dir: str):
     """UNPIVOT lineitem's four measures into long (name, value) rows —
     the inverse of pivot_agg; per-batch Arrow, no shuffle."""
@@ -1720,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": _q_pack_docs,
         "rollup_orders": _q_rollup_orders,
         "unpivot_lineitem": _q_unpivot_lineitem,
+        "tfidf_docs": _q_tfidf_docs,
     }
 
 
@@ -1789,6 +1803,11 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderpriority", "o_totalprice", [0.5, 0.9]
         ),
         "pack_docs": pack_documents_sql("documents", budget=2048),
+        "tfidf_docs": (
+            "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array("
+            "lower(text), '[^0-9a-z]+'), x -> x <> '')) AS BIGINT) AS n_terms "
+            "FROM documents WHERE text IS NOT NULL"
+        ),
         "unpivot_lineitem": unpivot_sql(
             "lineitem", ["l_orderkey", "l_linenumber"],
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],

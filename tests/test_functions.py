@@ -1655,3 +1655,84 @@ def test_pack_documents_precomputed_len_and_partition_invariance(ray_session):
     ]
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert outs[0]["len"].tolist() == df["n_tokens"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# hashed TF-IDF vectors (functions/tfidf.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_matches_reference_and_partition_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logray.functions.fingerprint import content_hash
+    from logray.functions.tfidf import fit_df, tfidf_vectors
+
+    docs = [
+        "the cat sat on the mat",
+        "the dog ate my homework",
+        "cat and dog and cat",
+        "completely unrelated words here",
+        "",  # all-empty doc -> zero vector
+    ] * 20
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    dim = 64
+    outs = []
+    for p in (1, 9):
+        got = (
+            tfidf_vectors(rd.from_pandas(df).repartition(p), dim=dim)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        outs.append(got)
+    # bit-identical embeddings under different partitionings
+    a = np.stack(outs[0]["embedding"].to_numpy())
+    b = np.stack(outs[1]["embedding"].to_numpy())
+    assert (a == b).all()
+    assert outs[0]["n_terms"].tolist() == outs[1]["n_terms"].tolist()
+
+    # driver-side replica of the same algorithm
+    def buckets(text):
+        import re
+        toks = [t for t in re.split(r"[^0-9a-z]+", text.lower()) if t]
+        return (content_hash(pa.array(toks)) % np.uint64(dim)).astype(int) \
+            if toks else np.array([], int)
+
+    N = len(docs)
+    dfv = np.zeros(dim, np.int64)
+    for d in docs:
+        for u in set(buckets(d).tolist()):
+            dfv[u] += 1
+    fitted = fit_df(rd.from_pandas(df), dim=dim)
+    assert (fitted[0] == dfv).all() and fitted[1] == N
+    idf = np.log((N + 1.0) / (dfv + 1.0)) + 1.0
+    for i in [0, 2, 4]:
+        tf = np.zeros(dim)
+        for u in buckets(docs[i]):
+            tf[u] += 1
+        w = tf * idf
+        nrm = np.linalg.norm(w)
+        ref = (w / nrm if nrm > 0 else w).astype(np.float32)
+        assert np.array_equal(a[i], ref)
+    # L2 norms are 1 (or 0 for the empty doc)
+    norms = np.linalg.norm(a, axis=1)
+    assert np.allclose(norms[df.text.str.len() > 0], 1.0, atol=1e-6)
+    assert (norms[df.text.str.len() == 0] == 0).all()
+
+
+def test_tfidf_feeds_kmeans(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.cluster import kmeans_fit
+    from logray.functions.tfidf import tfidf_vectors
+
+    texts = (["spark ray data engine shuffle"] * 30
+             + ["cat dog pet animal fur"] * 30)
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+    vecs = tfidf_vectors(rd.from_pandas(df), dim=32).materialize()
+    cent, info = kmeans_fit(vecs, k=2, iters=4, seed=5)
+    # two pure topic groups -> the two clusters split 30/30
+    assert sorted(info["n_rows"].tolist()) == [30, 30]
