@@ -1468,6 +1468,53 @@ def _q_reservoir_sample(sf_dir: str):
     ).to_pandas()
 
 
+def _q_standardize_events(sf_dir: str):
+    """Per-event-type z-scores of event cents: exact-moment fit (no
+    shuffle) broadcast into a per-batch transform; bit-exact vs SQL."""
+    import ray.data as rd
+
+    from logray.stages.stats import standardize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return t.drop_columns(["value"]).append_column("cents", c)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return standardize(ds, "event_type", "cents").to_pandas()
+
+
+def _q_outer_join(sf_dir: str):
+    """FULL OUTER hash join of per-customer order counts against the
+    customer table: unmatched rows on BOTH sides survive null-extended
+    (bucketed shuffle join — broadcast_join correctly refuses outer)."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import histogram
+    from logray.stages.join import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    counts = histogram(orders, ["o_custkey"], as_pandas=False)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = hash_join(
+        counts, cust, on="o_custkey", right_on="c_custkey", how="outer",
+    ).to_pandas()
+    # nullable outer-join columns are float64 on both sides (pandas
+    # upcasts; the oracle CASTs to DOUBLE)
+    for c in ("o_custkey", "n", "c_custkey"):
+        joined[c] = joined[c].astype("float64")
+    return joined[["o_custkey", "n", "c_custkey", "c_mktsegment"]]
+
+
 def _q_tfidf_docs(sf_dir: str):
     """Hashed TF-IDF vectors over documents; the query projects the
     SQL-expressible (doc_id, n_terms) for the exact oracle — embedding
@@ -1734,6 +1781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders": _q_rollup_orders,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "tfidf_docs": _q_tfidf_docs,
+        "standardize_events": _q_standardize_events,
+        "outer_join_counts": _q_outer_join,
     }
 
 
@@ -1782,7 +1831,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.quality import gopher_quality_sql
     from logray.functions.decontam import decontaminate_sql
     from logray.functions.heavyhitters import heavy_hitters_sql
-    from logray.stages.stats import stats_agg_sql
+    from logray.stages.stats import standardize_sql, stats_agg_sql
     from logray.functions.linededup import dedup_lines_sql
     from logray.functions.packing import pack_documents_sql
     from logray.stages.reshape import unpivot_sql
@@ -1803,6 +1852,19 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderpriority", "o_totalprice", [0.5, 0.9]
         ),
         "pack_docs": pack_documents_sql("documents", budget=2048),
+        "standardize_events": standardize_sql(
+            "(SELECT event_id, event_type, "
+            "CAST(round(value*100) AS BIGINT) AS cents FROM events) ev",
+            "event_type", "cents", cols="event_id, event_type, cents",
+        ),
+        "outer_join_counts": (
+            "SELECT CAST(o_custkey AS DOUBLE) AS o_custkey, "
+            "CAST(n AS DOUBLE) AS n, CAST(c_custkey AS DOUBLE) AS c_custkey, "
+            "c_mktsegment "
+            "FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n "
+            "      FROM orders GROUP BY o_custkey) o "
+            "FULL OUTER JOIN customer ON o.o_custkey = customer.c_custkey"
+        ),
         "tfidf_docs": (
             "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array("
             "lower(text), '[^0-9a-z]+'), x -> x <> '')) AS BIGINT) AS n_terms "

@@ -121,15 +121,22 @@ def broadcast_anti_join(ds, keys, on: str):
 
 def hash_join(left, right, on, right_on=None, how: str = "inner",
               num_partitions: int = 32):
-    """Large-large equi-join, hash-partitioned on the key."""
+    """Large-large equi-join, hash-partitioned on the key.  ``how`` uses
+    pandas naming: inner / left / right / outer (full).
+
+    Only ``inner`` uses Ray's builtin JoinOperator: the builtin coalesces
+    ``right_on`` into the left key column (outer results lose the right
+    key), and its aggregator-actor pool can starve under small CPU
+    budgets; the bucketed shuffle path keeps both key columns and runs on
+    plain tasks."""
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = on if right_on is None else (
         (right_on,) if isinstance(right_on, str) else tuple(right_on)
     )
-    if hasattr(left, "join"):
+    if hasattr(left, "join") and how == "inner":
         return left.join(
             right,
-            join_type=how,
+            join_type="inner",
             num_partitions=num_partitions,
             on=on,
             right_on=right_on if right_on != on else None,

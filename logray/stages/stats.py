@@ -184,6 +184,51 @@ def stats_agg(ds, key_cols: list[str] | str, x_col: str, y_col: str | None = Non
     return out.to_pandas() if as_pandas else out
 
 
+def standardize(ds, key_col: str, x_col: str, z_col: str = "z"):
+    """Per-key z-score normalization: append ``z = (x - mean_key) /
+    stddev_key`` using the EXACT per-key moments from :func:`stats_agg`
+    (sample stddev).  Keys with one row or zero variance yield null z,
+    matching the SQL twin's NULLIF.
+
+    Scale shape: one partial-moments pass (no shuffle) -> tiny per-key
+    (mean, std) table broadcast into a second per-batch map — the
+    classic fit/transform split; doubles are bit-identical to the twin
+    because both sides share the :func:`stats_agg` conversion rules."""
+    stats = stats_agg(ds, key_col, x_col, as_pandas=True)
+    mean_map = dict(zip(stats[key_col], stats["mean_x"]))
+    std_map = {
+        k: (s if s and s > 0 else np.nan)
+        for k, s in zip(stats[key_col], stats["stddev_x"].fillna(np.nan))
+    }
+
+    def apply(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = pd.Series(t[key_col].to_numpy(zero_copy_only=False))
+        mean = keys.map(mean_map).to_numpy(np.float64)
+        std = keys.map(std_map).to_numpy(np.float64)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            z = (x - mean) / std
+        return t.append_column(z_col, pa.array(z))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def standardize_sql(table_expr: str, key_col: str, x_col: str,
+                    cols: str = "*", z_col: str = "z") -> str:
+    """DuckDB twin of :func:`standardize` — joins the :func:`stats_agg_sql`
+    moments back so both sides run the identical float expression.
+    ``table_expr`` must carry its own alias when it is a subquery."""
+    m = stats_agg_sql(table_expr, key_col, x_col)
+    return (
+        f"SELECT {cols}, "
+        f"(CAST({x_col} AS DOUBLE) - m.mean_x) / NULLIF(m.stddev_x, 0) AS {z_col} "
+        f"FROM {table_expr} JOIN ({m}) m USING ({key_col})"
+    )
+
+
 def stats_agg_sql(table_expr: str, key_cols: list[str] | str, x_col: str,
                   y_col: str | None = None) -> str:
     """DuckDB twin of :func:`stats_agg`: exact HUGEINT moments, then the

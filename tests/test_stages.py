@@ -695,3 +695,59 @@ def test_rollup_agg_matches_duckdb(ray_session):
     # levels: 12 finest + 3 per-region + 1 grand total
     assert got["grp_id"].value_counts().to_dict() == {0: 12, 1: 3, 3: 1}
     assert got.loc[got.grp_id == 3, "n_rows"].item() == 5000
+
+
+def test_standardize_bit_exact_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.stats import standardize, standardize_sql
+
+    rng = np.random.default_rng(12)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, n).astype("int64"),
+            "x": rng.integers(-10**9, 10**9, n),
+        }
+    )
+    df.loc[0, "k"] = 50  # single-row key -> null z
+    df = pd.concat(
+        [df, pd.DataFrame({"k": [60] * 4, "x": [7] * 4})], ignore_index=True
+    )  # zero-variance key -> null z
+    got = (
+        standardize(rd.from_pandas(df).repartition(7), "k", "x")
+        .to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        standardize_sql("t", "k", "x", cols="k, x") + " ORDER BY k, x"
+    ).df()
+    same = (got["z"].isna() & want["z"].isna()) | (got["z"] == want["z"])
+    assert same.all()
+    assert got.loc[got.k == 50, "z"].isna().all()
+    assert got.loc[got.k == 60, "z"].isna().all()
+
+
+def test_hash_join_outer_unmatched_both_sides(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.join import hash_join
+
+    left = rd.from_items([{"k": 1, "a": 10}, {"k": 2, "a": 20}])
+    right = rd.from_items([{"rk": 2, "b": 200}, {"rk": 3, "b": 300}])
+    out = (
+        hash_join(left, right, on="k", right_on="rk", how="outer",
+                  num_partitions=4)
+        .to_pandas().sort_values(["k", "rk"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    # k=1 left-only, k=2 matched, rk=3 right-only — exactly once each
+    assert out["k"].fillna(-1).tolist() == [1.0, 2.0, -1]
+    assert out["rk"].fillna(-1).tolist() == [-1, 2.0, 3.0]
+    assert out["b"].fillna(-1).tolist() == [-1, 200.0, 300.0]
