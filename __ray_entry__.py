@@ -1150,6 +1150,23 @@ def _q_hopping_window(sf_dir: str):
                           key_cols="event_type")
 
 
+
+def _cents_stage(ds, src_col: str = "value", out_col: str = "cents"):
+    """Shared engine-side money rule (the twin of the _CENTS SQL constant):
+    integer cents via round-half-away-from-zero, replacing src_col."""
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(t[src_col], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return t.drop_columns([src_col]).append_column(out_col, c)
+
+    return ds.map_batches(to_cents, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
 def _q_lag_lead_events(sf_dir: str):
     """Per-user LAG/LEAD navigation over the event stream (bucketed
     shuffle + segmented vectorized shift; SQL-window exact)."""
@@ -1192,15 +1209,7 @@ def _q_cumulative_events(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
     )
 
-    def to_cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-        return t.drop_columns(["value"]).append_column("cents", c)
-
-    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True,
-                        batch_size=None)
+    ds = _cents_stage(ds)
     return rolling_agg(
         ds, "user_id", "ts", "cents", window=None, tiebreak_col="event_id"
     ).to_pandas()
@@ -1248,15 +1257,7 @@ def _q_rolling_events(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
     )
 
-    def to_cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-        return t.drop_columns(["value"]).append_column("cents", c)
-
-    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True,
-                        batch_size=None)
+    ds = _cents_stage(ds)
     return rolling_agg(
         ds, "user_id", "ts", "cents", window=4, tiebreak_col="event_id"
     ).to_pandas()
@@ -1479,15 +1480,7 @@ def _q_standardize_events(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
     )
 
-    def to_cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-        return t.drop_columns(["value"]).append_column("cents", c)
-
-    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True,
-                        batch_size=None)
+    ds = _cents_stage(ds)
     return standardize(ds, "event_type", "cents").to_pandas()
 
 
@@ -1558,16 +1551,7 @@ def _q_rollup_orders(sf_dir: str):
         columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
     )
 
-    def to_cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.round(pc.multiply(t["o_totalprice"], 100.0),
-                     round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-        return t.drop_columns(["o_totalprice"]).append_column("cents", c)
-
-    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True,
-                        batch_size=None)
+    ds = _cents_stage(ds, src_col="o_totalprice")
     return rollup_agg(ds, ["o_orderstatus", "o_orderpriority"], "cents")
 
 
@@ -1594,7 +1578,7 @@ def _q_kmeans(sf_dir: str):
 
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ).materialize()  # k-means re-executes the input once per iteration
     _cent, info = kmeans_fit(ds, k=8, id_col="vec_id", iters=8, seed=17)
     return info
 
@@ -1642,15 +1626,7 @@ def _q_value_window_events(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
     )
 
-    def to_cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-        return t.drop_columns(["value"]).append_column("cents", c)
-
-    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True,
-                        batch_size=None)
+    ds = _cents_stage(ds)
     return value_window(
         ds, "user_id", "ts", "cents", nth=3, tiebreak_col="event_id"
     ).to_pandas()
@@ -1668,15 +1644,7 @@ def _q_stats_events(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "value", "user_id"]
     )
 
-    def to_cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-        return t.drop_columns(["value"]).append_column("cents", c)
-
-    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True,
-                        batch_size=None)
+    ds = _cents_stage(ds)
     return stats_agg(ds, "event_type", "cents", "user_id")
 
 

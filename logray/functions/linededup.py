@@ -35,7 +35,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from logray.stages.bucketing import bucket_of, run_starts
+from logray.stages.bucketing import bucket_of, bucket_tagger, run_starts
 
 __all__ = ["dedup_lines", "dedup_lines_sql"]
 
@@ -108,10 +108,6 @@ def dedup_lines(ds, id_col: str = "doc_id", text_col: str = "text",
         .map_groups(keep_winner, batch_format="pandas")
     )
 
-    def tag_doc(t: pa.Table) -> pa.Table:
-        b = bucket_of(t[id_col].to_numpy(zero_copy_only=False), num_buckets)
-        return t.append_column("__b", pa.array(b))
-
     def rejoin(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values([id_col, "line_idx"], kind="mergesort").reset_index(drop=True)
         n = len(g)
@@ -127,7 +123,8 @@ def dedup_lines(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return (
-        survivors.map_batches(tag_doc, batch_format="pyarrow", zero_copy_batch=True)
+        survivors.map_batches(bucket_tagger(id_col, num_buckets),
+                              batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(rejoin, batch_format="pandas")
     )

@@ -44,7 +44,10 @@ def _doc_buckets(t: pa.Table, text_col: str, dim: int):
     col = t[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    col = pc.ascii_lower(col)
+    # utf8_lower, NOT ascii_lower: DuckDB's lower() is Unicode, and a
+    # character whose lowercase is ASCII (e.g. KELVIN SIGN -> 'k') must
+    # merge into the surrounding token on both sides identically
+    col = pc.utf8_lower(col)
     lists = pc.split_pattern_regex(col, pattern=r"[^0-9a-z]+")
     flat = pc.list_flatten(lists)
     parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
@@ -70,7 +73,7 @@ def fit_df(ds, text_col: str = "text", dim: int = 256):
         })
 
     parts = ds.map_batches(part, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
+                           zero_copy_batch=True, batch_size=None).to_pandas()
     df = np.zeros(dim, np.int64)
     for b in parts["df"]:
         df += np.frombuffer(b, np.int64)
@@ -109,4 +112,4 @@ def tfidf_vectors(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(transform, batch_format="pyarrow",
-                          zero_copy_batch=True)
+                          zero_copy_batch=True, batch_size=None)

@@ -798,8 +798,17 @@ def rollup_agg(ds, key_cols, value_col: str, as_pandas: bool = True):
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None)
     finest = stream_fold(parts, fold)
-    if finest is None:
-        finest = pa.table({c: [] for c in key_cols + [sum_col, n_col]})
+    if finest is None or finest.num_rows == 0:
+        # SQL ROLLUP over zero rows still yields ONE grand-total row:
+        # (NULL keys, n=0, sum=NULL, grp_id=2^k-1); sum is nullable here,
+        # so it comes back float64/NaN like the DuckDB .df() twin
+        out = pd.DataFrame({
+            **{c: [None] for c in key_cols},
+            n_col: pd.array([0], dtype="int64"),
+            sum_col: pd.array([np.nan], dtype="float64"),
+            "grp_id": pd.array([(1 << k) - 1], dtype="int64"),
+        })
+        return out if as_pandas else pa.Table.from_pandas(out, preserve_index=False)
     df = finest.to_pandas()
 
     frames = []

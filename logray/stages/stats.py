@@ -36,6 +36,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _SHIFT = 18
 _MASK = (1 << _SHIFT) - 1
@@ -54,6 +55,13 @@ def _moment_partial_fn(key_cols: list[str], x_col: str, y_col: str | None):
     """map_batches fn -> per-(batch, key) int64 limb-product sums."""
 
     def part(t: pa.Table) -> pa.Table:
+        # listwise deletion: drop rows where any moment input is null
+        # (mirrored by the SQL twin's WHERE; SQL covar/corr likewise
+        # ignore rows with a null on either side)
+        valid = pc.is_valid(t[x_col])
+        if y_col is not None:
+            valid = pc.and_(valid, pc.is_valid(t[y_col]))
+        t = t.filter(valid)
         x = np.asarray(t[x_col].to_numpy(zero_copy_only=False))
         if not np.issubdtype(x.dtype, np.integer):
             raise TypeError(f"stats_agg needs integer columns; {x_col} is {x.dtype}")
@@ -118,6 +126,8 @@ def stats_agg(ds, key_cols: list[str] | str, x_col: str, y_col: str | None = Non
               as_pandas: bool = True):
     """Per-key n / mean / var_samp / stddev_samp (+ covar_samp / corr when
     ``y_col`` given) over INTEGER columns (|value| < 2^36 — use cents).
+    Rows with a null x (or y) are ignored — listwise deletion, mirrored by
+    the twin's WHERE; null KEYS pool into one group (SQL GROUP BY).
 
     Output doubles are bit-identical to the DuckDB twin from
     :func:`stats_agg_sql`; n==1 keys yield null variance and zero-variance
@@ -143,7 +153,12 @@ def stats_agg(ds, key_cols: list[str] | str, x_col: str, y_col: str | None = Non
                 slot[j] += vals[j][i]
 
     rows = []
-    for key in sorted(acc):
+    # null-safe key order (None is not comparable to str/int; SQL GROUP BY
+    # emits one pooled null group, sorted last here)
+    def _key_order(key):
+        return tuple((v is None, v) for v in key)
+
+    for key in sorted(acc, key=_key_order):
         n, sx, xaa, xab, xbb = acc[key][:5]
         sxx = _sq_moment(xaa, xab, xbb)
         # two-limb int->double per moment operand (see _d), then the same
@@ -225,7 +240,7 @@ def standardize_sql(table_expr: str, key_col: str, x_col: str,
     return (
         f"SELECT {cols}, "
         f"(CAST({x_col} AS DOUBLE) - m.mean_x) / NULLIF(m.stddev_x, 0) AS {z_col} "
-        f"FROM {table_expr} JOIN ({m}) m USING ({key_col})"
+        f"FROM {table_expr} LEFT JOIN ({m}) m USING ({key_col})"
     )
 
 
@@ -261,11 +276,14 @@ def stats_agg_sql(table_expr: str, key_cols: list[str] | str, x_col: str,
         f"       / (sqrt({d(vnum)}) * sqrt({d(ynum)})) END AS corr_xy"
         if y_col is not None else ""
     )
+    where = f"WHERE {x_col} IS NOT NULL" + (
+        f" AND {y_col} IS NOT NULL" if y_col is not None else ""
+    )
     return (
         f"WITH m AS (SELECT {k}, count(*) AS n, "
         f"sum(CAST({x_col} AS HUGEINT)) AS sx, "
         f"sum(CAST({x_col} AS HUGEINT) * {x_col}) AS sxx{y_moments} "
-        f"FROM {table_expr} GROUP BY {k}) "
+        f"FROM {table_expr} {where} GROUP BY {k}) "
         f"SELECT {k}, CAST(n AS BIGINT) AS n_rows, "
         f"{d('sx')} / CAST(n AS DOUBLE) AS mean_x, "
         f"CASE WHEN n > 1 THEN {d(vnum)} / {den} END AS var_x, "

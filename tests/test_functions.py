@@ -1523,13 +1523,15 @@ def _kmeans_ref(df, k, iters, seed):
     order = np.lexsort((ids, h))[:k]
     cent = m[order].copy()
     FP = float(1 << 20)
+    xf = np.rint(m * FP).astype(np.int64)
     for _ in range(iters):
-        d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (m @ cent.T)
+        cq = np.rint(cent * FP).astype(np.int64)
+        d = (cq * cq).sum(axis=1)[None, :] - 2 * (xf @ cq.T)
         assign = np.argmin(d, axis=1)
         for c in range(k):
-            rows = m[assign == c]
+            rows = xf[assign == c]
             if len(rows):
-                s = np.rint(rows * FP).astype(np.int64).sum(axis=0)
+                s = rows.sum(axis=0)
                 cent[c] = (s.astype(np.float64) / FP) / len(rows)
     return cent
 
@@ -1736,3 +1738,26 @@ def test_tfidf_feeds_kmeans(ray_session):
     cent, info = kmeans_fit(vecs, k=2, iters=4, seed=5)
     # two pure topic groups -> the two clusters split 30/30
     assert sorted(info["n_rows"].tolist()) == [30, 30]
+
+
+def test_tfidf_unicode_lowercase_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.tfidf import tfidf_vectors
+
+    # KELVIN SIGN lowercases to 'k' (Unicode), so 'aKa' is ONE token;
+    # ascii_lower would leave it as a splitter and produce two
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": ["aKa b", "Straße ſ", "plain"]})
+    got = (tfidf_vectors(rd.from_pandas(df), dim=16).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(
+        "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array("
+        "lower(text), '[^0-9a-z]+'), x -> x <> '')) AS BIGINT) AS n_terms "
+        "FROM documents ORDER BY doc_id"
+    ).df()
+    assert got["n_terms"].tolist() == want["n_terms"].tolist()

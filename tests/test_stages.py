@@ -751,3 +751,56 @@ def test_hash_join_outer_unmatched_both_sides(ray_session):
     assert out["k"].fillna(-1).tolist() == [1.0, 2.0, -1]
     assert out["rk"].fillna(-1).tolist() == [-1, 2.0, 3.0]
     assert out["b"].fillna(-1).tolist() == [-1, 200.0, 300.0]
+
+
+def test_stats_agg_null_keys_and_null_values(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.stats import stats_agg, stats_agg_sql
+
+    df = pd.DataFrame(
+        {
+            "k": pd.array(["a", "a", None, None, "b", "b", "b"]),
+            "x": pd.array([1, 2, 5, 9, 4, None, 8], dtype="Int64"),
+            "y": pd.array([2, 4, 1, 3, 7, 5, None], dtype="Int64"),
+        }
+    )
+    got = stats_agg(rd.from_pandas(df).repartition(3), "k", "x", "y")
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(stats_agg_sql("t", "k", "x", "y")).df()
+    key = lambda s: s.fillna("\x00")
+    got = got.sort_values("k", key=key).reset_index(drop=True)
+    want = want.sort_values("k", key=key).reset_index(drop=True)
+    for c in want.columns:
+        g, w = got[c], want[c]
+        same = (g.isna() & w.isna()) | (g == w)
+        assert same.all(), (c, got, want)
+    # null keys pool into ONE group; rows with null x or y are ignored
+    assert len(got) == 3
+    assert got.loc[got.k.isna(), "n_rows"].item() == 2
+    assert got.loc[got.k == "b", "n_rows"].item() == 1
+
+
+def test_rollup_agg_empty_input(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.aggregate import rollup_agg, rollup_agg_sql
+
+    df = pd.DataFrame({"a": pd.array([], dtype="str"),
+                       "b": pd.array([], dtype="str"),
+                       "v": pd.array([], dtype="int64")})
+    got = rollup_agg(rd.from_pandas(df), ["a", "b"], "v")
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(rollup_agg_sql("t", ["a", "b"], "v")).df()
+    # one grand-total row: NULL keys, n=0, sum NULL, grp_id=3
+    assert len(got) == len(want) == 1
+    assert got["n_rows"].item() == want["n_rows"].item() == 0
+    assert pd.isna(got["sum_v"].item()) and pd.isna(want["sum_v"].item())
+    assert got["grp_id"].item() == want["grp_id"].item() == 3
