@@ -1484,6 +1484,20 @@ def _q_standardize_events(sf_dir: str):
     return standardize(ds, "event_type", "cents").to_pandas()
 
 
+def _q_winsorize_events(sf_dir: str):
+    """Per-event-type outlier clipping of cents into exact [5%, 95%]
+    quantile_disc bounds — quantile fit pass + broadcast clamp."""
+    import ray.data as rd
+
+    from logray.stages.stats import winsorize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    ds = _cents_stage(ds)
+    return winsorize(ds, "event_type", "cents", 0.05, 0.95).to_pandas()
+
+
 def _q_outer_join(sf_dir: str):
     """FULL OUTER hash join of per-customer order counts against the
     customer table: unmatched rows on BOTH sides survive null-extended
@@ -1751,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_docs": _q_tfidf_docs,
         "standardize_events": _q_standardize_events,
         "outer_join_counts": _q_outer_join,
+        "winsorize_events": _q_winsorize_events,
     }
 
 
@@ -1799,7 +1814,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.quality import gopher_quality_sql
     from logray.functions.decontam import decontaminate_sql
     from logray.functions.heavyhitters import heavy_hitters_sql
-    from logray.stages.stats import standardize_sql, stats_agg_sql
+    from logray.stages.stats import standardize_sql, stats_agg_sql, winsorize_sql
     from logray.functions.linededup import dedup_lines_sql
     from logray.functions.packing import pack_documents_sql
     from logray.stages.reshape import unpivot_sql
@@ -1820,6 +1835,12 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderpriority", "o_totalprice", [0.5, 0.9]
         ),
         "pack_docs": pack_documents_sql("documents", budget=2048),
+        "winsorize_events": winsorize_sql(
+            "(SELECT event_id, event_type, "
+            "CAST(round(value*100) AS BIGINT) AS cents FROM events) ev",
+            "event_type", "cents", 0.05, 0.95,
+            cols="event_id, event_type, cents",
+        ),
         "standardize_events": standardize_sql(
             "(SELECT event_id, event_type, "
             "CAST(round(value*100) AS BIGINT) AS cents FROM events) ev",

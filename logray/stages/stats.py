@@ -231,6 +231,57 @@ def standardize(ds, key_col: str, x_col: str, z_col: str = "z"):
                           batch_size=None)
 
 
+def winsorize(ds, key_col: str, x_col: str, lo_q: float = 0.01,
+              hi_q: float = 0.99, out_col: str | None = None,
+              num_buckets: int = 32):
+    """Per-key outlier clipping: clamp ``x`` into its key's exact discrete
+    [lo_q, hi_q] quantile bounds (DuckDB ``quantile_disc`` semantics, so
+    bounds are actual data values and integer columns clamp exactly).
+
+    Scale shape: one :func:`grouped_quantiles` pass (bucketed, exact) ->
+    tiny per-key bounds table broadcast into a per-batch ``np.clip`` —
+    fit/transform, same as :func:`standardize`."""
+    from logray.stages.aggregate import grouped_quantiles
+
+    out_col = out_col or f"{x_col}_wins"
+    b = grouped_quantiles(ds, key_col, x_col, [lo_q, hi_q],
+                          num_buckets=num_buckets).to_pandas()
+    lo_map = dict(zip(b.loc[b.q == float(lo_q), key_col],
+                      b.loc[b.q == float(lo_q), "value"]))
+    hi_map = dict(zip(b.loc[b.q == float(hi_q), key_col],
+                      b.loc[b.q == float(hi_q), "value"]))
+
+    def apply(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = pd.Series(t[key_col].to_numpy(zero_copy_only=False))
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        lo = keys.map(lo_map).to_numpy()
+        hi = keys.map(hi_map).to_numpy()
+        clamped = np.clip(x, lo, hi)
+        if np.issubdtype(x.dtype, np.integer):
+            clamped = clamped.astype(np.int64)
+        return t.append_column(out_col, pa.array(clamped))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def winsorize_sql(table_expr: str, key_col: str, x_col: str,
+                  lo_q: float = 0.01, hi_q: float = 0.99,
+                  cols: str = "*", out_col: str | None = None) -> str:
+    """DuckDB twin of :func:`winsorize` (identical clamp bounds).
+    ``table_expr`` must carry its own alias when it is a subquery."""
+    out_col = out_col or f"{x_col}_wins"
+    return (
+        f"SELECT {cols}, GREATEST(LEAST({x_col}, b.hi), b.lo) AS {out_col} "
+        f"FROM {table_expr} JOIN ("
+        f"SELECT {key_col}, quantile_disc({x_col}, {lo_q}) AS lo, "
+        f"quantile_disc({x_col}, {hi_q}) AS hi "
+        f"FROM {table_expr} GROUP BY {key_col}) b USING ({key_col})"
+    )
+
+
 def standardize_sql(table_expr: str, key_col: str, x_col: str,
                     cols: str = "*", z_col: str = "z") -> str:
     """DuckDB twin of :func:`standardize` — joins the :func:`stats_agg_sql`

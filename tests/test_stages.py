@@ -804,3 +804,38 @@ def test_rollup_agg_empty_input(ray_session):
     assert got["n_rows"].item() == want["n_rows"].item() == 0
     assert pd.isna(got["sum_v"].item()) and pd.isna(want["sum_v"].item())
     assert got["grp_id"].item() == want["grp_id"].item() == 3
+
+
+def test_winsorize_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.stats import winsorize, winsorize_sql
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n).astype("int64"),
+            "x": rng.integers(-10**6, 10**6, n),
+        }
+    )
+    # plant extreme outliers that must get clipped
+    df.loc[:10, "x"] = 10**9
+    got = (
+        winsorize(rd.from_pandas(df).repartition(5), "k", "x", 0.05, 0.95)
+        .to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        winsorize_sql("t", "k", "x", 0.05, 0.95, cols="k, x")
+        + " ORDER BY k, x"
+    ).df()
+    assert got["x_wins"].tolist() == want["x_wins"].tolist()
+    assert got["x_wins"].max() < 10**9  # outliers clipped
+    # clamp never moves in-range values
+    inr = got[(got.x >= got.x_wins.min()) & (got.x <= got.x_wins.max())]
+    assert (got["x_wins"] <= got["x"].where(got.x >= got.x_wins, got.x_wins)).all()
