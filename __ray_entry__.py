@@ -1569,6 +1569,34 @@ def _q_rollup_orders(sf_dir: str):
     return rollup_agg(ds, ["o_orderstatus", "o_orderpriority"], "cents")
 
 
+def _q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE (status, priority): all four grouping sets derived
+    from the same single pass of finest-level partials."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import cube_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    ds = _cents_stage(ds, src_col="o_totalprice")
+    return cube_agg(ds, ["o_orderstatus", "o_orderpriority"], "cents")
+
+
+def _q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type: local (key,val) dedup
+    combiner + one bucket shuffle of deduped pairs."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import distinct_count_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return distinct_count_per_key(ds, "event_type", "user_id")
+
+
 def _q_pack_docs(sf_dir: str):
     """Concat-and-cut sequence packing: documents laid head-to-tail by
     doc_id and cut every 2048 chars; each doc gets its starting
@@ -1766,6 +1794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "standardize_events": _q_standardize_events,
         "outer_join_counts": _q_outer_join,
         "winsorize_events": _q_winsorize_events,
+        "cube_orders": _q_cube_orders,
+        "distinct_users_per_type": _q_distinct_users,
     }
 
 
@@ -1797,6 +1827,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.chunking import chunk_documents_sql
     from logray.functions.textclean import clean_text_sql, regexp_extract_sql
     from logray.stages.aggregate import (
+        distinct_count_per_key_sql,
         grouped_quantiles_sql,
         pivot_agg_sql,
         rollup_agg_sql,
@@ -1862,6 +1893,14 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_lineitem": unpivot_sql(
             "lineitem", ["l_orderkey", "l_linenumber"],
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        "cube_orders": rollup_agg_sql(
+            "(SELECT o_orderstatus, o_orderpriority, "
+            "CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders) o",
+            ["o_orderstatus", "o_orderpriority"], "cents", mode="CUBE",
+        ),
+        "distinct_users_per_type": distinct_count_per_key_sql(
+            "events", "event_type", "user_id"
         ),
         "rollup_orders": rollup_agg_sql(
             "(SELECT o_orderstatus, o_orderpriority, "

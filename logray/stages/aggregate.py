@@ -762,22 +762,22 @@ def quantile_cont(ds, col: str, qs, **kw) -> dict:
     return out
 
 
-def rollup_agg(ds, key_cols, value_col: str, as_pandas: bool = True):
-    """SQL ``GROUP BY ROLLUP (key_cols...)``: exact count + integer sum at
-    every prefix level of the key hierarchy plus the grand total, with
-    NULL in rolled-up key columns and ``grp_id`` = the GROUPING() bitmask
-    (first key = most significant bit, so level i has grp_id 2^(k-i)-1).
-
-    Scale shape: ONE streaming pass of per-batch Arrow group_by partials
-    at the FINEST level; the driver folds the tiny partials (O(finest
-    cardinality), the conv_stats pattern) and derives every coarser level
-    locally — rolling up partials, never re-reading data.  Value column
-    must be integer (use cents) for exact sums."""
+def _grouping_sets_agg(ds, key_cols: list[str], value_col: str,
+                       sets: list[tuple[str, ...]], as_pandas: bool):
+    """Shared core of ROLLUP / CUBE: exact count + integer sum at every
+    requested grouping set, derived from ONE streaming pass of
+    finest-level Arrow partials folded on the driver (O(finest
+    cardinality), the conv_stats pattern) — coarser sets re-aggregate the
+    folded partials, never the data.  ``grp_id`` is the SQL GROUPING()
+    bitmask over key_cols (first key = most significant bit)."""
     from logray.stages.bucketing import stream_fold
 
-    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     k = len(key_cols)
     sum_col, n_col = f"sum_{value_col}", "n_rows"
+
+    def grp_id(keep):
+        return sum(1 << (k - 1 - i)
+                   for i, c in enumerate(key_cols) if c not in keep)
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(key_cols).aggregate(
@@ -799,22 +799,23 @@ def rollup_agg(ds, key_cols, value_col: str, as_pandas: bool = True):
                            zero_copy_batch=True, batch_size=None)
     finest = stream_fold(parts, fold)
     if finest is None or finest.num_rows == 0:
-        # SQL ROLLUP over zero rows still yields ONE grand-total row:
-        # (NULL keys, n=0, sum=NULL, grp_id=2^k-1); sum is nullable here,
-        # so it comes back float64/NaN like the DuckDB .df() twin
+        # SQL grouping sets over zero rows still yield ONE row per
+        # zero-key set ((), i.e. the grand total): NULL keys, n=0,
+        # sum=NULL; keyed sets produce no rows
+        empties = [s for s in sets if not s]
         out = pd.DataFrame({
-            **{c: [None] for c in key_cols},
-            n_col: pd.array([0], dtype="int64"),
-            sum_col: pd.array([np.nan], dtype="float64"),
-            "grp_id": pd.array([(1 << k) - 1], dtype="int64"),
+            **{c: [None] * len(empties) for c in key_cols},
+            n_col: pd.array([0] * len(empties), dtype="int64"),
+            sum_col: pd.array([np.nan] * len(empties), dtype="float64"),
+            "grp_id": pd.array([(1 << k) - 1] * len(empties), dtype="int64"),
         })
         return out if as_pandas else pa.Table.from_pandas(out, preserve_index=False)
     df = finest.to_pandas()
 
     frames = []
-    for lvl in range(k, -1, -1):
-        keep = key_cols[:lvl]
-        if lvl == k:
+    for keep in sets:
+        keep = list(keep)
+        if len(keep) == k:
             f = df.copy()
         elif keep:
             f = (df.groupby(keep, dropna=False, sort=False)[[sum_col, n_col]]
@@ -822,9 +823,10 @@ def rollup_agg(ds, key_cols, value_col: str, as_pandas: bool = True):
         else:
             f = pd.DataFrame({sum_col: [df[sum_col].sum()],
                               n_col: [df[n_col].sum()]})
-        for c in key_cols[lvl:]:
-            f[c] = None
-        f["grp_id"] = (1 << (k - lvl)) - 1
+        for c in key_cols:
+            if c not in keep:
+                f[c] = None
+        f["grp_id"] = grp_id(keep)
         frames.append(f[key_cols + [n_col, sum_col, "grp_id"]])
     out = pd.concat(frames, ignore_index=True)
     out[n_col] = out[n_col].astype("int64")
@@ -833,13 +835,81 @@ def rollup_agg(ds, key_cols, value_col: str, as_pandas: bool = True):
     return out if as_pandas else pa.Table.from_pandas(out, preserve_index=False)
 
 
-def rollup_agg_sql(table: str, key_cols, value_col: str) -> str:
-    """DuckDB twin of :func:`rollup_agg`."""
+def rollup_agg(ds, key_cols, value_col: str, as_pandas: bool = True):
+    """SQL ``GROUP BY ROLLUP (key_cols...)``: every prefix level of the
+    key hierarchy plus the grand total (see :func:`_grouping_sets_agg`
+    for the one-pass scale shape).  Value column must be integer (use
+    cents) for exact sums."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    sets = [tuple(key_cols[:lvl]) for lvl in range(len(key_cols), -1, -1)]
+    return _grouping_sets_agg(ds, key_cols, value_col, sets, as_pandas)
+
+
+def cube_agg(ds, key_cols, value_col: str, as_pandas: bool = True):
+    """SQL ``GROUP BY CUBE (key_cols...)``: every subset of the keys (2^k
+    grouping sets), all derived from the same single finest-level pass."""
+    from itertools import combinations
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    sets = [
+        tuple(s)
+        for r in range(len(key_cols), -1, -1)
+        for s in combinations(key_cols, r)
+    ]
+    return _grouping_sets_agg(ds, key_cols, value_col, sets, as_pandas)
+
+
+def rollup_agg_sql(table: str, key_cols, value_col: str,
+                   mode: str = "ROLLUP") -> str:
+    """DuckDB twin of :func:`rollup_agg` (``mode="CUBE"`` twins
+    :func:`cube_agg`)."""
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ks = ", ".join(key_cols)
     return (
         f"SELECT {ks}, CAST(count(*) AS BIGINT) AS n_rows, "
         f"CAST(sum({value_col}) AS BIGINT) AS sum_{value_col}, "
         f"CAST(GROUPING({ks}) AS BIGINT) AS grp_id "
-        f"FROM {table} GROUP BY ROLLUP ({ks})"
+        f"FROM {table} GROUP BY {mode} ({ks})"
+    )
+
+
+def distinct_count_per_key(ds, key: str, val: str, num_buckets: int = 32,
+                           as_pandas: bool = True):
+    """Exact ``COUNT(DISTINCT val) GROUP BY key`` (the exact counterpart
+    of the HLL sketch in ``functions/sketch.py``).
+
+    Scale shape: per-batch LOCAL (key, val) dedup — the combiner, so
+    duplicate-heavy batches ship one pair per distinct combination — then
+    ONE ``hash(key) % num_buckets`` shuffle of the deduped pairs and a
+    vectorized per-bucket nunique (group count is num_buckets, never the
+    key cardinality).  Null vals are not counted (SQL COUNT semantics);
+    null keys pool into one group."""
+    from logray.stages.bucketing import bucket_tagger
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[val]))
+        return t.group_by([key, val]).aggregate([])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([key, val])
+        s = g.groupby(key, sort=False, dropna=False)[val].size()
+        return pd.DataFrame({key: s.index.to_numpy(),
+                             "n_distinct": s.to_numpy().astype(np.int64)})
+
+    out = (
+        ds.map_batches(local_dedup, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .map_batches(bucket_tagger(key, num_buckets), batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return out.to_pandas() if as_pandas else out
+
+
+def distinct_count_per_key_sql(table: str, key: str, val: str) -> str:
+    """DuckDB twin of :func:`distinct_count_per_key`."""
+    return (
+        f"SELECT {key}, CAST(count(DISTINCT {val}) AS BIGINT) AS n_distinct "
+        f"FROM {table} GROUP BY {key}"
     )

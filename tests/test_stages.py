@@ -839,3 +839,67 @@ def test_winsorize_matches_duckdb(ray_session):
     # clamp never moves in-range values
     inr = got[(got.x >= got.x_wins.min()) & (got.x <= got.x_wins.max())]
     assert (got["x_wins"] <= got["x"].where(got.x >= got.x_wins, got.x_wins)).all()
+
+
+def test_cube_agg_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.aggregate import cube_agg, rollup_agg_sql
+
+    rng = np.random.default_rng(14)
+    df = pd.DataFrame(
+        {
+            "a": np.array(["x", "y"])[rng.integers(0, 2, 2000)],
+            "b": np.array(["p", "q", "r"])[rng.integers(0, 3, 2000)],
+            "v": rng.integers(0, 1000, 2000),
+        }
+    )
+    got = (
+        cube_agg(rd.from_pandas(df).repartition(5), ["a", "b"], "v")
+        .sort_values(["grp_id", "a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        rollup_agg_sql("t", ["a", "b"], "v", mode="CUBE")
+        + " ORDER BY grp_id, a NULLS LAST, b NULLS LAST"
+    ).df()
+    cols = ["a", "b", "n_rows", "sum_v", "grp_id"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+    # CUBE adds the per-b level (grp_id=2, keep b only) that ROLLUP lacks
+    assert got["grp_id"].value_counts().to_dict() == {0: 6, 2: 3, 1: 2, 3: 1}
+
+
+def test_distinct_count_per_key_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.aggregate import (
+        distinct_count_per_key,
+        distinct_count_per_key_sql,
+    )
+
+    rng = np.random.default_rng(15)
+    df = pd.DataFrame(
+        {
+            "k": np.array(["a", "b", "c"])[rng.integers(0, 3, 5000)],
+            "u": rng.integers(0, 40, 5000),
+        }
+    )
+    df.loc[0, "u"] = None  # nulls don't count
+    got = (
+        distinct_count_per_key(rd.from_pandas(df).repartition(7), "k", "u")
+        .sort_values("k").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        distinct_count_per_key_sql("t", "k", "u") + " ORDER BY k"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
