@@ -1569,6 +1569,20 @@ def _q_rollup_orders(sf_dir: str):
     return rollup_agg(ds, ["o_orderstatus", "o_orderpriority"], "cents")
 
 
+def _q_global_rank_events(sf_dir: str):
+    """Corpus-global ROW_NUMBER / RANK / PERCENT_RANK of event cents —
+    the percentile-normalization pass (zipWithIndex fixup over one sort)."""
+    import ray.data as rd
+
+    from logray.stages.windowfn import global_rank
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    ds = _cents_stage(ds)
+    return global_rank(ds, "cents", "event_id").to_pandas()
+
+
 def _q_cube_orders(sf_dir: str):
     """GROUP BY CUBE (status, priority): all four grouping sets derived
     from the same single pass of finest-level partials."""
@@ -1796,6 +1810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_events": _q_winsorize_events,
         "cube_orders": _q_cube_orders,
         "distinct_users_per_type": _q_distinct_users,
+        "global_rank_events": _q_global_rank_events,
     }
 
 
@@ -1835,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from logray.stages.window import hopping_window_sql
     from logray.stages.windowfn import (
+        global_rank_sql,
         lag_lead_sql,
         rank_window_sql,
         rolling_agg_range_sql,
@@ -1893,6 +1909,11 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_lineitem": unpivot_sql(
             "lineitem", ["l_orderkey", "l_linenumber"],
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        "global_rank_events": global_rank_sql(
+            "(SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents "
+            "FROM events) ev",
+            "cents", "event_id", cols="event_id, cents",
         ),
         "cube_orders": rollup_agg_sql(
             "(SELECT o_orderstatus, o_orderpriority, "

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from logray.stages.bucketing import bucket_tagger as _bucket_tagger
 from logray.stages.bucketing import run_starts
@@ -336,6 +338,103 @@ def rank_window(ds, key_col: str, order_col: str,
                        batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def global_rank(ds, col: str, id_col: str, pct: bool = True):
+    """UNPARTITIONED ranking window: per row ``row_num`` (ROW_NUMBER over
+    ORDER BY (col, id)), ``rnk`` (RANK over col alone, ties share) and
+    ``pct_rank`` (= (rnk-1)/(N-1), 0.0 when N==1) over the WHOLE dataset —
+    the global percentile-normalization pass (e.g. quality-score ranks
+    before a top-p% cut).
+
+    Scale shape: the zipWithIndex pattern — ONE global sort by (col, id),
+    then per-block vectorized ranking fixed up with tiny per-block
+    (first, last, nrows, tail_run) summaries scanned once on the driver: a
+    block's head rows may continue the previous block's tie run, so their
+    shared rank starts ``head_offset`` rows back.  Requires a non-null
+    ``col`` (SQL null-ordering is not replicated)."""
+    import ray
+    import ray.data as rd
+
+    from logray.functions.packing import _to_table
+
+    def summary(t):
+        t = _to_table(t)
+        n = t.num_rows
+        if n == 0:
+            return None, None, 0, 0
+        first = t[col][0].as_py()
+        last = t[col][n - 1].as_py()
+        eq_rev = np.asarray(pc.equal(t[col], last))[::-1]
+        tail = n if eq_rev.all() else int(np.argmin(eq_rev))
+        return first, last, n, tail
+
+    def apply(t, row_off: int, head_off: int, total: int):
+        t = _to_table(t)
+        n = t.num_rows
+        vals = t[col].to_numpy(zero_copy_only=False)
+        starts = run_starts(vals)
+        idx = np.arange(n, dtype=np.int64)
+        first_peer = np.maximum.accumulate(np.where(starts, idx, 0)) if n else idx
+        rnk = row_off + first_peer + 1
+        # rows whose first peer is local row 0 continue the tie run that
+        # began head_off rows before this block
+        if n:
+            rnk = np.where(first_peer == 0, row_off - head_off + 1, rnk)
+        out = {c: t[c] for c in t.column_names}
+        out["row_num"] = pa.array(row_off + idx + 1)
+        out["rnk"] = pa.array(rnk.astype(np.int64))
+        if pct:
+            out["pct_rank"] = pa.array(
+                (rnk - 1).astype(np.float64) / (total - 1) if total > 1
+                else np.zeros(n, np.float64))
+        return pa.table(out)
+
+    sorted_ds = ds.sort([col, id_col]).materialize()
+    blocks = [blk for bundle in sorted_ds.iter_internal_ref_bundles()
+              for blk in bundle.blocks]
+    refs = [r for r, _m in blocks]
+    if not refs:
+        return sorted_ds.map_batches(
+            lambda t: apply(t, 0, 0, 0), batch_format="pyarrow")
+
+    summary_task = ray.remote(num_cpus=0.5)(summary)
+    apply_task = ray.remote(num_cpus=0.5)(apply)
+    summaries = ray.get([summary_task.remote(r) for r in refs])
+    total = sum(s[2] for s in summaries)
+    row_offs, head_offs = [], []
+    run_val, run_len, row_off = None, 0, 0
+    for first, last, nrows, tail in summaries:
+        row_offs.append(row_off)
+        if nrows == 0:
+            head_offs.append(0)
+            continue
+        head = run_len if first == run_val else 0
+        head_offs.append(head)
+        if last == first:
+            run_len = head + nrows
+        else:
+            run_len = tail
+        run_val = last
+        row_off += nrows
+    out_refs = [
+        apply_task.remote(r, ro, ho, total)
+        for r, ro, ho in zip(refs, row_offs, head_offs)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+def global_rank_sql(table: str, col: str, id_col: str,
+                    cols: str | None = None, pct: bool = True) -> str:
+    """DuckDB twin of :func:`global_rank`."""
+    cols = cols or "*"
+    p = (f", PERCENT_RANK() OVER (ORDER BY {col}) AS pct_rank"
+         if pct else "")
+    return (
+        f"SELECT {cols}, "
+        f"ROW_NUMBER() OVER (ORDER BY {col}, {id_col}) AS row_num, "
+        f"RANK() OVER (ORDER BY {col}) AS rnk{p} FROM {table}"
     )
 
 

@@ -686,3 +686,53 @@ def test_value_window_strings_and_short_runs(ray_session):
     assert got["last_s"].tolist() == ["x", "x", "z", "r", "r", "r"]
     # nth=2: key a -> 'x', single-row key b -> null, key c -> 'q'
     assert got["nth_s"].tolist() == ["x", "x", None, "q", "q", "q"]
+
+
+def test_global_rank_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.windowfn import global_rank, global_rank_sql
+
+    rng = np.random.default_rng(16)
+    n = 5000
+    # tiny value domain -> tie runs straddle many block boundaries
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 40, n),
+        }
+    )
+    got = (
+        global_rank(rd.from_pandas(df).repartition(11), "v", "id")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        global_rank_sql("t", "v", "id", cols="id, v") + " ORDER BY id"
+    ).df()
+    cols = ["id", "v", "row_num", "rnk", "pct_rank"]
+    pd.testing.assert_frame_equal(
+        got[cols], want[cols], check_dtype=False
+    )
+
+
+def test_global_rank_single_row_and_all_ties(ray_session):
+    import ray.data as rd
+
+    from logray.stages.windowfn import global_rank
+
+    one = global_rank(rd.from_items([{"id": 1, "v": 5}]), "v", "id").to_pandas()
+    assert one["row_num"].item() == 1 and one["rnk"].item() == 1
+    assert one["pct_rank"].item() == 0.0
+
+    ties = pd.DataFrame({"id": range(6), "v": [7] * 6})
+    got = (
+        global_rank(rd.from_pandas(ties).repartition(3), "v", "id")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got["rnk"].tolist() == [1] * 6
+    assert got["row_num"].tolist() == [1, 2, 3, 4, 5, 6]
+    assert (got["pct_rank"] == 0.0).all()
