@@ -1569,6 +1569,42 @@ def _q_rollup_orders(sf_dir: str):
     return rollup_agg(ds, ["o_orderstatus", "o_orderpriority"], "cents")
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """Mergeable per-key HLL: approximate distinct users per event type —
+    the sketch path of distinct_users_per_type (rows-only; ~1.6% expected
+    error at p=12, deterministic under partitioning)."""
+    import ray.data as rd
+
+    from logray.functions.sketch import approx_distinct_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return approx_distinct_per_key(ds, "event_type", "user_id", p=12)
+
+
+def _q_bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered exact semi join: orders whose customer is in the
+    BUILDING segment.  The Bloom pass prunes per batch with no false
+    negatives; the exact is_in verify removes the false positives, so the
+    result is exactly the SQL semi join while only survivors reach the
+    exact stage."""
+    import ray.data as rd
+
+    from logray.functions.bloom import bloom_prefilter, build_bloom
+    from logray.stages.join import broadcast_semi_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
+    bloom = build_bloom(cust, "c_custkey", m_bits=1 << 18, k=4)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    pre = bloom_prefilter(orders, bloom, "o_custkey")
+    return broadcast_semi_join(pre, cust, on="o_custkey").to_pandas()
+
+
 def _q_global_rank_events(sf_dir: str):
     """Corpus-global ROW_NUMBER / RANK / PERCENT_RANK of event cents —
     the percentile-normalization pass (zipWithIndex fixup over one sort)."""
@@ -1811,6 +1847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_orders": _q_cube_orders,
         "distinct_users_per_type": _q_distinct_users,
         "global_rank_events": _q_global_rank_events,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "bloom_semi_join": _q_bloom_semi_join,
     }
 
 
@@ -1909,6 +1947,10 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_lineitem": unpivot_sql(
             "lineitem", ["l_orderkey", "l_linenumber"],
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        "bloom_semi_join": (
+            "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
         ),
         "global_rank_events": global_rank_sql(
             "(SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents "

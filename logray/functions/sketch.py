@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from logray.functions.fingerprint import content_hash
 
@@ -319,3 +320,65 @@ def approx_quantiles_grouped(ds, key_col: str, value_col: str, qs,
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def approx_distinct_per_key(ds, key: str, col: str, p: int = 12,
+                            as_pandas: bool = True):
+    """Approximate ``COUNT(DISTINCT col) GROUP BY key`` — the mergeable
+    HLL counterpart of ``stages.aggregate.distinct_count_per_key`` for
+    when the distinct set per key is too large to ship exactly.
+
+    Per batch, every key gets its own 2^p register array built with ONE
+    vectorized scatter over (key_idx * m + register_idx); the tiny
+    (key, registers) partials stream to the driver and merge by max
+    (stream-fold pattern, memory O(keys * 2^p bytes)).  Deterministic:
+    independent of partitioning, batch order and retries."""
+    import pandas as pd
+
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t[col]))
+        n = t.num_rows
+        if n == 0:
+            return pd.DataFrame({"k": pd.array([], dtype="object"),
+                                 "regs": pd.array([], dtype="object")})
+        keys = pd.Series(t[key].to_numpy(zero_copy_only=False))
+        kf, uniq = pd.factorize(keys, use_na_sentinel=False)
+        h = _hash_column(t[col])
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = (h << np.uint64(p)) & _MASK
+        hi = (w >> np.uint64(32)).astype(np.float64)
+        lo = (w & np.uint64(0xFFFFFFFF)).astype(np.float64)
+        bitlen = np.where(
+            hi > 0,
+            np.floor(np.log2(np.maximum(hi, 1))) + 33,
+            np.where(lo > 0, np.floor(np.log2(np.maximum(lo, 1))) + 1, 0),
+        ).astype(np.int64)
+        rank = np.minimum(64 - bitlen + 1, 64 - p + 1).astype(np.uint8)
+        regs = np.zeros((len(uniq), m), np.uint8)
+        np.maximum.at(regs.reshape(-1), kf * m + idx, rank)
+        return pd.DataFrame({
+            "k": list(uniq),
+            "regs": [regs[i].tobytes() for i in range(len(uniq))],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    acc: dict = {}
+    for chunk in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for kv, buf in zip(chunk["k"].to_pylist(), chunk["regs"].to_pylist()):
+            r = np.frombuffer(buf, np.uint8)
+            prev = acc.get(kv)
+            acc[kv] = r if prev is None else np.maximum(prev, r)
+
+    def _order(kv):
+        return (kv is None, kv)
+
+    keys_sorted = sorted(acc, key=_order)
+    out = pd.DataFrame({
+        key: keys_sorted,
+        "approx_distinct": [hll_estimate(acc[kv]) for kv in keys_sorted],
+    })
+    out["approx_distinct"] = out["approx_distinct"].astype("int64")
+    return out if as_pandas else pa.Table.from_pandas(out, preserve_index=False)

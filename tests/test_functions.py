@@ -1761,3 +1761,59 @@ def test_tfidf_unicode_lowercase_matches_duckdb(ray_session):
         "FROM documents ORDER BY doc_id"
     ).df()
     assert got["n_terms"].tolist() == want["n_terms"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL + Bloom prefilter (functions/sketch.py, functions/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def test_approx_distinct_per_key_error_and_invariance(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.sketch import approx_distinct_per_key
+
+    rng = np.random.default_rng(17)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "k": np.array(["a", "b", "c"])[rng.integers(0, 3, n)],
+            "u": rng.integers(0, 8000, n),
+        }
+    )
+    outs = [
+        approx_distinct_per_key(rd.from_pandas(df).repartition(p), "k", "u",
+                                p=12)
+        for p in (2, 13)
+    ]
+    # deterministic under partitioning
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    exact = df.groupby("k")["u"].nunique()
+    for _, row in outs[0].iterrows():
+        err = abs(row["approx_distinct"] - exact[row["k"]]) / exact[row["k"]]
+        assert err < 0.05, (row["k"], row["approx_distinct"], exact[row["k"]])
+
+
+def test_bloom_prefilter_no_false_negatives(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.bloom import bloom_prefilter, build_bloom
+
+    rng = np.random.default_rng(18)
+    members = rd.from_pandas(pd.DataFrame(
+        {"key": rng.choice(100_000, 5000, replace=False).astype(np.int64)}))
+    bloom = build_bloom(members, "key", m_bits=1 << 18, k=4)
+
+    probe_df = pd.DataFrame({"key": np.arange(100_000, dtype=np.int64)})
+    kept = (
+        bloom_prefilter(rd.from_pandas(probe_df).repartition(7), bloom, "key")
+        .to_pandas()["key"].to_numpy()
+    )
+    member_set = set(members.to_pandas()["key"])
+    # every true member survives (no false negatives)
+    assert member_set <= set(kept)
+    # false-positive fraction is small at these parameters (~m/n=52 bits/key)
+    fpr = (len(kept) - len(member_set)) / (100_000 - len(member_set))
+    assert fpr < 0.01, fpr
