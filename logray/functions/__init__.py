@@ -42,7 +42,25 @@ from logray.functions.multimodal import (
     decode_stage,
 )
 
+from logray.functions.linededup import dedup_lines
+from logray.functions.sample import mixture_sample
+from logray.functions.cluster import kmeans_assign, kmeans_fit
+from logray.functions.packing import pack_documents
+from logray.functions.tfidf import fit_df, tfidf_vectors
+from logray.functions.sketch import approx_distinct_per_key
+from logray.functions.bloom import bloom_prefilter, build_bloom
+
 __all__ = [
+    "dedup_lines",
+    "mixture_sample",
+    "kmeans_assign",
+    "kmeans_fit",
+    "pack_documents",
+    "fit_df",
+    "tfidf_vectors",
+    "approx_distinct_per_key",
+    "bloom_prefilter",
+    "build_bloom",
     "TextStatsBatch",
     "text_stats",
     "connected_components",

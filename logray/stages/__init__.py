@@ -30,7 +30,20 @@ from logray.stages.join import (
     hash_join,
     range_join,
 )
-from logray.stages.windowfn import lag_lead, rank_window, rolling_agg
+from logray.stages.windowfn import (
+    global_rank,
+    lag_lead,
+    rank_window,
+    rolling_agg,
+    value_window,
+)
+from logray.stages.stats import standardize, stats_agg, winsorize
+from logray.stages.reshape import collect_list, unpivot
+from logray.stages.aggregate import (
+    cube_agg,
+    distinct_count_per_key,
+    rollup_agg,
+)
 from logray.stages.window import (
     hopping_window,
     salted_histogram,
@@ -40,6 +53,16 @@ from logray.stages.window import (
 )
 
 __all__ = [
+    "global_rank",
+    "value_window",
+    "stats_agg",
+    "standardize",
+    "winsorize",
+    "collect_list",
+    "unpivot",
+    "cube_agg",
+    "rollup_agg",
+    "distinct_count_per_key",
     "ParseBatch",
     "normalize_text",
     "parse_stage",
