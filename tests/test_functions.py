@@ -1817,3 +1817,55 @@ def test_bloom_prefilter_no_false_negatives(ray_session):
     # false-positive fraction is small at these parameters (~m/n=52 bits/key)
     fpr = (len(kept) - len(member_set)) / (100_000 - len(member_set))
     assert fpr < 0.01, fpr
+
+
+def test_dedup_lines_sparse_plan_equals_dense_and_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.linededup import dedup_lines, dedup_lines_sql
+
+    rng = np.random.default_rng(19)
+    docs = []
+    for i in range(300):
+        lines = [f"unique {i}-{j} {rng.integers(0, 10**6)}"
+                 for j in range(rng.integers(1, 6))]
+        if rng.random() < 0.15:  # sparse duplication: ~15% of docs affected
+            lines.insert(int(rng.integers(0, len(lines))), "COMMON FOOTER")
+        docs.append({"doc_id": i, "text": "\n".join(lines)})
+    docs.append({"doc_id": 900, "text": None})
+    df = pd.DataFrame(docs)
+
+    outs = {}
+    for mode in ("dense", "sparse", "auto"):
+        outs[mode] = (
+            dedup_lines(rd.from_pandas(df).repartition(7), min_len=1,
+                        num_buckets=8, mode=mode)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["dense"], outs["sparse"])
+    pd.testing.assert_frame_equal(outs["dense"], outs["auto"])
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(dedup_lines_sql("documents") + " ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(
+        outs["sparse"][["doc_id", "text", "n_lines"]],
+        want[["doc_id", "text", "n_lines"]],
+    )
+    kept = [l for t in outs["sparse"]["text"] for l in t.split("\n")]
+    assert kept.count("COMMON FOOTER") == 1
+
+
+def test_dedup_lines_sparse_no_duplicates_passthrough(ray_session):
+    import ray.data as rd
+
+    from logray.functions.linededup import dedup_lines
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a\nb", "c\nd"]})
+    got = (
+        dedup_lines(rd.from_pandas(df), mode="sparse", num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["text"].tolist() == ["a\nb", "c\nd"]
+    assert got["n_lines"].tolist() == [2, 2]
