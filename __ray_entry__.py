@@ -1569,6 +1569,34 @@ def _q_rollup_orders(sf_dir: str):
     return rollup_agg(ds, ["o_orderstatus", "o_orderpriority"], "cents")
 
 
+def _q_binned_histogram(sf_dir: str):
+    """Fixed-width histogram of order price cents (integer bins,
+    one count-vector partial per batch, no shuffle; empty bins kept)."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import binned_histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    ds = _cents_stage(ds, src_col="o_totalprice")
+    return binned_histogram(ds, "cents", lo=0, width=2_000_000, nbins=16)
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample (Efraimidis-Spirakis race): 100
+    orders drawn with probability following price cents.  No SQL twin
+    (ln differs by ulps across engines) — exactness is pinned by the
+    driver-side replica test."""
+    import ray.data as rd
+
+    from logray.functions.sample import weighted_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    ds = _cents_stage(ds, src_col="o_totalprice")
+    return weighted_sample(ds, 100, "o_orderkey", "cents", seed=21)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """Mergeable per-key HLL: approximate distinct users per event type —
     the sketch path of distinct_users_per_type (rows-only; ~1.6% expected
@@ -1849,6 +1877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank_events": _q_global_rank_events,
         "approx_distinct_users": _q_approx_distinct_users,
         "bloom_semi_join": _q_bloom_semi_join,
+        "binned_histogram": _q_binned_histogram,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -1880,6 +1910,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.chunking import chunk_documents_sql
     from logray.functions.textclean import clean_text_sql, regexp_extract_sql
     from logray.stages.aggregate import (
+        binned_histogram_sql,
         distinct_count_per_key_sql,
         grouped_quantiles_sql,
         pivot_agg_sql,
@@ -1947,6 +1978,11 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_lineitem": unpivot_sql(
             "lineitem", ["l_orderkey", "l_linenumber"],
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        "binned_histogram": binned_histogram_sql(
+            "(SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents "
+            "FROM orders) o",
+            "cents", lo=0, width=2_000_000, nbins=16,
         ),
         "bloom_semi_join": (
             "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "

@@ -43,7 +43,7 @@ from logray.functions.multimodal import (
 )
 
 from logray.functions.linededup import dedup_lines
-from logray.functions.sample import mixture_sample
+from logray.functions.sample import mixture_sample, weighted_sample
 from logray.functions.cluster import kmeans_assign, kmeans_fit
 from logray.functions.packing import pack_documents
 from logray.functions.tfidf import fit_df, tfidf_vectors
@@ -53,6 +53,7 @@ from logray.functions.bloom import bloom_prefilter, build_bloom
 __all__ = [
     "dedup_lines",
     "mixture_sample",
+    "weighted_sample",
     "kmeans_assign",
     "kmeans_fit",
     "pack_documents",

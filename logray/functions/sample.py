@@ -217,3 +217,34 @@ def stratified_split_sql(table: str, fractions: dict, id_col: str,
         case += f"WHEN {h} < {b} THEN '{name}' "
     case += f"ELSE '{names[-1]}' END AS {split_col}"
     return f"SELECT {cols}, {case} FROM {table}"
+
+
+def weighted_sample(ds, k: int, id_col: str, weight_col: str, seed: int = 0):
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    Spirakis exponential race): each row draws priority
+    ``-ln(u) / w`` from its deterministic id-hash uniform ``u`` and the k
+    SMALLEST priorities win — inclusion probability follows the weights,
+    and the draw is a pure function of (id, seed): stable under
+    repartitioning, retries and cluster size.
+
+    Scale shape: per-batch local bottom-k prune (the reservoir combiner),
+    tiny partials merged on the driver.  No SQL twin — ln/pow differ by
+    ulps across engines, which flips selections at the boundary; the
+    exactness contract is the driver-side replica test instead.  Weights
+    must be positive."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(np.float64)
+        if len(w) and w.min() <= 0:
+            raise ValueError("weighted_sample needs positive weights")
+        u = (_det_hash(df[id_col].to_numpy(), seed).astype(np.float64) + 0.5) / _M32
+        df = df.assign(__p=-np.log(u) / w)
+        return df.nsmallest(min(k, len(df)), "__p", keep="all")
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    # deterministic tiebreak on id (priority ties arise only from
+    # duplicate ids, but concat order of partials is not deterministic)
+    out = parts.sort_values(["__p", id_col], kind="mergesort").head(k)
+    return out.drop(columns="__p").reset_index(drop=True)

@@ -40,6 +40,7 @@ from logray.stages.windowfn import (
 from logray.stages.stats import standardize, stats_agg, winsorize
 from logray.stages.reshape import collect_list, unpivot
 from logray.stages.aggregate import (
+    binned_histogram,
     cube_agg,
     distinct_count_per_key,
     rollup_agg,
@@ -60,6 +61,7 @@ __all__ = [
     "winsorize",
     "collect_list",
     "unpivot",
+    "binned_histogram",
     "cube_agg",
     "rollup_agg",
     "distinct_count_per_key",

@@ -913,3 +913,57 @@ def distinct_count_per_key_sql(table: str, key: str, val: str) -> str:
         f"SELECT {key}, CAST(count(DISTINCT {val}) AS BIGINT) AS n_distinct "
         f"FROM {table} GROUP BY {key}"
     )
+
+
+def binned_histogram(ds, col: str, lo: int, width: int, nbins: int,
+                     as_pandas: bool = True):
+    """Fixed-width histogram over an INTEGER column: bin 0 = underflow
+    (x < lo), bins 1..nbins cover [lo, lo + nbins*width), bin nbins+1 =
+    overflow.  Integer floor arithmetic on both sides, so counts are
+    exact.  One streaming pass: each batch emits ONE (nbins+2)-long count
+    vector partial; the driver sums them — no shuffle, O(nbins) state.
+    Empty bins are emitted with n=0 (unlike a GROUP BY, which drops
+    them), so the output height is always nbins+2."""
+    if width <= 0 or nbins <= 0:
+        raise ValueError("width and nbins must be positive")
+    hi = lo + nbins * width
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        x = t[col].to_numpy(zero_copy_only=False)
+        if len(x) and not np.issubdtype(np.asarray(x).dtype, np.integer):
+            raise TypeError(f"binned_histogram needs an integer column; "
+                            f"{col} is {np.asarray(x).dtype}")
+        x = np.asarray(x, np.int64)
+        b = np.where(x < lo, 0,
+                     np.where(x >= hi, nbins + 1, (x - lo) // width + 1))
+        return pd.DataFrame({"counts": [np.bincount(
+            b, minlength=nbins + 2).astype(np.int64).tobytes()]})
+
+    parts = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None).to_pandas()
+    total = np.zeros(nbins + 2, np.int64)
+    for buf in parts["counts"]:
+        total += np.frombuffer(buf, np.int64)
+    out = pd.DataFrame({
+        "bin": np.arange(nbins + 2, dtype=np.int64),
+        "n": total,
+    })
+    return out if as_pandas else pa.Table.from_pandas(out, preserve_index=False)
+
+
+def binned_histogram_sql(table: str, col: str, lo: int, width: int,
+                         nbins: int) -> str:
+    """DuckDB twin of :func:`binned_histogram` (identical integer bins;
+    a generate_series left join emits empty bins with n=0)."""
+    hi = lo + nbins * width
+    bin_expr = (
+        f"CASE WHEN {col} < {lo} THEN 0 "
+        f"WHEN {col} >= {hi} THEN {nbins + 1} "
+        f"ELSE ({col} - {lo}) // {width} + 1 END"
+    )
+    return (
+        f"SELECT b.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n FROM "
+        f"(SELECT unnest(generate_series(0, {nbins + 1})) AS bin) b "
+        f"LEFT JOIN (SELECT {bin_expr} AS bin, count(*) AS n "
+        f"FROM {table} GROUP BY 1) c USING (bin)"
+    )

@@ -1869,3 +1869,49 @@ def test_dedup_lines_sparse_no_duplicates_passthrough(ray_session):
     )
     assert got["text"].tolist() == ["a\nb", "c\nd"]
     assert got["n_lines"].tolist() == [2, 2]
+
+
+def test_weighted_sample_replica_and_weight_bias(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.sample import _det_hash, weighted_sample
+
+    rng = np.random.default_rng(20)
+    n, k = 5000, 500
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "w": np.where(np.arange(n) % 2 == 0, 1.0, 4.0),
+        }
+    )
+    outs = [
+        weighted_sample(rd.from_pandas(df).repartition(p), k, "id", "w",
+                        seed=9)
+        for p in (1, 8)
+    ]
+    pd.testing.assert_frame_equal(
+        outs[0].sort_values("id").reset_index(drop=True),
+        outs[1].sort_values("id").reset_index(drop=True),
+    )
+    # exact driver-side replica of the same race
+    u = (_det_hash(df["id"].to_numpy(), 9).astype(np.float64) + 0.5) / 2**32
+    p = -np.log(u) / df["w"].to_numpy()
+    want = set(df["id"].to_numpy()[np.argsort(p, kind="stable")][:k])
+    assert set(outs[0]["id"]) == want
+    # weight-4 rows selected ~4x as often as weight-1 rows
+    sel = outs[0]
+    r1 = (sel["w"] == 1.0).sum() / (df["w"] == 1.0).sum()
+    r4 = (sel["w"] == 4.0).sum() / (df["w"] == 4.0).sum()
+    assert 2.5 < r4 / r1 < 6.0
+
+
+def test_weighted_sample_rejects_nonpositive_weights(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from logray.functions.sample import weighted_sample
+
+    df = pd.DataFrame({"id": [1, 2], "w": [1.0, 0.0]})
+    with pytest.raises(Exception):
+        weighted_sample(rd.from_pandas(df), 1, "id", "w")

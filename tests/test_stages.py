@@ -903,3 +903,26 @@ def test_distinct_count_per_key_matches_duckdb(ray_session):
         distinct_count_per_key_sql("t", "k", "u") + " ORDER BY k"
     ).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_binned_histogram_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.aggregate import binned_histogram, binned_histogram_sql
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"x": rng.integers(-500, 12000, 20000)})
+    got = binned_histogram(rd.from_pandas(df).repartition(7), "x",
+                           lo=0, width=1000, nbins=10)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        binned_histogram_sql("t", "x", lo=0, width=1000, nbins=10)
+        + " ORDER BY bin"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n"].sum() == len(df)
+    assert len(got) == 12  # underflow + 10 bins + overflow, empties kept
