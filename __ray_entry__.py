@@ -1597,6 +1597,60 @@ def _q_weighted_sample(sf_dir: str):
     return weighted_sample(ds, 100, "o_orderkey", "cents", seed=21)
 
 
+def _q_mode_event_type(sf_dir: str):
+    """Deterministic MODE per user: most frequent event_type, ties to
+    the smallest value (count combiner + one bucket shuffle)."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import mode_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return mode_per_key(ds, "user_id", "event_type")
+
+
+def _q_argmax_events(sf_dir: str):
+    """ARG_MAX per user: the event_id of the highest-value event
+    (shuffle-free — per-batch best-row combiner + driver stream-fold)."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import arg_extreme
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+    return arg_extreme(ds, "user_id", "event_id", "value", how="max")
+
+
+def _q_fill_forward_events(sf_dir: str):
+    """Gap-fill: LAST_VALUE(click value IGNORE NULLS) per user over the
+    event stream — the nullable column is derived identically on both
+    sides (value where event_type='click')."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.stages.windowfn import fill_forward
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        cv = pc.if_else(pc.equal(t["event_type"], "click"), t["value"],
+                        pa.scalar(None, pa.float64()))
+        return t.drop_columns(["event_type", "value"]).append_column(
+            "click_value", cv)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return fill_forward(
+        ds, "user_id", "ts", "click_value", tiebreak_col="event_id"
+    ).to_pandas()
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """Mergeable per-key HLL: approximate distinct users per event type —
     the sketch path of distinct_users_per_type (rows-only; ~1.6% expected
@@ -1879,6 +1933,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "binned_histogram": _q_binned_histogram,
         "weighted_sample": _q_weighted_sample,
+        "mode_event_type": _q_mode_event_type,
+        "argmax_events": _q_argmax_events,
+        "fill_forward_events": _q_fill_forward_events,
     }
 
 
@@ -1910,15 +1967,18 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.chunking import chunk_documents_sql
     from logray.functions.textclean import clean_text_sql, regexp_extract_sql
     from logray.stages.aggregate import (
+        arg_extreme_sql,
         binned_histogram_sql,
         distinct_count_per_key_sql,
         grouped_quantiles_sql,
+        mode_per_key_sql,
         pivot_agg_sql,
         rollup_agg_sql,
         topk_per_key_sql,
     )
     from logray.stages.window import hopping_window_sql
     from logray.stages.windowfn import (
+        fill_forward_sql,
         global_rank_sql,
         lag_lead_sql,
         rank_window_sql,
@@ -2355,6 +2415,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_histogram": """
             SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
         """,
+        "mode_event_type": mode_per_key_sql("events", "user_id", "event_type"),
+        "argmax_events": arg_extreme_sql(
+            "events", "user_id", "event_id", "value", how="max"
+        ),
+        "fill_forward_events": fill_forward_sql(
+            "(SELECT user_id, ts, event_id, "
+            "CASE WHEN event_type = 'click' THEN value END AS click_value "
+            "FROM events) ev",
+            "user_id", "ts", "click_value", tiebreak_col="event_id",
+            cols="user_id, ts, event_id, click_value",
+        ),
         # minhash_pairs / simhash_pairs / embedding_dups_lsh / ann_lsh /
         # lang_quality / multimodal_decode / doc_fingerprints are
         # approximate, model-scored, or synthetic-input operators — no SQL

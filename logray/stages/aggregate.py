@@ -967,3 +967,110 @@ def binned_histogram_sql(table: str, col: str, lo: int, width: int,
         f"LEFT JOIN (SELECT {bin_expr} AS bin, count(*) AS n "
         f"FROM {table} GROUP BY 1) c USING (bin)"
     )
+
+
+def mode_per_key(ds, key: str, val: str, num_buckets: int = 32,
+                 as_pandas: bool = True):
+    """Deterministic MODE per key: the most frequent non-null ``val``,
+    ties broken to the smallest value (the SQL twin pins the identical
+    rule via ``row_number() OVER (ORDER BY cnt DESC, val ASC)`` — bare
+    ``mode()`` leaves ties unspecified).
+
+    Scale shape: per-batch (key, val) count combiner — duplicate-heavy
+    batches ship one row per distinct combination — then ONE
+    ``hash(key) % num_buckets`` shuffle of the count partials and a
+    vectorized per-bucket argmax.  Null vals are ignored (SQL aggregate
+    semantics); null keys pool into one group."""
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        t = t.select([key, val]).filter(pc.is_valid(t[val]))
+        return t.group_by([key, val]).aggregate([([], "count_all")])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby([key, val], sort=False, dropna=False)["count_all"]
+             .sum().reset_index())
+        s = s.sort_values([key, "count_all", val],
+                          ascending=[True, False, True], kind="mergesort")
+        out = s.drop_duplicates(key, keep="first")
+        return pd.DataFrame({key: out[key].to_numpy(),
+                             "mode_val": out[val].to_numpy(),
+                             "n": out["count_all"].to_numpy().astype(np.int64)})
+
+    from logray.stages.bucketing import bucket_tagger
+
+    out = (
+        ds.map_batches(local_counts, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .map_batches(bucket_tagger(key, num_buckets), batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return out.to_pandas() if as_pandas else out
+
+
+def mode_per_key_sql(table: str, key: str, val: str) -> str:
+    """DuckDB twin of :func:`mode_per_key` (deterministic tie-break)."""
+    return (
+        f"SELECT {key}, {val} AS mode_val, CAST(cnt AS BIGINT) AS n FROM ("
+        f"SELECT {key}, {val}, count(*) AS cnt, "
+        f"row_number() OVER (PARTITION BY {key} "
+        f"ORDER BY count(*) DESC, {val} ASC) AS rn "
+        f"FROM {table} WHERE {val} IS NOT NULL GROUP BY {key}, {val}"
+        f") WHERE rn = 1"
+    )
+
+
+def arg_extreme(ds, key: str, arg: str, val: str, how: str = "max",
+                as_pandas: bool = True):
+    """ARG_MAX / ARG_MIN per key: the value of ``arg`` on the row where
+    ``val`` is extreme, ties broken to the smallest ``arg`` (the SQL twin
+    pins the identical rule — bare ``arg_max()`` leaves ties
+    unspecified).  Rows with null ``val`` or null ``arg`` are ignored,
+    matching the aggregate's null semantics.
+
+    Scale shape: NO shuffle — each batch reduces to at most one row per
+    key present (the combiner), and the driver folds the tiny partials
+    with the same associative rule via :func:`bucketing.stream_fold`;
+    state is O(distinct keys)."""
+    if how not in ("max", "min"):
+        raise ValueError(f"how must be 'max' or 'min', got {how!r}")
+    asc_val = how == "min"
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, val, arg], ascending=[True, asc_val, True],
+                            kind="mergesort")
+        return df.drop_duplicates(key, keep="first").reset_index(drop=True)
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        t = t.select([key, arg, val])
+        t = t.filter(pc.and_(pc.is_valid(t[val]), pc.is_valid(t[arg])))
+        return best(t.to_pandas())
+
+    from logray.stages.bucketing import stream_fold
+
+    parts = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+    def fold(tables: list[pa.Table]) -> pa.Table:
+        df = pd.concat([t.to_pandas() for t in tables], ignore_index=True)
+        return pa.Table.from_pandas(best(df), preserve_index=False)
+
+    folded = stream_fold(parts, fold)
+    if folded is None:
+        folded = pa.table({key: [], arg: [], val: []})
+    return folded.to_pandas() if as_pandas else folded
+
+
+def arg_extreme_sql(table: str, key: str, arg: str, val: str,
+                    how: str = "max") -> str:
+    """DuckDB twin of :func:`arg_extreme` (deterministic tie-break)."""
+    order = "DESC" if how == "max" else "ASC"
+    return (
+        f"SELECT {key}, {arg}, {val} FROM ("
+        f"SELECT {key}, {arg}, {val}, "
+        f"row_number() OVER (PARTITION BY {key} "
+        f"ORDER BY {val} {order}, {arg} ASC) AS rn "
+        f"FROM {table} WHERE {val} IS NOT NULL AND {arg} IS NOT NULL"
+        f") WHERE rn = 1"
+    )

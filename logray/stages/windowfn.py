@@ -533,3 +533,56 @@ def rank_window_sql(table: str, key_col: str, order_col: str,
         f"DENSE_RANK() OVER (PARTITION BY {key_col} ORDER BY {order_col}) AS dense_rnk"
         f"{tile}{pct_sql} FROM {table}"
     )
+
+
+def fill_forward(ds, key_col: str, order_col: str, value_col: str,
+                 tiebreak_col: str | None = None, num_buckets: int = 32):
+    """Gap-fill: append ``ff_<value>`` = the last NON-NULL value at or
+    before each row within the key partition ordered by
+    (order, tiebreak) — SQL ``LAST_VALUE(x IGNORE NULLS) OVER (...ROWS
+    UNBOUNDED PRECEDING)``.  Rows before the partition's first non-null
+    value stay null.  Numeric values come back float64 (null -> NaN).
+
+    Scale shape: ONE ``hash(key) % num_buckets`` shuffle, then a fully
+    vectorized segmented scan per bucket (``np.maximum.accumulate`` of
+    valid indices, clamped to each run's first row)."""
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, _run_id, first = _sorted_runs(g, key_col, order_cols)
+        v = g[value_col]
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        src = np.where(v.notna().to_numpy(), idx, -1)
+        last_valid = np.maximum.accumulate(src) if n else src
+        ok = last_valid >= first  # a valid index behind us, in OUR run
+        taken = v.iloc[np.clip(last_valid, 0, max(n - 1, 0))].reset_index(drop=True)
+        if pd.api.types.is_integer_dtype(taken) or pd.api.types.is_float_dtype(taken):
+            out = taken.astype("float64").where(pd.Series(ok), np.nan)
+        else:
+            out = taken.where(pd.Series(ok), None)
+        g[f"ff_{value_col}"] = out
+        return g.drop(columns="__b")
+
+    return (
+        ds.map_batches(_bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def fill_forward_sql(table: str, key_col: str, order_col: str,
+                     value_col: str, tiebreak_col: str | None = None,
+                     cols: str | None = None) -> str:
+    """DuckDB twin of :func:`fill_forward` (CAST to DOUBLE mirrors the
+    engine's nullable-float64 output for numeric inputs)."""
+    order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    cols = cols or "*"
+    return (
+        f"SELECT {cols}, "
+        f"CAST(LAST_VALUE({value_col} IGNORE NULLS) OVER ("
+        f"PARTITION BY {key_col} ORDER BY {order} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        f"AS ff_{value_col} FROM {table}"
+    )

@@ -926,3 +926,89 @@ def test_binned_histogram_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want)
     assert got["n"].sum() == len(df)
     assert len(got) == 12  # underflow + 10 bins + overflow, empties kept
+
+
+def test_mode_per_key_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.aggregate import mode_per_key, mode_per_key_sql
+
+    rng = np.random.default_rng(33)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 25, 6000),
+            "v": np.array(["x", "y", "z", "w"])[rng.integers(0, 4, 6000)],
+        }
+    )
+    df.loc[:10, "v"] = None  # ignored, SQL aggregate semantics
+    got = (
+        mode_per_key(rd.from_pandas(df).repartition(9), "k", "v")
+        .sort_values("k").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(mode_per_key_sql("t", "k", "v") + " ORDER BY k").df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_mode_per_key_tie_breaks_to_smallest_value(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.aggregate import mode_per_key
+
+    df = pd.DataFrame({"k": [1, 1, 1, 1, 2], "v": ["b", "b", "a", "a", "c"]})
+    got = mode_per_key(rd.from_pandas(df).repartition(3), "k", "v")
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["mode_val"].tolist() == ["a", "c"]  # 2-2 tie -> 'a'
+    assert got["n"].tolist() == [2, 1]
+
+
+def test_arg_extreme_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.aggregate import arg_extreme, arg_extreme_sql
+
+    rng = np.random.default_rng(44)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, 4000),
+            "a": rng.permutation(4000).astype("int64"),
+            # small integer range forces cross-partition ties on v
+            "v": rng.integers(0, 5, 4000),
+        }
+    )
+    df.loc[:5, "v"] = None  # null-val rows ignored
+    con = duckdb.connect()
+    con.register("t", df)
+    for how in ("max", "min"):
+        got = (
+            arg_extreme(rd.from_pandas(df).repartition(8), "k", "a", "v", how)
+            .sort_values("k").reset_index(drop=True)
+        )
+        want = con.sql(
+            arg_extreme_sql("t", "k", "a", "v", how) + " ORDER BY k"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_arg_extreme_empty_and_bad_how(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from logray.stages.aggregate import arg_extreme
+
+    df = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                       "a": pd.Series([], dtype="int64"),
+                       "v": pd.Series([], dtype="int64")})
+    got = arg_extreme(rd.from_pandas(df), "k", "a", "v")
+    assert len(got) == 0
+    with pytest.raises(ValueError):
+        arg_extreme(rd.from_pandas(df), "k", "a", "v", how="median")

@@ -736,3 +736,53 @@ def test_global_rank_single_row_and_all_ties(ray_session):
     assert got["rnk"].tolist() == [1] * 6
     assert got["row_num"].tolist() == [1, 2, 3, 4, 5, 6]
     assert (got["pct_rank"] == 0.0).all()
+
+
+def test_fill_forward_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.windowfn import fill_forward, fill_forward_sql
+
+    t = _windowfn_fixture()
+    # punch nulls into v so there is something to fill
+    df = t.to_pandas()
+    df.loc[df["v"] % 3 != 0, "v"] = None
+    got = (
+        fill_forward(rd.from_pandas(df).repartition(7), "k", "ord", "v",
+                     tiebreak_col="id", num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "ord", "id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        fill_forward_sql("t", "k", "ord", "v", tiebreak_col="id")
+        + " ORDER BY k, ord, id"
+    ).df()
+    cols = ["k", "ord", "id", "ff_v"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+    # rows before a run's first non-null value must stay null
+    assert got["ff_v"].isna().any()
+
+
+def test_fill_forward_strings_and_leading_nulls(ray_session):
+    import ray.data as rd
+
+    from logray.stages.windowfn import fill_forward
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b"]),
+            "ord": pa.array([1, 2, 3, 1, 2], pa.int64()),
+            "s": pa.array([None, "x", None, None, None]),
+        }
+    )
+    got = (
+        fill_forward(rd.from_arrow(t), "k", "ord", "s", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "ord"])
+        .reset_index(drop=True)
+    )
+    assert got["ff_s"].tolist() == [None, "x", "x", None, None]
