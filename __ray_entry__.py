@@ -1651,6 +1651,19 @@ def _q_fill_forward_events(sf_dir: str):
     ).to_pandas()
 
 
+def _q_dedup_spans_docs(sf_dir: str):
+    """Duplicate-substring removal (Lee et al. ExactSubstr, word-level):
+    corpus-duplicated 5-gram spans cut from every document (gram-census
+    combiner + one bucket shuffle + broadcast mark-and-cut)."""
+    import ray.data as rd
+
+    from logray.functions.spandedup import dedup_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dedup_spans(ds, window=5).to_pandas()
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """Mergeable per-key HLL: approximate distinct users per event type —
     the sketch path of distinct_users_per_type (rows-only; ~1.6% expected
@@ -1936,6 +1949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": _q_mode_event_type,
         "argmax_events": _q_argmax_events,
         "fill_forward_events": _q_fill_forward_events,
+        "dedup_spans_docs": _q_dedup_spans_docs,
     }
 
 
@@ -1992,6 +2006,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.heavyhitters import heavy_hitters_sql
     from logray.stages.stats import standardize_sql, stats_agg_sql, winsorize_sql
     from logray.functions.linededup import dedup_lines_sql
+    from logray.functions.spandedup import dedup_spans_sql
     from logray.functions.packing import pack_documents_sql
     from logray.stages.reshape import unpivot_sql
 
@@ -2415,6 +2430,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_histogram": """
             SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
         """,
+        "dedup_spans_docs": dedup_spans_sql("documents", window=5),
         "mode_event_type": mode_per_key_sql("events", "user_id", "event_type"),
         "argmax_events": arg_extreme_sql(
             "events", "user_id", "event_id", "value", how="max"

@@ -43,6 +43,7 @@ from logray.functions.multimodal import (
 )
 
 from logray.functions.linededup import dedup_lines
+from logray.functions.spandedup import dedup_spans
 from logray.functions.sample import mixture_sample, weighted_sample
 from logray.functions.cluster import kmeans_assign, kmeans_fit
 from logray.functions.packing import pack_documents
@@ -52,6 +53,7 @@ from logray.functions.bloom import bloom_prefilter, build_bloom
 
 __all__ = [
     "dedup_lines",
+    "dedup_spans",
     "mixture_sample",
     "weighted_sample",
     "kmeans_assign",

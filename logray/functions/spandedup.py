@@ -1,0 +1,234 @@
+"""Duplicate-substring removal — dedup at SUBSTRING granularity (the
+ExactSubstr pass of Lee et al., "Deduplicating Training Data Makes
+Language Models Better", arXiv:2107.06499), word-level variant: every
+word ``window``-gram that occurs MORE THAN ONCE across the whole corpus
+(including twice inside one document) marks its ``window`` tokens as
+duplicated; covered tokens are removed and each document is reassembled
+from its surviving tokens.  Unlike document- or line-level dedup this
+catches boilerplate spliced into otherwise-unique documents.
+
+Scale shape (two streaming passes, ONE small shuffle):
+
+1. **census** — per batch, token W-gram hashes are computed from the
+   Arrow string buffer (vectorized FNV token hashes -> polynomial
+   rolling combine; no Python per row) and reduced to per-batch
+   ``(h1, count, h2min, h2max)`` partials (the combiner), so only one
+   row per DISTINCT gram per batch crosses the ``hash(h1) % B`` bucket
+   shuffle.  Per bucket the counts fold and grams with total count > 1
+   survive.  ``h2`` is an independent second hash: if two different
+   grams collided on ``h1`` the folded ``h2min != h2max`` and the pass
+   raises instead of silently over-deleting (a double collision needs
+   ~2^128 grams).
+2. **mark & cut** — the duplicated-gram hash set (bounded by the
+   *duplicated* gram count, NOT the corpus size) is broadcast once via
+   ``ray.put``; each batch recomputes its gram hashes, finds duplicated
+   starts with one ``searchsorted``, expands them to covered tokens with
+   a +1/-1 difference array + ``cumsum`` (grams never cross documents,
+   so the running sum returns to zero at every boundary), and rebuilds
+   the text with ``ListArray`` offsets + ``binary_join`` — no per-doc
+   Python.  If the duplicated set exceeds ``max_broadcast`` the pass
+   raises: at that scale run the mark phase as a bucketed join on h1
+   instead of a broadcast.
+
+Reference parity: corpus-scope generalization of the reference's
+duplicate-line collapse in filtered views
+(``src/file_parsing/filtered_file_reader.cpp``), one level below
+:mod:`logray.functions.linededup`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from logray.functions.fingerprint import content_hash
+from logray.stages.bucketing import bucket_tagger
+
+__all__ = ["dedup_spans", "dedup_spans_sql"]
+
+_A1 = np.uint64(0x9E3779B97F4A7C15)  # odd multipliers for the two
+_A2 = np.uint64(0xBF58476D1CE4E5B9)  # independent polynomial combines
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return x ^ (x >> np.uint64(31))
+
+
+def _doc_tokens(t: pa.Table, id_col: str, text_col: str):
+    """Split one batch into flat tokens; returns (filtered table, flat
+    token StringArray, parent doc index per token, per-doc lengths)."""
+    t = t.filter(pc.is_valid(t[text_col]))
+    txt = t[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern(txt, pattern=" ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lengths = np.asarray(lengths, np.int64)
+    return t, flat, np.asarray(parent, np.int64), lengths
+
+
+def _gram_hashes(flat, lengths: np.ndarray, window: int):
+    """(h1, h2, valid starts) for every W-gram start position in the flat
+    token array.  h1/h2 are independent 64-bit polynomial combines of the
+    per-token hashes; ``starts`` are the flat indices whose gram lies
+    entirely inside one document."""
+    th = content_hash(flat)  # uint64 per token
+    t2 = _splitmix(th)
+    n = len(th)
+    m = n - window + 1
+    if m <= 0:
+        z = np.zeros(0, np.uint64)
+        return z, z, np.zeros(0, np.int64)
+    acc1 = np.zeros(m, np.uint64)
+    acc2 = np.zeros(m, np.uint64)
+    for j in range(window):
+        acc1 = (acc1 * _A1 + th[j:j + m]) & _MASK
+        acc2 = (acc2 * _A2 + t2[j:j + m]) & _MASK
+    # a start is valid when its token index within the doc <= len - W
+    doc_start = np.repeat(np.cumsum(lengths) - lengths, lengths)
+    pos_in_doc = np.arange(n, dtype=np.int64) - doc_start
+    doc_len = np.repeat(lengths, lengths)
+    valid = (pos_in_doc[:m] <= doc_len[:m] - window)
+    starts = np.flatnonzero(valid)
+    return _splitmix(acc1[starts]), acc2[starts], starts
+
+
+def _census_fn(id_col: str, text_col: str, window: int):
+    def part(t: pa.Table) -> pa.Table:
+        _t, flat, _parent, lengths = _doc_tokens(t, id_col, text_col)
+        h1, h2, _ = _gram_hashes(flat, lengths, window)
+        order = np.argsort(h1, kind="mergesort")
+        h1s, h2s = h1[order], h2[order]
+        uniq, first = np.unique(h1s, return_index=True)
+        cnt = np.diff(np.append(first, len(h1s)))
+        h2min = np.minimum.reduceat(h2s, first) if len(h1s) else h2s
+        h2max = np.maximum.reduceat(h2s, first) if len(h1s) else h2s
+        return pa.table({
+            "h1": pa.array(uniq.view(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "h2min": pa.array(h2min.view(np.int64)),
+            "h2max": pa.array(h2max.view(np.int64)),
+        })
+
+    return part
+
+
+def _dup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    f = g.groupby("h1", sort=False).agg(
+        cnt=("cnt", "sum"), lo=("h2min", "min"), hi=("h2max", "max"))
+    if (f["lo"] != f["hi"]).any():
+        raise RuntimeError(
+            "dedup_spans: h1 collision between distinct grams detected "
+            "(h2 mismatch) — rerun with a different window or hash seed")
+    return pd.DataFrame({"h1": f.index[f["cnt"] > 1].to_numpy()})
+
+
+def dedup_spans(ds, id_col: str = "doc_id", text_col: str = "text",
+                window: int = 5, num_buckets: int = 32,
+                max_broadcast: int = 50_000_000):
+    """Remove every corpus-duplicated word ``window``-gram from every
+    document (see module docstring).  Returns a Dataset of
+    ``(id_col, text_col, n_removed)`` over non-null-text documents; a
+    fully-duplicated document comes back with empty text, preserving the
+    row.  The SQL twin :func:`dedup_spans_sql` pins the semantics."""
+    import ray
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+
+    census = (
+        ds.map_batches(_census_fn(id_col, text_col, window),
+                       batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .map_batches(bucket_tagger("h1", num_buckets), batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("__b")
+        .map_groups(_dup_bucket, batch_format="pandas")
+    )
+    dup = census.to_pandas()["h1"].to_numpy()
+    if len(dup) > max_broadcast:
+        raise RuntimeError(
+            f"dedup_spans: {len(dup)} duplicated grams exceeds "
+            f"max_broadcast={max_broadcast}; run the mark phase as a "
+            f"bucketed join on h1 instead of a broadcast")
+    dup_ref = ray.put(np.sort(dup.view(np.uint64)))
+
+    def cut(t: pa.Table) -> pa.Table:
+        dup_sorted = ray.get(dup_ref)
+        t, flat, parent, lengths = _doc_tokens(t, id_col, text_col)
+        h1, _h2, starts = _gram_hashes(flat, lengths, window)
+        pos = np.searchsorted(dup_sorted, h1)
+        is_dup = (pos < len(dup_sorted)) & (dup_sorted[np.minimum(
+            pos, max(len(dup_sorted) - 1, 0))] == h1) if len(dup_sorted) \
+            else np.zeros(len(h1), np.bool_)
+        s = starts[is_dup]
+        n_flat = len(flat)
+        diff = np.zeros(n_flat + 1, np.int64)
+        np.add.at(diff, s, 1)
+        np.add.at(diff, s + window, -1)
+        covered = np.cumsum(diff[:n_flat]) > 0
+        keep = ~covered
+        n_docs = len(lengths)
+        kept_per_doc = np.bincount(parent[keep], minlength=n_docs) \
+            if n_flat else np.zeros(n_docs, np.int64)
+        removed = lengths - kept_per_doc
+        offsets = np.append(0, np.cumsum(kept_per_doc)).astype(np.int64)
+        flat_kept = flat.filter(pa.array(keep)) if n_flat else flat
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                       flat_kept.combine_chunks()
+                                       if isinstance(flat_kept, pa.ChunkedArray)
+                                       else flat_kept)
+        return pa.table({
+            id_col: t[id_col],
+            text_col: pc.binary_join(lst, " "),
+            "n_removed": pa.array(removed.astype(np.int64)),
+        })
+
+    return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def dedup_spans_sql(table: str, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 5) -> str:
+    """DuckDB twin of :func:`dedup_spans`: explicit position algebra —
+    duplicated W-grams -> covered token positions -> anti-joined
+    reassembly with ``string_agg`` (which skips the CASE's nulls)."""
+    w1 = window - 1
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id, string_split({text_col}, ' ') AS l
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ),
+    tok AS (
+      SELECT doc_id, unnest(l) AS tok,
+             unnest(generate_series(1, len(l))) AS p
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, i, array_to_string(list_slice(l, i, i + {w1}), ' ') AS g
+      FROM (SELECT doc_id, l,
+                   unnest(generate_series(1, greatest(len(l) - {w1}, 0))) AS i
+            FROM toks)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+    cover AS (
+      SELECT DISTINCT gr.doc_id, t.p
+      FROM grams gr JOIN dupg USING (g)
+      JOIN tok t ON t.doc_id = gr.doc_id
+                AND t.p BETWEEN gr.i AND gr.i + {w1}
+    )
+    SELECT t.doc_id AS {id_col},
+           COALESCE(string_agg(CASE WHEN c.p IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.p), '') AS {text_col},
+           CAST(count(c.p) AS BIGINT) AS n_removed
+    FROM tok t LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.p = c.p
+    GROUP BY t.doc_id
+    """

@@ -1915,3 +1915,62 @@ def test_weighted_sample_rejects_nonpositive_weights(ray_session):
     df = pd.DataFrame({"id": [1, 2], "w": [1.0, 0.0]})
     with pytest.raises(Exception):
         weighted_sample(rd.from_pandas(df), 1, "id", "w")
+
+
+def test_dedup_spans_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.spandedup import dedup_spans, dedup_spans_sql
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = "alpha beta gamma delta epsilon zeta"  # 6-token shared span
+    docs = []
+    for i in range(150):
+        words = [vocab[j] for j in rng.integers(0, 40, rng.integers(6, 30))]
+        if i % 4 == 0:  # splice the boilerplate mid-document
+            k = rng.integers(0, len(words))
+            words = words[:k] + boiler.split() + words[k:]
+        docs.append({"doc_id": i, "text": " ".join(words)})
+    docs.append({"doc_id": 900, "text": None})   # dropped on both sides
+    docs.append({"doc_id": 901, "text": "tiny"})  # shorter than the window
+    df = pd.DataFrame(docs)
+
+    got = (
+        dedup_spans(rd.from_pandas(df).repartition(7), window=5, num_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(dedup_spans_sql("documents", window=5)
+                   + " ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, want)
+    # the spliced boilerplate is duplicated -> removed from EVERY copy
+    assert not any(boiler in t for t in got["text"])
+    assert 900 not in set(got["doc_id"])
+    assert got.loc[got.doc_id == 901, "text"].item() == "tiny"
+    assert (got["n_removed"] > 0).any()
+
+
+def test_dedup_spans_within_doc_repeat_and_window_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from logray.functions.spandedup import dedup_spans
+
+    # the same 5-gram twice INSIDE one doc counts as duplicated
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b c d e x a b c d e", "p q r s t u v"],
+    })
+    got = (
+        dedup_spans(rd.from_pandas(df), window=5, num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.loc[got.doc_id == 1, "text"].item() == "x"
+    assert got.loc[got.doc_id == 1, "n_removed"].item() == 10
+    assert got.loc[got.doc_id == 2, "text"].item() == "p q r s t u v"
+    with pytest.raises(ValueError):
+        dedup_spans(rd.from_pandas(df), window=1)
