@@ -1664,6 +1664,20 @@ def _q_dedup_spans_docs(sf_dir: str):
     return dedup_spans(ds, window=5).to_pandas()
 
 
+def _q_edit_distance_dups(sf_dir: str):
+    """Pair-vectorized Levenshtein verification within (lang, source)
+    candidate groups — 64-codepoint prefixes, DuckDB levenshtein-exact."""
+    import ray.data as rd
+
+    from logray.functions.dedup import edit_distance_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return edit_distance_pairs(ds, ["lang", "source"], max_dist=55).to_pandas()
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """Mergeable per-key HLL: approximate distinct users per event type —
     the sketch path of distinct_users_per_type (rows-only; ~1.6% expected
@@ -1950,6 +1964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "argmax_events": _q_argmax_events,
         "fill_forward_events": _q_fill_forward_events,
         "dedup_spans_docs": _q_dedup_spans_docs,
+        "edit_distance_dups": _q_edit_distance_dups,
     }
 
 
@@ -2007,6 +2022,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.stages.stats import standardize_sql, stats_agg_sql, winsorize_sql
     from logray.functions.linededup import dedup_lines_sql
     from logray.functions.spandedup import dedup_spans_sql
+    from logray.functions.dedup import edit_distance_pairs_sql
     from logray.functions.packing import pack_documents_sql
     from logray.stages.reshape import unpivot_sql
 
@@ -2431,6 +2447,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
         """,
         "dedup_spans_docs": dedup_spans_sql("documents", window=5),
+        "edit_distance_dups": edit_distance_pairs_sql(
+            "documents", ["lang", "source"], max_dist=55
+        ),
         "mode_event_type": mode_per_key_sql("events", "user_id", "event_type"),
         "argmax_events": arg_extreme_sql(
             "events", "user_id", "event_id", "value", how="max"

@@ -1,5 +1,6 @@
 from logray.functions.textstats import TextStatsBatch, text_stats
 from logray.functions.dedup import (
+    edit_distance_pairs,
     connected_components,
     connected_components_distributed,
     dedup_keep_min,
@@ -54,6 +55,7 @@ from logray.functions.bloom import bloom_prefilter, build_bloom
 __all__ = [
     "dedup_lines",
     "dedup_spans",
+    "edit_distance_pairs",
     "mixture_sample",
     "weighted_sample",
     "kmeans_assign",

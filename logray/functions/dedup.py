@@ -811,3 +811,126 @@ def connected_components_distributed(pairs, id_a: str = "id_a", id_b: str = "id_
 
     out = rd.from_arrow_refs([s.labels_table.remote() for s in shards])
     return out.materialize()
+
+
+# ---------------------------------------------------------------------------
+# edit-distance (Levenshtein) verification
+# ---------------------------------------------------------------------------
+
+
+def _char_codes(strings, max_len: int):
+    """Pad the prefix codepoints of each string into an int32 matrix."""
+    k = len(strings)
+    arr = np.zeros((k, max(max_len, 1)), np.int32)
+    lens = np.zeros(k, np.int64)
+    for i, s in enumerate(strings):
+        cs = [ord(c) for c in s[:max_len]]
+        lens[i] = len(cs)
+        if cs:
+            arr[i, : len(cs)] = cs
+    return arr, lens
+
+
+def _lev_block(a: np.ndarray, len_a: np.ndarray,
+               b: np.ndarray, len_b: np.ndarray) -> np.ndarray:
+    """Levenshtein distance for K (a, b) pairs at once: one
+    Wagner-Fischer sweep whose cells are K-vectors, so the Python loop is
+    O(la * lb) regardless of pair count.  Each pair's answer is captured
+    on the row where its `a` ends (dp[len_a][len_b])."""
+    k, la = a.shape
+    lb = b.shape[1]
+    prev = np.tile(np.arange(lb + 1, dtype=np.int32), (k, 1))
+    ans = np.where(len_a == 0, len_b, 0).astype(np.int64)
+    for i in range(1, int(len_a.max(initial=0)) + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = a[:, i - 1]
+        for j in range(1, lb + 1):
+            sub = prev[:, j - 1] + (ai != b[:, j - 1])
+            cur[:, j] = np.minimum(np.minimum(prev[:, j], cur[:, j - 1]) + 1,
+                                   sub)
+        done = len_a == i
+        if done.any():
+            ans[done] = cur[done, len_b[done]]
+        prev = cur
+    return ans
+
+
+def edit_distance_pairs(ds, group_cols, text_col: str = "text",
+                        id_col: str = "doc_id", max_dist: int | None = None,
+                        max_len: int = 64,
+                        max_bucket: int = DEFAULT_MAX_BUCKET,
+                        chunk: int = 4096):
+    """Exact Levenshtein distance between the ``max_len``-codepoint
+    prefixes of all pairs WITHIN each group_cols partition
+    (co-partitioned candidate verification, the edit-distance sibling of
+    :func:`ngram_jaccard_pairs`; DuckDB ``levenshtein`` parity on the
+    same prefixes).  ``max_dist`` keeps only pairs at or under the
+    threshold; None emits every pair with its distance.
+
+    The DP is pair-vectorized (:func:`_lev_block`): cost is
+    O(la * lb) numpy sweeps over ``chunk`` pairs at a time, never a
+    Python loop per pair.  Groups larger than ``max_bucket`` are capped
+    to their smallest ids with the dropped-pair count logged — this is a
+    verification op for candidate groups, not a corpus-scale miner."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[text_col].notna()].sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        sel = _cap_bucket(ids, max_bucket, "edit_distance")
+        g = g.iloc[sel]
+        ids = ids[sel]
+        k = len(ids)
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=ids.dtype),
+                              "id_b": pd.Series([], dtype=ids.dtype),
+                              "dist": pd.Series([], dtype="int64")})
+        if k < 2:
+            res = empty
+        else:
+            codes, lens = _char_codes(list(g[text_col]), max_len)
+            ii, jj = np.triu_indices(k, 1)
+            out_a, out_b, out_d = [], [], []
+            for s0 in range(0, len(ii), chunk):
+                ic, jc = ii[s0:s0 + chunk], jj[s0:s0 + chunk]
+                d = _lev_block(codes[ic], lens[ic], codes[jc], lens[jc])
+                keep = d <= max_dist if max_dist is not None \
+                    else np.ones(len(d), np.bool_)
+                if keep.any():
+                    out_a.append(ids[ic[keep]])
+                    out_b.append(ids[jc[keep]])
+                    out_d.append(d[keep])
+            res = (pd.DataFrame({
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "dist": np.concatenate(out_d),
+            }) if out_a else empty)
+        for c in group_cols:
+            res[c] = g[c].iloc[0] if len(g) else None
+        return res
+
+    return ds.groupby(group_cols).map_groups(pairs, batch_format="pandas")
+
+
+def edit_distance_pairs_sql(table: str, group_cols, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_dist: int | None = None,
+                            max_len: int = 64) -> str:
+    """DuckDB twin of :func:`edit_distance_pairs` (same prefixes, same
+    within-group pairing)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    on = " AND ".join(f"a.{c} = b.{c}" for c in group_cols)
+    gcols = ", ".join(f"a.{c} AS {c}" for c in group_cols)
+    having = f" AND dist <= {max_dist}" if max_dist is not None else ""
+    return (
+        f"SELECT id_a, id_b, dist, {', '.join(group_cols)} FROM ("
+        f"SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, "
+        f"CAST(levenshtein(substring(a.{text_col}, 1, {max_len}), "
+        f"substring(b.{text_col}, 1, {max_len})) AS BIGINT) AS dist, "
+        f"{gcols} "
+        f"FROM {table} a JOIN {table} b ON {on} AND a.{id_col} < b.{id_col} "
+        f"WHERE a.{text_col} IS NOT NULL AND b.{text_col} IS NOT NULL"
+        f") WHERE TRUE{having}"
+    )

@@ -1974,3 +1974,66 @@ def test_dedup_spans_within_doc_repeat_and_window_guard(ray_session):
     assert got.loc[got.doc_id == 2, "text"].item() == "p q r s t u v"
     with pytest.raises(ValueError):
         dedup_spans(rd.from_pandas(df), window=1)
+
+
+def test_edit_distance_pairs_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.dedup import (
+        edit_distance_pairs,
+        edit_distance_pairs_sql,
+    )
+
+    rng = np.random.default_rng(12)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(60):
+        s = list(base)
+        for _ in range(rng.integers(0, 12)):  # random edits off one base
+            p = rng.integers(0, len(s))
+            s[p] = chr(ord("a") + rng.integers(0, 26))
+        rows.append({"doc_id": i, "grp": int(i % 3),
+                     "text": "".join(s) + (" ünïcødé" if i % 7 == 0 else "")})
+    rows.append({"doc_id": 100, "grp": 0, "text": None})  # dropped
+    rows.append({"doc_id": 101, "grp": 0, "text": ""})    # empty prefix
+    df = pd.DataFrame(rows)
+
+    got = (
+        edit_distance_pairs(rd.from_pandas(df).repartition(5), "grp",
+                            max_dist=None, max_len=48)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        edit_distance_pairs_sql("t", "grp", max_dist=None, max_len=48)
+        + " ORDER BY id_a, id_b"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["id_a", "id_b", "dist", "grp"]],
+        want[["id_a", "id_b", "dist", "grp"]],
+    )
+    # empty-vs-nonempty distance is the other string's prefix length
+    e = got[(got.id_b == 101)]
+    assert (e["dist"] > 0).all()
+
+
+def test_edit_distance_pairs_threshold_and_singleton(ray_session):
+    import ray.data as rd
+
+    from logray.functions.dedup import edit_distance_pairs
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 9],
+        "grp": [0, 0, 0, 1],  # grp 1 is a singleton -> no pairs
+        "text": ["kitten", "sitting", "kitten!", "alone"],
+    })
+    got = (
+        edit_distance_pairs(rd.from_pandas(df), "grp", max_dist=1)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    # kitten<->sitting is 3 (filtered); kitten<->kitten! is 1 (kept)
+    assert got[["id_a", "id_b"]].values.tolist() == [[1, 3]]
+    assert got["dist"].tolist() == [1]
