@@ -1678,6 +1678,46 @@ def _q_edit_distance_dups(sf_dir: str):
     return edit_distance_pairs(ds, ["lang", "source"], max_dist=55).to_pandas()
 
 
+def _q_transition_matrix(sf_dir: str):
+    """First-order Markov transition counts of the per-user event-type
+    sequence (one bucket shuffle + segmented shift, tiny partial fold)."""
+    import ray.data as rd
+
+    from logray.stages.sequence import transition_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return transition_counts(ds, "user_id", "ts", "event_type",
+                             tiebreak_col="event_id")
+
+
+def _q_funnel_events(sf_dir: str):
+    """First-touch ordered funnel signup -> click -> purchase per user
+    (segmented min per stage; every key emits its stage_reached)."""
+    import ray.data as rd
+
+    from logray.stages.sequence import funnel
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel(ds, "user_id", "ts", "event_type",
+                  ["signup", "click", "purchase"])
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention: distinct users active at each day offset from
+    their first-seen day (dedup combiner, driver fold is O(cells))."""
+    import ray.data as rd
+
+    from logray.stages.sequence import cohort_retention
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts")
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """Mergeable per-key HLL: approximate distinct users per event type —
     the sketch path of distinct_users_per_type (rows-only; ~1.6% expected
@@ -1965,6 +2005,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_forward_events": _q_fill_forward_events,
         "dedup_spans_docs": _q_dedup_spans_docs,
         "edit_distance_dups": _q_edit_distance_dups,
+        "transition_matrix": _q_transition_matrix,
+        "funnel_events": _q_funnel_events,
+        "cohort_retention": _q_cohort_retention,
     }
 
 
@@ -2023,6 +2066,11 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.linededup import dedup_lines_sql
     from logray.functions.spandedup import dedup_spans_sql
     from logray.functions.dedup import edit_distance_pairs_sql
+    from logray.stages.sequence import (
+        cohort_retention_sql,
+        funnel_sql,
+        transition_counts_sql,
+    )
     from logray.functions.packing import pack_documents_sql
     from logray.stages.reshape import unpivot_sql
 
@@ -2450,6 +2498,14 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_dups": edit_distance_pairs_sql(
             "documents", ["lang", "source"], max_dist=55
         ),
+        "transition_matrix": transition_counts_sql(
+            "events", "user_id", "ts", "event_type", tiebreak_col="event_id"
+        ),
+        "funnel_events": funnel_sql(
+            "events", "user_id", "ts", "event_type",
+            ["signup", "click", "purchase"],
+        ),
+        "cohort_retention": cohort_retention_sql("events", "user_id", "ts"),
         "mode_event_type": mode_per_key_sql("events", "user_id", "event_type"),
         "argmax_events": arg_extreme_sql(
             "events", "user_id", "event_id", "value", how="max"

@@ -1,0 +1,238 @@
+"""Sequence analytics over keyed event streams: Markov transition
+counts, ordered funnel completion, and cohort retention.  The telemetry
+queries a log-pipeline user runs after parse -> enrich -> route (the
+reference's filtered views answer "which lines"; these answer "what
+happens next / how far do users get / do they come back" —
+generalizing the per-conversation ordering contract of
+``src/file_parsing/log_parser_interface.hpp`` paging to keyed streams).
+
+All three share one scale shape: ONE ``hash(key) % B`` bucket shuffle
+co-locates each key's rows, a vectorized segmented kernel reduces every
+bucket (mergesort + run boundaries, numpy reduceat — no per-key
+Python), and only tiny count partials reach the driver fold
+(:func:`logray.stages.bucketing.stream_fold`)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from logray.stages.bucketing import bucket_tagger, stream_fold
+from logray.stages.windowfn import _sorted_runs
+
+__all__ = [
+    "transition_counts", "transition_counts_sql",
+    "funnel", "funnel_sql",
+    "cohort_retention", "cohort_retention_sql",
+]
+
+
+def _fold_sum(key_cols: list[str], n_col: str = "n"):
+    def fold(tables: list[pa.Table]) -> pa.Table:
+        df = pd.concat([t.to_pandas() for t in tables], ignore_index=True)
+        out = (df.groupby(key_cols, sort=True, dropna=False)[n_col]
+               .sum().reset_index())
+        out[n_col] = out[n_col].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return fold
+
+
+def transition_counts(ds, key_col: str, order_col: str, val_col: str,
+                      tiebreak_col: str | None = None,
+                      num_buckets: int = 32, as_pandas: bool = True):
+    """First-order Markov transition counts: how often value A is
+    immediately followed by value B within a key's (order, tiebreak)
+    sequence, summed over all keys.  Output ``(from_val, to_val, n)`` —
+    the bigram histogram of the event stream.  Cross-key boundaries emit
+    nothing (SQL LAG is null at partition starts)."""
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, run_id, _first = _sorted_runs(g, key_col, order_cols)
+        v = g[val_col].to_numpy()
+        same = np.zeros(len(g), np.bool_)
+        same[1:] = run_id[1:] == run_id[:-1]
+        frm, to = v[np.flatnonzero(same) - 1], v[same]
+        p = pd.DataFrame({"from_val": frm, "to_val": to})
+        s = (p.groupby(["from_val", "to_val"], sort=False, dropna=False)
+             .size().reset_index(name="n"))
+        s["n"] = s["n"].astype(np.int64)
+        return s
+
+    parts = (
+        ds.map_batches(bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    folded = stream_fold(parts, _fold_sum(["from_val", "to_val"]))
+    if folded is None:
+        folded = pa.table({"from_val": [], "to_val": [],
+                           "n": pa.array([], pa.int64())})
+    return folded.to_pandas() if as_pandas else folded
+
+
+def transition_counts_sql(table: str, key_col: str, order_col: str,
+                          val_col: str,
+                          tiebreak_col: str | None = None) -> str:
+    """DuckDB twin of :func:`transition_counts`."""
+    order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    return (
+        f"SELECT prev AS from_val, {val_col} AS to_val, "
+        f"CAST(count(*) AS BIGINT) AS n FROM ("
+        f"SELECT {val_col}, lag({val_col}) OVER ("
+        f"PARTITION BY {key_col} ORDER BY {order}) AS prev FROM {table}"
+        f") WHERE prev IS NOT NULL GROUP BY from_val, to_val"
+    )
+
+
+def funnel(ds, key_col: str, order_col: str, val_col: str,
+           stages: list[str], num_buckets: int = 32,
+           as_pandas: bool = True):
+    """Ordered funnel: per key, the number of ``stages`` completed IN
+    ORDER with strictly increasing ``order_col`` (stage k+1 must occur
+    strictly after the FIRST qualifying occurrence of stage k — the
+    standard first-touch funnel).  Output ``(key, stage_reached)`` with
+    one row for EVERY key, 0 = never entered the funnel.
+
+    Per bucket the kernel is one segmented min per stage
+    (``np.minimum.reduceat`` over masked order values), so cost is
+    O(len(stages) * rows), vectorized across all keys at once."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, run_id, _first = _sorted_runs(g, key_col, [order_col])
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, run_id[1:] != run_id[:-1]]) \
+            if n else np.zeros(0, np.int64)
+        n_runs = len(starts)
+        ts = g[order_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts = ts.astype("datetime64[ns]").view(np.int64)
+        else:
+            ts = ts.astype(np.int64)
+        v = g[val_col].to_numpy()
+        prev_t = np.full(n_runs, -(1 << 62), np.int64)
+        reached = np.zeros(n_runs, np.int64)
+        alive = np.ones(n_runs, np.bool_)
+        big = np.int64((1 << 62))
+        for s in stages:
+            cand = np.where((v == s) & (ts > prev_t[run_id]), ts, big) \
+                if n else np.zeros(0, np.int64)
+            t_min = np.minimum.reduceat(cand, starts) if n_runs else cand
+            hit = alive & (t_min < big)
+            reached[hit] += 1
+            prev_t = np.where(hit, t_min, prev_t)
+            alive = hit
+            if not alive.any():
+                break
+        keys = g[key_col].to_numpy()[starts] if n else g[key_col].to_numpy()
+        return pd.DataFrame({key_col: keys, "stage_reached": reached})
+
+    out = (
+        ds.map_batches(bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return out.to_pandas() if as_pandas else out
+
+
+def funnel_sql(table: str, key_col: str, order_col: str, val_col: str,
+               stages: list[str]) -> str:
+    """DuckDB twin of :func:`funnel`: one min-aggregate CTE per stage,
+    each anchored strictly after the previous stage's first hit."""
+    lits = [s.replace("'", "''") for s in stages]
+    ctes = [f"s0 AS (SELECT DISTINCT {key_col} FROM {table})"]
+    prev = None
+    for k, lit in enumerate(lits, start=1):
+        if prev is None:
+            ctes.append(
+                f"s{k} AS (SELECT {key_col}, min({order_col}) AS t "
+                f"FROM {table} WHERE {val_col} = '{lit}' GROUP BY {key_col})")
+        else:
+            ctes.append(
+                f"s{k} AS (SELECT e.{key_col}, min(e.{order_col}) AS t "
+                f"FROM {table} e JOIN s{k - 1} p ON e.{key_col} = p.{key_col} "
+                f"AND e.{order_col} > p.t "
+                f"WHERE e.{val_col} = '{lit}' GROUP BY e.{key_col})")
+        prev = k
+    case = "CASE " + " ".join(
+        f"WHEN s{k}.t IS NOT NULL THEN {k}"
+        for k in range(len(stages), 0, -1)
+    ) + " ELSE 0 END"
+    joins = " ".join(
+        f"LEFT JOIN s{k} USING ({key_col})"
+        for k in range(1, len(stages) + 1))
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT s0.{key_col}, CAST({case} AS BIGINT) AS stage_reached "
+        f"FROM s0 {joins}"
+    )
+
+
+def cohort_retention(ds, key_col: str, ts_col: str, num_buckets: int = 32,
+                     as_pandas: bool = True):
+    """Cohort retention: keys grouped by their FIRST active day (the
+    cohort), counting distinct keys active at each day offset from it.
+    Output ``(cohort_day: timestamp, day_offset, n)``.
+
+    One bucket shuffle co-locates each key's rows; the per-bucket kernel
+    computes the key's cohort with a segmented min and dedups
+    (key, offset) pairs before counting, so partials carry one row per
+    (cohort, offset) per bucket — the driver fold is O(cohorts *
+    horizon), never O(keys)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, run_id, first = _sorted_runs(g, key_col, [ts_col])
+        n = len(g)
+        days = g[ts_col].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cohort = days[first]  # first row of run is its min ts -> min day
+        off = days - cohort
+        p = pd.DataFrame({"run": run_id, "cohort": cohort, "off": off})
+        p = p.drop_duplicates(["run", "off"])
+        s = (p.groupby(["cohort", "off"], sort=False).size()
+             .reset_index(name="n"))
+        s["n"] = s["n"].astype(np.int64)
+        return s if n else pd.DataFrame(
+            {"cohort": pd.Series([], dtype="int64"),
+             "off": pd.Series([], dtype="int64"),
+             "n": pd.Series([], dtype="int64")})
+
+    parts = (
+        ds.map_batches(bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    folded = stream_fold(parts, _fold_sum(["cohort", "off"]))
+    if folded is None:
+        df = pd.DataFrame({"cohort_day": pd.Series([], dtype="datetime64[us]"),
+                           "day_offset": pd.Series([], dtype="int64"),
+                           "n": pd.Series([], dtype="int64")})
+        return df if as_pandas else pa.Table.from_pandas(df)
+    df = folded.to_pandas()
+    out = pd.DataFrame({
+        "cohort_day": df["cohort"].to_numpy().astype("datetime64[D]")
+                       .astype("datetime64[us]"),
+        "day_offset": df["off"].astype(np.int64),
+        "n": df["n"],
+    })
+    return out if as_pandas else pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cohort_retention_sql(table: str, key_col: str, ts_col: str) -> str:
+    """DuckDB twin of :func:`cohort_retention`."""
+    return (
+        f"WITH d AS (SELECT {key_col}, date_trunc('day', {ts_col}) AS day "
+        f"FROM {table}), "
+        f"c AS (SELECT {key_col}, min(day) AS cohort FROM d "
+        f"GROUP BY {key_col}) "
+        f"SELECT CAST(c.cohort AS TIMESTAMP) AS cohort_day, "
+        f"CAST(date_diff('day', c.cohort, d.day) AS BIGINT) AS day_offset, "
+        f"CAST(count(DISTINCT d.{key_col}) AS BIGINT) AS n "
+        f"FROM d JOIN c USING ({key_col}) GROUP BY cohort_day, day_offset"
+    )

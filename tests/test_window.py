@@ -786,3 +786,113 @@ def test_fill_forward_strings_and_leading_nulls(ray_session):
         .reset_index(drop=True)
     )
     assert got["ff_s"].tolist() == [None, "x", "x", None, None]
+
+
+def _sequence_fixture():
+    rng = np.random.default_rng(61)
+    n = 2500
+    types = np.array(["signup", "view", "click", "purchase", "error"])
+    return pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 60, n),
+            "ts": (np.datetime64("2026-01-01", "us")
+                   + rng.integers(0, 40 * 86_400_000_000, n)
+                   .astype("timedelta64[us]")),
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": types[rng.integers(0, 5, n)],
+        }
+    )
+
+
+def test_transition_counts_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import transition_counts, transition_counts_sql
+
+    df = _sequence_fixture()
+    got = (
+        transition_counts(rd.from_pandas(df).repartition(7), "user_id", "ts",
+                          "event_type", tiebreak_col="event_id", num_buckets=8)
+        .sort_values(["from_val", "to_val"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        transition_counts_sql("t", "user_id", "ts", "event_type",
+                              tiebreak_col="event_id")
+        + " ORDER BY from_val, to_val"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # transitions = rows minus one per user (no cross-user bigrams)
+    assert got["n"].sum() == len(df) - df["user_id"].nunique()
+
+
+def test_funnel_matches_duckdb_and_is_order_sensitive(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import funnel, funnel_sql
+
+    # sparse per-user sequences so stage_reached actually varies
+    rows = [
+        (1, 1, "signup"), (1, 2, "click"), (1, 3, "purchase"),   # full: 3
+        (2, 1, "click"), (2, 2, "signup"),                       # order: 1
+        (3, 1, "signup"),                                        # 1
+        (4, 1, "view"),                                          # 0
+        (5, 5, "signup"), (5, 5, "click"),                       # tie: strict > fails -> 1
+        (6, 1, "signup"), (6, 2, "click"), (6, 2, "purchase"),   # 2 (tie at stage 3)
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "o", "event_type"])
+    stages = ["signup", "click", "purchase"]
+    got = (
+        funnel(rd.from_pandas(df).repartition(4), "user_id", "o",
+               "event_type", stages, num_buckets=4)
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        funnel_sql("t", "user_id", "o", "event_type", stages)
+        + " ORDER BY user_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert got["stage_reached"].tolist() == [3, 1, 1, 0, 1, 2]
+
+    # and on the random fixture
+    df2 = _sequence_fixture()
+    got2 = (
+        funnel(rd.from_pandas(df2).repartition(7), "user_id", "ts",
+               "event_type", stages, num_buckets=8)
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    con.register("t2", df2)
+    want2 = con.sql(
+        funnel_sql("t2", "user_id", "ts", "event_type", stages)
+        + " ORDER BY user_id"
+    ).df()
+    pd.testing.assert_frame_equal(got2, want2)
+
+
+def test_cohort_retention_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import cohort_retention, cohort_retention_sql
+
+    df = _sequence_fixture()
+    got = (
+        cohort_retention(rd.from_pandas(df).repartition(7), "user_id", "ts",
+                         num_buckets=8)
+        .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        cohort_retention_sql("t", "user_id", "ts")
+        + " ORDER BY cohort_day, day_offset"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # day 0 of each cohort contains every key of that cohort exactly once
+    day0 = got[got.day_offset == 0]["n"].sum()
+    assert day0 == df["user_id"].nunique()
