@@ -1718,6 +1718,44 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(ds, "user_id", "ts")
 
 
+def _q_latest_per_user(sf_dir: str):
+    """DISTINCT ON: the whole newest event row per user — shuffle-free
+    best-row combiner + driver stream-fold."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import distinct_on
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return distinct_on(ds, "user_id", ["ts", "event_id"], descending=True)
+
+
+def _q_budget_sample(sf_dir: str):
+    """Per-source token-budget sample: docs kept in deterministic
+    hash-priority order while the running n_chars total stays <= 3000
+    (one bucket shuffle + segmented cumsum)."""
+    import ray.data as rd
+
+    from logray.functions.sample import budget_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source", "n_chars"],
+    )
+    return budget_sample(ds, "source", "doc_id", "n_chars",
+                         budget=3000, seed=7).to_pandas()
+
+
+def _q_trailing_active_users(sf_dir: str):
+    """Weekly-active-users by day: distinct users active in the trailing
+    7 days (dedup combiner, window explode on deduped pairs only)."""
+    import ray.data as rd
+
+    from logray.stages.sequence import trailing_active
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return trailing_active(ds, "user_id", "ts", window_days=7)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """Mergeable per-key HLL: approximate distinct users per event type —
     the sketch path of distinct_users_per_type (rows-only; ~1.6% expected
@@ -2008,6 +2046,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_matrix": _q_transition_matrix,
         "funnel_events": _q_funnel_events,
         "cohort_retention": _q_cohort_retention,
+        "latest_per_user": _q_latest_per_user,
+        "budget_sample": _q_budget_sample,
+        "trailing_active_users": _q_trailing_active_users,
     }
 
 
@@ -2069,8 +2110,11 @@ def oracle_sql() -> dict[str, str]:
     from logray.stages.sequence import (
         cohort_retention_sql,
         funnel_sql,
+        trailing_active_sql,
         transition_counts_sql,
     )
+    from logray.stages.aggregate import distinct_on_sql
+    from logray.functions.sample import budget_sample_sql
     from logray.functions.packing import pack_documents_sql
     from logray.stages.reshape import unpivot_sql
 
@@ -2506,6 +2550,17 @@ def oracle_sql() -> dict[str, str]:
             ["signup", "click", "purchase"],
         ),
         "cohort_retention": cohort_retention_sql("events", "user_id", "ts"),
+        "latest_per_user": distinct_on_sql(
+            "events", "user_id", ["ts", "event_id"], descending=True
+        ),
+        "budget_sample": budget_sample_sql(
+            "(SELECT doc_id, text, source, n_chars FROM documents) t",
+            "source", "doc_id", "n_chars", 3000, seed=7,
+            cols="doc_id, text, source, n_chars",
+        ),
+        "trailing_active_users": trailing_active_sql(
+            "events", "user_id", "ts", window_days=7
+        ),
         "mode_event_type": mode_per_key_sql("events", "user_id", "event_type"),
         "argmax_events": arg_extreme_sql(
             "events", "user_id", "event_id", "value", how="max"

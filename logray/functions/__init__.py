@@ -45,7 +45,7 @@ from logray.functions.multimodal import (
 
 from logray.functions.linededup import dedup_lines
 from logray.functions.spandedup import dedup_spans
-from logray.functions.sample import mixture_sample, weighted_sample
+from logray.functions.sample import budget_sample, mixture_sample, weighted_sample
 from logray.functions.cluster import kmeans_assign, kmeans_fit
 from logray.functions.packing import pack_documents
 from logray.functions.tfidf import fit_df, tfidf_vectors
@@ -56,6 +56,7 @@ __all__ = [
     "dedup_lines",
     "dedup_spans",
     "edit_distance_pairs",
+    "budget_sample",
     "mixture_sample",
     "weighted_sample",
     "kmeans_assign",

@@ -248,3 +248,58 @@ def weighted_sample(ds, k: int, id_col: str, weight_col: str, seed: int = 0):
     # duplicate ids, but concat order of partials is not deterministic)
     out = parts.sort_values(["__p", id_col], kind="mergesort").head(k)
     return out.drop(columns="__p").reset_index(drop=True)
+
+
+def budget_sample(ds, key: str, id_col: str, weight_col: str, budget: int,
+                  seed: int = 0, num_buckets: int = 32):
+    """Deterministic per-key BUDGET sample: within each key, rows are
+    ordered by (hash(id), id) — a reproducible random priority — and kept
+    while the inclusive running sum of ``weight_col`` stays <= budget
+    (the "sample each domain down to a token budget" step of training-data
+    mixing; weights are token counts).  Integer weights only, so the
+    running sum is exact on both sides.
+
+    Scale shape: ONE ``hash(key) % num_buckets`` shuffle, then a
+    vectorized segmented cumsum per bucket.  Partition-independent:
+    membership depends only on (key, id, weight)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [c for c in g.columns if c != "__b"]
+        w_np = g[weight_col].to_numpy()
+        if len(w_np) and not np.issubdtype(w_np.dtype, np.integer):
+            raise TypeError(
+                f"budget_sample needs an integer weight column; "
+                f"{weight_col} is {w_np.dtype}")
+        g = g.assign(__h=_det_hash(g[id_col].to_numpy(), seed))
+        g = g.sort_values([key, "__h", id_col], kind="mergesort")
+        from logray.stages.bucketing import run_starts
+
+        starts = run_starts(g[key].to_numpy())
+        w = g[weight_col].to_numpy().astype(np.int64)
+        cum = np.cumsum(w)
+        base = np.repeat(cum[starts] - w[starts], np.diff(
+            np.append(np.flatnonzero(starts), len(w))))
+        keep = (cum - base) <= budget
+        return g.loc[keep, cols]
+
+    from logray.stages.bucketing import bucket_tagger
+
+    return (
+        ds.map_batches(bucket_tagger(key, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def budget_sample_sql(table: str, key: str, id_col: str, weight_col: str,
+                      budget: int, seed: int = 0, cols: str = "*") -> str:
+    """DuckDB oracle for :func:`budget_sample` (identical priority order
+    and inclusive running sum)."""
+    return (
+        f"SELECT {cols} FROM ("
+        f"SELECT *, sum({weight_col}) OVER ("
+        f"PARTITION BY {key} ORDER BY {_hash_sql(id_col, seed)}, {id_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum "
+        f"FROM {table}) WHERE __cum <= {budget}"
+    )

@@ -1074,3 +1074,68 @@ def arg_extreme_sql(table: str, key: str, arg: str, val: str,
         f"FROM {table} WHERE {val} IS NOT NULL AND {arg} IS NOT NULL"
         f") WHERE rn = 1"
     )
+
+
+def distinct_on(ds, key_cols, order_cols, descending=False,
+                as_pandas: bool = True):
+    """SQL ``DISTINCT ON``: the whole FIRST row per key under
+    (order_cols, descending) — the "latest record per entity" compaction
+    every log pipeline runs (pass the timestamp descending to keep the
+    newest state).  ``descending`` is a bool or per-column list; pass a
+    unique tiebreak as the last order column for a total order.  All
+    input columns come back, original order.
+
+    Scale shape: NO shuffle — each batch reduces to at most one row per
+    key present (the combiner) and the driver folds the tiny partials
+    with the same associative rule (state O(distinct keys)), exactly the
+    :func:`arg_extreme` shape but carrying the full row."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order_cols = [order_cols] if isinstance(order_cols, str) \
+        else list(order_cols)
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_cols)
+    if len(descending) != len(order_cols):
+        raise ValueError("descending must match order_cols")
+    asc = [True] * len(key_cols) + [not d for d in descending]
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(key_cols + order_cols, ascending=asc,
+                            kind="mergesort")
+        return df.drop_duplicates(key_cols, keep="first").reset_index(drop=True)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return best(df)
+
+    from logray.stages.bucketing import stream_fold
+
+    parts = ds.map_batches(part, batch_format="pandas", batch_size=None)
+
+    def fold(tables: list[pa.Table]) -> pa.Table:
+        df = pd.concat([t.to_pandas() for t in tables], ignore_index=True)
+        return pa.Table.from_pandas(best(df), preserve_index=False)
+
+    folded = stream_fold(parts, fold)
+    if folded is None:
+        cols = ds.schema().names
+        folded = pa.table({c: [] for c in cols})
+    return folded.to_pandas() if as_pandas else folded
+
+
+def distinct_on_sql(table: str, key_cols, order_cols,
+                    descending=False) -> str:
+    """DuckDB twin of :func:`distinct_on` (NULLS LAST on every
+    direction, matching pandas sort_values)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order_cols = [order_cols] if isinstance(order_cols, str) \
+        else list(order_cols)
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_cols)
+    order = ", ".join(
+        f"{c} {'DESC' if d else 'ASC'} NULLS LAST"
+        for c, d in zip(order_cols, descending))
+    return (
+        f"SELECT * EXCLUDE (__rn) FROM ("
+        f"SELECT *, row_number() OVER ("
+        f"PARTITION BY {', '.join(key_cols)} ORDER BY {order}) AS __rn "
+        f"FROM {table}) WHERE __rn = 1"
+    )

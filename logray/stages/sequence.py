@@ -236,3 +236,77 @@ def cohort_retention_sql(table: str, key_col: str, ts_col: str) -> str:
         f"CAST(count(DISTINCT d.{key_col}) AS BIGINT) AS n "
         f"FROM d JOIN c USING ({key_col}) GROUP BY cohort_day, day_offset"
     )
+
+
+def trailing_active(ds, key_col: str, ts_col: str, window_days: int = 7,
+                    num_buckets: int = 32, as_pandas: bool = True):
+    """Trailing-window active keys (the DAU/WAU/MAU family): for every
+    day, the number of distinct keys active at least once in the
+    trailing ``window_days`` days ending that day.  Output
+    ``(day: timestamp, n)`` for every day reachable from an active day
+    (a key active on day d contributes to days d .. d+window_days-1).
+
+    Scale shape: per-batch distinct-(key, day) combiner, ONE key-hash
+    bucket shuffle, then the window explode (x window_days) runs on the
+    ALREADY-DEDUPED pairs and re-dedups per key before counting — count
+    partials per bucket, driver fold O(days)."""
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        days = _pc.cast(_pc.floor_temporal(t[ts_col], unit="day"),
+                        pa.timestamp("us"))
+        days = pa.array(days.to_numpy(zero_copy_only=False)
+                        .astype("datetime64[D]").astype(np.int64))
+        return pa.table({key_col: t[key_col], "__day": days}) \
+            .group_by([key_col, "__day"]).aggregate([])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([key_col, "__day"])
+        k = g[key_col].to_numpy()
+        d = g["__day"].to_numpy().astype(np.int64)
+        kk = np.repeat(k, window_days)
+        dd = (np.repeat(d, window_days)
+              + np.tile(np.arange(window_days, dtype=np.int64), len(d)))
+        p = pd.DataFrame({"k": kk, "day": dd}).drop_duplicates()
+        s = p.groupby("day", sort=False).size().reset_index(name="n")
+        s["n"] = s["n"].astype(np.int64)
+        return s
+
+    parts = (
+        ds.map_batches(local_dedup, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .map_batches(bucket_tagger(key_col, num_buckets),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    folded = stream_fold(parts, _fold_sum(["day"]))
+    if folded is None:
+        df = pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                           "n": pd.Series([], dtype="int64")})
+        return df if as_pandas else pa.Table.from_pandas(df)
+    df = folded.to_pandas()
+    out = pd.DataFrame({
+        "day": df["day"].to_numpy().astype("datetime64[D]")
+                .astype("datetime64[us]"),
+        "n": df["n"],
+    })
+    return out if as_pandas else pa.Table.from_pandas(out, preserve_index=False)
+
+
+def trailing_active_sql(table: str, key_col: str, ts_col: str,
+                        window_days: int = 7) -> str:
+    """DuckDB twin of :func:`trailing_active` (same explode algebra)."""
+    return (
+        f"WITH d AS (SELECT DISTINCT {key_col}, "
+        f"CAST(date_trunc('day', {ts_col}) AS DATE) AS day FROM {table}), "
+        f"e AS (SELECT DISTINCT {key_col}, day + CAST(x AS INTEGER) AS day2 "
+        f"FROM d, (SELECT unnest(generate_series(0, {window_days - 1})) AS x)) "
+        f"SELECT CAST(day2 AS TIMESTAMP) AS day, "
+        f"CAST(count(DISTINCT {key_col}) AS BIGINT) AS n "
+        f"FROM e GROUP BY day2"
+    )

@@ -2037,3 +2037,48 @@ def test_edit_distance_pairs_threshold_and_singleton(ray_session):
     # kitten<->sitting is 3 (filtered); kitten<->kitten! is 1 (kept)
     assert got[["id_a", "id_b"]].values.tolist() == [[1, 3]]
     assert got["dist"].tolist() == [1]
+
+
+def test_budget_sample_matches_duckdb_and_is_partition_invariant(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.sample import budget_sample, budget_sample_sql
+
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(800, dtype=np.int64),
+            "dom": np.array(["a", "b", "c"])[rng.integers(0, 3, 800)],
+            "n_tok": rng.integers(1, 500, 800),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        budget_sample_sql("t", "dom", "doc_id", "n_tok", 5000, seed=3,
+                          cols="doc_id, dom, n_tok") + " ORDER BY doc_id"
+    ).df()
+    outs = []
+    for parts in (3, 11):
+        got = (
+            budget_sample(rd.from_pandas(df).repartition(parts), "dom",
+                          "doc_id", "n_tok", 5000, seed=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        outs.append(got)
+    # kept volume respects the budget per domain
+    assert (outs[0].groupby("dom")["n_tok"].sum() <= 5000).all()
+
+
+def test_budget_sample_rejects_float_weights(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from logray.functions.sample import budget_sample
+
+    df = pd.DataFrame({"doc_id": [1], "dom": ["a"], "w": [1.5]})
+    with pytest.raises(Exception):
+        budget_sample(rd.from_pandas(df), "dom", "doc_id", "w", 10).to_pandas()

@@ -1012,3 +1012,48 @@ def test_arg_extreme_empty_and_bad_how(ray_session):
     assert len(got) == 0
     with pytest.raises(ValueError):
         arg_extreme(rd.from_pandas(df), "k", "a", "v", how="median")
+
+
+def test_distinct_on_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.aggregate import distinct_on, distinct_on_sql
+
+    rng = np.random.default_rng(52)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 3000),
+            "o": rng.integers(0, 50, 3000),   # ties across partitions
+            "id": np.arange(3000, dtype=np.int64),
+            "payload": np.array(["p", "q", "r"])[rng.integers(0, 3, 3000)],
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    for desc in (True, False):
+        got = (
+            distinct_on(rd.from_pandas(df).repartition(7), "k", ["o", "id"],
+                        descending=desc)
+            .sort_values("k").reset_index(drop=True)
+        )
+        want = con.sql(
+            distinct_on_sql("t", "k", ["o", "id"], descending=desc)
+            + " ORDER BY k"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_distinct_on_mixed_directions(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.aggregate import distinct_on
+
+    df = pd.DataFrame({"k": [1, 1, 1], "a": [5, 5, 3], "b": [1, 2, 9]})
+    # a DESC, b ASC -> (5,1) wins
+    got = distinct_on(rd.from_pandas(df), "k", ["a", "b"],
+                      descending=[True, False])
+    assert got[["a", "b"]].values.tolist() == [[5, 1]]

@@ -896,3 +896,27 @@ def test_cohort_retention_matches_duckdb(ray_session):
     # day 0 of each cohort contains every key of that cohort exactly once
     day0 = got[got.day_offset == 0]["n"].sum()
     assert day0 == df["user_id"].nunique()
+
+
+def test_trailing_active_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import trailing_active, trailing_active_sql
+
+    df = _sequence_fixture()
+    con = duckdb.connect()
+    con.register("t", df)
+    for w in (1, 7):
+        got = (
+            trailing_active(rd.from_pandas(df).repartition(7), "user_id",
+                            "ts", window_days=w, num_buckets=8)
+            .sort_values("day").reset_index(drop=True)
+        )
+        want = con.sql(
+            trailing_active_sql("t", "user_id", "ts", window_days=w)
+            + " ORDER BY day"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+    # window=1 is exactly daily-active; n never exceeds total keys
+    assert got["n"].max() <= df["user_id"].nunique()
