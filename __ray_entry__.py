@@ -1756,6 +1756,26 @@ def _q_trailing_active_users(sf_dir: str):
     return trailing_active(ds, "user_id", "ts", window_days=7)
 
 
+def _q_merge_intervals(sf_dir: str):
+    """Gaps-and-islands: per-user 30-minute activity intervals merged
+    into maximal islands (grouped cummax + reduceat per bucket)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.stages.sequence import merge_intervals
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        e = pc.add(t["ts"], pa.scalar(1_800_000_000, pa.duration("us")))
+        return t.append_column("te", pc.cast(e, pa.timestamp("us")))
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return merge_intervals(ds, "user_id", "ts", "te")
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """Mergeable per-key HLL: approximate distinct users per event type —
     the sketch path of distinct_users_per_type (rows-only; ~1.6% expected
@@ -2049,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_per_user": _q_latest_per_user,
         "budget_sample": _q_budget_sample,
         "trailing_active_users": _q_trailing_active_users,
+        "merge_intervals": _q_merge_intervals,
     }
 
 
@@ -2110,6 +2131,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.stages.sequence import (
         cohort_retention_sql,
         funnel_sql,
+        merge_intervals_sql,
         trailing_active_sql,
         transition_counts_sql,
     )
@@ -2560,6 +2582,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "trailing_active_users": trailing_active_sql(
             "events", "user_id", "ts", window_days=7
+        ),
+        "merge_intervals": merge_intervals_sql(
+            "(SELECT user_id, ts, ts + INTERVAL 30 MINUTE AS te "
+            "FROM events) t",
+            "user_id", "ts", "te",
         ),
         "mode_event_type": mode_per_key_sql("events", "user_id", "event_type"),
         "argmax_events": arg_extreme_sql(

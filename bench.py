@@ -244,6 +244,25 @@ def run_bench() -> dict:
 
     timed("exact_quantiles", quantiles_corpus)
 
+    from logray.functions.spandedup import dedup_spans
+
+    def spandedup_docs():
+        ds = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return dedup_spans(ds, window=5).map_batches(
+            lambda t: t.select(["n_removed"]), batch_format="pyarrow"
+        ).sum("n_removed")
+
+    timed("dedup_spans", spandedup_docs)
+
+    from logray.stages.sequence import transition_counts
+
+    def transitions_corpus():
+        ds = rd.read_parquet(corpus, columns=["conv_id", "turn_idx", "role"])
+        return len(transition_counts(ds, "conv_id", "turn_idx", "role"))
+
+    timed("transition_counts", transitions_corpus)
+
     ray.shutdown()
 
     headline_sec = timings["pipeline"]

@@ -25,6 +25,8 @@ __all__ = [
     "transition_counts", "transition_counts_sql",
     "funnel", "funnel_sql",
     "cohort_retention", "cohort_retention_sql",
+    "trailing_active", "trailing_active_sql",
+    "merge_intervals", "merge_intervals_sql",
 ]
 
 
@@ -309,4 +311,84 @@ def trailing_active_sql(table: str, key_col: str, ts_col: str,
         f"SELECT CAST(day2 AS TIMESTAMP) AS day, "
         f"CAST(count(DISTINCT {key_col}) AS BIGINT) AS n "
         f"FROM e GROUP BY day2"
+    )
+
+
+def merge_intervals(ds, key_col: str, start_col: str, end_col: str,
+                    num_buckets: int = 32, as_pandas: bool = True):
+    """Merge overlapping / touching-by-overlap intervals per key into
+    maximal islands (gaps-and-islands: downtime windows, session spans,
+    coverage ranges).  Intervals are merged while the next start is <=
+    the running max end; output one row per island:
+    ``(key, start, end, n_merged)``.  Null starts/ends are dropped.
+
+    Per bucket: one mergesort by (key, start, end), a C-speed grouped
+    cummax for the running end, and island aggregation via ``reduceat``
+    — no per-key Python.  Timestamps round-trip as int64 microseconds."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[start_col].notna() & g[end_col].notna()]
+        g, run_id, _first = _sorted_runs(g, key_col, [start_col, end_col])
+        n = len(g)
+        s_raw = g[start_col].to_numpy()
+        e_raw = g[end_col].to_numpy()
+        is_ts = np.issubdtype(s_raw.dtype, np.datetime64)
+        if is_ts:
+            s = s_raw.astype("datetime64[us]").view(np.int64)
+            e = e_raw.astype("datetime64[us]").view(np.int64)
+        else:
+            s, e = s_raw, e_raw  # keep the numeric dtype (int stays exact)
+        first = np.zeros(n, np.bool_)
+        if n:
+            first[0] = True
+            first[1:] = run_id[1:] != run_id[:-1]
+        cm = pd.Series(e).groupby(run_id).cummax().to_numpy()
+        prev = np.empty_like(cm)
+        if n:
+            prev[0] = cm[0]  # masked by first[0]=True
+            prev[1:] = cm[:-1]
+        new_island = first | (s > prev)
+        isl_starts = np.flatnonzero(new_island)
+        start_v = s[isl_starts]
+        end_v = np.maximum.reduceat(e, isl_starts) if len(isl_starts) else e
+        cnt = np.diff(np.append(isl_starts, n))
+        if is_ts:
+            start_o = start_v.view("datetime64[us]")
+            end_o = end_v.view("datetime64[us]")
+        else:
+            start_o, end_o = start_v, end_v
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy()[isl_starts],
+            "start": start_o,
+            "end": end_o,
+            "n_merged": cnt.astype(np.int64),
+        })
+
+    out = (
+        ds.map_batches(bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return out.to_pandas() if as_pandas else out
+
+
+def merge_intervals_sql(table: str, key_col: str, start_col: str,
+                        end_col: str) -> str:
+    """DuckDB twin of :func:`merge_intervals` (identical island rule:
+    a row starts a new island iff its start exceeds the running max end
+    of everything before it in (start, end) order)."""
+    return (
+        f"WITH o AS (SELECT {key_col}, {start_col} AS s, {end_col} AS e, "
+        f"max({end_col}) OVER (PARTITION BY {key_col} "
+        f"ORDER BY {start_col}, {end_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max "
+        f"FROM {table} "
+        f"WHERE {start_col} IS NOT NULL AND {end_col} IS NOT NULL), "
+        f"i AS (SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max "
+        f"THEN 1 ELSE 0 END) OVER (PARTITION BY {key_col} ORDER BY s, e "
+        f"ROWS UNBOUNDED PRECEDING) AS island FROM o) "
+        f"SELECT {key_col}, min(s) AS start, max(e) AS \"end\", "
+        f"CAST(count(*) AS BIGINT) AS n_merged "
+        f"FROM i GROUP BY {key_col}, island"
     )

@@ -920,3 +920,52 @@ def test_trailing_active_matches_duckdb(ray_session):
         pd.testing.assert_frame_equal(got, want)
     # window=1 is exactly daily-active; n never exceeds total keys
     assert got["n"].max() <= df["user_id"].nunique()
+
+
+def test_merge_intervals_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import merge_intervals, merge_intervals_sql
+
+    rng = np.random.default_rng(83)
+    n = 2000
+    s = rng.integers(0, 10_000, n)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, n),
+            "s": s,
+            "e": s + rng.integers(1, 40, n),  # overlap-heavy
+        }
+    )
+    df.loc[0, "e"] = None  # dropped on both sides
+    got = (
+        merge_intervals(rd.from_pandas(df).repartition(7), "k", "s", "e",
+                        num_buckets=8)
+        .sort_values(["k", "start"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        merge_intervals_sql("t", "k", "s", "e") + " ORDER BY k, start"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # islands cover all surviving rows and never overlap within a key
+    assert got["n_merged"].sum() == len(df) - 1
+    nxt = got.groupby("k")["start"].shift(-1)
+    assert ((nxt.isna()) | (nxt > got["end"])).all()
+
+
+def test_merge_intervals_touching_is_merged_only_on_overlap(ray_session):
+    import ray.data as rd
+
+    from logray.stages.sequence import merge_intervals
+
+    # start == running end merges (s > prev_max is false); gap of 1 splits
+    df = pd.DataFrame({"k": [1, 1, 1], "s": [0, 10, 21], "e": [10, 20, 30]})
+    got = (
+        merge_intervals(rd.from_pandas(df), "k", "s", "e", num_buckets=2)
+        .sort_values("start").reset_index(drop=True)
+    )
+    assert got[["start", "end", "n_merged"]].values.tolist() == [
+        [0, 20, 2], [21, 30, 1]]
