@@ -1756,6 +1756,28 @@ def _q_trailing_active_users(sf_dir: str):
     return trailing_active(ds, "user_id", "ts", window_days=7)
 
 
+def _q_normalize_nfc(sf_dir: str):
+    """Unicode NFC canonicalization: a decomposed (combining-mark)
+    column is derived identically on both sides, then composed — Arrow
+    utf8_normalize vs DuckDB nfc_normalize, same Unicode tables."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.functions.textclean import normalize_nfc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def decompose(t):
+        # explicitly DECOMPOSED a + U+0301, like the twin's chr(769)
+        v = pc.replace_substring(t["text"], "a", "a\u0301")
+        return t.drop_columns(["text"]).append_column("text", v)
+
+    ds = ds.map_batches(decompose, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+    return normalize_nfc(ds, "text").to_pandas()
+
+
 def _q_merge_intervals(sf_dir: str):
     """Gaps-and-islands: per-user 30-minute activity intervals merged
     into maximal islands (grouped cummax + reduceat per bucket)."""
@@ -2070,6 +2092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_sample": _q_budget_sample,
         "trailing_active_users": _q_trailing_active_users,
         "merge_intervals": _q_merge_intervals,
+        "normalize_nfc": _q_normalize_nfc,
     }
 
 
@@ -2099,7 +2122,11 @@ def oracle_sql() -> dict[str, str]:
         stratified_split_sql,
     )
     from logray.functions.chunking import chunk_documents_sql
-    from logray.functions.textclean import clean_text_sql, regexp_extract_sql
+    from logray.functions.textclean import (
+        clean_text_sql,
+        normalize_nfc_sql,
+        regexp_extract_sql,
+    )
     from logray.stages.aggregate import (
         arg_extreme_sql,
         binned_histogram_sql,
@@ -2582,6 +2609,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "trailing_active_users": trailing_active_sql(
             "events", "user_id", "ts", window_days=7
+        ),
+        "normalize_nfc": normalize_nfc_sql(
+            "(SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS text "
+            "FROM documents) d",
+            "text", cols="doc_id, text",
         ),
         "merge_intervals": merge_intervals_sql(
             "(SELECT user_id, ts, ts + INTERVAL 30 MINUTE AS te "

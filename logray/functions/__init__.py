@@ -34,7 +34,7 @@ from logray.functions.tokenize import (
     train_bpe_on_dataset,
     word_frequencies,
 )
-from logray.functions.textclean import clean_text
+from logray.functions.textclean import clean_text, normalize_nfc
 from logray.functions.png import decode_png, encode_png
 from logray.functions.multimodal import (
     DecodeImageBatch,
@@ -94,6 +94,7 @@ __all__ = [
     "ModelScoreBatch",
     "model_score_stage",
     "clean_text",
+    "normalize_nfc",
     "chunk_documents",
     "ByteBPE",
     "TokenizeBatch",

@@ -91,3 +91,58 @@ def regexp_extract_sql(col: str, pattern: str, group_idx: int,
         f"CASE WHEN regexp_matches({col}, '{p}') "
         f"THEN regexp_extract({col}, '{p}', {group_idx}) END AS {name}"
     )
+
+
+def normalize_nfc(ds, col: str = "text", out_col: str | None = None):
+    """Unicode NFC normalization (composed form) — the canonicalization
+    step run before hashing/dedup so visually-identical strings (combining
+    marks vs precomposed codepoints) hash identically.
+
+    Arrow 16's ``utf8_normalize(form='NFC')`` performs decomposition but
+    NOT canonical composition (its NFC output equals NFD), so it cannot
+    match DuckDB's ``nfc_normalize``; instead the kernel is a vectorized
+    ``string_is_ascii`` fast path (ASCII is NFC-invariant, the common
+    case costs one Arrow scan) with ``unicodedata.normalize`` only over
+    the non-ASCII minority.  Appends ``changed`` (did normalization alter
+    the string) for cheap monitoring."""
+    out = out_col or f"{col}_nfc"
+
+    def norm(t):
+        import unicodedata
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        v = t[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        na = pc.string_is_ascii(v)
+        todo = pc.and_kleene(pc.invert(na), pc.is_valid(v))
+        idx = np.flatnonzero(todo.to_numpy(zero_copy_only=False) == True)  # noqa: E712
+        if len(idx):
+            vals = v.take(pa.array(idx)).to_pylist()
+            fixed = pa.array([unicodedata.normalize("NFC", x) for x in vals],
+                             pa.string())
+            mask = np.zeros(len(v), np.bool_)
+            mask[idx] = True
+            nv = pc.replace_with_mask(v, pa.array(mask), fixed)
+        else:
+            nv = v
+        ch = pc.fill_null(pc.not_equal(nv, v), False)
+        return t.append_column(out, nv).append_column(
+            "changed", pc.cast(ch, pa.bool_()))
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def normalize_nfc_sql(table: str, col: str = "text",
+                      out_col: str | None = None, cols: str = "*") -> str:
+    """DuckDB twin of :func:`normalize_nfc`."""
+    out = out_col or f"{col}_nfc"
+    return (
+        f"SELECT {cols}, nfc_normalize({col}) AS {out}, "
+        f"COALESCE(nfc_normalize({col}) <> {col}, FALSE) AS changed "
+        f"FROM {table}"
+    )

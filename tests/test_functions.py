@@ -2082,3 +2082,32 @@ def test_budget_sample_rejects_float_weights(ray_session):
     df = pd.DataFrame({"doc_id": [1], "dom": ["a"], "w": [1.5]})
     with pytest.raises(Exception):
         budget_sample(rd.from_pandas(df), "dom", "doc_id", "w", 10).to_pandas()
+
+
+def test_normalize_nfc_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.textclean import normalize_nfc, normalize_nfc_sql
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "text": ["cafe\u0301",  # decomposed -> cafe with U+00E9
+                     "caf\u00e9",   # already composed: unchanged
+                     "plain ascii",
+                     None],
+        }
+    )
+    got = (
+        normalize_nfc(rd.from_pandas(df).repartition(3), "text")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        normalize_nfc_sql("t", "text", cols="id, text") + " ORDER BY id"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert got["changed"].tolist() == [True, False, False, False]
+    assert got.loc[0, "text_nfc"] == "caf\u00e9"
