@@ -1778,6 +1778,16 @@ def _q_normalize_nfc(sf_dir: str):
     return normalize_nfc(ds, "text").to_pandas()
 
 
+def _q_dialogue_pairs(sf_dir: str):
+    """SFT-pair mining: adjacent (user -> assistant) turn pairs per
+    conversation from the derived transcripts (one bucket shuffle +
+    segmented shift carrying text)."""
+    from logray.stages.sequence import dialogue_pairs
+
+    ds = transcripts_from_events(sf_dir)
+    return dialogue_pairs(ds).to_pandas()
+
+
 def _q_merge_intervals(sf_dir: str):
     """Gaps-and-islands: per-user 30-minute activity intervals merged
     into maximal islands (grouped cummax + reduceat per bucket)."""
@@ -2093,6 +2103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_active_users": _q_trailing_active_users,
         "merge_intervals": _q_merge_intervals,
         "normalize_nfc": _q_normalize_nfc,
+        "dialogue_pairs": _q_dialogue_pairs,
     }
 
 
@@ -2157,6 +2168,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.dedup import edit_distance_pairs_sql
     from logray.stages.sequence import (
         cohort_retention_sql,
+        dialogue_pairs_sql,
         funnel_sql,
         merge_intervals_sql,
         trailing_active_sql,
@@ -2610,6 +2622,7 @@ def oracle_sql() -> dict[str, str]:
         "trailing_active_users": trailing_active_sql(
             "events", "user_id", "ts", window_days=7
         ),
+        "dialogue_pairs": f"WITH t AS ({_TSQL}) " + dialogue_pairs_sql("t"),
         "normalize_nfc": normalize_nfc_sql(
             "(SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS text "
             "FROM documents) d",

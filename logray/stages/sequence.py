@@ -27,6 +27,7 @@ __all__ = [
     "cohort_retention", "cohort_retention_sql",
     "trailing_active", "trailing_active_sql",
     "merge_intervals", "merge_intervals_sql",
+    "dialogue_pairs", "dialogue_pairs_sql",
 ]
 
 
@@ -391,4 +392,66 @@ def merge_intervals_sql(table: str, key_col: str, start_col: str,
         f"SELECT {key_col}, min(s) AS start, max(e) AS \"end\", "
         f"CAST(count(*) AS BIGINT) AS n_merged "
         f"FROM i GROUP BY {key_col}, island"
+    )
+
+
+def dialogue_pairs(ds, conv_col: str = "conv_id", order_col: str = "turn_idx",
+                   role_col: str = "role", text_col: str = "text",
+                   prompt_role: str = "user", response_role: str = "assistant",
+                   num_buckets: int = 32):
+    """Extract (prompt, response) training pairs from multi-turn
+    transcripts: every ADJACENT turn pair within a conversation where the
+    first turn's role is ``prompt_role`` and the next turn's role is
+    ``response_role`` — the SFT-pair mining step that turns raw
+    transcripts into instruction-tuning rows.  Output
+    ``(conv_id, turn_idx, prompt, response)`` keyed by the prompt turn.
+
+    One bucket shuffle + one segmented shift per bucket (the
+    :func:`transition_counts` kernel shape, carrying text instead of
+    counting)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, run_id, _first = _sorted_runs(g, conv_col, [order_col])
+        n = len(g)
+        role = g[role_col].to_numpy()
+        nxt_same = np.zeros(n, np.bool_)
+        if n > 1:
+            nxt_same[:-1] = run_id[1:] == run_id[:-1]
+        is_pair = nxt_same.copy()
+        if n > 1:
+            is_pair[:-1] &= (role[:-1] == prompt_role) & \
+                            (role[1:] == response_role)
+            is_pair[-1] = False
+        idx = np.flatnonzero(is_pair)
+        txt = g[text_col].to_numpy()
+        return pd.DataFrame({
+            conv_col: g[conv_col].to_numpy()[idx],
+            order_col: g[order_col].to_numpy()[idx],
+            "prompt": txt[idx],
+            "response": txt[idx + 1],
+        })
+
+    return (
+        ds.map_batches(bucket_tagger(conv_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def dialogue_pairs_sql(table: str, conv_col: str = "conv_id",
+                       order_col: str = "turn_idx", role_col: str = "role",
+                       text_col: str = "text", prompt_role: str = "user",
+                       response_role: str = "assistant") -> str:
+    """DuckDB twin of :func:`dialogue_pairs`."""
+    return (
+        f"SELECT {conv_col}, {order_col}, {text_col} AS prompt, "
+        f"nxt_text AS response FROM ("
+        f"SELECT {conv_col}, {order_col}, {role_col}, {text_col}, "
+        f"lead({role_col}) OVER w AS nxt_role, "
+        f"lead({text_col}) OVER w AS nxt_text "
+        f"FROM {table} WINDOW w AS ("
+        f"PARTITION BY {conv_col} ORDER BY {order_col})"
+        f") WHERE {role_col} = '{prompt_role}' "
+        f"AND nxt_role = '{response_role}'"
     )

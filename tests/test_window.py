@@ -969,3 +969,41 @@ def test_merge_intervals_touching_is_merged_only_on_overlap(ray_session):
     )
     assert got[["start", "end", "n_merged"]].values.tolist() == [
         [0, 20, 2], [21, 30, 1]]
+
+
+def test_dialogue_pairs_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import dialogue_pairs, dialogue_pairs_sql
+
+    rng = np.random.default_rng(97)
+    n = 1500
+    roles = np.array(["user", "assistant", "tool", "system"])
+    df = pd.DataFrame(
+        {
+            "conv_id": rng.integers(0, 40, n).astype(str),
+            "turn_idx": np.zeros(n, np.int64),
+            "role": roles[rng.integers(0, 4, n)],
+            "text": [f"t{i}" for i in range(n)],
+        }
+    )
+    df["turn_idx"] = df.groupby("conv_id").cumcount()
+    got = (
+        dialogue_pairs(rd.from_pandas(df).repartition(7), num_buckets=8)
+        .to_pandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        dialogue_pairs_sql("t") + " ORDER BY conv_id, turn_idx"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # a pair is emitted only at user->assistant adjacency; responses are
+    # always the literal next turn
+    assert len(got) > 0
+    m = df.set_index(["conv_id", "turn_idx"])
+    for _, r in got.head(20).iterrows():
+        assert m.loc[(r.conv_id, r.turn_idx), "role"] == "user"
+        assert m.loc[(r.conv_id, r.turn_idx + 1), "text"] == r.response
