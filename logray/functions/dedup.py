@@ -819,15 +819,18 @@ def connected_components_distributed(pairs, id_a: str = "id_a", id_b: str = "id_
 
 
 def _char_codes(strings, max_len: int):
-    """Pad the prefix codepoints of each string into an int32 matrix."""
-    k = len(strings)
-    arr = np.zeros((k, max(max_len, 1)), np.int32)
+    """Pad each string's ``max_len``-CODEPOINT prefix, as UTF-8 BYTES,
+    into an int32 matrix — DuckDB's ``levenshtein`` edits bytes while its
+    ``substring`` slices codepoints, so parity needs exactly this mix."""
+    bufs = [s[:max_len].encode("utf-8") for s in strings]
+    k = len(bufs)
+    width = max((len(b) for b in bufs), default=1) or 1
+    arr = np.zeros((k, width), np.int32)
     lens = np.zeros(k, np.int64)
-    for i, s in enumerate(strings):
-        cs = [ord(c) for c in s[:max_len]]
-        lens[i] = len(cs)
-        if cs:
-            arr[i, : len(cs)] = cs
+    for i, b in enumerate(bufs):
+        lens[i] = len(b)
+        if b:
+            arr[i, : len(b)] = np.frombuffer(b, np.uint8)
     return arr, lens
 
 
@@ -864,8 +867,9 @@ def edit_distance_pairs(ds, group_cols, text_col: str = "text",
     """Exact Levenshtein distance between the ``max_len``-codepoint
     prefixes of all pairs WITHIN each group_cols partition
     (co-partitioned candidate verification, the edit-distance sibling of
-    :func:`ngram_jaccard_pairs`; DuckDB ``levenshtein`` parity on the
-    same prefixes).  ``max_dist`` keeps only pairs at or under the
+    :func:`ngram_jaccard_pairs`).  Distances are BYTE-level over the
+    codepoint-sliced prefix — exactly DuckDB's ``levenshtein`` over
+    ``substring(...)``, which is what the twin computes.  ``max_dist`` keeps only pairs at or under the
     threshold; None emits every pair with its distance.
 
     The DP is pair-vectorized (:func:`_lev_block`): cost is
@@ -897,6 +901,9 @@ def edit_distance_pairs(ds, group_cols, text_col: str = "text",
                 d = _lev_block(codes[ic], lens[ic], codes[jc], lens[jc])
                 keep = d <= max_dist if max_dist is not None \
                     else np.ones(len(d), np.bool_)
+                # the SQL twin's id_a < id_b join emits nothing for rows
+                # sharing an id — mirror that for non-unique id columns
+                keep &= ids[ic] != ids[jc]
                 if keep.any():
                     out_a.append(ids[ic[keep]])
                     out_b.append(ids[jc[keep]])

@@ -153,7 +153,11 @@ def dedup_spans(ds, id_col: str = "doc_id", text_col: str = "text",
         .groupby("__b")
         .map_groups(_dup_bucket, batch_format="pandas")
     )
-    dup = census.to_pandas()["h1"].to_numpy()
+    cdf = census.to_pandas()
+    # an all-short corpus yields a columnless empty frame, not an empty
+    # h1 column
+    dup = cdf["h1"].to_numpy() if "h1" in cdf.columns \
+        else np.zeros(0, np.int64)
     if len(dup) > max_broadcast:
         raise RuntimeError(
             f"dedup_spans: {len(dup)} duplicated grams exceeds "

@@ -1021,6 +1021,22 @@ def mode_per_key_sql(table: str, key: str, val: str) -> str:
     )
 
 
+def _best_row_fold(parts, best, empty_cols: list[str]) -> pa.Table:
+    """Shared driver fold for the best-row combiner ops
+    (:func:`arg_extreme`, :func:`distinct_on`): stream the per-batch
+    winner partials and re-apply the same associative ``best`` rule."""
+    from logray.stages.bucketing import stream_fold
+
+    def fold(tables: list[pa.Table]) -> pa.Table:
+        df = pd.concat([t.to_pandas() for t in tables], ignore_index=True)
+        return pa.Table.from_pandas(best(df), preserve_index=False)
+
+    folded = stream_fold(parts, fold)
+    if folded is None:
+        folded = pa.table({c: [] for c in empty_cols})
+    return folded
+
+
 def arg_extreme(ds, key: str, arg: str, val: str, how: str = "max",
                 as_pandas: bool = True):
     """ARG_MAX / ARG_MIN per key: the value of ``arg`` on the row where
@@ -1047,18 +1063,9 @@ def arg_extreme(ds, key: str, arg: str, val: str, how: str = "max",
         t = t.filter(pc.and_(pc.is_valid(t[val]), pc.is_valid(t[arg])))
         return best(t.to_pandas())
 
-    from logray.stages.bucketing import stream_fold
-
     parts = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
                            batch_size=None)
-
-    def fold(tables: list[pa.Table]) -> pa.Table:
-        df = pd.concat([t.to_pandas() for t in tables], ignore_index=True)
-        return pa.Table.from_pandas(best(df), preserve_index=False)
-
-    folded = stream_fold(parts, fold)
-    if folded is None:
-        folded = pa.table({key: [], arg: [], val: []})
+    folded = _best_row_fold(parts, best, [key, arg, val])
     return folded.to_pandas() if as_pandas else folded
 
 
@@ -1103,21 +1110,8 @@ def distinct_on(ds, key_cols, order_cols, descending=False,
                             kind="mergesort")
         return df.drop_duplicates(key_cols, keep="first").reset_index(drop=True)
 
-    def part(df: pd.DataFrame) -> pd.DataFrame:
-        return best(df)
-
-    from logray.stages.bucketing import stream_fold
-
-    parts = ds.map_batches(part, batch_format="pandas", batch_size=None)
-
-    def fold(tables: list[pa.Table]) -> pa.Table:
-        df = pd.concat([t.to_pandas() for t in tables], ignore_index=True)
-        return pa.Table.from_pandas(best(df), preserve_index=False)
-
-    folded = stream_fold(parts, fold)
-    if folded is None:
-        cols = ds.schema().names
-        folded = pa.table({c: [] for c in cols})
+    parts = ds.map_batches(best, batch_format="pandas", batch_size=None)
+    folded = _best_row_fold(parts, best, ds.schema().names)
     return folded.to_pandas() if as_pandas else folded
 
 

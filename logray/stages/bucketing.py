@@ -18,18 +18,32 @@ import pyarrow as pa
 
 
 def bucket_tagger(key_col: str, num_buckets: int, col_name: str = "__b"):
-    """map_batches fn appending ``col_name = hash(key_col) % num_buckets``."""
+    """map_batches fn appending ``col_name = hash(key_col) % num_buckets``.
+
+    Null keys are pinned to bucket 0: their hash is NOT stable across
+    block dtypes (an all-null block infers a null-typed Arrow column
+    whose numpy form is object-None, while a mixed block yields float
+    NaN — the two hash differently), and a null key split across buckets
+    would emit duplicate partials from every grouped operator."""
 
     def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         kh = pd.util.hash_array(np.asarray(t[key_col].to_numpy(zero_copy_only=False)))
-        return t.append_column(col_name, pa.array((kh % num_buckets).astype(np.int64)))
+        b = (kh % num_buckets).astype(np.int64)
+        valid = pc.is_valid(t[key_col]).to_numpy(zero_copy_only=False)
+        b[~np.asarray(valid, np.bool_)] = 0
+        return t.append_column(col_name, pa.array(b))
 
     return tag
 
 
 def bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
-    """The same bucket assignment for code already holding a numpy array."""
-    return (pd.util.hash_array(np.asarray(keys)) % num_buckets).astype("int64")
+    """The same bucket assignment for code already holding a numpy array
+    (nulls pinned to bucket 0, see :func:`bucket_tagger`)."""
+    b = (pd.util.hash_array(np.asarray(keys)) % num_buckets).astype("int64")
+    b[pd.isna(keys)] = 0
+    return b
 
 
 def run_starts(keys: np.ndarray) -> np.ndarray:

@@ -58,6 +58,8 @@ def transition_counts(ds, key_col: str, order_col: str, val_col: str,
         same = np.zeros(len(g), np.bool_)
         same[1:] = run_id[1:] == run_id[:-1]
         frm, to = v[np.flatnonzero(same) - 1], v[same]
+        ok = ~pd.isna(frm)  # SQL twin drops null-prev rows (LAG boundary
+        frm, to = frm[ok], to[ok]  # and genuine null values alike)
         p = pd.DataFrame({"from_val": frm, "to_val": to})
         s = (p.groupby(["from_val", "to_val"], sort=False, dropna=False)
              .size().reset_index(name="n"))
@@ -114,17 +116,25 @@ def funnel(ds, key_col: str, order_col: str, val_col: str,
         n_runs = len(starts)
         ts = g[order_col].to_numpy()
         if np.issubdtype(ts.dtype, np.datetime64):
+            # NaT views to int64-min, below every prev_t -> never a
+            # candidate, matching SQL (NULL ts satisfies no comparison)
             ts = ts.astype("datetime64[ns]").view(np.int64)
-        else:
+        elif np.issubdtype(ts.dtype, np.integer):
             ts = ts.astype(np.int64)
+        else:
+            # float order columns keep their dtype — truncating to int64
+            # would collapse distinct order values (NaN never compares)
+            ts = ts.astype(np.float64)
         v = g[val_col].to_numpy()
-        prev_t = np.full(n_runs, -(1 << 62), np.int64)
+        is_int = ts.dtype == np.int64
+        low = -(1 << 62) if is_int else -np.inf
+        big = np.int64(1 << 62) if is_int else np.inf
+        prev_t = np.full(n_runs, low, ts.dtype)
         reached = np.zeros(n_runs, np.int64)
         alive = np.ones(n_runs, np.bool_)
-        big = np.int64((1 << 62))
         for s in stages:
             cand = np.where((v == s) & (ts > prev_t[run_id]), ts, big) \
-                if n else np.zeros(0, np.int64)
+                if n else np.zeros(0, ts.dtype)
             t_min = np.minimum.reduceat(cand, starts) if n_runs else cand
             hit = alive & (t_min < big)
             reached[hit] += 1
@@ -190,6 +200,8 @@ def cohort_retention(ds, key_col: str, ts_col: str, num_buckets: int = 32,
     horizon), never O(keys)."""
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[ts_col].notna()]  # NaT would view as int64-min garbage;
+        # the SQL twin's WHERE drops null ts identically
         g, run_id, first = _sorted_runs(g, key_col, [ts_col])
         n = len(g)
         days = g[ts_col].to_numpy().astype("datetime64[D]").astype(np.int64)
@@ -231,7 +243,7 @@ def cohort_retention_sql(table: str, key_col: str, ts_col: str) -> str:
     """DuckDB twin of :func:`cohort_retention`."""
     return (
         f"WITH d AS (SELECT {key_col}, date_trunc('day', {ts_col}) AS day "
-        f"FROM {table}), "
+        f"FROM {table} WHERE {ts_col} IS NOT NULL), "
         f"c AS (SELECT {key_col}, min(day) AS cohort FROM d "
         f"GROUP BY {key_col}) "
         f"SELECT CAST(c.cohort AS TIMESTAMP) AS cohort_day, "
@@ -259,6 +271,7 @@ def trailing_active(ds, key_col: str, ts_col: str, window_days: int = 7,
     def local_dedup(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
+        t = t.filter(_pc.is_valid(t[ts_col]))  # match the twin's WHERE
         days = _pc.cast(_pc.floor_temporal(t[ts_col], unit="day"),
                         pa.timestamp("us"))
         days = pa.array(days.to_numpy(zero_copy_only=False)
@@ -306,7 +319,8 @@ def trailing_active_sql(table: str, key_col: str, ts_col: str,
     """DuckDB twin of :func:`trailing_active` (same explode algebra)."""
     return (
         f"WITH d AS (SELECT DISTINCT {key_col}, "
-        f"CAST(date_trunc('day', {ts_col}) AS DATE) AS day FROM {table}), "
+        f"CAST(date_trunc('day', {ts_col}) AS DATE) AS day FROM {table} "
+        f"WHERE {ts_col} IS NOT NULL), "
         f"e AS (SELECT DISTINCT {key_col}, day + CAST(x AS INTEGER) AS day2 "
         f"FROM d, (SELECT unnest(generate_series(0, {window_days - 1})) AS x)) "
         f"SELECT CAST(day2 AS TIMESTAMP) AS day, "

@@ -2111,3 +2111,51 @@ def test_normalize_nfc_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want)
     assert got["changed"].tolist() == [True, False, False, False]
     assert got.loc[0, "text_nfc"] == "caf\u00e9"
+
+
+def test_edit_distance_pairs_bytes_and_duplicate_ids(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.dedup import (
+        edit_distance_pairs,
+        edit_distance_pairs_sql,
+    )
+
+    # unicode INSIDE the prefix: DuckDB levenshtein edits BYTES
+    # ('é' is two), and duplicate ids must emit no pair at all
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 3],
+        "grp": [0, 0, 0, 0],
+        "text": ["café", "cafe", "café x", "café x"],
+    })
+    got = (
+        edit_distance_pairs(rd.from_pandas(df), "grp", max_len=32)
+        .to_pandas().sort_values(["id_a", "id_b", "dist"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        edit_distance_pairs_sql("t", "grp", max_len=32)
+        + " ORDER BY id_a, id_b, dist"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["id_a", "id_b", "dist"]], want[["id_a", "id_b", "dist"]])
+    d12 = got[(got.id_a == 1) & (got.id_b == 2)]["dist"].tolist()
+    assert d12 == [2]  # byte-level: e-acute <-> e is delete+substitute
+    assert not ((got.id_a == 3) & (got.id_b == 3)).any()
+
+
+def test_dedup_spans_all_short_corpus_is_identity(ray_session):
+    import ray.data as rd
+
+    from logray.functions.spandedup import dedup_spans
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "c d"]})
+    got = (
+        dedup_spans(rd.from_pandas(df), window=5, num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["text"].tolist() == ["a b", "c d"]
+    assert got["n_removed"].tolist() == [0, 0]

@@ -1057,3 +1057,26 @@ def test_distinct_on_mixed_directions(ray_session):
     got = distinct_on(rd.from_pandas(df), "k", ["a", "b"],
                       descending=[True, False])
     assert got[["a", "b"]].values.tolist() == [[5, 1]]
+
+
+def test_mode_per_key_null_keys_pool_across_partitions(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.aggregate import mode_per_key, mode_per_key_sql
+
+    # repartition(3) gives an ALL-NULL-key block whose Arrow type differs
+    # from the mixed blocks — nulls must still land in one bucket
+    df = pd.DataFrame({"k": [None, None, 1.0, 1.0, 1.0],
+                       "v": ["a", "a", "b", "a", "b"]})
+    got = (
+        mode_per_key(rd.from_pandas(df).repartition(3), "k", "v")
+        .sort_values("k", na_position="last").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(mode_per_key_sql("t", "k", "v")
+                   + " ORDER BY k NULLS LAST").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 2 and got["n"].tolist() == [2, 2]

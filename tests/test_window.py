@@ -1007,3 +1007,67 @@ def test_dialogue_pairs_matches_duckdb(ray_session):
     for _, r in got.head(20).iterrows():
         assert m.loc[(r.conv_id, r.turn_idx), "role"] == "user"
         assert m.loc[(r.conv_id, r.turn_idx + 1), "text"] == r.response
+
+
+def test_funnel_float_order_column(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import funnel, funnel_sql
+
+    # float order values inside the same unit interval: int truncation
+    # would collapse them and break the strictly-after rule
+    df = pd.DataFrame({
+        "k": [1, 1, 1],
+        "o": [1.2, 1.8, 2.5],
+        "v": ["signup", "click", "purchase"],
+    })
+    got = funnel(rd.from_pandas(df), "k", "o", "v",
+                 ["signup", "click", "purchase"], num_buckets=2)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(funnel_sql("t", "k", "o", "v",
+                              ["signup", "click", "purchase"])).df()
+    assert got["stage_reached"].tolist() == [3]
+    assert want["stage_reached"].tolist() == [3]
+
+
+def test_transition_counts_null_values_match_sql(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import transition_counts, transition_counts_sql
+
+    df = pd.DataFrame({"k": [1, 1, 1, 1], "o": [1, 2, 3, 4],
+                       "v": ["a", None, "b", "b"]})
+    got = (
+        transition_counts(rd.from_pandas(df), "k", "o", "v", num_buckets=2)
+        .sort_values(["from_val", "to_val"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(transition_counts_sql("t", "k", "o", "v")
+                   + " ORDER BY from_val, to_val NULLS LAST").df()
+    pd.testing.assert_frame_equal(got, want)
+    # null FROM rows dropped; null TO kept (a -> NULL)
+    assert len(got) == 2
+
+
+def test_cohort_retention_null_ts_dropped_like_sql(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import cohort_retention, cohort_retention_sql
+
+    df = _sequence_fixture().head(200).copy()
+    df.loc[df.index[:20], "ts"] = pd.NaT
+    got = (
+        cohort_retention(rd.from_pandas(df), "user_id", "ts", num_buckets=4)
+        .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(cohort_retention_sql("t", "user_id", "ts")
+                   + " ORDER BY cohort_day, day_offset").df()
+    pd.testing.assert_frame_equal(got, want)
