@@ -1788,6 +1788,34 @@ def _q_dialogue_pairs(sf_dir: str):
     return dialogue_pairs(ds).to_pandas()
 
 
+def _q_union_by_name(sf_dir: str):
+    """Schema-evolution union: two projections with different columns
+    concatenated; missing columns become typed nulls (UNION ALL BY
+    NAME)."""
+    import ray.data as rd
+
+    from logray.stages.reshape import union_by_name
+
+    a = rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "event_type"])
+    b = rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "value"])
+    return union_by_name([a, b]).to_pandas()
+
+
+def _q_zlib_quality(sf_dir: str):
+    """Per-document zlib compression ratio — the repetition / templated-
+    text quality signal (rows-only: DuckDB has no zlib; exactness pinned
+    by the unit test against the zlib module)."""
+    import ray.data as rd
+
+    from logray.functions.quality import compression_ratio
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return compression_ratio(ds).to_pandas()
+
+
 def _q_merge_intervals(sf_dir: str):
     """Gaps-and-islands: per-user 30-minute activity intervals merged
     into maximal islands (grouped cummax + reduceat per bucket)."""
@@ -2104,6 +2132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_intervals": _q_merge_intervals,
         "normalize_nfc": _q_normalize_nfc,
         "dialogue_pairs": _q_dialogue_pairs,
+        "union_by_name_events": _q_union_by_name,
+        "zlib_quality": _q_zlib_quality,
     }
 
 
@@ -2175,6 +2205,7 @@ def oracle_sql() -> dict[str, str]:
         transition_counts_sql,
     )
     from logray.stages.aggregate import distinct_on_sql
+    from logray.stages.reshape import union_by_name_sql
     from logray.functions.sample import budget_sample_sql
     from logray.functions.packing import pack_documents_sql
     from logray.stages.reshape import unpivot_sql
@@ -2623,6 +2654,10 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", "ts", window_days=7
         ),
         "dialogue_pairs": f"WITH t AS ({_TSQL}) " + dialogue_pairs_sql("t"),
+        "union_by_name_events": union_by_name_sql([
+            "(SELECT event_id, event_type FROM events)",
+            "(SELECT event_id, value FROM events)",
+        ]),
         "normalize_nfc": normalize_nfc_sql(
             "(SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS text "
             "FROM documents) d",

@@ -34,6 +34,7 @@ from logray.functions.tokenize import (
     train_bpe_on_dataset,
     word_frequencies,
 )
+from logray.functions.quality import compression_ratio, gopher_quality
 from logray.functions.textclean import clean_text, normalize_nfc
 from logray.functions.png import decode_png, encode_png
 from logray.functions.multimodal import (
@@ -95,6 +96,8 @@ __all__ = [
     "model_score_stage",
     "clean_text",
     "normalize_nfc",
+    "compression_ratio",
+    "gopher_quality",
     "chunk_documents",
     "ByteBPE",
     "TokenizeBatch",

@@ -266,3 +266,45 @@ def top_ngram_char_fraction(ds, n: int = 2, col: str = "text",
 
     return ds.map_batches(per_batch, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)
+
+
+def compression_ratio(ds, text_col: str = "text", level: int = 6):
+    """Per-document zlib compression ratio (compressed bytes / raw
+    bytes) — the cheap repetition signal used by web-scale quality
+    filters: highly repetitive or templated text compresses far below
+    natural prose, near-random text compresses above it.  Appends
+    ``raw_bytes``, ``zlib_bytes``, ``zlib_ratio`` (null text -> nulls).
+
+    The per-document zlib.compress call is C code; the Python loop per
+    row is the irreducible cost of a per-payload codec (same shape as
+    the multimodal decode stages).  No SQL twin — DuckDB has no zlib —
+    so exactness is pinned by the unit test against the zlib module
+    directly (rows-only gate)."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def part(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.to_pylist()
+        n = len(vals)
+        raw = np.zeros(n, np.int64)
+        comp = np.zeros(n, np.int64)
+        ok = np.zeros(n, np.bool_)
+        for i, s in enumerate(vals):
+            if s is None:
+                continue
+            b = s.encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, level))
+            ok[i] = True
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), np.nan)
+        return (t.append_column("raw_bytes", pa.array(raw, mask=~ok))
+                 .append_column("zlib_bytes", pa.array(comp, mask=~ok))
+                 .append_column("zlib_ratio", pa.array(ratio, mask=~ok)))
+
+    return ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)

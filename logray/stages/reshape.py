@@ -127,3 +127,72 @@ def unpivot_sql(table: str, id_cols, value_cols, var_col: str = "name",
         f"ON {', '.join(value_cols)} "
         f"INTO NAME {var_col} VALUE {val_col})"
     )
+
+
+def union_by_name(datasets, strict: bool = False):
+    """Schema-evolution union: concatenate Datasets whose schemas differ
+    (SQL ``UNION ALL BY NAME``).  The output schema is the ordered union
+    of all input columns (first-seen order); each input's missing columns
+    are appended as typed nulls and its columns reordered — one
+    zero-copy-in map per input, then Ray's plain ``union``.  With
+    ``strict=True`` a column present in two inputs with conflicting
+    Arrow types raises instead of relying on block-level coercion."""
+    import pyarrow as pa
+
+    if not datasets:
+        raise ValueError("union_by_name needs at least one dataset")
+    def _pa_type(t):
+        # pandas-block schemas report numpy dtypes / bare `object` for
+        # strings instead of Arrow types — normalize before pa.nulls
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            import numpy as _np
+
+            if t is object or t is str:
+                return pa.string()
+            return pa.from_numpy_dtype(_np.dtype(t))
+        except (TypeError, ValueError):
+            return pa.string()
+
+    schemas = [ds.schema() for ds in datasets]
+    fields: dict = {}
+    for sc in schemas:
+        base = getattr(sc, "base_schema", None)
+        pairs = (zip(sc.names, sc.types) if not isinstance(base, pa.Schema)
+                 else ((f.name, f.type) for f in base))
+        for name, typ in pairs:
+            typ = _pa_type(typ)
+            if name in fields:
+                if strict and fields[name] != typ:
+                    raise TypeError(
+                        f"union_by_name: column {name!r} has conflicting "
+                        f"types {fields[name]} vs {typ}")
+            else:
+                fields[name] = typ
+    names = list(fields)
+
+    def align(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = []
+        for name in names:
+            if name in t.column_names:
+                cols.append(t[name])
+            else:
+                cols.append(pa.nulls(n, fields[name]))
+        return pa.table(dict(zip(names, cols)))
+
+    aligned = [
+        ds.map_batches(align, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        for ds in datasets
+    ]
+    out = aligned[0]
+    for ds in aligned[1:]:
+        out = out.union(ds)
+    return out
+
+
+def union_by_name_sql(tables: list[str]) -> str:
+    """DuckDB twin of :func:`union_by_name`."""
+    return " UNION ALL BY NAME ".join(f"SELECT * FROM {t}" for t in tables)

@@ -221,3 +221,34 @@ def test_decontaminate_empty_index(ray_session):
     tr = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a b c"]}))
     got = flag_contaminated(tr, np.zeros(0, np.uint64), n=3).to_pandas()
     assert got["n_contaminated"].tolist() == [0]
+
+
+def test_compression_ratio_matches_zlib(ray_session):
+    import zlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.functions.quality import compression_ratio
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["spam " * 200,            # repetitive -> low ratio
+                 "The quick brown fox jumps over the lazy dog.",
+                 None,
+                 ""],
+    })
+    got = (
+        compression_ratio(rd.from_pandas(df).repartition(3))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i, s in enumerate(df["text"]):
+        if s is None:
+            assert pd.isna(got.loc[i, "zlib_ratio"])
+            continue
+        b = s.encode("utf-8")
+        assert got.loc[i, "raw_bytes"] == len(b)
+        assert got.loc[i, "zlib_bytes"] == len(zlib.compress(b, 6))
+    assert got.loc[0, "zlib_ratio"] < 0.05      # boilerplate compresses
+    assert got.loc[1, "zlib_ratio"] > 0.5       # prose does not
+    assert pd.isna(got.loc[3, "zlib_ratio"])    # empty text -> NaN ratio

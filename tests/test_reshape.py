@@ -163,3 +163,39 @@ def test_unpivot_matches_duckdb(ray_session):
     ).df()
     pd.testing.assert_frame_equal(got, want)
     assert len(got) == 3 * 400 - 1
+
+
+def test_union_by_name_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.reshape import union_by_name, union_by_name_sql
+
+    a = pd.DataFrame({"id": [1, 2], "x": ["p", "q"]})
+    b = pd.DataFrame({"y": [1.5], "id": [3]})  # different cols AND order
+    got = (
+        union_by_name([rd.from_pandas(a), rd.from_pandas(b)])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("ta", a)
+    con.register("tb", b)
+    want = con.sql(union_by_name_sql(["ta", "tb"]) + " ORDER BY id").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert list(got.columns) == ["id", "x", "y"]  # first-seen order
+
+
+def test_union_by_name_strict_type_conflict(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from logray.stages.reshape import union_by_name
+
+    a = rd.from_pandas(pd.DataFrame({"id": [1]}))
+    b = rd.from_pandas(pd.DataFrame({"id": ["s"]}))
+    with pytest.raises(TypeError):
+        union_by_name([a, b], strict=True)
+    with pytest.raises(ValueError):
+        union_by_name([])
