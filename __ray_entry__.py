@@ -1788,6 +1788,30 @@ def _q_dialogue_pairs(sf_dir: str):
     return dialogue_pairs(ds).to_pandas()
 
 
+def _q_rate_limit(sf_dir: str):
+    """Alert throttling: first 3 events per user per day kept
+    (segmented cumcount after one bucket shuffle)."""
+    import ray.data as rd
+
+    from logray.stages.sequence import rate_limit
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return rate_limit(ds, "user_id", "ts", 86_400.0, 3,
+                      tiebreak_col="event_id").to_pandas()
+
+
+def _q_dedup_consecutive(sf_dir: str):
+    """Change-log compaction: drop rows repeating the previous
+    event_type within each user's stream (IS DISTINCT FROM)."""
+    import ray.data as rd
+
+    from logray.stages.sequence import dedup_consecutive
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return dedup_consecutive(ds, "user_id", "ts", "event_type",
+                             tiebreak_col="event_id").to_pandas()
+
+
 def _q_union_by_name(sf_dir: str):
     """Schema-evolution union: two projections with different columns
     concatenated; missing columns become typed nulls (UNION ALL BY
@@ -2134,6 +2158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dialogue_pairs": _q_dialogue_pairs,
         "union_by_name_events": _q_union_by_name,
         "zlib_quality": _q_zlib_quality,
+        "rate_limit_events": _q_rate_limit,
+        "dedup_consecutive_events": _q_dedup_consecutive,
     }
 
 
@@ -2198,9 +2224,11 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.dedup import edit_distance_pairs_sql
     from logray.stages.sequence import (
         cohort_retention_sql,
+        dedup_consecutive_sql,
         dialogue_pairs_sql,
         funnel_sql,
         merge_intervals_sql,
+        rate_limit_sql,
         trailing_active_sql,
         transition_counts_sql,
     )
@@ -2654,6 +2682,14 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", "ts", window_days=7
         ),
         "dialogue_pairs": f"WITH t AS ({_TSQL}) " + dialogue_pairs_sql("t"),
+        "rate_limit_events": rate_limit_sql(
+            "events", "user_id", "ts", 86_400.0, 3, tiebreak_col="event_id",
+            cols="event_id, ts, user_id, event_type, value, props",
+        ),
+        "dedup_consecutive_events": dedup_consecutive_sql(
+            "events", "user_id", "ts", "event_type", tiebreak_col="event_id",
+            cols="event_id, ts, user_id, event_type, value, props",
+        ),
         "union_by_name_events": union_by_name_sql([
             "(SELECT event_id, event_type FROM events)",
             "(SELECT event_id, value FROM events)",

@@ -28,6 +28,8 @@ __all__ = [
     "trailing_active", "trailing_active_sql",
     "merge_intervals", "merge_intervals_sql",
     "dialogue_pairs", "dialogue_pairs_sql",
+    "rate_limit", "rate_limit_sql",
+    "dedup_consecutive", "dedup_consecutive_sql",
 ]
 
 
@@ -468,4 +470,110 @@ def dialogue_pairs_sql(table: str, conv_col: str = "conv_id",
         f"PARTITION BY {conv_col} ORDER BY {order_col})"
         f") WHERE {role_col} = '{prompt_role}' "
         f"AND nxt_role = '{response_role}'"
+    )
+
+
+def rate_limit(ds, key_col: str, ts_col: str, window_s: float, n: int,
+               tiebreak_col: str | None = None, num_buckets: int = 32):
+    """Throttle: keep only the FIRST ``n`` events per key per tumbling
+    ``window_s``-second window (alert dedup / log rate limiting).
+    Deterministic: events are ordered by (ts, tiebreak) inside the
+    window.  One bucket shuffle + a segmented cumcount per bucket.
+
+    The SQL twin floors epoch microseconds with the same integer
+    arithmetic, so window edges agree exactly."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    win_us = int(round(window_s * 1_000_000))
+    order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [c for c in g.columns if c != "__b"]
+        g = g[g[ts_col].notna()]
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        ts = (g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64))
+        win = (ts // win_us) * win_us
+        k = g[key_col].to_numpy()
+        m = len(g)
+        new_seg = np.ones(m, np.bool_)
+        if m > 1:
+            na = pd.isna(k)
+            same_key = (k[1:] == k[:-1]) | (na[1:] & na[:-1])
+            new_seg[1:] = ~(same_key & (win[1:] == win[:-1]))
+        idx = np.arange(m, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_seg, idx, -1))
+        keep = (idx - seg_start) < n
+        return g.loc[keep, cols]
+
+    return (
+        ds.map_batches(bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def rate_limit_sql(table: str, key_col: str, ts_col: str, window_s: float,
+                   n: int, tiebreak_col: str | None = None,
+                   cols: str = "*") -> str:
+    """DuckDB twin of :func:`rate_limit`."""
+    win_us = int(round(window_s * 1_000_000))
+    order = ts_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    return (
+        f"SELECT {cols} FROM ("
+        f"SELECT *, row_number() OVER ("
+        f"PARTITION BY {key_col}, (epoch_us({ts_col}) // {win_us}) "
+        f"ORDER BY {order}) AS __rn "
+        f"FROM {table} WHERE {ts_col} IS NOT NULL) WHERE __rn <= {n}"
+    )
+
+
+def dedup_consecutive(ds, key_col: str, order_col: str, val_col: str,
+                      tiebreak_col: str | None = None,
+                      num_buckets: int = 32):
+    """Change-log compaction: within each key's (order, tiebreak)
+    sequence keep only rows whose ``val_col`` DIFFERS from the previous
+    row's (SQL ``IS DISTINCT FROM`` — null-to-null collapses, the run's
+    first row always survives).  The state-change extraction every
+    metrics/CDC pipeline runs before storing a status stream."""
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [c for c in g.columns if c != "__b"]
+        g, run_id, _first = _sorted_runs(g, key_col, order_cols)
+        v = g[val_col]
+        m = len(g)
+        keep = np.ones(m, np.bool_)
+        if m > 1:
+            same_run = run_id[1:] == run_id[:-1]
+            vn = v.to_numpy()
+            na = pd.isna(vn)
+            same_val = np.zeros(m - 1, np.bool_)
+            both = ~na[1:] & ~na[:-1]
+            same_val[both] = vn[1:][both] == vn[:-1][both]
+            same_val |= na[1:] & na[:-1]
+            keep[1:] = ~(same_run & same_val)
+        return g.loc[keep, cols]
+
+    return (
+        ds.map_batches(bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def dedup_consecutive_sql(table: str, key_col: str, order_col: str,
+                          val_col: str, tiebreak_col: str | None = None,
+                          cols: str = "*") -> str:
+    """DuckDB twin of :func:`dedup_consecutive`."""
+    order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    return (
+        f"SELECT {cols} FROM ("
+        f"SELECT *, lag({val_col}) OVER ("
+        f"PARTITION BY {key_col} ORDER BY {order}) AS __prev, "
+        f"row_number() OVER ("
+        f"PARTITION BY {key_col} ORDER BY {order}) AS __rn "
+        f"FROM {table}) "
+        f"WHERE __rn = 1 OR {val_col} IS DISTINCT FROM __prev"
     )

@@ -1071,3 +1071,57 @@ def test_cohort_retention_null_ts_dropped_like_sql(ray_session):
     want = con.sql(cohort_retention_sql("t", "user_id", "ts")
                    + " ORDER BY cohort_day, day_offset").df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_rate_limit_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import rate_limit, rate_limit_sql
+
+    df = _sequence_fixture()
+    got = (
+        rate_limit(rd.from_pandas(df).repartition(7), "user_id", "ts",
+                   3600.0, 2, tiebreak_col="event_id", num_buckets=8)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        rate_limit_sql("t", "user_id", "ts", 3600.0, 2,
+                       tiebreak_col="event_id",
+                       cols="user_id, ts, event_id, event_type")
+        + " ORDER BY event_id"
+    ).df()
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+    # no (user, hour window) exceeds the cap
+    w = (got["ts"].to_numpy().astype("datetime64[us]").view("int64")
+         // 3_600_000_000)
+    assert got.assign(w=w).groupby(["user_id", "w"]).size().max() <= 2
+
+
+def test_dedup_consecutive_matches_duckdb_and_null_runs(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import dedup_consecutive, dedup_consecutive_sql
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 1, 2, 2],
+        "o": [1, 2, 3, 4, 5, 1, 2],
+        "v": ["a", "a", None, None, "a", "x", "x"],
+    })
+    got = (
+        dedup_consecutive(rd.from_pandas(df), "k", "o", "v", num_buckets=4)
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        dedup_consecutive_sql("t", "k", "o", "v", cols="k, o, v")
+        + " ORDER BY k, o"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # a,a,NULL,NULL,a -> a,NULL,a (null==null collapses); x,x -> x
+    assert got["o"].tolist() == [1, 3, 5, 1]
