@@ -1788,6 +1788,58 @@ def _q_dialogue_pairs(sf_dir: str):
     return dialogue_pairs(ds).to_pandas()
 
 
+def _q_asof_next_purchase(sf_dir: str):
+    """FORWARD as-of join: for each event, the user's next purchase at
+    or after the event (mirror of asof_last_purchase), summarized per
+    event_type in exact integer cents."""
+    import ray.data as rd
+
+    from logray.stages.join import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def purchases(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase")
+        p = t.filter(m)
+        cents = pc.cast(
+            pc.round(pc.multiply(p["value"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({"user_id": p["user_id"], "ts": p["ts"],
+                         "purchase_cents": cents})
+
+    pur = ev.map_batches(purchases, batch_format="pyarrow")
+    joined = asof_join(ev, pur, key="user_id", ts_col="ts",
+                       tiebreak_col="event_id", direction="forward")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by(["event_type"])
+            .aggregate([("purchase_cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "p_sum", "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(summarize, batch_format="pyarrow",
+                           batch_size=131072)
+        .groupby("event_type")
+        .aggregate(Sum("p_sum", alias_name="sum_next_purchase_cents"),
+                   Sum("p_n", alias_name="n_events"))
+    )
+    df = out.to_pandas()
+    # an all-null partial batch (a shard past every purchase) upcasts the
+    # Sum to float64; every group has purchases at any sf, so the exact
+    # int64 of the SQL CAST is recoverable
+    df["sum_next_purchase_cents"] = df["sum_next_purchase_cents"].astype("int64")
+    return df
+
+
 def _q_rate_limit(sf_dir: str):
     """Alert throttling: first 3 events per user per day kept
     (segmented cumcount after one bucket shuffle)."""
@@ -2160,6 +2212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zlib_quality": _q_zlib_quality,
         "rate_limit_events": _q_rate_limit,
         "dedup_consecutive_events": _q_dedup_consecutive,
+        "asof_next_purchase": _q_asof_next_purchase,
     }
 
 
@@ -2682,6 +2735,17 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", "ts", window_days=7
         ),
         "dialogue_pairs": f"WITH t AS ({_TSQL}) " + dialogue_pairs_sql("t"),
+        "asof_next_purchase": """
+            WITH p AS (
+              SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS purchase_cents
+              FROM events WHERE event_type = 'purchase')
+            SELECT e.event_type,
+                   CAST(sum(p.purchase_cents) AS BIGINT) AS sum_next_purchase_cents,
+                   count(*) AS n_events
+            FROM events e
+            ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+            GROUP BY e.event_type
+        """,
         "rate_limit_events": rate_limit_sql(
             "events", "user_id", "ts", 86_400.0, 3, tiebreak_col="event_id",
             cols="event_id, ts, user_id, event_type, value, props",

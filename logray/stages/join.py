@@ -181,9 +181,12 @@ def _bucketed_join(left, right, on, right_on, how, num_buckets):
 
 def asof_join(left, right, key: str, ts_col: str = "ts", right_cols=None,
               suffix: str = "_right", tiebreak_col: str | None = None,
-              num_buckets: int = 32):
+              num_buckets: int = 32, direction: str = "backward"):
     """As-of join: for each left row, the latest right row of the same key
-    with ``right.ts <= left.ts`` (backward direction, SQL ASOF JOIN).
+    with ``right.ts <= left.ts`` (``direction="backward"``, SQL ASOF JOIN
+    on ``l.ts >= r.ts``), the earliest with ``right.ts >= left.ts``
+    (``"forward"``, ASOF on ``l.ts <= r.ts``), or whichever is closest in
+    time (``"nearest"`` — no SQL twin; pinned by unit test).
 
     Both sides shuffle once on ``hash(key) % num_buckets`` — NOT on the
     raw key, so the group count is ``num_buckets``, not the key
@@ -193,6 +196,8 @@ def asof_join(left, right, key: str, ts_col: str = "ts", right_cols=None,
     bucket's rows fit a worker (raise ``num_buckets`` with data size;
     salt/split upstream for a single pathological key).  Right-side
     columns are suffixed on collision."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: bad direction {direction!r}")
     rcols = list(right_cols) if right_cols else None
 
     from logray.stages.bucketing import bucket_of
@@ -218,7 +223,7 @@ def asof_join(left, right, key: str, ts_col: str = "ts", right_cols=None,
         l = l.sort_values([c for c in order if c in l.columns], kind="mergesort")
         r = r.sort_values(ts_col, kind="mergesort")
         merged = pd.merge_asof(
-            l, r, on=ts_col, by=key, direction="backward", suffixes=("", suffix)
+            l, r, on=ts_col, by=key, direction=direction, suffixes=("", suffix)
         )
         return merged
 

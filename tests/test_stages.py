@@ -1080,3 +1080,37 @@ def test_mode_per_key_null_keys_pool_across_partitions(ray_session):
                    + " ORDER BY k NULLS LAST").df()
     pd.testing.assert_frame_equal(got, want)
     assert len(got) == 2 and got["n"].tolist() == [2, 2]
+
+
+def test_asof_join_directions(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.join import asof_join
+
+    left = pd.DataFrame({"k": ["a", "a", "b"], "ts": [10, 20, 10],
+                         "id": [1, 2, 3]})
+    right = pd.DataFrame({"k": ["a", "a", "a", "b"],
+                          "ts": [5, 12, 30, 50],
+                          "v": [100, 200, 300, 400]})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+
+    back = asof_join(lds, rds, key="k", num_buckets=4) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert back["v"].tolist() == [100, 200, None] or \
+        back["v"].fillna(-1).tolist() == [100.0, 200.0, -1.0]
+
+    fwd = asof_join(lds, rds, key="k", num_buckets=4,
+                    direction="forward") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert fwd["v"].fillna(-1).tolist() == [200.0, 300.0, 400.0]
+
+    near = asof_join(lds, rds, key="k", num_buckets=4,
+                     direction="nearest") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    # ts=10 -> 12 (dist 2 beats 5's dist 5); ts=20 -> 12; b ts=10 -> 50
+    assert near["v"].tolist() == [200, 200, 400]
+
+    import pytest
+    with pytest.raises(ValueError):
+        asof_join(lds, rds, key="k", direction="sideways")
