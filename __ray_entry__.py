@@ -1840,6 +1840,22 @@ def _q_asof_next_purchase(sf_dir: str):
     return df
 
 
+def _q_ewma_events(sf_dir: str):
+    """Per-user EWMA of event values (anomaly baseline; pandas
+    group_ewm kernel per bucket). Rows-only: no SQL EWMA — exactness
+    pinned by the recurrence test."""
+    import ray.data as rd
+
+    from logray.stages.windowfn import ewma
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return ewma(ds, "user_id", "ts", "value", alpha=0.2,
+                tiebreak_col="event_id").to_pandas()
+
+
 def _q_rate_limit(sf_dir: str):
     """Alert throttling: first 3 events per user per day kept
     (segmented cumcount after one bucket shuffle)."""
@@ -2213,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limit_events": _q_rate_limit,
         "dedup_consecutive_events": _q_dedup_consecutive,
         "asof_next_purchase": _q_asof_next_purchase,
+        "ewma_events": _q_ewma_events,
     }
 
 

@@ -586,3 +586,35 @@ def fill_forward_sql(table: str, key_col: str, order_col: str,
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
         f"AS ff_{value_col} FROM {table}"
     )
+
+
+def ewma(ds, key_col: str, order_col: str, value_col: str, alpha: float,
+         tiebreak_col: str | None = None, num_buckets: int = 32):
+    """Per-key exponentially-weighted moving average (the smoothed-rate /
+    anomaly-baseline transform): ``y_i = (1-alpha)*y_{i-1} + alpha*x_i``
+    with ``y_0 = x_0`` (pandas ``ewm(adjust=False)`` semantics, null
+    values propagate the previous smoothed value).  Appends
+    ``ewma_<value>``.
+
+    No SQL twin — DuckDB has no EWMA aggregate and a recursive-CTE
+    replica is float-order-sensitive — so exactness is pinned by the unit
+    test against the explicit recurrence.  The kernel is pandas'
+    Cython ``group_ewm`` (one call per bucket, ~1 s per million rows),
+    after the usual single bucket shuffle."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, run_id, _first = _sorted_runs(g, key_col, order_cols)
+        em = (g.groupby(run_id, sort=False)[value_col]
+              .ewm(alpha=alpha, adjust=False).mean())
+        g[f"ewma_{value_col}"] = em.to_numpy()
+        return g.drop(columns="__b")
+
+    return (
+        ds.map_batches(_bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -1125,3 +1125,38 @@ def test_dedup_consecutive_matches_duckdb_and_null_runs(ray_session):
     pd.testing.assert_frame_equal(got, want)
     # a,a,NULL,NULL,a -> a,NULL,a (null==null collapses); x,x -> x
     assert got["o"].tolist() == [1, 3, 5, 1]
+
+
+def test_ewma_matches_recurrence_and_is_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from logray.stages.windowfn import ewma
+
+    t = _windowfn_fixture()
+    df = t.to_pandas()
+    alpha = 0.3
+    outs = []
+    for parts in (3, 9):
+        got = (
+            ewma(rd.from_pandas(df).repartition(parts), "k", "ord", "v",
+                 alpha, tiebreak_col="id", num_buckets=8)
+            .to_pandas().sort_values(["k", "ord", "id"])
+            .reset_index(drop=True)
+        )
+        outs.append(got["ewma_v"].to_numpy())
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+    # explicit recurrence, evaluated in the same (k, ord, id) order
+    want = []
+    state = {}
+    for _, r in df.sort_values(["k", "ord", "id"]).iterrows():
+        prev = state.get(r["k"])
+        y = float(r["v"]) if prev is None \
+            else (1 - alpha) * prev + alpha * float(r["v"])
+        state[r["k"]] = y
+        want.append(y)
+    np.testing.assert_allclose(outs[0], np.array(want), rtol=0, atol=0)
+
+    import pytest
+    with pytest.raises(ValueError):
+        ewma(rd.from_pandas(df), "k", "ord", "v", alpha=0.0)
