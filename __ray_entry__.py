@@ -1840,6 +1840,19 @@ def _q_asof_next_purchase(sf_dir: str):
     return df
 
 
+def _q_json_extract(sf_dir: str):
+    """Structured-log payload extraction: props->>'k' as BIGINT
+    (per-payload C json parse, TRY semantics on malformed rows)."""
+    import ray.data as rd
+
+    from logray.functions.textclean import json_extract_field
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "props"])
+    return json_extract_field(ds, "props", "k",
+                              value_type="int64").to_pandas()
+
+
 def _q_ewma_events(sf_dir: str):
     """Per-user EWMA of event values (anomaly baseline; pandas
     group_ewm kernel per bucket). Rows-only: no SQL EWMA — exactness
@@ -2230,6 +2243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_consecutive_events": _q_dedup_consecutive,
         "asof_next_purchase": _q_asof_next_purchase,
         "ewma_events": _q_ewma_events,
+        "json_extract_props": _q_json_extract,
     }
 
 
@@ -2261,6 +2275,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.chunking import chunk_documents_sql
     from logray.functions.textclean import (
         clean_text_sql,
+        json_extract_field_sql,
         normalize_nfc_sql,
         regexp_extract_sql,
     )
@@ -2752,6 +2767,10 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", "ts", window_days=7
         ),
         "dialogue_pairs": f"WITH t AS ({_TSQL}) " + dialogue_pairs_sql("t"),
+        "json_extract_props": json_extract_field_sql(
+            "(SELECT event_id, props FROM events) e", "props", "k",
+            value_type="int64", cols="event_id, props",
+        ),
         "asof_next_purchase": """
             WITH p AS (
               SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS purchase_cents

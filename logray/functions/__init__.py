@@ -35,7 +35,7 @@ from logray.functions.tokenize import (
     word_frequencies,
 )
 from logray.functions.quality import compression_ratio, gopher_quality
-from logray.functions.textclean import clean_text, normalize_nfc
+from logray.functions.textclean import clean_text, json_extract_field, normalize_nfc
 from logray.functions.png import decode_png, encode_png
 from logray.functions.multimodal import (
     DecodeImageBatch,
@@ -96,6 +96,7 @@ __all__ = [
     "model_score_stage",
     "clean_text",
     "normalize_nfc",
+    "json_extract_field",
     "compression_ratio",
     "gopher_quality",
     "chunk_documents",

@@ -146,3 +146,90 @@ def normalize_nfc_sql(table: str, col: str = "text",
         f"COALESCE(nfc_normalize({col}) <> {col}, FALSE) AS changed "
         f"FROM {table}"
     )
+
+
+def json_extract_field(ds, col: str, key: str, out_col: str | None = None,
+                       value_type: str = "string"):
+    """Extract one top-level field from a JSON string column (the
+    ubiquitous structured-log payload step; DuckDB ``->>'key'``
+    semantics: missing key / null / invalid JSON -> null, scalar values
+    as their JSON text).  ``value_type`` in {'string','int64','float64'}
+    converts the extracted text like a SQL ``TRY_CAST``.
+
+    The per-row ``json.loads`` is CPython's C parser — the irreducible
+    per-payload codec cost (same shape as the zlib / image stages); rows
+    failing to parse yield null rather than raising, matching the twin's
+    TRY semantics."""
+    import json
+    import math
+
+    import pyarrow as pa
+
+    out = out_col or key
+    if value_type not in ("string", "int64", "float64"):
+        raise ValueError(f"bad value_type {value_type!r}")
+
+    def part(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        res = []
+        for s in c.to_pylist():
+            v = None
+            if s is not None:
+                try:
+                    d = json.loads(s)
+                    if isinstance(d, dict):
+                        v = d.get(key)
+                except ValueError:
+                    v = None
+            if v is None:
+                res.append(None)
+                continue
+            # ->> renders scalars as JSON text (bools lowercase,
+            # strings unquoted); numeric modes then TRY_CAST that text
+            text = v if isinstance(v, str) else \
+                json.dumps(v, separators=(",", ":"))
+            if value_type == "string":
+                res.append(text)
+            elif value_type == "int64":
+                ts = text.strip()
+                try:
+                    res.append(int(ts))
+                except ValueError:
+                    # DuckDB casts decimal/exponent strings to BIGINT by
+                    # rounding half away from zero ('2.5' -> 3)
+                    try:
+                        f = float(ts)
+                    except ValueError:
+                        f = None
+                    if f is None or not math.isfinite(f):
+                        res.append(None)
+                    else:
+                        res.append(int(math.floor(f + 0.5)) if f >= 0
+                                   else int(math.ceil(f - 0.5)))
+            else:
+                try:
+                    res.append(float(text.strip()))
+                except ValueError:
+                    res.append(None)
+        typ = {"string": pa.string(), "int64": pa.int64(),
+               "float64": pa.float64()}[value_type]
+        return t.append_column(out, pa.array(res, typ))
+
+    return ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def json_extract_field_sql(table: str, col: str, key: str,
+                           out_col: str | None = None,
+                           value_type: str = "string",
+                           cols: str = "*") -> str:
+    """DuckDB twin of :func:`json_extract_field`."""
+    out = out_col or key
+    expr = (f"CASE WHEN json_valid({col}) THEN {col}->>'{key}' END")
+    if value_type == "int64":
+        expr = f"TRY_CAST({expr} AS BIGINT)"
+    elif value_type == "float64":
+        expr = f"TRY_CAST({expr} AS DOUBLE)"
+    return f"SELECT {cols}, {expr} AS {out} FROM {table}"

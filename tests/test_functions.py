@@ -2159,3 +2159,40 @@ def test_dedup_spans_all_short_corpus_is_identity(ray_session):
     )
     assert got["text"].tolist() == ["a b", "c d"]
     assert got["n_removed"].tolist() == [0, 0]
+
+
+def test_json_extract_field_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.textclean import (
+        json_extract_field,
+        json_extract_field_sql,
+    )
+
+    df = pd.DataFrame({
+        "id": list(range(10)),
+        "j": ['{"k": 7, "s": "x"}',
+              '{"k": -3}',
+              '{"s": "only"}',          # missing key -> null
+              '{"k": "12"}',            # string-typed -> null as int64
+              '{"k": true}',            # bool is not an int
+              'not json',               # invalid -> null (TRY semantics)
+              None,
+              '{"k": 1.5}',             # decimal rounds half away from 0
+              '{"k": "inf"}',           # non-finite -> null as int64
+              '{"k": "2.5"}'],          # string decimal rounds too
+    })
+    con = duckdb.connect()
+    con.register("t", df)
+    for vt in ("int64", "string"):
+        got = (
+            json_extract_field(rd.from_pandas(df).repartition(3), "j", "k",
+                               value_type=vt)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        want = con.sql(
+            json_extract_field_sql("t", "j", "k", value_type=vt,
+                                   cols="id, j") + " ORDER BY id"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
