@@ -1840,6 +1840,22 @@ def _q_asof_next_purchase(sf_dir: str):
     return df
 
 
+def _q_rolling_median(sf_dir: str):
+    """Robust trailing-median smoothing of event cents per user
+    (grouped Cython rolling median per bucket; SQL median window)."""
+    import ray.data as rd
+
+    from logray.stages.windowfn import rolling_median
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    ds = _cents_stage(ds)
+    return rolling_median(ds, "user_id", "ts", "cents", window=5,
+                          tiebreak_col="event_id").to_pandas()
+
+
 def _q_json_extract(sf_dir: str):
     """Structured-log payload extraction: props->>'k' as BIGINT
     (per-payload C json parse, TRY semantics on malformed rows)."""
@@ -2244,6 +2260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_next_purchase": _q_asof_next_purchase,
         "ewma_events": _q_ewma_events,
         "json_extract_props": _q_json_extract,
+        "rolling_median_events": _q_rolling_median,
     }
 
 
@@ -2292,6 +2309,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.stages.window import hopping_window_sql
     from logray.stages.windowfn import (
         fill_forward_sql,
+        rolling_median_sql,
         global_rank_sql,
         lag_lead_sql,
         rank_window_sql,
@@ -2767,6 +2785,12 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", "ts", window_days=7
         ),
         "dialogue_pairs": f"WITH t AS ({_TSQL}) " + dialogue_pairs_sql("t"),
+        "rolling_median_events": rolling_median_sql(
+            "(SELECT user_id, ts, event_id, "
+            "CAST(round(value*100) AS BIGINT) AS cents FROM events) ev",
+            "user_id", "ts", "cents", window=5, tiebreak_col="event_id",
+            cols="user_id, ts, event_id, cents",
+        ),
         "json_extract_props": json_extract_field_sql(
             "(SELECT event_id, props FROM events) e", "props", "k",
             value_type="int64", cols="event_id, props",

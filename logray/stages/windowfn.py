@@ -618,3 +618,49 @@ def ewma(ds, key_col: str, order_col: str, value_col: str, alpha: float,
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def rolling_median(ds, key_col: str, order_col: str, value_col: str,
+                   window: int, tiebreak_col: str | None = None,
+                   num_buckets: int = 32):
+    """Trailing-frame MEDIAN per row (robust smoothing — the outlier-
+    resistant sibling of ``rolling_agg``): SQL ``median(x) OVER (ROWS
+    window-1 PRECEDING)``.  Appends ``rmed_<value>`` (float64; an even
+    frame averages the two middle values, exact for integer units).
+    Null values are skipped within the frame on both sides.
+
+    Kernel is pandas' Cython grouped ``rolling(...).median()`` per
+    bucket — C-speed, no per-key Python — after the one bucket shuffle."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, run_id, _first = _sorted_runs(g, key_col, order_cols)
+        med = (g.groupby(run_id, sort=False)[value_col]
+               .rolling(window, min_periods=1).median())
+        g[f"rmed_{value_col}"] = med.to_numpy()
+        return g.drop(columns="__b")
+
+    return (
+        ds.map_batches(_bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def rolling_median_sql(table: str, key_col: str, order_col: str,
+                       value_col: str, window: int,
+                       tiebreak_col: str | None = None,
+                       cols: str | None = None) -> str:
+    """DuckDB twin of :func:`rolling_median`."""
+    order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    cols = cols or "*"
+    return (
+        f"SELECT {cols}, "
+        f"CAST(median({value_col}) OVER ("
+        f"PARTITION BY {key_col} ORDER BY {order} "
+        f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        f"AS rmed_{value_col} FROM {table}"
+    )

@@ -1160,3 +1160,30 @@ def test_ewma_matches_recurrence_and_is_partition_invariant(ray_session):
     import pytest
     with pytest.raises(ValueError):
         ewma(rd.from_pandas(df), "k", "ord", "v", alpha=0.0)
+
+
+def test_rolling_median_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.windowfn import rolling_median, rolling_median_sql
+
+    t = _windowfn_fixture()
+    df = t.to_pandas()
+    df.loc[df.index[:15], "v"] = None  # nulls skipped inside the frame
+    got = (
+        rolling_median(rd.from_pandas(df).repartition(7), "k", "ord", "v",
+                       window=4, tiebreak_col="id", num_buckets=8)
+        .to_pandas().sort_values(["k", "ord", "id"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        rolling_median_sql("t", "k", "ord", "v", window=4,
+                           tiebreak_col="id") + " ORDER BY k, ord, id"
+    ).df()
+    cols = ["k", "ord", "id", "rmed_v"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+    import pytest
+    with pytest.raises(ValueError):
+        rolling_median(rd.from_pandas(df), "k", "ord", "v", window=0)
