@@ -410,10 +410,10 @@ def _q_token_topk(sf_dir: str):
     return top_k_groups(toks, "token", k=20)
 
 
-def _q_asof_last_purchase(sf_dir: str):
-    """ASOF join: for each event, the user's most recent purchase value at
-    or before the event (null when none), summarized per event_type as
-    exact integer cents so the comparison is order-independent."""
+def _asof_purchase_q(sf_dir: str, direction: str, out_name: str):
+    """Shared body of the backward/forward as-of purchase queries: join
+    each event to the nearest purchase in ``direction``, summarize per
+    event_type in exact integer cents."""
     import ray.data as rd
 
     from logray.stages.join import asof_join
@@ -431,7 +431,8 @@ def _q_asof_last_purchase(sf_dir: str):
         return pa.table({"user_id": p["user_id"], "ts": p["ts"], "purchase_cents": cents})
 
     pur = ev.map_batches(purchases, batch_format="pyarrow")
-    joined = asof_join(ev, pur, key="user_id", ts_col="ts", tiebreak_col="event_id")
+    joined = asof_join(ev, pur, key="user_id", ts_col="ts",
+                       tiebreak_col="event_id", direction=direction)
 
     def summarize(t: pa.Table) -> pa.Table:
         g = (
@@ -445,12 +446,21 @@ def _q_asof_last_purchase(sf_dir: str):
     out = (
         joined.map_batches(summarize, batch_format="pyarrow", batch_size=131072)
         .groupby("event_type")
-        .aggregate(Sum("p_sum", alias_name="sum_last_purchase_cents"),
+        .aggregate(Sum("p_sum", alias_name=out_name),
                    Sum("p_n", alias_name="n_events"))
     )
     df = out.to_pandas()
-    df["sum_last_purchase_cents"] = df["sum_last_purchase_cents"].astype("int64")
+    # an all-null partial batch (a shard with no purchases in range)
+    # upcasts the Sum to float64; every group has purchases at any sf
+    df[out_name] = df[out_name].astype("int64")
     return df
+
+
+def _q_asof_last_purchase(sf_dir: str):
+    """ASOF join: for each event, the user's most recent purchase value at
+    or before the event (null when none), summarized per event_type as
+    exact integer cents so the comparison is order-independent."""
+    return _asof_purchase_q(sf_dir, "backward", "sum_last_purchase_cents")
 
 
 def _q_range_join_bands(sf_dir: str):
@@ -1792,52 +1802,7 @@ def _q_asof_next_purchase(sf_dir: str):
     """FORWARD as-of join: for each event, the user's next purchase at
     or after the event (mirror of asof_last_purchase), summarized per
     event_type in exact integer cents."""
-    import ray.data as rd
-
-    from logray.stages.join import asof_join
-
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "ts", "event_type", "value"],
-    )
-
-    def purchases(t: pa.Table) -> pa.Table:
-        m = pc.equal(t["event_type"], "purchase")
-        p = t.filter(m)
-        cents = pc.cast(
-            pc.round(pc.multiply(p["value"], 100.0),
-                     round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-        return pa.table({"user_id": p["user_id"], "ts": p["ts"],
-                         "purchase_cents": cents})
-
-    pur = ev.map_batches(purchases, batch_format="pyarrow")
-    joined = asof_join(ev, pur, key="user_id", ts_col="ts",
-                       tiebreak_col="event_id", direction="forward")
-
-    def summarize(t: pa.Table) -> pa.Table:
-        g = (
-            t.group_by(["event_type"])
-            .aggregate([("purchase_cents", "sum"), ([], "count_all")])
-        )
-        return g.rename_columns(["event_type", "p_sum", "p_n"])
-
-    from ray.data.aggregate import Sum
-
-    out = (
-        joined.map_batches(summarize, batch_format="pyarrow",
-                           batch_size=131072)
-        .groupby("event_type")
-        .aggregate(Sum("p_sum", alias_name="sum_next_purchase_cents"),
-                   Sum("p_n", alias_name="n_events"))
-    )
-    df = out.to_pandas()
-    # an all-null partial batch (a shard past every purchase) upcasts the
-    # Sum to float64; every group has purchases at any sf, so the exact
-    # int64 of the SQL CAST is recoverable
-    df["sum_next_purchase_cents"] = df["sum_next_purchase_cents"].astype("int64")
-    return df
+    return _asof_purchase_q(sf_dir, "forward", "sum_next_purchase_cents")
 
 
 def _q_rolling_median(sf_dir: str):

@@ -148,6 +148,25 @@ def normalize_nfc_sql(table: str, col: str = "text",
     )
 
 
+
+def _duckdb_double_text(f: float) -> str:
+    """DuckDB's JSON double->text rendering (JS Number.toString rules):
+    shortest-roundtrip digits, positional for 1e-6 <= |v| < 1e21 (with a
+    trailing .0 on integral doubles), scientific otherwise with no '+'
+    in the exponent."""
+    from decimal import Decimal
+
+    if f == 0:
+        return "0.0"
+    d = Decimal(repr(f))
+    adj = d.adjusted()
+    if -7 < adj < 21:
+        out = format(d, "f")
+        return out if "." in out else out + ".0"
+    mant = format(d.scaleb(-adj).normalize(), "f")
+    return f"{mant}e{adj}"
+
+
 def json_extract_field(ds, col: str, key: str, out_col: str | None = None,
                        value_type: str = "string"):
     """Extract one top-level field from a JSON string column (the
@@ -168,6 +187,10 @@ def json_extract_field(ds, col: str, key: str, out_col: str | None = None,
     out = out_col or key
     if value_type not in ("string", "int64", "float64"):
         raise ValueError(f"bad value_type {value_type!r}")
+    if key.startswith("$"):
+        raise ValueError(
+            "keys starting with '$' are JSON *path* expressions in the "
+            "DuckDB twin but literal dict keys here — rename the field")
 
     def part(t: pa.Table) -> pa.Table:
         c = t[col]
@@ -178,7 +201,11 @@ def json_extract_field(ds, col: str, key: str, out_col: str | None = None,
             v = None
             if s is not None:
                 try:
-                    d = json.loads(s)
+                    # DuckDB ->> takes the FIRST duplicate key; dict()
+                    # keeps the last, so build first-wins explicitly
+                    d = json.loads(
+                        s, object_pairs_hook=lambda ps:
+                        {k: val for k, val in reversed(ps)})
                     if isinstance(d, dict):
                         v = d.get(key)
                 except ValueError:
@@ -188,14 +215,26 @@ def json_extract_field(ds, col: str, key: str, out_col: str | None = None,
                 continue
             # ->> renders scalars as JSON text (bools lowercase,
             # strings unquoted); numeric modes then TRY_CAST that text
-            text = v if isinstance(v, str) else \
-                json.dumps(v, separators=(",", ":"))
+            if isinstance(v, str):
+                text = v
+            elif isinstance(v, float):
+                text = _duckdb_double_text(v)
+            elif isinstance(v, int) and not isinstance(v, bool):
+                # DuckDB JSON keeps ints in [-2^63, 2^64-1] exact and
+                # demotes anything wider to a double before rendering
+                text = str(v) if -(1 << 63) <= v < (1 << 64) \
+                    else _duckdb_double_text(float(v))
+            else:
+                text = json.dumps(v, separators=(",", ":"))
             if value_type == "string":
                 res.append(text)
             elif value_type == "int64":
                 ts = text.strip()
                 try:
-                    res.append(int(ts))
+                    iv = int(ts)
+                    # out-of-range BIGINT is NULL under TRY_CAST, not a
+                    # pyarrow OverflowError that kills the job
+                    res.append(iv if -(1 << 63) <= iv < (1 << 63) else None)
                 except ValueError:
                     # DuckDB casts decimal/exponent strings to BIGINT by
                     # rounding half away from zero ('2.5' -> 3)
@@ -206,8 +245,10 @@ def json_extract_field(ds, col: str, key: str, out_col: str | None = None,
                     if f is None or not math.isfinite(f):
                         res.append(None)
                     else:
-                        res.append(int(math.floor(f + 0.5)) if f >= 0
-                                   else int(math.ceil(f - 0.5)))
+                        iv = int(math.floor(f + 0.5)) if f >= 0 \
+                            else int(math.ceil(f - 0.5))
+                        res.append(iv if -(1 << 63) <= iv < (1 << 63)
+                                   else None)
             else:
                 try:
                     res.append(float(text.strip()))
@@ -227,7 +268,11 @@ def json_extract_field_sql(table: str, col: str, key: str,
                            cols: str = "*") -> str:
     """DuckDB twin of :func:`json_extract_field`."""
     out = out_col or key
-    expr = (f"CASE WHEN json_valid({col}) THEN {col}->>'{key}' END")
+    if key.startswith("$"):
+        raise ValueError("'$'-prefixed keys are path expressions; see "
+                         "json_extract_field")
+    k = key.replace("'", "''")
+    expr = (f"CASE WHEN json_valid({col}) THEN {col}->>'{k}' END")
     if value_type == "int64":
         expr = f"TRY_CAST({expr} AS BIGINT)"
     elif value_type == "float64":

@@ -146,14 +146,16 @@ def union_by_name(datasets, strict: bool = False):
         # strings instead of Arrow types — normalize before pa.nulls
         if isinstance(t, pa.DataType):
             return t
-        try:
-            import numpy as _np
+        import numpy as _np
 
-            if t is object or t is str:
-                return pa.string()
+        if t is object or t is str:
+            return pa.string()  # pandas blocks report strings as object
+        try:
             return pa.from_numpy_dtype(_np.dtype(t))
         except (TypeError, ValueError):
-            return pa.string()
+            raise TypeError(
+                f"union_by_name cannot infer an Arrow type for dtype "
+                f"{t!r}; cast the column explicitly before the union")
 
     schemas = [ds.schema() for ds in datasets]
     fields: dict = {}
@@ -187,10 +189,8 @@ def union_by_name(datasets, strict: bool = False):
                        batch_size=None)
         for ds in datasets
     ]
-    out = aligned[0]
-    for ds in aligned[1:]:
-        out = out.union(ds)
-    return out
+    return aligned[0].union(*aligned[1:]) if len(aligned) > 1 \
+        else aligned[0]
 
 
 def union_by_name_sql(tables: list[str]) -> str:

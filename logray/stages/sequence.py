@@ -484,22 +484,22 @@ def rate_limit(ds, key_col: str, ts_col: str, window_s: float, n: int,
     arithmetic, so window edges agree exactly."""
     if n < 1:
         raise ValueError("n must be >= 1")
+    if window_s <= 0:
+        raise ValueError("window_s must be positive")
     win_us = int(round(window_s * 1_000_000))
     order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         cols = [c for c in g.columns if c != "__b"]
         g = g[g[ts_col].notna()]
-        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        g, run_id, _first = _sorted_runs(g, key_col, order_cols)
         ts = (g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64))
         win = (ts // win_us) * win_us
-        k = g[key_col].to_numpy()
         m = len(g)
         new_seg = np.ones(m, np.bool_)
         if m > 1:
-            na = pd.isna(k)
-            same_key = (k[1:] == k[:-1]) | (na[1:] & na[:-1])
-            new_seg[1:] = ~(same_key & (win[1:] == win[:-1]))
+            new_seg[1:] = ~((run_id[1:] == run_id[:-1])
+                            & (win[1:] == win[:-1]))
         idx = np.arange(m, dtype=np.int64)
         seg_start = np.maximum.accumulate(np.where(new_seg, idx, -1))
         keep = (idx - seg_start) < n

@@ -608,7 +608,7 @@ def ewma(ds, key_col: str, order_col: str, value_col: str, alpha: float,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g, run_id, _first = _sorted_runs(g, key_col, order_cols)
         em = (g.groupby(run_id, sort=False)[value_col]
-              .ewm(alpha=alpha, adjust=False).mean())
+              .ewm(alpha=alpha, adjust=False, ignore_na=True).mean())
         g[f"ewma_{value_col}"] = em.to_numpy()
         return g.drop(columns="__b")
 

@@ -2196,3 +2196,69 @@ def test_json_extract_field_matches_duckdb(ray_session):
                                    cols="id, j") + " ORDER BY id"
         ).df()
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_json_extract_overflow_dupkeys_and_float_text(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.textclean import (
+        json_extract_field,
+        json_extract_field_sql,
+    )
+
+    df = pd.DataFrame({
+        "id": [0, 1, 2, 3],
+        "j": ['{"k": 99999999999999999999999}',  # > int64 -> null, no crash
+              '{"k": 1, "k": 2}',                # dup key: ->> takes FIRST
+              '{"k": 1e30}',                     # sci-notation text parity
+              '{"k": "9223372036854775808"}'],   # string just past int64
+    })
+    con = duckdb.connect()
+    con.register("t", df)
+    for vt in ("int64", "string"):
+        got = (
+            json_extract_field(rd.from_pandas(df), "j", "k", value_type=vt)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        want = con.sql(
+            json_extract_field_sql("t", "j", "k", value_type=vt,
+                                   cols="id, j") + " ORDER BY id"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+    import pytest
+    with pytest.raises(ValueError):
+        json_extract_field(rd.from_pandas(df), "j", "$.k")
+    with pytest.raises(ValueError):
+        json_extract_field_sql("t", "j", "$.k")
+
+
+def test_json_extract_double_text_rendering_rules(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.textclean import (
+        json_extract_field,
+        json_extract_field_sql,
+    )
+
+    # the full JS-style rendering envelope DuckDB uses for JSON doubles
+    vals = ["1e18", "1.5e18", "1e20", "1e21", "1e-6", "1e-7", "0.00001",
+            "2.5", "-1e21", "18446744073709551615", "18446744073709551616",
+            "1.7976931348623157e308"]
+    df = pd.DataFrame({
+        "id": list(range(len(vals))),
+        "j": [f'{{"k": {v}}}' for v in vals],
+    })
+    con = duckdb.connect()
+    con.register("t", df)
+    got = (
+        json_extract_field(rd.from_pandas(df), "j", "k",
+                           value_type="string")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want = con.sql(
+        json_extract_field_sql("t", "j", "k", value_type="string",
+                               cols="id, j") + " ORDER BY id"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)

@@ -1187,3 +1187,29 @@ def test_rolling_median_matches_duckdb(ray_session):
     import pytest
     with pytest.raises(ValueError):
         rolling_median(rd.from_pandas(df), "k", "ord", "v", window=0)
+
+
+def test_ewma_null_values_propagate_previous(ray_session):
+    import ray.data as rd
+
+    from logray.stages.windowfn import ewma
+
+    df = pd.DataFrame({"k": [1, 1, 1], "o": [1, 2, 3],
+                       "v": [10.0, None, 20.0]})
+    got = (
+        ewma(rd.from_pandas(df), "k", "o", "v", alpha=0.2, num_buckets=2)
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    )
+    # documented recurrence: null keeps y; next = 0.8*10 + 0.2*20 = 12.0
+    assert got["ewma_v"].tolist() == [10.0, 10.0, 12.0]
+
+
+def test_rate_limit_rejects_bad_window(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from logray.stages.sequence import rate_limit
+
+    df = pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2026-01-01"])})
+    with pytest.raises(ValueError):
+        rate_limit(rd.from_pandas(df), "k", "ts", 0.0, 3)
