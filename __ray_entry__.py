@@ -688,6 +688,22 @@ def _q_near_dedup_keep(sf_dir: str):
     return kept[["doc_id"]].astype("int64")
 
 
+def _q_near_dedup_best(sf_dir: str):
+    """Quality-aware near-dedup: same MinHash-LSH clusters as
+    near_dedup_keep, but each cluster keeps its LONGEST member
+    (production keep-best policy) instead of the smallest id."""
+    import ray.data as rd
+
+    from logray.functions.dedup import dedup_keep_best, minhash_lsh_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    pairs = minhash_lsh_dedup(ds, num_perm=64, bands=16, k=5, threshold=0.8,
+                              distinct=False)
+    kept = dedup_keep_best(ds, pairs, score_col="n_chars").to_pandas()
+    return kept[["doc_id"]].astype("int64")
+
+
 def _q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -2137,6 +2153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "minhash_pairs": _q_minhash_pairs,
         "near_dedup_keep": _q_near_dedup_keep,
+        "near_dedup_best": _q_near_dedup_best,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,

@@ -1,5 +1,6 @@
 from logray.functions.textstats import TextStatsBatch, text_stats
 from logray.functions.dedup import (
+    dedup_keep_best,
     edit_distance_pairs,
     connected_components,
     connected_components_distributed,
@@ -58,6 +59,7 @@ __all__ = [
     "dedup_spans",
     "edit_distance_pairs",
     "budget_sample",
+    "dedup_keep_best",
     "mixture_sample",
     "weighted_sample",
     "kmeans_assign",

@@ -941,3 +941,58 @@ def edit_distance_pairs_sql(table: str, group_cols, text_col: str = "text",
         f"WHERE a.{text_col} IS NOT NULL AND b.{text_col} IS NOT NULL"
         f") WHERE TRUE{having}"
     )
+
+
+def dedup_keep_best(ds, pairs, id_col: str = "doc_id",
+                    score_col: str = "quality"):
+    """Near-dedup keeping the BEST-scoring member of each duplicate
+    cluster (the production policy: keep the highest-quality copy, not
+    the smallest id).  ``pairs`` is a (id_a, id_b) Dataset/DataFrame from
+    any pair miner; representative = max ``score_col``, ties to the
+    smallest id; null/missing scores rank last.
+
+    Driver path like :func:`dedup_keep_min`: cluster membership is
+    bounded by the DUPLICATED id set, so the component labels, the ONE
+    pruned score-fetch pass, and the winner selection are all
+    O(duplicates); the drop-set broadcasts once.  For pathological pair
+    volumes run :func:`connected_components_distributed` and a
+    distributed per-component arg-max instead."""
+    import ray
+
+    comp = connected_components(pairs)
+    if not len(comp):
+        return ds
+    member_ids = pa.array(comp["doc_id"].to_numpy())
+
+    def project(t: pa.Table) -> pa.Table:
+        vs = member_ids.cast(t[id_col].type) if len(member_ids) else \
+            pa.array([], t[id_col].type)
+        keep = pc.is_in(t[id_col], value_set=vs)
+        return t.filter(pc.fill_null(keep, False)).select([id_col, score_col])
+
+    scores = ds.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None).to_pandas()
+    m = comp.merge(scores, left_on="doc_id", right_on=id_col, how="inner")
+    m = m.sort_values(["component", score_col, "doc_id"],
+                      ascending=[True, False, True], kind="mergesort",
+                      na_position="last")
+    winners = set(m.drop_duplicates("component")["doc_id"])
+    drop = [d for d in comp["doc_id"] if d not in winners]
+    drop_ref = ray.put(drop)
+
+    class DropLosers:
+        def __init__(self, ref):
+            vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.drop_set = pa.array(vals)
+            self._cast_set = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._cast_set is None:
+                self._cast_set = (self.drop_set.cast(t[id_col].type)
+                                  if len(self.drop_set) else
+                                  pa.array([], t[id_col].type))
+            keep = pc.invert(pc.is_in(t[id_col], value_set=self._cast_set))
+            return t.filter(pc.fill_null(keep, True))
+
+    return ds.map_batches(DropLosers, fn_constructor_kwargs=dict(ref=drop_ref),
+                          batch_format="pyarrow", concurrency=(1, 8))

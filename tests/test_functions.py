@@ -2262,3 +2262,36 @@ def test_json_extract_double_text_rendering_rules(ray_session):
                                cols="id, j") + " ORDER BY id"
     ).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_dedup_keep_best_keeps_max_score_member(ray_session):
+    import ray.data as rd
+
+    from logray.functions.dedup import dedup_keep_best
+
+    # clusters {1,2,3} and {5,6}; 4 and 7 untouched
+    pairs = pd.DataFrame({"id_a": [1, 2, 5], "id_b": [2, 3, 6]})
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "quality": [0.1, 0.9, 0.9, 0.2, None, 0.5, 0.0],
+        "text": list("abcdefg"),
+    })
+    kept = (
+        dedup_keep_best(rd.from_pandas(df).repartition(3), pairs,
+                        score_col="quality")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # cluster 1: max 0.9 tie (2,3) -> min id 2; cluster 2: null ranks
+    # last -> 6 wins; non-members 4 and 7 untouched
+    assert kept["doc_id"].tolist() == [2, 4, 6, 7]
+
+
+def test_dedup_keep_best_empty_pairs_is_identity(ray_session):
+    import ray.data as rd
+
+    from logray.functions.dedup import dedup_keep_best
+
+    df = pd.DataFrame({"doc_id": [1, 2], "quality": [0.5, 0.6]})
+    kept = dedup_keep_best(rd.from_pandas(df),
+                           pd.DataFrame({"id_a": [], "id_b": []}))
+    assert kept.count() == 2
