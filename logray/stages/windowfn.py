@@ -352,7 +352,10 @@ def global_rank(ds, col: str, id_col: str, pct: bool = True):
     then per-block vectorized ranking fixed up with tiny per-block
     (first, last, nrows, tail_run) summaries scanned once on the driver: a
     block's head rows may continue the previous block's tie run, so their
-    shared rank starts ``head_offset`` rows back.  Requires a non-null
+    shared rank starts ``head_offset`` rows back.  The sorted dataset IS
+    materialized — unlike a quantile probe this op re-reads every block
+    to emit a per-row output, so the pin is the working set, not waste
+    (same contract as packing/turn-idx assignment).  Requires a non-null
     ``col`` (SQL null-ordering is not replicated)."""
     import ray
     import ray.data as rd
