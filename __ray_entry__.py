@@ -1866,6 +1866,18 @@ def _q_ewma_events(sf_dir: str):
                 tiebreak_col="event_id").to_pandas()
 
 
+def _q_calendar_window(sf_dir: str):
+    """Counts per calendar week x event type (variable-width buckets;
+    Arrow floor_temporal == DuckDB date_trunc, Mondays)."""
+    import ray.data as rd
+
+    from logray.stages.window import calendar_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return calendar_window(ds, "ts", "week", "event_type")
+
+
 def _q_rate_limit(sf_dir: str):
     """Alert throttling: first 3 events per user per day kept
     (segmented cumcount after one bucket shuffle)."""
@@ -2154,6 +2166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "near_dedup_keep": _q_near_dedup_keep,
         "near_dedup_best": _q_near_dedup_best,
+        "calendar_window": _q_calendar_window,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -2288,7 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         rollup_agg_sql,
         topk_per_key_sql,
     )
-    from logray.stages.window import hopping_window_sql
+    from logray.stages.window import calendar_window_sql, hopping_window_sql
     from logray.stages.windowfn import (
         fill_forward_sql,
         rolling_median_sql,
@@ -2767,6 +2780,9 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", "ts", window_days=7
         ),
         "dialogue_pairs": f"WITH t AS ({_TSQL}) " + dialogue_pairs_sql("t"),
+        "calendar_window": calendar_window_sql(
+            "events", "ts", "week", "event_type"
+        ),
         "rolling_median_events": rolling_median_sql(
             "(SELECT user_id, ts, event_id, "
             "CAST(round(value*100) AS BIGINT) AS cents FROM events) ev",

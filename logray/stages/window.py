@@ -202,3 +202,39 @@ def salted_histogram(ds, cols, salt_buckets: int = 16, as_pandas: bool = True):
     if not as_pandas:
         return out
     return out.to_pandas().sort_values(cols).reset_index(drop=True)
+
+
+def calendar_window(ds, ts_col: str = "ts", unit: str = "month",
+                    key_cols=None, as_pandas: bool = True):
+    """Counts per CALENDAR window (week/month/quarter/year — variable-
+    width buckets a fixed-seconds tumbling window cannot express),
+    optionally crossed with key columns.  Arrow ``floor_temporal`` and
+    DuckDB ``date_trunc`` share the same calendar rules (weeks floor to
+    Monday), so the twin is exact.  Rides the partial pre-agg histogram:
+    one derived column, no extra shuffle."""
+    units = ("day", "week", "month", "quarter", "year")
+    if unit not in units:
+        raise ValueError(f"unit must be one of {units}, got {unit!r}")
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols or [])
+
+    def derive(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t[ts_col], unit=unit)
+        return t.append_column("win_start", pc.cast(w, pa.timestamp("us")))
+
+    from logray.stages.aggregate import histogram
+
+    ds2 = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    return histogram(ds2, ["win_start"] + key_cols, as_pandas=as_pandas)
+
+
+def calendar_window_sql(table: str, ts_col: str = "ts",
+                        unit: str = "month", key_cols=None) -> str:
+    """DuckDB twin of :func:`calendar_window`."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols or [])
+    keys = ("".join(f", {k}" for k in key_cols))
+    return (
+        f"SELECT CAST(date_trunc('{unit}', {ts_col}) AS TIMESTAMP) "
+        f"AS win_start{keys}, count(*) AS n FROM {table} "
+        f"GROUP BY win_start{keys}"
+    )

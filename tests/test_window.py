@@ -1213,3 +1213,30 @@ def test_rate_limit_rejects_bad_window(ray_session):
     df = pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2026-01-01"])})
     with pytest.raises(ValueError):
         rate_limit(rd.from_pandas(df), "k", "ts", 0.0, 3)
+
+
+def test_calendar_window_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.window import calendar_window, calendar_window_sql
+
+    df = _sequence_fixture()
+    con = duckdb.connect()
+    con.register("t", df)
+    for unit in ("week", "month", "year"):
+        got = (
+            calendar_window(rd.from_pandas(df).repartition(7), "ts", unit,
+                            "event_type")
+            .sort_values(["win_start", "event_type"]).reset_index(drop=True)
+        )
+        want = con.sql(
+            calendar_window_sql("t", "ts", unit, "event_type")
+            + " ORDER BY win_start, event_type"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+    # weeks start on Monday on both sides
+    assert (got["win_start"].dt.dayofweek == 0).all() or unit != "week"
+    import pytest
+    with pytest.raises(ValueError):
+        calendar_window(rd.from_pandas(df), "ts", "fortnight")
