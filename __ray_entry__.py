@@ -1866,6 +1866,38 @@ def _q_ewma_events(sf_dir: str):
                 tiebreak_col="event_id").to_pandas()
 
 
+def _q_gap_histogram(sf_dir: str):
+    """Operator composition: per-user inter-event gaps (LAG) binned into
+    a fixed-width seconds histogram — the arrival-process profile.  The
+    float64 LAG output is exactly integral (< 2^53 us), so the int64
+    round-trip is lossless on both sides."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import binned_histogram
+    from logray.stages.windowfn import lag_lead
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["ts"], pa.int64())
+        return t.drop_columns(["ts"]).append_column("u", u)
+
+    ds = ds.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    lagged = lag_lead(ds, "user_id", "u", "u", n=1, tiebreak_col="event_id")
+
+    def gaps(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["lag_u"]))
+        d = pc.subtract(t["u"], pc.cast(t["lag_u"], pa.int64()))
+        gap_s = pc.divide(d, 1_000_000)  # integer floor division
+        return pa.table({"gap_s": pc.cast(gap_s, pa.int64())})
+
+    gds = lagged.map_batches(gaps, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    return binned_histogram(gds, "gap_s", lo=0, width=900, nbins=16)
+
+
 def _q_calendar_window(sf_dir: str):
     """Counts per calendar week x event type (variable-width buckets;
     Arrow floor_temporal == DuckDB date_trunc, Mondays)."""
@@ -2167,6 +2199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": _q_near_dedup_keep,
         "near_dedup_best": _q_near_dedup_best,
         "calendar_window": _q_calendar_window,
+        "gap_histogram": _q_gap_histogram,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -2782,6 +2815,14 @@ def oracle_sql() -> dict[str, str]:
         "dialogue_pairs": f"WITH t AS ({_TSQL}) " + dialogue_pairs_sql("t"),
         "calendar_window": calendar_window_sql(
             "events", "ts", "week", "event_type"
+        ),
+        "gap_histogram": binned_histogram_sql(
+            "(SELECT (u - lg) // 1000000 AS gap_s FROM ("
+            "SELECT CAST(epoch_us(ts) AS BIGINT) AS u, "
+            "lag(CAST(epoch_us(ts) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS lg "
+            "FROM events) WHERE lg IS NOT NULL) g",
+            "gap_s", lo=0, width=900, nbins=16,
         ),
         "rolling_median_events": rolling_median_sql(
             "(SELECT user_id, ts, event_id, "
