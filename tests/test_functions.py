@@ -2295,3 +2295,34 @@ def test_dedup_keep_best_empty_pairs_is_identity(ray_session):
     kept = dedup_keep_best(rd.from_pandas(df),
                            pd.DataFrame({"id_a": [], "id_b": []}))
     assert kept.count() == 2
+
+
+def test_dedup_spans_fuzz_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.spandedup import dedup_spans, dedup_spans_sql
+
+    con = duckdb.connect()
+    for seed in (1, 2, 3, 4, 5):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(rng.integers(5, 25))]
+        window = int(rng.integers(2, 6))
+        docs = []
+        for i in range(int(rng.integers(20, 80))):
+            L = int(rng.integers(0, 25))
+            docs.append({"doc_id": i,
+                         "text": " ".join(vocab[j] for j in
+                                          rng.integers(0, len(vocab), L))
+                         if L else ""})
+        df = pd.DataFrame(docs)
+        got = (
+            dedup_spans(rd.from_pandas(df).repartition(4), window=window,
+                        num_buckets=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con.register("fuzzdocs", df)
+        want = con.sql(dedup_spans_sql("fuzzdocs", window=window)
+                       + " ORDER BY doc_id").df()
+        pd.testing.assert_frame_equal(got, want), seed
