@@ -1866,6 +1866,58 @@ def _q_ewma_events(sf_dir: str):
                 tiebreak_col="event_id").to_pandas()
 
 
+def _q_window_distinct_users(sf_dir: str):
+    """Composition: distinct users per calendar day — a derived
+    date_trunc key through the exact COUNT(DISTINCT) combiner."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import distinct_count_per_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({"win_start": pc.cast(w, pa.timestamp("us")),
+                         "user_id": t["user_id"]})
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return distinct_count_per_key(ds, "win_start", "user_id")
+
+
+def _q_anomaly_flags(sf_dir: str):
+    """Composition: per-type p99 outliers — exact grouped quantile
+    (quantile_disc) broadcast back as a vectorized filter."""
+    import ray
+    import ray.data as rd
+
+    from logray.stages.aggregate import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    ds = _cents_stage(ds)
+    q = grouped_quantiles(ds, "event_type", "cents", [0.99]).to_pandas()
+    thresh = dict(zip(q["event_type"], q["value"]))
+    ref = ray.put(thresh)
+
+    class Flag:
+        def __init__(self, r):
+            self.t = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            et = t["event_type"].to_pylist()
+            import numpy as np
+
+            p99 = np.array([self.t[e] for e in et], np.int64)
+            keep = pc.greater(t["cents"], pa.array(p99))
+            return t.filter(keep).select(["event_id"])
+
+    return ds.map_batches(Flag, fn_constructor_kwargs=dict(r=ref),
+                          batch_format="pyarrow", concurrency=(1, 4)
+                          ).to_pandas()
+
+
 def _q_gap_histogram(sf_dir: str):
     """Operator composition: per-user inter-event gaps (LAG) binned into
     a fixed-width seconds histogram — the arrival-process profile.  The
@@ -2200,6 +2252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_best": _q_near_dedup_best,
         "calendar_window": _q_calendar_window,
         "gap_histogram": _q_gap_histogram,
+        "window_distinct_users": _q_window_distinct_users,
+        "anomaly_flags": _q_anomaly_flags,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -2816,6 +2870,20 @@ def oracle_sql() -> dict[str, str]:
         "calendar_window": calendar_window_sql(
             "events", "ts", "week", "event_type"
         ),
+        "window_distinct_users": distinct_count_per_key_sql(
+            "(SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start, "
+            "user_id FROM events) d",
+            "win_start", "user_id",
+        ),
+        "anomaly_flags": """
+            WITH ev AS (SELECT event_id, event_type,
+                               CAST(round(value*100) AS BIGINT) AS cents
+                        FROM events),
+            q AS (SELECT event_type, quantile_disc(cents, 0.99) AS p99
+                  FROM ev GROUP BY event_type)
+            SELECT e.event_id FROM ev e JOIN q USING (event_type)
+            WHERE e.cents > q.p99
+        """,
         "gap_histogram": binned_histogram_sql(
             "(SELECT (u - lg) // 1000000 AS gap_s FROM ("
             "SELECT CAST(epoch_us(ts) AS BIGINT) AS u, "
