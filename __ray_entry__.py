@@ -1903,14 +1903,16 @@ def _q_anomaly_flags(sf_dir: str):
 
     class Flag:
         def __init__(self, r):
-            self.t = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            et = t["event_type"].to_pylist()
+            d = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.keys = pa.array(list(d))
             import numpy as np
 
-            p99 = np.array([self.t[e] for e in et], np.int64)
-            keep = pc.greater(t["cents"], pa.array(p99))
+            self.vals = np.array(list(d.values()), np.int64)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["event_type"], value_set=self.keys)
+            thr = self.vals[idx.to_numpy(zero_copy_only=False)]
+            keep = pc.greater(t["cents"], pa.array(thr))
             return t.filter(keep).select(["event_id"])
 
     return ds.map_batches(Flag, fn_constructor_kwargs=dict(r=ref),
