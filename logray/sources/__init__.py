@@ -1,3 +1,4 @@
+from logray.sources.jsonl import read_transcripts_jsonl, write_transcripts_jsonl
 from logray.sources.transcripts import (
     TRANSCRIPT_SCHEMA,
     read_transcripts,
@@ -8,6 +9,8 @@ from logray.sources.transcripts import (
 
 __all__ = [
     "TRANSCRIPT_SCHEMA",
+    "read_transcripts_jsonl",
+    "write_transcripts_jsonl",
     "read_transcripts",
     "synth_transcripts_table",
     "transcripts_from_events",

@@ -182,3 +182,33 @@ def test_assign_turn_idx_sorted_straddles_blocks(ray_session):
         assert got[eid] == w
     # the hot conv really does straddle blocks: more rows than one block
     assert (out["conv_id"] == "conv-hot").sum() > 5000 / 17
+
+
+def test_jsonl_transcripts_round_trip(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.sources.jsonl import (
+        read_transcripts_jsonl,
+        write_transcripts_jsonl,
+    )
+    from logray.sources.transcripts import transcripts_from_events
+
+    ds = transcripts_from_events("/root/testdata/sf0.001")
+    orig = ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    out = str(tmp_path / "jsonl")
+    write_transcripts_jsonl(ds, out)
+    back = (
+        read_transcripts_jsonl(out).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back[orig.columns.tolist()], orig)
+
+    # missing-column input fails loudly
+    import pytest
+
+    bad = str(tmp_path / "bad")
+    rd.from_pandas(pd.DataFrame({"conv_id": ["a"]})).write_json(bad)
+    with pytest.raises(Exception):
+        read_transcripts_jsonl(bad).to_pandas()
