@@ -227,6 +227,42 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_spandedup(args) -> int:
+    """Duplicate-substring removal (Lee et al. ExactSubstr, word-level):
+    cut every corpus-duplicated word n-gram span from every document."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.functions.spandedup import dedup_spans
+
+    ds = rd.read_parquet(args.input)
+    out = dedup_spans(ds, id_col=args.id_col, text_col=args.text_col,
+                      window=args.window)
+    out.write_parquet(args.out)
+    removed = 0
+    for b in rd.read_parquet(args.out, columns=["n_removed"]).iter_batches(
+            batch_format="pyarrow"):
+        removed += sum(b["n_removed"].to_pylist())
+    print(json.dumps({"rows": ds.count(), "tokens_removed": removed,
+                      "window": args.window}))
+    return 0
+
+
+def cmd_funnel(args) -> int:
+    """Ordered funnel completion per key over an event parquet."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.stages.sequence import funnel
+
+    ds = rd.read_parquet(args.input)
+    out = funnel(ds, args.key_col, args.order_col, args.val_col,
+                 args.stages.split(","))
+    counts = out["stage_reached"].value_counts().sort_index()
+    print(json.dumps({f"stage_{int(k)}": int(v) for k, v in counts.items()}))
+    return 0
+
+
 def cmd_score(args) -> int:
     """Model-score a document parquet (load-once actor pool)."""
     _init_ray(args.num_cpus)
@@ -350,6 +386,22 @@ def main(argv=None) -> int:
     sp.add_argument("-n", type=int, default=10, help="reservoir size per key")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("span-dedup", help="duplicate-substring removal (ExactSubstr)")
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--window", type=int, default=5)
+    sp.set_defaults(fn=cmd_spandedup)
+
+    sp = sub.add_parser("funnel", help="ordered funnel completion per key")
+    sp.add_argument("input")
+    sp.add_argument("--key-col", required=True)
+    sp.add_argument("--order-col", required=True)
+    sp.add_argument("--val-col", required=True)
+    sp.add_argument("--stages", required=True, help="comma-separated stage values")
+    sp.set_defaults(fn=cmd_funnel)
 
     sp = sub.add_parser("score", help="model-score documents (load-once actor pool)")
     sp.add_argument("input")

@@ -312,3 +312,39 @@ def test_package_export_surface():
     for name in s.__all__:
         assert hasattr(s, name), name
     assert hasattr(logray, "LineFormat")
+
+
+def test_cli_span_dedup_and_funnel(tmp_path):
+    """Round-3 CLI verbs: span-dedup (ExactSubstr) and funnel."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = tmp_path / "docs.parquet"
+    boiler = "one two three four five"
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": [f"unique {i} words here {boiler}" for i in range(20)],
+        }),
+        str(docs),
+    )
+    r = _cli("--num-cpus", "2", "span-dedup", str(docs),
+             "--out", str(tmp_path / "clean"), "--window", "5")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["rows"] == 20 and out["tokens_removed"] >= 20 * 5
+
+    ev = tmp_path / "ev.parquet"
+    pq.write_table(
+        pa.table({
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "o": pa.array([1, 2, 3, 1, 2], pa.int64()),
+            "v": ["a", "b", "c", "a", "c"],
+        }),
+        str(ev),
+    )
+    r = _cli("--num-cpus", "2", "funnel", str(ev), "--key-col", "k",
+             "--order-col", "o", "--val-col", "v", "--stages", "a,b,c")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out == {"stage_1": 1, "stage_3": 1}
