@@ -68,12 +68,23 @@ class RunManifest:
 
 
 def default_partitions(input_path: str) -> list[tuple[str, list[str]]]:
-    """One partition per input parquet file (deterministic ids)."""
+    """One partition per input parquet file.  Partition ids derive from
+    the FILE NAME, not the sort position: positional ids (p00000, ...)
+    shift when a later ingest adds a file that sorts before existing
+    ones, silently skipping the new file and double-counting an old one.
+    Name-stable ids make re-running on a GROWN directory process exactly
+    the new files — incremental ingestion for free."""
+    import re
+
     if os.path.isfile(input_path):
         files = [input_path]
     else:
         files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
-    return [(f"p{i:05d}", [f]) for i, f in enumerate(files)]
+    out = []
+    for f in files:
+        base = os.path.basename(f)
+        out.append(("p-" + re.sub(r"[^A-Za-z0-9_.-]", "_", base), [f]))
+    return out
 
 
 def run_resumable(

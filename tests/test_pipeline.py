@@ -104,7 +104,7 @@ def test_resumable_run_skips_done_and_survives_crash(ray_session, tmp_path):
     with pytest.raises(RuntimeError):
         run_resumable(str(src), str(out), make_runner(fail_on="part-00002"))
     done = RunManifest(str(out)).entries()
-    assert set(done) == {"p00000", "p00001"}
+    assert set(done) == {"p-part-00000.parquet", "p-part-00001.parquet"}
 
     calls.clear()
     metrics = run_resumable(str(src), str(out), make_runner())
@@ -212,3 +212,43 @@ def test_jsonl_transcripts_round_trip(ray_session, tmp_path):
     rd.from_pandas(pd.DataFrame({"conv_id": ["a"]})).write_json(bad)
     with pytest.raises(Exception):
         read_transcripts_jsonl(bad).to_pandas()
+
+
+def test_incremental_ingest_processes_only_new_files(ray_session, tmp_path):
+    """Re-running the resumable pipeline on a GROWN input directory is
+    incremental ingestion: only new files run — even when they sort
+    BEFORE existing files (name-stable partition ids) — and the merged
+    metrics equal a from-scratch run over everything."""
+    import shutil
+
+    import ray.data as rd
+
+    src = tmp_path / "input"
+    write_synth_transcripts(str(src), n_convs=60, convs_per_file=20, seed=3)
+
+    calls = []
+
+    def run_partition(files, out):
+        calls.append(os.path.basename(files[0]))
+        ds = rd.read_parquet(files)
+        m = run_pipeline(ds, CFG, out, write_metrics=False)
+        return {"rows": m["turns_total"], "routes": m["routes"]}
+
+    out = tmp_path / "out"
+    first = run_resumable(str(src), str(out), run_partition)
+    assert len(calls) == 3
+
+    # a late-arriving shard that sorts FIRST (the positional-id trap)
+    new_file = src / "aaa-late-arrival.parquet"
+    shutil.copy(src / "part-00000.parquet", new_file)
+
+    calls.clear()
+    second = run_resumable(str(src), str(out), run_partition)
+    assert calls == ["aaa-late-arrival.parquet"]  # ONLY the new file ran
+    assert second["partitions"] == 4
+    assert second["rows"] > first["rows"]
+
+    # equals a from-scratch run over the grown directory
+    scratch = run_resumable(str(src), str(tmp_path / "out2"), run_partition)
+    assert scratch["rows"] == second["rows"]
+    assert scratch.get("routes") == second.get("routes")
