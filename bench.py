@@ -324,8 +324,17 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def _arg(flag: str, default: int) -> int:
+    if flag in sys.argv:
+        return int(sys.argv[sys.argv.index(flag) + 1])
+    return default
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        # --lo/--hi select the two parallelism levels; the default 8/32
+        # measures within one socket, while 2/8 is the multi-node proxy
+        # (per-worker memory bandwidth not yet saturated)
+        print(json.dumps(run_scaling(_arg("--lo", 8), _arg("--hi", 32))))
     else:
         print(json.dumps(run_bench()))
