@@ -75,3 +75,30 @@ def stream_fold(partials_ds, fold_fn, max_pending_rows: int = 4_000_000):
     if not pending:
         return None
     return fold_fn(pending)
+
+
+def grouped_apply(ds, key_cols, fn, num_buckets: int = 32,
+                  batch_format: str = "pandas"):
+    """PUBLIC extension point for custom per-key operators: co-locate
+    each key's rows with ONE ``hash(key) % num_buckets`` shuffle and call
+    ``fn(bucket_frame) -> frame`` once per BUCKET (never once per key —
+    the group count is ``num_buckets`` regardless of key cardinality,
+    which is the difference between 32 tasks and 10^8 tasks at corpus
+    scale).  ``fn`` must handle multiple keys per frame; pair it with
+    :func:`run_starts` (or ``windowfn._sorted_runs``) for vectorized
+    segmented kernels.  Null keys pool into bucket 0.  Multi-column keys
+    tag on the FIRST column (same-first-column keys co-locate; fn still
+    groups exactly)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def wrapped(g):
+        g = g.drop_columns(["__b"]) if hasattr(g, "drop_columns") \
+            else g.drop(columns="__b")
+        return fn(g)
+
+    return (
+        ds.map_batches(bucket_tagger(key_cols[0], num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(wrapped, batch_format=batch_format)
+    )

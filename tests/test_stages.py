@@ -1114,3 +1114,31 @@ def test_asof_join_directions(ray_session):
     import pytest
     with pytest.raises(ValueError):
         asof_join(lds, rds, key="k", direction="sideways")
+
+
+def test_grouped_apply_extension_point(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.bucketing import grouped_apply
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"k": rng.integers(0, 50, 4000),
+                       "v": rng.integers(0, 100, 4000)})
+
+    # a custom per-key op written against the public extension point:
+    # range (max - min) per key, vectorized over the whole bucket
+    def key_range(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("k", sort=False)["v"]
+        return pd.DataFrame({"k": s.max().index,
+                             "rng": (s.max() - s.min()).to_numpy()})
+
+    got = (
+        grouped_apply(rd.from_pandas(df).repartition(7), "k", key_range,
+                      num_buckets=8)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (df.groupby("k")["v"].agg(lambda s: s.max() - s.min())
+            .rename("rng").reset_index())
+    pd.testing.assert_frame_equal(got, want.astype({"rng": got["rng"].dtype}))
