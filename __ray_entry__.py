@@ -1719,6 +1719,21 @@ def _q_transition_matrix(sf_dir: str):
                              tiebreak_col="event_id")
 
 
+def _q_trigram_matrix(sf_dir: str):
+    """Order-2 Markov (trigram) counts of the per-user event-type
+    sequence — the n-gram language model of the event stream."""
+    import ray.data as rd
+
+    from logray.stages.sequence import transition_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return transition_counts(ds, "user_id", "ts", "event_type",
+                             tiebreak_col="event_id", order=2)
+
+
 def _q_funnel_events(sf_dir: str):
     """First-touch ordered funnel signup -> click -> purchase per user
     (segmented min per stage; every key emits its stage_reached)."""
@@ -2329,6 +2344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_docs": _q_dedup_spans_docs,
         "edit_distance_dups": _q_edit_distance_dups,
         "transition_matrix": _q_transition_matrix,
+        "trigram_matrix": _q_trigram_matrix,
         "funnel_events": _q_funnel_events,
         "cohort_retention": _q_cohort_retention,
         "latest_per_user": _q_latest_per_user,
@@ -2851,6 +2867,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "transition_matrix": transition_counts_sql(
             "events", "user_id", "ts", "event_type", tiebreak_col="event_id"
+        ),
+        "trigram_matrix": transition_counts_sql(
+            "events", "user_id", "ts", "event_type", tiebreak_col="event_id",
+            order=2,
         ),
         "funnel_events": funnel_sql(
             "events", "user_id", "ts", "event_type",

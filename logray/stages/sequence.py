@@ -44,26 +44,45 @@ def _fold_sum(key_cols: list[str], n_col: str = "n"):
     return fold
 
 
+def _transition_cols(order: int) -> list[str]:
+    return ([f"from_{j}" for j in range(order, 1, -1)] + ["from_val"]
+            if order > 1 else ["from_val"]) + ["to_val"]
+
+
 def transition_counts(ds, key_col: str, order_col: str, val_col: str,
                       tiebreak_col: str | None = None,
-                      num_buckets: int = 32, as_pandas: bool = True):
-    """First-order Markov transition counts: how often value A is
-    immediately followed by value B within a key's (order, tiebreak)
-    sequence, summed over all keys.  Output ``(from_val, to_val, n)`` —
-    the bigram histogram of the event stream.  Cross-key boundaries emit
-    nothing (SQL LAG is null at partition starts)."""
+                      num_buckets: int = 32, as_pandas: bool = True,
+                      order: int = 1):
+    """Order-k Markov transition counts: how often each length-(k+1)
+    value sequence occurs within a key's (order, tiebreak) stream,
+    summed over all keys.  ``order=1`` (default) is the bigram histogram
+    ``(from_val, to_val, n)``; ``order=2`` emits trigram rows
+    ``(from_2, from_val, to_val, n)`` and so on — the n-gram language
+    model of the event stream.  Windows never cross key boundaries, and
+    rows whose window contains a null predecessor are dropped (SQL LAG
+    boundary and genuine null values alike)."""
+    if order < 1:
+        raise ValueError("order must be >= 1")
     order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    names = _transition_cols(order)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g, run_id, _first = _sorted_runs(g, key_col, order_cols)
         v = g[val_col].to_numpy()
-        same = np.zeros(len(g), np.bool_)
-        same[1:] = run_id[1:] == run_id[:-1]
-        frm, to = v[np.flatnonzero(same) - 1], v[same]
-        ok = ~pd.isna(frm)  # SQL twin drops null-prev rows (LAG boundary
-        frm, to = frm[ok], to[ok]  # and genuine null values alike)
-        p = pd.DataFrame({"from_val": frm, "to_val": to})
-        s = (p.groupby(["from_val", "to_val"], sort=False, dropna=False)
+        n = len(g)
+        ok = np.zeros(n, np.bool_)
+        if n > order:
+            ok[order:] = run_id[order:] == run_id[:-order]
+        rows = {}
+        idx = np.flatnonzero(ok)
+        keep = np.ones(len(idx), np.bool_)
+        for j, name in enumerate(names):
+            col = v[idx - (order - j)]
+            if name != "to_val":
+                keep &= ~pd.isna(col)
+            rows[name] = col
+        p = pd.DataFrame({k: c[keep] for k, c in rows.items()})
+        s = (p.groupby(names, sort=False, dropna=False)
              .size().reset_index(name="n"))
         s["n"] = s["n"].astype(np.int64)
         return s
@@ -74,24 +93,30 @@ def transition_counts(ds, key_col: str, order_col: str, val_col: str,
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pandas")
     )
-    folded = stream_fold(parts, _fold_sum(["from_val", "to_val"]))
+    folded = stream_fold(parts, _fold_sum(names))
     if folded is None:
-        folded = pa.table({"from_val": [], "to_val": [],
+        folded = pa.table({**{c: [] for c in names},
                            "n": pa.array([], pa.int64())})
     return folded.to_pandas() if as_pandas else folded
 
 
 def transition_counts_sql(table: str, key_col: str, order_col: str,
                           val_col: str,
-                          tiebreak_col: str | None = None) -> str:
-    """DuckDB twin of :func:`transition_counts`."""
-    order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
+                          tiebreak_col: str | None = None,
+                          order: int = 1) -> str:
+    """DuckDB twin of :func:`transition_counts` (any order)."""
+    ord_by = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    names = _transition_cols(order)
+    lags = ", ".join(
+        f"lag({val_col}, {order - j}) OVER w AS {name}"
+        for j, name in enumerate(names[:-1]))
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in names[:-1])
+    cols = ", ".join(names)
     return (
-        f"SELECT prev AS from_val, {val_col} AS to_val, "
-        f"CAST(count(*) AS BIGINT) AS n FROM ("
-        f"SELECT {val_col}, lag({val_col}) OVER ("
-        f"PARTITION BY {key_col} ORDER BY {order}) AS prev FROM {table}"
-        f") WHERE prev IS NOT NULL GROUP BY from_val, to_val"
+        f"SELECT {cols}, CAST(count(*) AS BIGINT) AS n FROM ("
+        f"SELECT {val_col} AS to_val, {lags} FROM {table} "
+        f"WINDOW w AS (PARTITION BY {key_col} ORDER BY {ord_by})"
+        f") WHERE {notnull} GROUP BY {cols}"
     )
 
 

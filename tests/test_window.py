@@ -1240,3 +1240,33 @@ def test_calendar_window_matches_duckdb(ray_session):
     import pytest
     with pytest.raises(ValueError):
         calendar_window(rd.from_pandas(df), "ts", "fortnight")
+
+
+def test_transition_counts_order2_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import transition_counts, transition_counts_sql
+
+    df = _sequence_fixture()
+    df.loc[df.index[:30], "event_type"] = None  # null windows drop
+    got = (
+        transition_counts(rd.from_pandas(df).repartition(7), "user_id", "ts",
+                          "event_type", tiebreak_col="event_id",
+                          num_buckets=8, order=2)
+        .sort_values(["from_2", "from_val", "to_val"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        transition_counts_sql("t", "user_id", "ts", "event_type",
+                              tiebreak_col="event_id", order=2)
+        + " ORDER BY from_2, from_val, to_val NULLS LAST"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert list(got.columns) == ["from_2", "from_val", "to_val", "n"]
+    import pytest
+    with pytest.raises(ValueError):
+        transition_counts(rd.from_pandas(df), "user_id", "ts",
+                          "event_type", order=0)
