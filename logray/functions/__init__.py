@@ -35,6 +35,8 @@ from logray.functions.tokenize import (
     train_bpe_on_dataset,
     word_frequencies,
 )
+from logray.functions.decontam import build_contamination_index, flag_contaminated
+from logray.functions.pii import redact_pii
 from logray.functions.quality import compression_ratio, gopher_quality
 from logray.functions.textclean import clean_text, json_extract_field, normalize_nfc
 from logray.functions.png import decode_png, encode_png
@@ -101,6 +103,9 @@ __all__ = [
     "json_extract_field",
     "compression_ratio",
     "gopher_quality",
+    "build_contamination_index",
+    "flag_contaminated",
+    "redact_pii",
     "chunk_documents",
     "ByteBPE",
     "TokenizeBatch",
