@@ -1926,9 +1926,15 @@ def _q_anomaly_flags(sf_dir: str):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             idx = pc.index_in(t["event_type"], value_set=self.keys)
-            thr = self.vals[idx.to_numpy(zero_copy_only=False)]
-            keep = pc.greater(t["cents"], pa.array(thr))
-            return t.filter(keep).select(["event_id"])
+            # types absent from the threshold table (null event_type, or
+            # all-null groups) index as null — the SQL JOIN drops them
+            import numpy as np
+
+            ok = pc.is_valid(idx)
+            safe = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+            thr = self.vals[np.asarray(safe, np.int64)]
+            keep = pc.and_kleene(ok, pc.greater(t["cents"], pa.array(thr)))
+            return t.filter(pc.fill_null(keep, False)).select(["event_id"])
 
     return ds.map_batches(Flag, fn_constructor_kwargs=dict(r=ref),
                           batch_format="pyarrow", concurrency=(1, 4)

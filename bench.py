@@ -326,7 +326,10 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
 
 def _arg(flag: str, default: int) -> int:
     if flag in sys.argv:
-        return int(sys.argv[sys.argv.index(flag) + 1])
+        try:
+            return int(sys.argv[sys.argv.index(flag) + 1])
+        except (IndexError, ValueError):
+            raise SystemExit(f"usage: bench.py --scaling [{flag} N]")
     return default
 
 

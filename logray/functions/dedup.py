@@ -317,6 +317,35 @@ def hash_pairs_to_int64(pairs, id_a: str = "id_a", id_b: str = "id_b",
     return hashed
 
 
+def _broadcast_id_filter(ds, ids_ref, id_col: str, keep_members: bool,
+                         select_cols=None):
+    """Shared broadcast id-set filter behind the dedup keep policies:
+    ``keep_members=False`` DROPS the listed ids (keep-min / keep-best
+    output), ``True`` KEEPS only them (the pruned score-fetch pass).
+    The set ships once via ``ray.put``; each actor casts it to the id
+    column's type once and applies one vectorized ``is_in`` per batch."""
+
+    class IdFilter:
+        def __init__(self, ref):
+            vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.id_set = vals if isinstance(vals, pa.Array) else pa.array(vals)
+            self._cast_set = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._cast_set is None:
+                self._cast_set = (self.id_set.cast(t[id_col].type)
+                                  if len(self.id_set) else
+                                  pa.array([], t[id_col].type))
+            hit = pc.is_in(t[id_col], value_set=self._cast_set)
+            if keep_members:
+                t = t.filter(pc.fill_null(hit, False))
+                return t.select(select_cols) if select_cols else t
+            return t.filter(pc.fill_null(pc.invert(hit), True))
+
+    return ds.map_batches(IdFilter, fn_constructor_kwargs=dict(ref=ids_ref),
+                          batch_format="pyarrow", concurrency=(1, 8))
+
+
 def dedup_keep_min(ds, pairs, id_col: str = "doc_id", distributed: bool = False,
                    num_shards: int = 8):
     """Full near-dedup: keep one representative per duplicate cluster.
@@ -362,24 +391,8 @@ def dedup_keep_min(ds, pairs, id_col: str = "doc_id", distributed: bool = False,
 
     comp = connected_components(pairs)
     drop = comp.loc[comp["doc_id"] != comp["component"], "doc_id"].tolist()
-    drop_ref = ray.put(drop)
-
-    class DropDups:
-        def __init__(self, ref):
-            vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.drop_set = pa.array(vals)
-            self._cast_set = None  # resolved to the id column type lazily
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._cast_set is None:
-                self._cast_set = (self.drop_set.cast(t[id_col].type)
-                                  if len(self.drop_set) else
-                                  pa.array([], t[id_col].type))
-            keep = _pc.invert(_pc.is_in(t[id_col], value_set=self._cast_set))
-            return t.filter(_pc.fill_null(keep, True))
-
-    return ds.map_batches(DropDups, fn_constructor_kwargs=dict(ref=drop_ref),
-                          batch_format="pyarrow", concurrency=(1, 8))
+    return _broadcast_id_filter(ds, ray.put(drop), id_col,
+                                keep_members=False)
 
 
 # ---------------------------------------------------------------------------
@@ -962,37 +975,15 @@ def dedup_keep_best(ds, pairs, id_col: str = "doc_id",
     comp = connected_components(pairs)
     if not len(comp):
         return ds
-    member_ids = pa.array(comp["doc_id"].to_numpy())
-
-    def project(t: pa.Table) -> pa.Table:
-        vs = member_ids.cast(t[id_col].type) if len(member_ids) else \
-            pa.array([], t[id_col].type)
-        keep = pc.is_in(t[id_col], value_set=vs)
-        return t.filter(pc.fill_null(keep, False)).select([id_col, score_col])
-
-    scores = ds.map_batches(project, batch_format="pyarrow",
-                            zero_copy_batch=True, batch_size=None).to_pandas()
+    mem_ref = ray.put(pa.array(comp["doc_id"].to_numpy()))
+    scores = _broadcast_id_filter(
+        ds, mem_ref, id_col, keep_members=True,
+        select_cols=[id_col, score_col]).to_pandas()
     m = comp.merge(scores, left_on="doc_id", right_on=id_col, how="inner")
     m = m.sort_values(["component", score_col, "doc_id"],
                       ascending=[True, False, True], kind="mergesort",
                       na_position="last")
     winners = set(m.drop_duplicates("component")["doc_id"])
     drop = [d for d in comp["doc_id"] if d not in winners]
-    drop_ref = ray.put(drop)
-
-    class DropLosers:
-        def __init__(self, ref):
-            vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.drop_set = pa.array(vals)
-            self._cast_set = None
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._cast_set is None:
-                self._cast_set = (self.drop_set.cast(t[id_col].type)
-                                  if len(self.drop_set) else
-                                  pa.array([], t[id_col].type))
-            keep = pc.invert(pc.is_in(t[id_col], value_set=self._cast_set))
-            return t.filter(pc.fill_null(keep, True))
-
-    return ds.map_batches(DropLosers, fn_constructor_kwargs=dict(ref=drop_ref),
-                          batch_format="pyarrow", concurrency=(1, 8))
+    return _broadcast_id_filter(ds, ray.put(drop), id_col,
+                                keep_members=False)

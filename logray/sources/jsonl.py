@@ -35,11 +35,8 @@ def _normalize(t: pa.Table) -> pa.Table:
             raise ValueError(f"JSONL transcript missing column {name!r} "
                              f"(have {t.column_names})")
         c = t[name]
-        if pa.types.is_timestamp(typ) and pa.types.is_string(
-                c.type if not isinstance(c, pa.ChunkedArray) else c.type):
-            # ISO-8601 strings cast directly; bad rows raise (corrupt
-            # input should fail loudly, not silently null)
-            c = pc.cast(c, pa.timestamp("us"))
+        # one generic cast covers everything, including ISO-8601 string
+        # -> timestamp; bad rows raise (corrupt input fails loudly)
         cols[name] = pc.cast(c, typ) if c.type != typ else c
     return pa.table(cols)
 

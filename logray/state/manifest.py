@@ -74,6 +74,7 @@ def default_partitions(input_path: str) -> list[tuple[str, list[str]]]:
     ones, silently skipping the new file and double-counting an old one.
     Name-stable ids make re-running on a GROWN directory process exactly
     the new files — incremental ingestion for free."""
+    import hashlib
     import re
 
     if os.path.isfile(input_path):
@@ -83,7 +84,12 @@ def default_partitions(input_path: str) -> list[tuple[str, list[str]]]:
     out = []
     for f in files:
         base = os.path.basename(f)
-        out.append(("p-" + re.sub(r"[^A-Za-z0-9_.-]", "_", base), [f]))
+        # short hash of the RAW name: sanitizing alone collides
+        # ('a b.parquet' and 'a_b.parquet' would share an id, and the
+        # second would be silently skipped as already-done)
+        tag = hashlib.sha1(base.encode()).hexdigest()[:8]
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", base)
+        out.append((f"p-{safe}-{tag}", [f]))
     return out
 
 
@@ -103,6 +109,16 @@ def run_resumable(
     mf = RunManifest(out_dir)
     os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
     parts = partitions if partitions is not None else default_partitions(input_path)
+    known = {pid for pid, _ in parts}
+    stale = sorted(set(mf.entries()) - known)
+    if stale:
+        # a manifest entry no id in this run matches means the out_dir
+        # was written under a different id scheme or inputs were
+        # removed; merging metrics across the two would double-count
+        raise RuntimeError(
+            f"run_resumable: out_dir {out_dir!r} contains manifest "
+            f"entries not in the current partition list ({stale[:3]}...); "
+            f"use a fresh out_dir (stale outputs would double-count)")
     for part_id, files in parts:
         if mf.is_done(part_id):
             continue

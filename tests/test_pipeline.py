@@ -104,7 +104,8 @@ def test_resumable_run_skips_done_and_survives_crash(ray_session, tmp_path):
     with pytest.raises(RuntimeError):
         run_resumable(str(src), str(out), make_runner(fail_on="part-00002"))
     done = RunManifest(str(out)).entries()
-    assert set(done) == {"p-part-00000.parquet", "p-part-00001.parquet"}
+    assert {d.split("-", 1)[1].rsplit("-", 1)[0] for d in done} == \
+        {"part-00000.parquet", "part-00001.parquet"}
 
     calls.clear()
     metrics = run_resumable(str(src), str(out), make_runner())

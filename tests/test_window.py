@@ -1235,8 +1235,8 @@ def test_calendar_window_matches_duckdb(ray_session):
             + " ORDER BY win_start, event_type"
         ).df()
         pd.testing.assert_frame_equal(got, want)
-    # weeks start on Monday on both sides
-    assert (got["win_start"].dt.dayofweek == 0).all() or unit != "week"
+        if unit == "week":  # weeks start on Monday on both sides
+            assert (got["win_start"].dt.dayofweek == 0).all()
     import pytest
     with pytest.raises(ValueError):
         calendar_window(rd.from_pandas(df), "ts", "fortnight")
