@@ -1881,6 +1881,45 @@ def _q_ewma_events(sf_dir: str):
                 tiebreak_col="event_id").to_pandas()
 
 
+def _q_user_profiles(sf_dir: str):
+    """Entity-profile materialization: one row per user with first/last
+    seen, event count, exact cents total, and distinct event types —
+    Arrow multi-aggregate partials in ONE pass, joined to the exact
+    COUNT(DISTINCT) combiner."""
+    import ray.data as rd
+
+    from logray.stages.aggregate import distinct_count_per_key
+    from logray.stages.join import hash_join
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+    ds = _cents_stage(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate(
+            [("ts", "min"), ("ts", "max"), ([], "count_all"),
+             ("cents", "sum")])
+        return g.rename_columns(
+            ["user_id", "first_seen", "last_seen", "n_events", "cents_sum"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None).to_pandas()
+    prof = parts.groupby("user_id", sort=True).agg(
+        first_seen=("first_seen", "min"), last_seen=("last_seen", "max"),
+        n_events=("n_events", "sum"), cents_sum=("cents_sum", "sum"),
+    ).reset_index()
+    prof["n_events"] = prof["n_events"].astype("int64")
+    prof["cents_sum"] = prof["cents_sum"].astype("int64")
+
+    import ray.data as rd2
+
+    nd = distinct_count_per_key(ds, "user_id", "event_type", as_pandas=False)
+    out = hash_join(rd2.from_pandas(prof), nd, on="user_id").to_pandas()
+    return out.rename(columns={"n_distinct": "n_types"})
+
+
 def _q_window_distinct_users(sf_dir: str):
     """Composition: distinct users per calendar day — a derived
     date_trunc key through the exact COUNT(DISTINCT) combiner."""
@@ -2277,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_histogram": _q_gap_histogram,
         "window_distinct_users": _q_window_distinct_users,
         "anomaly_flags": _q_anomaly_flags,
+        "user_profiles": _q_user_profiles,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -2903,6 +2943,14 @@ def oracle_sql() -> dict[str, str]:
             "user_id FROM events) d",
             "win_start", "user_id",
         ),
+        "user_profiles": """
+            SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                       AS cents_sum,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM events GROUP BY user_id
+        """,
         "anomaly_flags": """
             WITH ev AS (SELECT event_id, event_type,
                                CAST(round(value*100) AS BIGINT) AS cents
