@@ -1913,10 +1913,8 @@ def _q_user_profiles(sf_dir: str):
     prof["n_events"] = prof["n_events"].astype("int64")
     prof["cents_sum"] = prof["cents_sum"].astype("int64")
 
-    import ray.data as rd2
-
     nd = distinct_count_per_key(ds, "user_id", "event_type", as_pandas=False)
-    out = hash_join(rd2.from_pandas(prof), nd, on="user_id").to_pandas()
+    out = hash_join(rd.from_pandas(prof), nd, on="user_id").to_pandas()
     return out.rename(columns={"n_distinct": "n_types"})
 
 
