@@ -1881,6 +1881,30 @@ def _q_ewma_events(sf_dir: str):
                 tiebreak_col="event_id").to_pandas()
 
 
+def _q_lateness(sf_dir: str):
+    """Out-of-orderness diagnostic (watermark sizing): lateness of each
+    event vs the running max event time in a SCRAMBLED arrival order —
+    the Knuth-hash permutation of event_id, derived identically on both
+    sides so the stream is realistically disordered."""
+    import ray.data as rd
+
+    from logray.stages.sequence import lateness
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+
+    def arrival(t: pa.Table) -> pa.Table:
+        a = pc.multiply(t["event_id"], pa.scalar(2654435761, pa.int64()))
+        return t.append_column(
+            "arrival",
+            pc.subtract(a, pc.multiply(pc.divide(a, 4294967296),
+                                       pa.scalar(4294967296, pa.int64()))))
+
+    ds = ds.map_batches(arrival, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return lateness(ds, "user_id", "arrival", "ts").to_pandas()
+
+
 def _q_user_profiles(sf_dir: str):
     """Entity-profile materialization: one row per user with first/last
     seen, event count, exact cents total, and distinct event types —
@@ -2315,6 +2339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": _q_window_distinct_users,
         "anomaly_flags": _q_anomaly_flags,
         "user_profiles": _q_user_profiles,
+        "lateness_events": _q_lateness,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -2474,6 +2499,7 @@ def oracle_sql() -> dict[str, str]:
         dedup_consecutive_sql,
         dialogue_pairs_sql,
         funnel_sql,
+        lateness_sql,
         merge_intervals_sql,
         rate_limit_sql,
         trailing_active_sql,
@@ -2940,6 +2966,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start, "
             "user_id FROM events) d",
             "win_start", "user_id",
+        ),
+        "lateness_events": lateness_sql(
+            "(SELECT user_id, event_id, ts, "
+            "(event_id * 2654435761) % 4294967296 AS arrival "
+            "FROM events) e",
+            "user_id", "arrival", "ts",
+            cols="user_id, event_id, ts, arrival",
         ),
         "user_profiles": """
             SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,

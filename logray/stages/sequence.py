@@ -30,6 +30,7 @@ __all__ = [
     "dialogue_pairs", "dialogue_pairs_sql",
     "rate_limit", "rate_limit_sql",
     "dedup_consecutive", "dedup_consecutive_sql",
+    "lateness", "lateness_sql",
 ]
 
 
@@ -601,4 +602,42 @@ def dedup_consecutive_sql(table: str, key_col: str, order_col: str,
         f"PARTITION BY {key_col} ORDER BY {order}) AS __rn "
         f"FROM {table}) "
         f"WHERE __rn = 1 OR {val_col} IS DISTINCT FROM __prev"
+    )
+
+
+def lateness(ds, key_col: str, arrival_col: str, ts_col: str,
+             num_buckets: int = 32):
+    """Out-of-orderness diagnostic: for each row, how far its event time
+    lags the running MAX event time seen so far in the key's ARRIVAL
+    order — ``late_us = max(ts) over arrival-so-far − ts`` (0 for
+    in-order rows).  The distribution of ``late_us`` is what sizes a
+    streaming watermark / allowed-lateness bound.
+
+    One bucket shuffle + a C-speed grouped cummax per bucket (the
+    :func:`merge_intervals` kernel)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, run_id, _first = _sorted_runs(g, key_col, [arrival_col])
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        cm = pd.Series(ts).groupby(run_id).cummax().to_numpy()
+        g["late_us"] = (cm - ts).astype(np.int64)
+        return g.drop(columns="__b")
+
+    return (
+        ds.map_batches(bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def lateness_sql(table: str, key_col: str, arrival_col: str, ts_col: str,
+                 cols: str = "*") -> str:
+    """DuckDB twin of :func:`lateness`."""
+    return (
+        f"SELECT {cols}, "
+        f"CAST(epoch_us(max({ts_col}) OVER ("
+        f"PARTITION BY {key_col} ORDER BY {arrival_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+        f"- epoch_us({ts_col}) AS BIGINT) AS late_us FROM {table}"
     )

@@ -1270,3 +1270,29 @@ def test_transition_counts_order2_matches_duckdb(ray_session):
     with pytest.raises(ValueError):
         transition_counts(rd.from_pandas(df), "user_id", "ts",
                           "event_type", order=0)
+
+
+def test_lateness_matches_duckdb_and_flags_disorder(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import lateness, lateness_sql
+
+    df = _sequence_fixture()
+    df["arrival"] = (df["event_id"] * 2654435761) % (1 << 32)  # scramble
+    got = (
+        lateness(rd.from_pandas(df).repartition(7), "user_id", "arrival",
+                 "ts", num_buckets=8)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        lateness_sql("t", "user_id", "arrival", "ts",
+                     cols="user_id, ts, event_id, event_type, arrival")
+        + " ORDER BY event_id"
+    ).df()
+    cols = ["user_id", "event_id", "late_us"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+    assert (got["late_us"] >= 0).all()
+    assert (got["late_us"] > 0).any()  # scrambled arrival IS out of order
