@@ -1894,11 +1894,12 @@ def _q_lateness(sf_dir: str):
                          columns=["user_id", "event_id", "ts"])
 
     def arrival(t: pa.Table) -> pa.Table:
-        a = pc.multiply(t["event_id"], pa.scalar(2654435761, pa.int64()))
+        # checked multiply: ids past ~3.4e9 would wrap here but ERROR in
+        # the DuckDB twin — erroring on both sides keeps them aligned
+        a = pc.multiply_checked(t["event_id"], pa.scalar(2654435761, pa.int64()))
+        # low 32 bits of the Knuth hash (a is non-negative)
         return t.append_column(
-            "arrival",
-            pc.subtract(a, pc.multiply(pc.divide(a, 4294967296),
-                                       pa.scalar(4294967296, pa.int64()))))
+            "arrival", pc.bit_wise_and(a, pa.scalar((1 << 32) - 1, pa.int64())))
 
     ds = ds.map_batches(arrival, batch_format="pyarrow", zero_copy_batch=True,
                         batch_size=None)
@@ -1913,7 +1914,6 @@ def _q_user_profiles(sf_dir: str):
     import ray.data as rd
 
     from logray.stages.aggregate import distinct_count_per_key
-    from logray.stages.join import hash_join
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
@@ -1930,15 +1930,22 @@ def _q_user_profiles(sf_dir: str):
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None).to_pandas()
-    prof = parts.groupby("user_id", sort=True).agg(
+    prof = parts.groupby("user_id", sort=True, dropna=False).agg(
         first_seen=("first_seen", "min"), last_seen=("last_seen", "max"),
         n_events=("n_events", "sum"), cents_sum=("cents_sum", "sum"),
     ).reset_index()
     prof["n_events"] = prof["n_events"].astype("int64")
     prof["cents_sum"] = prof["cents_sum"].astype("int64")
 
-    nd = distinct_count_per_key(ds, "user_id", "event_type", as_pandas=False)
-    out = hash_join(rd.from_pandas(prof), nd, on="user_id").to_pandas()
+    # separate PRUNED read for the distinct pass (the profile ds carries
+    # ts/cents this pass would only throw away), and a LEFT join so a
+    # user whose types are all null keeps its row with n_types=0 like
+    # the oracle's COUNT(DISTINCT) over an all-null group
+    nd_src = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+    nd = distinct_count_per_key(nd_src, "user_id", "event_type")
+    out = prof.merge(nd, on="user_id", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
     return out.rename(columns={"n_distinct": "n_types"})
 
 

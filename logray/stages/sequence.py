@@ -617,6 +617,8 @@ def lateness(ds, key_col: str, arrival_col: str, ts_col: str,
     :func:`merge_intervals` kernel)."""
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[ts_col].notna()]  # NaT would view as INT64_MIN garbage;
+        # the SQL twin's WHERE drops null event times identically
         g, run_id, _first = _sorted_runs(g, key_col, [arrival_col])
         ts = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
         cm = pd.Series(ts).groupby(run_id).cummax().to_numpy()
@@ -639,5 +641,6 @@ def lateness_sql(table: str, key_col: str, arrival_col: str, ts_col: str,
         f"CAST(epoch_us(max({ts_col}) OVER ("
         f"PARTITION BY {key_col} ORDER BY {arrival_col} "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
-        f"- epoch_us({ts_col}) AS BIGINT) AS late_us FROM {table}"
+        f"- epoch_us({ts_col}) AS BIGINT) AS late_us FROM {table} "
+        f"WHERE {ts_col} IS NOT NULL"
     )

@@ -1296,3 +1296,30 @@ def test_lateness_matches_duckdb_and_flags_disorder(ray_session):
     pd.testing.assert_frame_equal(got[cols], want[cols])
     assert (got["late_us"] >= 0).all()
     assert (got["late_us"] > 0).any()  # scrambled arrival IS out of order
+
+
+def test_lateness_null_ts_dropped_like_sql(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import lateness, lateness_sql
+
+    df = _sequence_fixture().head(100).copy()
+    df["arrival"] = df["event_id"]
+    df.loc[df.index[:10], "ts"] = pd.NaT
+    got = (
+        lateness(rd.from_pandas(df), "user_id", "arrival", "ts",
+                 num_buckets=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        lateness_sql("t", "user_id", "arrival", "ts",
+                     cols="user_id, ts, event_id, event_type, arrival")
+        + " ORDER BY event_id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "late_us"]],
+        want[["user_id", "event_id", "late_us"]])
+    assert len(got) == 90  # null-ts rows dropped on both sides
