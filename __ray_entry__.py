@@ -1690,6 +1690,20 @@ def _q_dedup_spans_docs(sf_dir: str):
     return dedup_spans(ds, window=5).to_pandas()
 
 
+def _q_dedup_spans_bytes(sf_dir: str):
+    """TRUE byte-level ExactSubstr (Lee et al. §4.1): every duplicated
+    20-byte substring at ANY byte alignment cut from every document —
+    O(n) prefix rolling hashes over the Arrow values buffer, census
+    combiner + one bucket shuffle + broadcast mark-and-cut."""
+    import ray.data as rd
+
+    from logray.functions.spandedup import dedup_spans_bytes
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dedup_spans_bytes(ds, window=20).to_pandas()
+
+
 def _q_edit_distance_dups(sf_dir: str):
     """Pair-vectorized Levenshtein verification within (lang, source)
     candidate groups — 64-codepoint prefixes, DuckDB levenshtein-exact."""
@@ -2418,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "argmax_events": _q_argmax_events,
         "fill_forward_events": _q_fill_forward_events,
         "dedup_spans_docs": _q_dedup_spans_docs,
+        "dedup_spans_bytes": _q_dedup_spans_bytes,
         "edit_distance_dups": _q_edit_distance_dups,
         "transition_matrix": _q_transition_matrix,
         "trigram_matrix": _q_trigram_matrix,
@@ -2499,7 +2514,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.heavyhitters import heavy_hitters_sql
     from logray.stages.stats import standardize_sql, stats_agg_sql, winsorize_sql
     from logray.functions.linededup import dedup_lines_sql
-    from logray.functions.spandedup import dedup_spans_sql
+    from logray.functions.spandedup import dedup_spans_bytes_sql, dedup_spans_sql
     from logray.functions.dedup import edit_distance_pairs_sql
     from logray.stages.sequence import (
         cohort_retention_sql,
@@ -2939,6 +2954,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
         """,
         "dedup_spans_docs": dedup_spans_sql("documents", window=5),
+        "dedup_spans_bytes": dedup_spans_bytes_sql("documents", window=20),
         "edit_distance_dups": edit_distance_pairs_sql(
             "documents", ["lang", "source"], max_dist=55
         ),

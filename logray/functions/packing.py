@@ -15,8 +15,9 @@ the one thing the Dataset API can't express, so it drops to raw Ray tasks
 over the sorted Dataset's own block refs.
 
 Reference parity: generalizes the reference's LineBlock paging
-(``src/file_parsing/file_reader.cpp`` fixed-size page construction over a
-sequential byte tape) from bytes-in-one-file to units-across-a-corpus.
+(``src/file_parsing/log_parser_interface.hpp:17-33`` fixed-size LineBlock
+construction over a sequential line tape) from lines-in-one-file to
+units-across-a-corpus.
 """
 
 from __future__ import annotations

@@ -46,7 +46,8 @@ import pyarrow.compute as pc
 from logray.functions.fingerprint import content_hash
 from logray.stages.bucketing import bucket_tagger
 
-__all__ = ["dedup_spans", "dedup_spans_sql"]
+__all__ = ["dedup_spans", "dedup_spans_sql",
+           "dedup_spans_bytes", "dedup_spans_bytes_sql"]
 
 _A1 = np.uint64(0x9E3779B97F4A7C15)  # odd multipliers for the two
 _A2 = np.uint64(0xBF58476D1CE4E5B9)  # independent polynomial combines
@@ -101,22 +102,28 @@ def _gram_hashes(flat, lengths: np.ndarray, window: int):
     return _splitmix(acc1[starts]), acc2[starts], starts
 
 
+def _census_partial(h1: np.ndarray, h2: np.ndarray) -> pa.Table:
+    """Per-batch census combiner: one (h1, count, h2min, h2max) row per
+    DISTINCT gram hash — the only thing that crosses the bucket shuffle."""
+    order = np.argsort(h1, kind="mergesort")
+    h1s, h2s = h1[order], h2[order]
+    uniq, first = np.unique(h1s, return_index=True)
+    cnt = np.diff(np.append(first, len(h1s)))
+    h2min = np.minimum.reduceat(h2s, first) if len(h1s) else h2s
+    h2max = np.maximum.reduceat(h2s, first) if len(h1s) else h2s
+    return pa.table({
+        "h1": pa.array(uniq.view(np.int64)),
+        "cnt": pa.array(cnt.astype(np.int64)),
+        "h2min": pa.array(h2min.view(np.int64)),
+        "h2max": pa.array(h2max.view(np.int64)),
+    })
+
+
 def _census_fn(id_col: str, text_col: str, window: int):
     def part(t: pa.Table) -> pa.Table:
         _t, flat, _parent, lengths = _doc_tokens(t, id_col, text_col)
         h1, h2, _ = _gram_hashes(flat, lengths, window)
-        order = np.argsort(h1, kind="mergesort")
-        h1s, h2s = h1[order], h2[order]
-        uniq, first = np.unique(h1s, return_index=True)
-        cnt = np.diff(np.append(first, len(h1s)))
-        h2min = np.minimum.reduceat(h2s, first) if len(h1s) else h2s
-        h2max = np.maximum.reduceat(h2s, first) if len(h1s) else h2s
-        return pa.table({
-            "h1": pa.array(uniq.view(np.int64)),
-            "cnt": pa.array(cnt.astype(np.int64)),
-            "h2min": pa.array(h2min.view(np.int64)),
-            "h2max": pa.array(h2max.view(np.int64)),
-        })
+        return _census_partial(h1, h2)
 
     return part
 
@@ -198,6 +205,193 @@ def dedup_spans(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=None)
+
+
+_AINV1 = np.uint64(pow(int(_A1), -1, 1 << 64))  # modular inverses for the
+_AINV2 = np.uint64(pow(int(_A2), -1, 1 << 64))  # prefix-hash difference trick
+
+
+def _doc_bytes(t: pa.Table, id_col: str, text_col: str):
+    """Byte tape of one batch: (filtered table, flat uint8 byte array —
+    the Arrow string values buffer, zero-copy — and per-doc byte
+    lengths).  The values buffer of a StringArray IS the concatenation
+    of its elements, so no per-row Python materialization happens."""
+    t = t.filter(pc.is_valid(t[text_col]))
+    txt = t[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    odt = np.int64 if pa.types.is_large_string(txt.type) \
+        or pa.types.is_large_binary(txt.type) else np.int32
+    off = np.frombuffer(txt.buffers()[1], odt)[
+        txt.offset: txt.offset + len(txt) + 1].astype(np.int64)
+    buf = txt.buffers()[2]
+    data = np.frombuffer(buf, np.uint8) if buf is not None \
+        else np.zeros(0, np.uint8)
+    flat = data[off[0]:off[-1]] if len(off) else np.zeros(0, np.uint8)
+    lengths = np.diff(off) if len(off) else np.zeros(0, np.int64)
+    return t, flat, lengths
+
+
+def _byte_gram_hashes(flat: np.ndarray, lengths: np.ndarray, window: int):
+    """(h1, h2, valid starts) for the byte ``window``-gram at EVERY byte
+    offset that lies entirely inside one document.  O(n) via prefix
+    polynomial hashes with modular-inverse powers (all arithmetic wraps
+    mod 2^64 in uint64): G[i] = A^(i+W-1) * (Q[i+W] - Q[i]) where
+    Q[k] = sum_{j<k} b[j]*Ainv^j, so G[i] = sum b[i..i+W-1]*A^(W-1-j)."""
+    n = len(flat)
+    m = n - window + 1
+    if m <= 0:
+        z = np.zeros(0, np.uint64)
+        return z, z, np.zeros(0, np.int64)
+    b = flat.astype(np.uint64)
+
+    def grams(a: np.uint64, ainv: np.uint64) -> np.ndarray:
+        pw = np.full(n, a, np.uint64)
+        pw[0] = np.uint64(1)
+        np.multiply.accumulate(pw, out=pw)          # pw[i] = A^i
+        pwi = np.full(n, ainv, np.uint64)
+        pwi[0] = np.uint64(1)
+        np.multiply.accumulate(pwi, out=pwi)        # pwi[i] = Ainv^i
+        q = np.zeros(n + 1, np.uint64)
+        np.add.accumulate(b * pwi, out=q[1:])       # q[k] = sum b[j<k]*Ainv^j
+        return pw[window - 1:] * (q[window:] - q[:m])
+
+    g1 = grams(_A1, _AINV1)
+    g2 = grams(_A2, _AINV2)
+    # valid starts: per doc the range [doc_start, doc_start + len - W]
+    cnt = np.maximum(lengths - window + 1, 0)
+    tot = int(cnt.sum())
+    doc_start = np.cumsum(lengths) - lengths
+    base = np.repeat(doc_start, cnt)
+    grp = np.repeat(np.cumsum(cnt) - cnt, cnt)
+    starts = base + (np.arange(tot, dtype=np.int64) - grp)
+    return _splitmix(g1[starts]), g2[starts], starts
+
+
+def dedup_spans_bytes(ds, id_col: str = "doc_id", text_col: str = "text",
+                      window: int = 25, num_buckets: int = 32,
+                      max_broadcast: int = 50_000_000):
+    """TRUE byte-level ExactSubstr (Lee et al., arXiv:2107.06499 §4.1):
+    every byte substring of length ``window`` that occurs MORE THAN ONCE
+    across the corpus — at ANY byte alignment, including inside words —
+    marks its bytes as duplicated; covered bytes are removed and each
+    document reassembled from its surviving bytes.  Catches sub-word
+    templates and whitespace-variant boilerplate that the word-window
+    variant (:func:`dedup_spans`) misses.
+
+    Same two-streaming-pass / one-small-shuffle shape as
+    :func:`dedup_spans`: byte-gram census combiner (h1 with an
+    independent h2 collision guard) -> bucketed fold -> broadcast
+    duplicated set -> vectorized mark (+1/-1 diff + cumsum over the byte
+    tape) & cut.  The output text is rebuilt straight from the kept
+    bytes of the Arrow values buffer and validated as UTF-8 by the final
+    binary->string cast — a cut that splits a multi-byte code point
+    raises rather than silently corrupting (ASCII corpora are always
+    safe).  Returns ``(id_col, text_col, n_removed)`` with ``n_removed``
+    counted in BYTES."""
+    import ray
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+
+    def census_part(t: pa.Table) -> pa.Table:
+        _t, flat, lengths = _doc_bytes(t, id_col, text_col)
+        h1, h2, _ = _byte_gram_hashes(flat, lengths, window)
+        return _census_partial(h1, h2)
+
+    census = (
+        ds.map_batches(census_part, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .map_batches(bucket_tagger("h1", num_buckets), batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("__b")
+        .map_groups(_dup_bucket, batch_format="pandas")
+    )
+    cdf = census.to_pandas()
+    dup = cdf["h1"].to_numpy() if "h1" in cdf.columns \
+        else np.zeros(0, np.int64)
+    if len(dup) > max_broadcast:
+        raise RuntimeError(
+            f"dedup_spans_bytes: {len(dup)} duplicated grams exceeds "
+            f"max_broadcast={max_broadcast}; run the mark phase as a "
+            f"bucketed join on h1 instead of a broadcast")
+    dup_ref = ray.put(np.sort(dup.view(np.uint64)))
+
+    def cut(t: pa.Table) -> pa.Table:
+        dup_sorted = ray.get(dup_ref)
+        t, flat, lengths = _doc_bytes(t, id_col, text_col)
+        h1, _h2, starts = _byte_gram_hashes(flat, lengths, window)
+        pos = np.searchsorted(dup_sorted, h1)
+        is_dup = (pos < len(dup_sorted)) & (dup_sorted[np.minimum(
+            pos, max(len(dup_sorted) - 1, 0))] == h1) if len(dup_sorted) \
+            else np.zeros(len(h1), np.bool_)
+        s = starts[is_dup]
+        n_flat = len(flat)
+        diff = np.zeros(n_flat + 1, np.int64)
+        np.add.at(diff, s, 1)
+        np.add.at(diff, s + window, -1)
+        covered = np.cumsum(diff[:n_flat]) > 0
+        keep = ~covered
+        # per-doc removed-byte counts WITHOUT an O(bytes) parent array:
+        # prefix-sum of covered probed at doc boundaries (reduceat is
+        # wrong for zero-length docs)
+        csum = np.zeros(n_flat + 1, np.int64)
+        np.cumsum(covered, out=csum[1:])
+        doc_start = np.cumsum(lengths) - lengths
+        removed = csum[doc_start + lengths] - csum[doc_start]
+        kept = np.ascontiguousarray(flat[keep])
+        new_off = np.zeros(len(lengths) + 1, np.int64)
+        np.cumsum(lengths - removed, out=new_off[1:])
+        arr = pa.Array.from_buffers(
+            pa.binary(), len(lengths),
+            [None, pa.py_buffer(new_off.astype(np.int32)),
+             pa.py_buffer(kept)], null_count=0)
+        return pa.table({
+            id_col: t[id_col],
+            text_col: arr.cast(pa.string()),  # validates UTF-8
+            "n_removed": pa.array(removed.astype(np.int64)),
+        })
+
+    return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def dedup_spans_bytes_sql(table: str, id_col: str = "doc_id",
+                          text_col: str = "text", window: int = 25) -> str:
+    """DuckDB twin of :func:`dedup_spans_bytes` via CHARACTER position
+    algebra — exact whenever the corpus is ASCII (chars == bytes; the
+    gate corpora are).  Duplicated W-char substrings at every position ->
+    covered char positions -> anti-joined reassembly."""
+    w1 = window - 1
+    return f"""
+    WITH docs AS (
+      SELECT {id_col} AS doc_id, {text_col} AS text FROM {table}
+      WHERE {text_col} IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id, i, substring(text, i, {window}) AS g
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - {w1}, 0))) AS i
+            FROM docs)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+    cover AS (
+      SELECT DISTINCT gr.doc_id, gr.i + o.o AS p
+      FROM grams gr JOIN dupg USING (g)
+      CROSS JOIN (SELECT unnest(generate_series(0, {w1})) AS o) o
+    ),
+    chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch,
+             unnest(generate_series(1, length(text))) AS p
+      FROM docs
+    )
+    SELECT c.doc_id AS {id_col},
+           COALESCE(string_agg(CASE WHEN v.p IS NULL THEN c.ch END,
+                               '' ORDER BY c.p), '') AS {text_col},
+           CAST(count(v.p) AS BIGINT) AS n_removed
+    FROM chars c LEFT JOIN cover v ON c.doc_id = v.doc_id AND c.p = v.p
+    GROUP BY c.doc_id
+    """
 
 
 def dedup_spans_sql(table: str, id_col: str = "doc_id",

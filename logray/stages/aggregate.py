@@ -246,13 +246,15 @@ def min_max(ds, col: str):
 
 
 def kth_smallest(ds, col: str, k: int):
-    """Exact k-th smallest value (0-based) of a column — distributed
-    selection via sort + limit (the sort is the only shuffle; the limit
-    keeps materialization at k+1 rows)."""
-    rows = ds.sort(col).limit(k + 1).take_all()
-    if len(rows) <= k:
-        return None
-    return rows[k][col]
+    """Exact k-th smallest value (0-based) of a column — one order
+    statistic via the :func:`exact_quantiles` sample-guided bisection
+    selector (``rank_of`` pins the rank to ``k``): NO sort, NO shuffle,
+    only streaming counting passes.  The previous implementation pushed
+    the whole corpus through a sort's all-to-all exchange to read back
+    k+1 rows.  Nulls are ignored (SQL ``ORDER BY col LIMIT 1 OFFSET k``
+    under NULLS LAST, k inside the non-null range); returns None when
+    k is out of range."""
+    return exact_quantiles(ds, col, ["k"], rank_of=lambda _q, _n: k)["k"]
 
 
 def exact_quantiles(ds, col: str, qs, sample_per_batch: int = 64,
@@ -364,17 +366,23 @@ def exact_quantiles(ds, col: str, qs, sample_per_batch: int = 64,
     out: dict = {}
     # per-q bracket state: (lo, c_lo, hi, c_hi); None lo/hi = +-inf
     state: dict = {}
+    pending = set()
     for q in qs:
         # default: quantile_disc rank; rank_of(label, n) generalizes to
-        # arbitrary order statistics (see quantile_cont)
+        # arbitrary order statistics (see quantile_cont, kth_smallest)
         if rank_of is not None:
-            rank = min(max(int(rank_of(q, n)), 0), n - 1)
+            rank = int(rank_of(q, n))
+            if rank < 0 or rank >= n:
+                # explicit order statistic outside the data: no value
+                # (kth_smallest past the end), not a clamp to the extreme
+                out[q] = None
+                continue
         else:
             rank = min(max(math.ceil(q * n) - 1, 0), n - 1)
         state[q] = [None, 0, None, n, rank]
-    pending = set(qs)
+        pending.add(q)
     # sample for pivot placement, refreshed per-bracket when blind
-    samples = {q: (sv, sw, 0) for q in qs}  # (values, weights, base_rank)
+    samples = {q: (sv, sw, 0) for q in pending}  # (values, weights, base_rank)
 
     for _pass in range(max_passes):
         # resolve any bracket already under budget by direct collection

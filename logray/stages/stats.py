@@ -26,8 +26,8 @@ EXPLICIT two-limb expression ``float(|v| >> 62) * 2^62 + float(|v| & mask)``
 plus one for the sum, identical under IEEE-754 in both engines).
 
 Reference parity: generalizes the reference's exact aggregate surface
-(``src/analysis/analysis.cpp`` min/max/histogram folds) to second-moment
-statistics.
+(``src/file_parsing/log_parser_interface.cpp:37-44`` known-first/last
+min/max bookkeeping) to second-moment statistics.
 """
 
 from __future__ import annotations

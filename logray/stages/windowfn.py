@@ -341,26 +341,71 @@ def rank_window(ds, key_col: str, order_col: str,
     )
 
 
-def global_rank(ds, col: str, id_col: str, pct: bool = True):
+def global_rank(ds, col: str, id_col: str, pct: bool = True,
+                num_partitions: int = 32):
     """UNPARTITIONED ranking window: per row ``row_num`` (ROW_NUMBER over
     ORDER BY (col, id)), ``rnk`` (RANK over col alone, ties share) and
     ``pct_rank`` (= (rnk-1)/(N-1), 0.0 when N==1) over the WHOLE dataset —
     the global percentile-normalization pass (e.g. quality-score ranks
     before a top-p% cut).
 
-    Scale shape: the zipWithIndex pattern — ONE global sort by (col, id),
-    then per-block vectorized ranking fixed up with tiny per-block
-    (first, last, nrows, tail_run) summaries scanned once on the driver: a
-    block's head rows may continue the previous block's tie run, so their
-    shared rank starts ``head_offset`` rows back.  The sorted dataset IS
-    materialized — unlike a quantile probe this op re-reads every block
-    to emit a per-row output, so the pin is the working set, not waste
-    (same contract as packing/turn-idx assignment).  Requires a non-null
-    ``col`` (SQL null-ordering is not replicated)."""
+    Scale shape: the NARROW zipWithIndex pattern (same as
+    ``pack_documents``, packing.py) — only the two-column
+    ``(col, id_col)`` projection goes through the global sort and is
+    pinned; ranks are computed per sorted block (vectorized, fixed up
+    with tiny per-block (first, last, nrows, tail_run) summaries scanned
+    once on the driver: a block's head rows may continue the previous
+    block's tie run, so their shared rank starts ``head_offset`` rows
+    back) into a narrow ``(id, row_num, rnk[, pct_rank])`` table, which
+    is hash-joined back onto the full-width input.  The full-width
+    corpus therefore streams through one partitioned join instead of
+    being sort-materialized in the object store (the round-3 design
+    pinned every column of the corpus — the 100-TB killer).  Requires a
+    non-null ``col`` (SQL null-ordering is not replicated) and unique
+    ``id_col``."""
+    # the task-based bucketed join, NOT Ray's builtin JoinOperator: the
+    # builtin's aggregator-actor pool requires num_partitions/8 CPUs up
+    # front and deadlocks under small budgets (join.py:hash_join notes)
+    from logray.stages.join import _bucketed_join
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    types["row_num"] = pa.int64()
+    types["rnk"] = pa.int64()
+    if pct:
+        types["pct_rank"] = pa.float64()
+    narrow = ds.select_columns([col, id_col])
+    rank_ds = _rank_table(narrow, col, id_col, pct)
+    joined = _bucketed_join(ds, rank_ds, (id_col,), (id_col,), "inner",
+                            num_partitions)
+
+    def restore_types(t: pa.Table) -> pa.Table:
+        # the bucketed join's two-sided union pads each side's missing
+        # columns with nulls, so pandas coerces int64 -> float64; the
+        # values are exact, so the safe cast back is lossless (and
+        # raises loudly if it ever were not)
+        return pa.table({c: t[c].cast(types[c]) if c in types else t[c]
+                         for c in t.column_names})
+
+    return joined.map_batches(restore_types, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+
+def _rank_table(narrow, col: str, id_col: str, pct: bool = True):
+    """Sort the two-column ``(col, id_col)`` projection and emit the
+    narrow ``(id_col, row_num, rnk[, pct_rank])`` rank table.  Refuses a
+    wider input — the materialized sort output is exactly the working
+    set this op is allowed to pin."""
     import ray
     import ray.data as rd
 
     from logray.functions.packing import _to_table
+
+    names = narrow.schema().names
+    if set(names) != {col, id_col}:
+        raise ValueError(
+            f"_rank_table input must be exactly the ({col}, {id_col}) "
+            f"projection, got columns {names}")
 
     def summary(t):
         t = _to_table(t)
@@ -385,7 +430,7 @@ def global_rank(ds, col: str, id_col: str, pct: bool = True):
         # began head_off rows before this block
         if n:
             rnk = np.where(first_peer == 0, row_off - head_off + 1, rnk)
-        out = {c: t[c] for c in t.column_names}
+        out = {id_col: t[id_col]}
         out["row_num"] = pa.array(row_off + idx + 1)
         out["rnk"] = pa.array(rnk.astype(np.int64))
         if pct:
@@ -394,7 +439,7 @@ def global_rank(ds, col: str, id_col: str, pct: bool = True):
                 else np.zeros(n, np.float64))
         return pa.table(out)
 
-    sorted_ds = ds.sort([col, id_col]).materialize()
+    sorted_ds = narrow.sort([col, id_col]).materialize()
     blocks = [blk for bundle in sorted_ds.iter_internal_ref_bundles()
               for blk in bundle.blocks]
     refs = [r for r, _m in blocks]

@@ -1976,6 +1976,114 @@ def test_dedup_spans_within_doc_repeat_and_window_guard(ray_session):
         dedup_spans(rd.from_pandas(df), window=1)
 
 
+def _brute_spans_bytes(texts, window):
+    """Reference byte-level ExactSubstr: every duplicated W-byte substring
+    (any alignment, corpus-wide multiset) covers its bytes; cut."""
+    from collections import Counter
+
+    cnt = Counter()
+    for t in texts:
+        b = t.encode()
+        for i in range(len(b) - window + 1):
+            cnt[b[i:i + window]] += 1
+    out = []
+    for t in texts:
+        b = t.encode()
+        cov = [False] * len(b)
+        for i in range(len(b) - window + 1):
+            if cnt[b[i:i + window]] > 1:
+                for j in range(i, i + window):
+                    cov[j] = True
+        kept = bytes(x for x, c in zip(b, cov) if not c)
+        out.append((kept.decode(), sum(cov)))
+    return out
+
+
+def test_dedup_spans_bytes_fuzz_vs_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.spandedup import dedup_spans_bytes
+
+    for seed, window in [(0, 4), (1, 7), (2, 12)]:
+        rng = np.random.default_rng(seed)
+        alpha = "abcd "  # tiny alphabet => plenty of organic repeats
+        texts = ["".join(alpha[j] for j in rng.integers(0, len(alpha),
+                                                        rng.integers(0, 60)))
+                 for _ in range(80)]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = (
+            dedup_spans_bytes(rd.from_pandas(df).repartition(5),
+                              window=window, num_buckets=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = _brute_spans_bytes(texts, window)
+        assert list(got["text"]) == [w[0] for w in want], (seed, window)
+        assert list(got["n_removed"]) == [w[1] for w in want], (seed, window)
+
+
+def test_dedup_spans_bytes_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.functions.spandedup import (dedup_spans_bytes,
+                                            dedup_spans_bytes_sql)
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(120):
+        words = [vocab[j] for j in rng.integers(0, 50, rng.integers(4, 25))]
+        if i % 5 == 0:
+            words.insert(int(rng.integers(0, len(words))),
+                         "SESSION-TEMPLATE-HEADER-v2.1")
+        docs.append({"doc_id": i, "text": " ".join(words)})
+    docs.append({"doc_id": 900, "text": None})
+    docs.append({"doc_id": 901, "text": ""})
+    docs.append({"doc_id": 902, "text": "short"})
+    df = pd.DataFrame(docs)
+    got = (
+        dedup_spans_bytes(rd.from_pandas(df).repartition(7),
+                          window=16, num_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(dedup_spans_bytes_sql("documents", window=16)
+                   + " ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert 900 not in set(got["doc_id"])
+    assert got.loc[got.doc_id == 901, "text"].item() == ""
+    assert got.loc[got.doc_id == 902, "text"].item() == "short"
+    assert (got["n_removed"] > 0).any()
+
+
+def test_dedup_spans_bytes_catches_subword_boilerplate(ray_session):
+    """The injected template rides INSIDE single unique tokens (no space
+    alignment): word-window dedup is blind to it, byte mode cuts it."""
+    import ray.data as rd
+
+    from logray.functions.spandedup import dedup_spans, dedup_spans_bytes
+
+    boiler = "XQZBOILERPLATEBANNERXQZ"
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [f"unique1 prefixA{boiler}suffixA tail1 one two three four",
+                 f"unique2 prefixB{boiler}suffixB tail2 five six seven eight"],
+    })
+    word = dedup_spans(rd.from_pandas(df), window=3, num_buckets=4) \
+        .to_pandas().sort_values("doc_id")
+    byte = dedup_spans_bytes(rd.from_pandas(df), window=len(boiler),
+                             num_buckets=4) \
+        .to_pandas().sort_values("doc_id")
+    assert all(boiler in t for t in word["text"])       # word mode misses
+    assert not any(boiler in t for t in byte["text"])   # byte mode cuts
+    assert (byte["n_removed"] >= len(boiler)).all()
+    with __import__("pytest").raises(ValueError):
+        dedup_spans_bytes(rd.from_pandas(df), window=1)
+
+
 def test_edit_distance_pairs_matches_duckdb(ray_session):
     import duckdb
     import numpy as np

@@ -204,6 +204,28 @@ def test_kth_smallest(ray_session):
     assert kth_smallest(ds, "v", 99) is None
 
 
+def test_kth_smallest_never_sorts(ray_session, monkeypatch):
+    """kth_smallest is a bisection selection — a full sort of the corpus
+    for one order statistic is the scale anti-pattern it replaced."""
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.aggregate import kth_smallest
+
+    def boom(self, *a, **k):
+        raise AssertionError("kth_smallest must not sort the dataset")
+
+    monkeypatch.setattr(rd.Dataset, "sort", boom)
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 500, 4000)  # heavy duplication
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    srt = np.sort(vals)
+    for k in [0, 1, 1999, 3998, 3999]:
+        assert kth_smallest(ds.repartition(6), "v", k) == srt[k]
+    assert kth_smallest(ds, "v", 4000) is None
+    assert kth_smallest(ds, "v", -1) is None
+
+
 def test_top_k_groups(ray_session):
     import ray.data as rd
 
@@ -736,6 +758,55 @@ def test_global_rank_single_row_and_all_ties(ray_session):
     assert got["rnk"].tolist() == [1] * 6
     assert got["row_num"].tolist() == [1, 2, 3, 4, 5, 6]
     assert (got["pct_rank"] == 0.0).all()
+
+
+def test_global_rank_sorts_only_the_narrow_projection(ray_session,
+                                                      monkeypatch):
+    """The sort-materialized working set is the two-column (col, id)
+    projection, never the full-width corpus (the 100-TB object-store
+    pin the round-3 design had); extra columns come back via the
+    join-back and survive byte-identically."""
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.windowfn import _rank_table, global_rank
+
+    # Ray's groupby(__bucket).map_groups inside the join-back issues its
+    # own internal sort (the streaming bucket exchange) — the scale claim
+    # is about the VALUE sort that gets .materialize()d, so the spy
+    # records only sorts keyed on the rank columns
+    sorted_widths = []
+    orig = rd.Dataset.sort
+
+    def spy(self, key=None, *a, **k):
+        if key == ["v", "id"]:
+            sorted_widths.append(len(self.schema().names))
+        return orig(self, key, *a, **k)
+
+    monkeypatch.setattr(rd.Dataset, "sort", spy)
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype=np.int64),
+        "v": rng.integers(0, 9, 300),
+        "payload": [f"wide-column-{i}" for i in range(300)],
+    })
+    got = (
+        global_rank(rd.from_pandas(df).repartition(5), "v", "id")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert sorted_widths == [2]  # ONE sort, two columns through it
+    order = np.lexsort((df["id"], df["v"]))
+    rn = np.empty(300, np.int64)
+    rn[order] = np.arange(1, 301)
+    assert (got["row_num"].to_numpy() == rn).all()
+    assert (got["rnk"].to_numpy()
+            == df["v"].rank(method="min").astype(np.int64).to_numpy()).all()
+    assert got["payload"].tolist() == df["payload"].tolist()
+    # the rank table itself is narrow and refuses a wide input
+    rt = _rank_table(rd.from_pandas(df[["v", "id"]]), "v", "id")
+    assert set(rt.schema().names) == {"id", "row_num", "rnk", "pct_rank"}
+    with pytest.raises(ValueError):
+        _rank_table(rd.from_pandas(df), "v", "id")
 
 
 def test_fill_forward_matches_duckdb(ray_session):
