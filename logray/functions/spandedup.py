@@ -171,6 +171,15 @@ def dedup_spans(ds, id_col: str = "doc_id", text_col: str = "text",
             f"max_broadcast={max_broadcast}; run the mark phase as a "
             f"bucketed join on h1 instead of a broadcast")
     dup_ref = ray.put(np.sort(dup.view(np.uint64)))
+    cut = _cut_words_fn(id_col, text_col, window, dup_ref)
+    return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def _cut_words_fn(id_col: str, text_col: str, window: int, dup_ref):
+    """Mark-and-cut map for the word-level pass; ``dup_ref`` is the
+    ``ray.put`` handle of the SORTED duplicated-h1 uint64 array."""
+    import ray
 
     def cut(t: pa.Table) -> pa.Table:
         dup_sorted = ray.get(dup_ref)
@@ -203,8 +212,7 @@ def dedup_spans(ds, id_col: str = "doc_id", text_col: str = "text",
             "n_removed": pa.array(removed.astype(np.int64)),
         })
 
-    return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True,
-                          batch_size=None)
+    return cut
 
 
 _AINV1 = np.uint64(pow(int(_A1), -1, 1 << 64))  # modular inverses for the
@@ -268,6 +276,15 @@ def _byte_gram_hashes(flat: np.ndarray, lengths: np.ndarray, window: int):
     return _splitmix(g1[starts]), g2[starts], starts
 
 
+def _census_bytes_fn(id_col: str, text_col: str, window: int):
+    def part(t: pa.Table) -> pa.Table:
+        _t, flat, lengths = _doc_bytes(t, id_col, text_col)
+        h1, h2, _ = _byte_gram_hashes(flat, lengths, window)
+        return _census_partial(h1, h2)
+
+    return part
+
+
 def dedup_spans_bytes(ds, id_col: str = "doc_id", text_col: str = "text",
                       window: int = 25, num_buckets: int = 32,
                       max_broadcast: int = 50_000_000):
@@ -294,11 +311,7 @@ def dedup_spans_bytes(ds, id_col: str = "doc_id", text_col: str = "text",
     if window < 2:
         raise ValueError("window must be >= 2")
 
-    def census_part(t: pa.Table) -> pa.Table:
-        _t, flat, lengths = _doc_bytes(t, id_col, text_col)
-        h1, h2, _ = _byte_gram_hashes(flat, lengths, window)
-        return _census_partial(h1, h2)
-
+    census_part = _census_bytes_fn(id_col, text_col, window)
     census = (
         ds.map_batches(census_part, batch_format="pyarrow",
                        zero_copy_batch=True, batch_size=None)
@@ -316,6 +329,15 @@ def dedup_spans_bytes(ds, id_col: str = "doc_id", text_col: str = "text",
             f"max_broadcast={max_broadcast}; run the mark phase as a "
             f"bucketed join on h1 instead of a broadcast")
     dup_ref = ray.put(np.sort(dup.view(np.uint64)))
+    cut = _cut_bytes_fn(id_col, text_col, window, dup_ref)
+    return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def _cut_bytes_fn(id_col: str, text_col: str, window: int, dup_ref):
+    """Mark-and-cut map for the byte-level pass; ``dup_ref`` is the
+    ``ray.put`` handle of the SORTED duplicated-h1 uint64 array."""
+    import ray
 
     def cut(t: pa.Table) -> pa.Table:
         dup_sorted = ray.get(dup_ref)
@@ -352,8 +374,7 @@ def dedup_spans_bytes(ds, id_col: str = "doc_id", text_col: str = "text",
             "n_removed": pa.array(removed.astype(np.int64)),
         })
 
-    return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True,
-                          batch_size=None)
+    return cut
 
 
 def dedup_spans_bytes_sql(table: str, id_col: str = "doc_id",

@@ -668,6 +668,132 @@ def test_near_dedup_resumable_crash_and_resume(ray_session, tmp_path):
     assert metrics["dropped"] == 120 - len(want)
 
 
+def _span_line_corpus(tmp_path, name: str):
+    """3 parquet files with word/byte/line duplication within and across
+    files, plus null/empty/short edge docs."""
+    import pyarrow.parquet as pq
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    lines = ["cookie banner accept all", "copyright footer 2026 corp",
+             "unique line %d stays put"]
+    src = tmp_path / name
+    src.mkdir()
+    did = 0
+    rng = np.random.default_rng(11)
+    for f in range(3):
+        rows, ids = [], []
+        for i in range(40):
+            body = " ".join(f"w{v}" for v in rng.integers(0, 30, 12))
+            parts = [body]
+            if i % 3 == 0:
+                parts.append(boiler)
+            parts.append(lines[i % 3] % did if "%d" in lines[i % 3]
+                         else lines[i % 3])
+            rows.append("\n".join(parts))
+            ids.append(did)
+            did += 1
+        if f == 0:
+            rows[0], rows[1] = None, ""
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(rows, pa.string())}),
+            str(src / f"docs-{f}.parquet"))
+    return src
+
+
+@pytest.mark.parametrize("level,window", [("word", 4), ("byte", 18)])
+def test_dedup_spans_resumable_crash_and_resume(ray_session, tmp_path,
+                                                level, window):
+    """Span dedup survives a crash in EVERY phase (census, dups, cut):
+    finished partitions are skipped on restart and the final output is
+    exactly equal to the single-shot operator."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from logray.functions.spandedup import dedup_spans, dedup_spans_bytes
+    from logray.functions.spandedup_resumable import dedup_spans_resumable
+    from logray.state.manifest import RunManifest
+
+    src = _span_line_corpus(tmp_path, "docs")
+    out = tmp_path / "spans_out"
+    calls = []
+    armed = {"census": True, "dups": True, "cut": True}
+
+    def fault(phase, pid):
+        calls.append((phase, pid))
+        if armed.get(phase):
+            armed[phase] = False
+            raise RuntimeError(f"injected {phase} crash")
+
+    kw = dict(window=window, level=level, num_buckets=8)
+    for _ in range(3):  # one crash per phase
+        with pytest.raises(RuntimeError, match="injected"):
+            dedup_spans_resumable(str(src), str(out), _fault=fault, **kw)
+    # census crashed on partition 1 -> nothing re-ran for partition 0
+    census_done = RunManifest(str(out / "census")).entries()
+    assert len(census_done) == 3
+    calls.clear()
+    metrics = dedup_spans_resumable(str(src), str(out), _fault=fault, **kw)
+    assert not [c for c in calls if c[0] == "census"]  # all skipped
+
+    files = sorted(_glob.glob(str(out / "cut" / "parts" / "*" / "*.parquet")))
+    got = rd.read_parquet(files).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    single = dedup_spans if level == "word" else dedup_spans_bytes
+    want = single(rd.read_parquet(str(src)), window=window, num_buckets=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert metrics["rows"] == len(want)
+    assert metrics["dup_grams"] > 0
+
+
+def test_dedup_lines_resumable_crash_and_resume(ray_session, tmp_path):
+    """Line dedup survives a crash in every phase; the shuffle-free
+    rebuild's output is exactly equal to single-shot dedup_lines."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from logray.functions.linededup import dedup_lines
+    from logray.functions.linededup_resumable import dedup_lines_resumable
+    from logray.state.manifest import RunManifest
+
+    src = _span_line_corpus(tmp_path, "docs_lines")
+    out = tmp_path / "lines_out"
+    calls = []
+    armed = {"cand": True, "losers": True, "rebuild": True}
+
+    def fault(phase, pid):
+        calls.append((phase, pid))
+        if armed.get(phase):
+            armed[phase] = False
+            raise RuntimeError(f"injected {phase} crash")
+
+    kw = dict(min_len=5, num_buckets=8)
+    for _ in range(3):
+        with pytest.raises(RuntimeError, match="injected"):
+            dedup_lines_resumable(str(src), str(out), _fault=fault, **kw)
+    assert len(RunManifest(str(out / "cand")).entries()) == 3
+    calls.clear()
+    metrics = dedup_lines_resumable(str(src), str(out), _fault=fault, **kw)
+    assert not [c for c in calls if c[0] in ("cand", "losers")]
+
+    files = sorted(_glob.glob(
+        str(out / "deduped" / "parts" / "*" / "*.parquet")))
+    got = rd.read_parquet(files).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = dedup_lines(rd.read_parquet(str(src)), min_len=5, num_buckets=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert metrics["rows"] == len(want)
+    # cross-file boilerplate really deduplicated: each repeated line
+    # survives in exactly one document
+    joined = "\n".join(got["text"])
+    assert joined.count("cookie banner accept all") == 1
+    assert joined.count("copyright footer 2026 corp") == 1
+
+
 def test_hashed_ngram_features_row_isolation():
     from logray.functions.modelscore import hashed_ngram_features
 
