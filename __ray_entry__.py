@@ -1718,6 +1718,22 @@ def _q_edit_distance_dups(sf_dir: str):
     return edit_distance_pairs(ds, ["lang", "source"], max_dist=55).to_pandas()
 
 
+def _q_transition_skew(sf_dir: str):
+    """Same first-order transition counts through the SKEW-SAFE plan
+    (range-sorted blocks + driver seam stitch — per-task memory is
+    block-bounded even under a single dominant key)."""
+    import ray.data as rd
+
+    from logray.stages.sequence import transition_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return transition_counts(ds, "user_id", "ts", "event_type",
+                             tiebreak_col="event_id", skew_safe=True)
+
+
 def _q_transition_matrix(sf_dir: str):
     """First-order Markov transition counts of the per-user event-type
     sequence (one bucket shuffle + segmented shift, tiny partial fold)."""
@@ -2435,6 +2451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_bytes": _q_dedup_spans_bytes,
         "edit_distance_dups": _q_edit_distance_dups,
         "transition_matrix": _q_transition_matrix,
+        "transition_skew": _q_transition_skew,
         "trigram_matrix": _q_trigram_matrix,
         "funnel_events": _q_funnel_events,
         "cohort_retention": _q_cohort_retention,
@@ -2959,6 +2976,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", ["lang", "source"], max_dist=55
         ),
         "transition_matrix": transition_counts_sql(
+            "events", "user_id", "ts", "event_type", tiebreak_col="event_id"
+        ),
+        "transition_skew": transition_counts_sql(
             "events", "user_id", "ts", "event_type", tiebreak_col="event_id"
         ),
         "trigram_matrix": transition_counts_sql(

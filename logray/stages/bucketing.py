@@ -77,6 +77,39 @@ def stream_fold(partials_ds, fold_fn, max_pending_rows: int = 4_000_000):
     return fold_fn(pending)
 
 
+def bucket_sizes(ds, key_col: str, num_buckets: int = 32) -> np.ndarray:
+    """Per-bucket row counts for the ``hash(key) % num_buckets``
+    assignment — the SKEW DIAGNOSTIC to run before a bucketed operator
+    on an unknown key distribution.  One cheap streaming pass (a
+    ``bincount`` partial per batch summed on the driver); the dataset
+    never shuffles.
+
+    Sizing rule for ``num_buckets``: a bucket is one pandas frame in one
+    task's heap, so pick B such that ``rows / B * row_width`` stays
+    under ~1 GiB — but note B only divides the WELL-DISTRIBUTED mass.
+    A single key hotter than that budget lands in one bucket REGARDLESS
+    of B (raising B past ~4x the worker count only adds scheduling
+    overhead).  If ``bucket_sizes`` shows one bucket holding more than
+    a few multiples of the mean, either pre-reduce per batch before the
+    shuffle (the combiner pattern — see funnel's stage-row prune) or
+    use an operator's sorted skew-safe plan
+    (``transition_counts(skew_safe=True)``), which bounds per-task
+    memory by BLOCK size, not key mass."""
+
+    def part(t: pa.Table) -> pa.Table:
+        b = bucket_of(t[key_col].to_numpy(zero_copy_only=False), num_buckets)
+        return pa.table({"c": pa.array(
+            np.bincount(b, minlength=num_buckets).astype(np.int64))})
+
+    tot = np.zeros(num_buckets, np.int64)
+    out = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    for chunk in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+        c = chunk["c"].to_numpy(zero_copy_only=False)
+        tot += c.reshape(-1, num_buckets).sum(axis=0)
+    return tot
+
+
 def grouped_apply(ds, key_cols, fn, num_buckets: int = 32,
                   batch_format: str = "pandas"):
     """PUBLIC extension point for custom per-key operators: co-locate

@@ -50,10 +50,37 @@ def _transition_cols(order: int) -> list[str]:
             if order > 1 else ["from_val"]) + ["to_val"]
 
 
+def _count_windows(keys: np.ndarray, vals: np.ndarray, order: int,
+                   names: list[str], end_lo: int, end_hi: int) -> pd.DataFrame:
+    """Count length-(order+1) windows over a KEY-SORTED row stream whose
+    END index lies in [end_lo, end_hi).  A window is valid when its two
+    end rows share a key (sortedness makes the middle rows equal too;
+    null keys pool like SQL GROUP BY) and no ``from`` position is null.
+    Returns the (names..., n) partial frame."""
+    e = np.arange(max(end_lo, order), min(end_hi, len(keys)), dtype=np.int64)
+    if not len(e):
+        return pd.DataFrame({**{c: [] for c in names}, "n": []})
+    na = pd.isna(keys)
+    same = (keys[e] == keys[e - order]) | (na[e] & na[e - order])
+    e = e[np.asarray(same, np.bool_)]
+    rows = {}
+    keep = np.ones(len(e), np.bool_)
+    for j, name in enumerate(names):
+        col = vals[e - (order - j)]
+        if name != "to_val":
+            keep &= ~pd.isna(col)
+        rows[name] = col
+    p = pd.DataFrame({k: c[keep] for k, c in rows.items()})
+    s = (p.groupby(names, sort=False, dropna=False)
+         .size().reset_index(name="n"))
+    s["n"] = s["n"].astype(np.int64)
+    return s
+
+
 def transition_counts(ds, key_col: str, order_col: str, val_col: str,
                       tiebreak_col: str | None = None,
                       num_buckets: int = 32, as_pandas: bool = True,
-                      order: int = 1):
+                      order: int = 1, skew_safe: bool = False):
     """Order-k Markov transition counts: how often each length-(k+1)
     value sequence occurs within a key's (order, tiebreak) stream,
     summed over all keys.  ``order=1`` (default) is the bigram histogram
@@ -61,11 +88,27 @@ def transition_counts(ds, key_col: str, order_col: str, val_col: str,
     ``(from_2, from_val, to_val, n)`` and so on — the n-gram language
     model of the event stream.  Windows never cross key boundaries, and
     rows whose window contains a null predecessor are dropped (SQL LAG
-    boundary and genuine null values alike)."""
+    boundary and genuine null values alike).
+
+    ``skew_safe=True`` switches the physical plan from the bucket
+    shuffle (one pandas frame per ``hash(key) % B`` bucket — a
+    pathologically hot key inflates its bucket unboundedly) to a
+    RANGE-SORTED block plan: Ray's sample-based sort splits even a
+    single dominant key across many bounded blocks; each block counts
+    its fully-interior windows, and the O(order) boundary rows of every
+    block are stitched on the driver (the carry never exceeds ``order``
+    rows), so per-task memory is block-bounded REGARDLESS of the key
+    distribution.  Only the narrow (key, order cols, val) projection
+    goes through the sort.  Identical output (pinned by the hot-key
+    test); default stays the bucket plan, which is cheaper when keys
+    are well distributed."""
     if order < 1:
         raise ValueError("order must be >= 1")
     order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     names = _transition_cols(order)
+    if skew_safe:
+        return _transition_counts_sorted(ds, key_col, order_cols, val_col,
+                                         names, order, as_pandas)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g, run_id, _first = _sorted_runs(g, key_col, order_cols)
@@ -95,6 +138,62 @@ def transition_counts(ds, key_col: str, order_col: str, val_col: str,
         .map_groups(per_bucket, batch_format="pandas")
     )
     folded = stream_fold(parts, _fold_sum(names))
+    if folded is None:
+        folded = pa.table({**{c: [] for c in names},
+                           "n": pa.array([], pa.int64())})
+    return folded.to_pandas() if as_pandas else folded
+
+
+def _transition_counts_sorted(ds, key_col: str, order_cols: list[str],
+                              val_col: str, names: list[str], order: int,
+                              as_pandas: bool):
+    """Skew-proof plan: global range sort of the narrow projection, one
+    counting task per sorted block (interior windows), driver stitch of
+    the O(order)-row block boundaries (seam windows)."""
+    import ray
+
+    from logray.functions.packing import _to_table
+
+    narrow = ds.select_columns([key_col] + order_cols + [val_col])
+    sorted_ds = narrow.sort([key_col] + order_cols).materialize()
+    blocks = [blk for bundle in sorted_ds.iter_internal_ref_bundles()
+              for blk in bundle.blocks]
+    refs = [r for r, _m in blocks]
+
+    def block_partial(blk):
+        t = _to_table(blk)
+        if t.num_rows == 0:  # empty blocks can come back schema-less
+            z = np.zeros(0, object)
+            return (pa.table({}), z, z, z, z)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[val_col].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        part = _count_windows(keys, vals, order, names, order, n)
+        k = min(order, n)
+        return (pa.Table.from_pandas(part, preserve_index=False),
+                keys[:k], vals[:k], keys[n - k:], vals[n - k:])
+
+    task = ray.remote(num_cpus=0.5)(block_partial)
+    results = ray.get([task.remote(r) for r in refs])
+
+    partials = [p for p, *_ in results if p.num_rows]
+    # driver stitch: the carry holds at most `order` rows, so seam
+    # windows (end in a block's head, start before the block) are
+    # counted over <= 2*order rows per block — O(order * num_blocks)
+    carry_k = np.zeros(0, object)
+    carry_v = np.zeros(0, object)
+    seams = []
+    for _p, hk, hv, tk, tv in results:
+        if len(hk):
+            ck = np.concatenate([carry_k, hk])
+            cv = np.concatenate([carry_v, hv])
+            seam = _count_windows(ck, cv, order, names,
+                                  len(carry_k), len(carry_k) + len(hk))
+            if len(seam):
+                seams.append(pa.Table.from_pandas(seam, preserve_index=False))
+        carry_k = np.concatenate([carry_k, tk])[-order:]
+        carry_v = np.concatenate([carry_v, tv])[-order:]
+    folded = _fold_sum(names)(partials + seams) if partials + seams else None
     if folded is None:
         folded = pa.table({**{c: [] for c in names},
                            "n": pa.array([], pa.int64())})
@@ -132,9 +231,32 @@ def funnel(ds, key_col: str, order_col: str, val_col: str,
 
     Per bucket the kernel is one segmented min per stage
     (``np.minimum.reduceat`` over masked order values), so cost is
-    O(len(stages) * rows), vectorized across all keys at once."""
+    O(len(stages) * rows), vectorized across all keys at once.
+
+    Skew guard: rows whose value is not a funnel stage CANNOT affect the
+    result, so each batch ships only its stage rows plus ONE null-valued
+    sentinel row per distinct non-stage key (keys with no stage events
+    must still emit ``stage_reached = 0``).  A hot key's bucket volume
+    is therefore bounded by its STAGE-event count + the batch count, not
+    its raw row count — and the common case (most events outside the
+    funnel) shuffles a fraction of the corpus."""
     if not stages:
         raise ValueError("stages must be non-empty")
+    stage_set = set(stages)
+
+    def prune(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, order_col, val_col]).to_pandas()
+        m = df[val_col].isin(stage_set).to_numpy()
+        keep = df[m]
+        rest = df[~m].drop_duplicates(key_col)
+        if len(rest):
+            # the sentinel keeps the ORDER column's own value (dtype
+            # stays intact); the null VALUE matches no stage, so the
+            # row only contributes the key's existence
+            rest = rest.copy()
+            rest[val_col] = None
+        out = pd.concat([keep, rest], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g, run_id, _first = _sorted_runs(g, key_col, [order_col])
@@ -174,8 +296,10 @@ def funnel(ds, key_col: str, order_col: str, val_col: str,
         return pd.DataFrame({key_col: keys, "stage_reached": reached})
 
     out = (
-        ds.map_batches(bucket_tagger(key_col, num_buckets),
-                       batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .map_batches(bucket_tagger(key_col, num_buckets),
+                     batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pandas")
     )

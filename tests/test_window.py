@@ -899,6 +899,111 @@ def test_transition_counts_matches_duckdb(ray_session):
     assert got["n"].sum() == len(df) - df["user_id"].nunique()
 
 
+def test_transition_counts_skew_safe_hot_key(ray_session):
+    """A pathologically hot key (half of all rows) breaks the one-
+    bucket-per-key memory model; the skew_safe sorted-block plan splits
+    it across bounded blocks and must produce IDENTICAL output (bucket
+    plan, sorted plan, DuckDB — all three equal)."""
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.bucketing import bucket_sizes
+    from logray.stages.sequence import transition_counts, transition_counts_sql
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    users = np.where(rng.random(n) < 0.5, 0,
+                     rng.integers(1, 400, n)).astype(np.int64)
+    df = pd.DataFrame({
+        "user_id": users,
+        "ts": np.arange(n, dtype=np.int64),  # unique -> deterministic ties
+        "event_type": np.array(list("abcd"))[rng.integers(0, 4, n)],
+    })
+    ds = rd.from_pandas(df).repartition(16)
+    # the diagnostic SHOWS the skew: one bucket holds >= the hot mass
+    sizes = bucket_sizes(ds, "user_id", num_buckets=8)
+    hot = int((users == 0).sum())
+    assert sizes.sum() == n and sizes.max() >= hot > n // 3
+
+    kw = dict(tiebreak_col=None, num_buckets=8)
+    for order in (1, 2):
+        got_b = (transition_counts(ds, "user_id", "ts", "event_type",
+                                   order=order, **kw)
+                 .sort_values(_tc_names(order)).reset_index(drop=True))
+        got_s = (transition_counts(ds, "user_id", "ts", "event_type",
+                                   order=order, skew_safe=True, **kw)
+                 .sort_values(_tc_names(order)).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got_s, got_b)
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql(
+            transition_counts_sql("t", "user_id", "ts", "event_type",
+                                  order=order)
+            + " ORDER BY " + ", ".join(_tc_names(order))).df()
+        pd.testing.assert_frame_equal(got_s, want)
+
+
+def _tc_names(order):
+    from logray.stages.sequence import _transition_cols
+
+    return _transition_cols(order)
+
+
+def test_transition_counts_skew_safe_tiny_blocks(ray_session):
+    """Blocks smaller than the window order force seam windows to span
+    MULTIPLE blocks — the driver carry must bridge them."""
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import transition_counts, transition_counts_sql
+
+    df = pd.DataFrame({
+        "k": [1] * 9 + [2] * 3,
+        "o": list(range(9)) + list(range(3)),
+        "v": list("abcabcabc") + list("xyz"),
+    })
+    got = (transition_counts(rd.from_pandas(df).repartition(12), "k", "o",
+                             "v", order=3, skew_safe=True, num_buckets=4)
+           .sort_values(_tc_names(3)).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(transition_counts_sql("t", "k", "o", "v", order=3)
+                   + " ORDER BY " + ", ".join(_tc_names(3))).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n"].sum() == 6  # 9-3 windows in k=1, none in k=2
+
+
+def test_funnel_hot_key_prune(ray_session):
+    """A hot key dominated by NON-stage events must not inflate its
+    bucket: the prune ships stage rows + one sentinel per key, and the
+    result still matches DuckDB (including all-non-stage keys -> 0)."""
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.sequence import funnel, funnel_sql
+
+    rng = np.random.default_rng(31)
+    rows = [(0, i, "noise") for i in range(5000)]  # hot key, no stages...
+    rows += [(0, 5001, "signup"), (0, 5002, "purchase")]  # ...then 2
+    for u in range(1, 60):
+        for j, ev in enumerate(rng.permutation(
+                ["signup", "view", "click", "noise", "purchase"])):
+            rows.append((u, j, ev))
+    rows.append((99, 0, "noise"))  # never enters the funnel
+    df = pd.DataFrame(rows, columns=["user_id", "o", "event_type"])
+    stages = ["signup", "click", "purchase"]
+    got = (funnel(rd.from_pandas(df).repartition(8), "user_id", "o",
+                  "event_type", stages, num_buckets=4)
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(funnel_sql("t", "user_id", "o", "event_type", stages)
+                   + " ORDER BY user_id").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert got.loc[got.user_id == 0, "stage_reached"].item() == 1
+    assert got.loc[got.user_id == 99, "stage_reached"].item() == 0
+
+
 def test_funnel_matches_duckdb_and_is_order_sensitive(ray_session):
     import duckdb
     import ray.data as rd
