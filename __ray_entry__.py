@@ -787,31 +787,46 @@ def _q_doc_histogram(sf_dir: str):
 
 
 def _q_multimodal(sf_dir: str):
-    """REAL multimodal decode, in-container: PNG payloads through the
-    pure-stdlib codec (functions/png.py), WAV payloads through stdlib
-    wave — actual pixels/samples, no fake path, no dependencies."""
+    """REAL multimodal decode for ALL THREE mimes, in-container: PNG
+    payloads through the pure-stdlib codec (functions/png.py), WAV
+    payloads through stdlib wave, animated-GIF video payloads through
+    the pure-stdlib LZW decoder (functions/gif.py) — actual
+    pixels/samples/frames, no fake path, no dependencies."""
     import ray.data as rd
 
     from logray.functions.multimodal import (
         DecodeImageBatch,
         ExtractAudioFeaturesBatch,
+        SampleFramesBatch,
         decode_stage,
         synth_media_table_real,
     )
+    from logray.functions.png import decode_png
 
     media = synth_media_table_real(n=64, seed=42)
     imgs = rd.from_arrow(media.filter(pc.equal(media["mime"], "image/png")))
     wavs = rd.from_arrow(media.filter(pc.equal(media["mime"], "audio/wav")))
+    vids = rd.from_arrow(media.filter(pc.equal(media["mime"], "image/gif")))
     img_out = decode_stage(imgs, DecodeImageBatch, concurrency=1,
                            fake=False).to_pandas()
     wav_out = decode_stage(wavs, ExtractAudioFeaturesBatch, concurrency=1,
                            fake=False).to_pandas()
+    vid_out = decode_stage(vids, SampleFramesBatch, concurrency=1,
+                           fake=False, n_frames=3).to_pandas()
     img_part = img_out[["media_id", "mime", "nbytes", "width", "height"]].copy()
     wav_part = wav_out[["media_id", "mime", "nbytes"]].copy()
     wav_part["width"] = wav_out["sample_rate"]
     wav_part["height"] = (wav_out["duration_s"] * 1000).astype("int64")
+    vid_part = vid_out[["media_id", "mime", "nbytes"]].copy()
+    # frame stats from the REAL decoded frames: sampled count + the
+    # first frame's pixel width (PNG round-trip through the codec)
+    vid_part["width"] = [
+        decode_png(frames[0]).shape[1] if len(frames) else 0
+        for frames in vid_out["frames"]
+    ]
+    vid_part["height"] = [len(f) for f in vid_out["frames"]]
     return (
-        pd.concat([img_part, wav_part], ignore_index=True)
+        pd.concat([img_part, wav_part, vid_part], ignore_index=True)
         .sort_values("media_id")
         .reset_index(drop=True)
     )

@@ -72,19 +72,38 @@ def synth_png_bytes(width: int = 48, height: int = 32, seed: int = 0) -> bytes:
     return encode_png(arr)
 
 
+def synth_gif_bytes(width: int = 40, height: int = 30, n_frames: int = 5,
+                    seed: int = 0) -> bytes:
+    """A real, decodable animated GIF payload (stdlib codec) — used by
+    tests and as a sample input for the real video path."""
+    from logray.functions.gif import encode_gif
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (height, width), dtype=np.uint8)
+    frames = [np.roll(base, 3 * k, axis=1) for k in range(n_frames)]
+    return encode_gif(frames)
+
+
 def synth_media_table_real(n: int = 64, seed: int = 42) -> pa.Table:
     """Like :func:`synth_media_table` but with REAL decodable payloads:
-    PNG images (stdlib codec) and WAV audio (stdlib wave), alternating."""
+    PNG images (stdlib codec), WAV audio (stdlib wave) and animated GIF
+    video (stdlib codec), round-robin."""
     rows_mime, rows_payload = [], []
     for i in range(n):
-        if i % 2 == 0:
+        if i % 3 == 0:
             rows_mime.append("image/png")
             rows_payload.append(synth_png_bytes(32 + (i % 5) * 8, 24 + (i % 3) * 8,
                                                 seed=seed + i))
-        else:
+        elif i % 3 == 1:
             rows_mime.append("audio/wav")
             rows_payload.append(synth_wav_bytes(0.05 + (i % 4) * 0.01,
                                                 freq=220.0 + 10 * i))
+        else:
+            rows_mime.append("image/gif")
+            rows_payload.append(synth_gif_bytes(24 + (i % 4) * 8,
+                                                18 + (i % 3) * 6,
+                                                n_frames=3 + i % 4,
+                                                seed=seed + i))
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "mime": pa.array(rows_mime),
@@ -282,40 +301,51 @@ class ExtractAudioFeaturesBatch:
 
 
 class SampleFramesBatch:
-    """video payload -> sampled frames (list<binary>).
+    """video payload -> sampled frames (list<binary>, each a PNG).
 
-    Real path (``fake=False``): PyAV keyframe decode, ``n_frames`` evenly
-    spaced frames re-encoded as PNG.  Fake path: fixed-stride byte chunks
-    of the raw payload."""
+    Real path (``fake=False``): PyAV when installed (mp4/webm/anything
+    ffmpeg reads); otherwise the pure-stdlib GIF decoder
+    (:mod:`logray.functions.gif`) samples animated-GIF payloads — real
+    decoded frames, in-container, no dependencies — and non-GIF formats
+    raise with a clear message.  ``n_frames`` evenly spaced frames are
+    re-encoded as PNG.  Fake path: fixed-stride byte chunks of the raw
+    payload."""
 
     def __init__(self, fake: bool = True, n_frames: int = 4, chunk: int = 256):
         self.fake = fake
         self.n_frames = n_frames
         self.chunk = chunk
+        self._av = None
         if fake:
             _warn_fake("SampleFramesBatch")
         else:
             try:
-                import av  # noqa: F401
-            except ImportError as e:  # pragma: no cover - env dependent
-                raise ImportError(
-                    "SampleFramesBatch(fake=False) requires PyAV"
-                ) from e
-            self._av = av
+                import av
 
-    def _real_one(self, payload: bytes) -> list[bytes]:  # pragma: no cover - needs av
-        container = self._av.open(io.BytesIO(payload))
-        frames = [f for f in container.decode(video=0)]
+                self._av = av
+            except ImportError:  # stdlib GIF is the real in-container path
+                pass
+
+    def _real_one(self, payload: bytes) -> list[bytes]:
+        from logray.functions.png import encode_png
+
+        if self._av is not None:  # pragma: no cover - needs av
+            container = self._av.open(io.BytesIO(payload))
+            frames = [f.to_ndarray(format="rgb24")
+                      for f in container.decode(video=0)]
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            from logray.functions.gif import decode_gif
+
+            frames = decode_gif(payload)
+        else:
+            raise ValueError(
+                "SampleFramesBatch(fake=False) without PyAV decodes GIF "
+                "payloads only (stdlib codec); install PyAV for mp4/webm")
         if not frames:
             return []
-        idx = np.linspace(0, len(frames) - 1, min(self.n_frames, len(frames))).astype(int)
-        out = []
-        for i in idx:
-            img = frames[i].to_image()
-            buf = io.BytesIO()
-            img.save(buf, format="PNG")
-            out.append(buf.getvalue())
-        return out
+        idx = np.linspace(0, len(frames) - 1,
+                          min(self.n_frames, len(frames))).astype(int)
+        return [encode_png(frames[i]) for i in idx]
 
     def __call__(self, t: pa.Table) -> pa.Table:
         frames = []

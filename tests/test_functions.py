@@ -281,6 +281,56 @@ def test_multimodal_stages(ray_session):
     assert all(len(f) == 4 for f in vid["frames"])
 
 
+def test_gif_codec_roundtrip():
+    """Stdlib GIF codec: real LZW round-trip (random frames grow the
+    code table past 9 bits; constant frames grow maximal chains;
+    structured frames exercise long runs)."""
+    from logray.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(0)
+    cases = [
+        [rng.integers(0, 256, (64, 80), dtype=np.uint8) for _ in range(3)],
+        [np.tile(np.arange(16, dtype=np.uint8).repeat(5), (40, 1))],
+        [np.full((30, 30), 7, np.uint8)],
+    ]
+    for frames in cases:
+        out = decode_gif(encode_gif(frames))
+        assert len(out) == len(frames)
+        for f, o in zip(frames, out):
+            assert o.shape == (*f.shape, 3)
+            assert (o == f[:, :, None]).all()  # gray palette: all channels
+    with pytest.raises(ValueError, match="GIF"):
+        decode_gif(b"NOTAGIF" + bytes(64))
+
+
+def test_sample_frames_real_gif_path(ray_session):
+    """SampleFramesBatch(fake=False) samples REAL decoded frames from a
+    GIF payload in-container: evenly spaced, PNG-encoded, pixel-exact."""
+    import ray.data as rd
+
+    from logray.functions.gif import decode_gif
+    from logray.functions.multimodal import (SampleFramesBatch, decode_stage,
+                                             synth_gif_bytes)
+    from logray.functions.png import decode_png
+
+    payload = synth_gif_bytes(40, 30, n_frames=7, seed=3)
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "mime": pa.array(["image/gif"]),
+        "payload": pa.array([payload], pa.binary()),
+        "nbytes": pa.array([len(payload)], pa.int64()),
+    })
+    out = decode_stage(rd.from_arrow(t), SampleFramesBatch, concurrency=1,
+                       fake=False, n_frames=3).to_pandas()
+    frames = out["frames"].iloc[0]
+    assert len(frames) == 3
+    truth = decode_gif(payload)  # 7 frames; samples at 0, 3, 6
+    for png_bytes, k in zip(frames, [0, 3, 6]):
+        img = decode_png(png_bytes)
+        assert img.shape == (30, 40, 3)
+        assert (img == truth[k]).all()
+
+
 def test_multimodal_real_paths_guarded():
     """fake=False either activates a real decoder (library present) or
     fails fast with a clear error — never silently fakes."""
@@ -303,8 +353,10 @@ def test_multimodal_real_paths_guarded():
     except ImportError:
         have_av = False
     if not have_av:
-        with pytest.raises(ImportError, match="PyAV"):
-            SampleFramesBatch(fake=False)
+        # without PyAV the stdlib GIF codec is the real path: non-GIF
+        # payloads must fail fast (never silently fake), GIF must decode
+        with pytest.raises(ValueError, match="GIF"):
+            SampleFramesBatch(fake=False)(t)
     # audio: random bytes are not a WAV container, and without soundfile
     # the non-WAV branch must raise rather than fake
     try:
