@@ -369,7 +369,15 @@ def global_rank(ds, col: str, id_col: str, pct: bool = True,
     from logray.stages.join import _bucketed_join
 
     sch = ds.schema()
-    types = dict(zip(sch.names, sch.types))
+    types = {}
+    for name, typ in zip(sch.names, sch.types):
+        if not isinstance(typ, pa.DataType):
+            # pandas-block schemas carry numpy dtypes, not Arrow types
+            try:
+                typ = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError):
+                continue  # object dtype etc.: leave the column alone
+        types[name] = typ
     types["row_num"] = pa.int64()
     types["rnk"] = pa.int64()
     if pct:

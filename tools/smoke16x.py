@@ -1,0 +1,150 @@
+"""16x-bench-scale streaming smoke for the round-3/4 operator families
+(window functions, sequence analytics, line dedup) over the 52.2M-turn
+synthetic transcript corpus (16x the sf0.1 bench corpus; cached at
+/tmp/logray_bench by bench.py's generator).
+
+Evidence target: the bucketed shuffles hold BOUNDED memory at 16x bench
+scale — each pipeline streams to a count/fold, wall time and object-store
+spill bytes are reported per family.  Results are recorded in
+BASELINE.md.
+
+Usage: python tools/smoke16x.py [--rows 52200000] [--only fam1,fam2]
+Never run concurrently with bench.py or tests (single-socket box).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spilled_bytes() -> int:
+    import ray
+
+    try:
+        summary = ray._private.internal_api.memory_summary(stats_only=True)
+    except Exception:
+        return -1
+    for line in summary.splitlines():
+        if "Spilled" in line:
+            # e.g. "Spilled 1234 MiB, ..."
+            toks = line.split()
+            try:
+                return int(float(toks[1]) * (1 << 20))
+            except (ValueError, IndexError):
+                return -1
+    return 0
+
+
+def main() -> int:
+    import ray
+
+    rows = 52_200_000
+    if "--rows" in sys.argv:
+        rows = int(sys.argv[sys.argv.index("--rows") + 1])
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    os.environ.setdefault("LOGRAY_BENCH_ROWS", str(rows))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import ensure_corpus
+
+    path = ensure_corpus(rows)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+
+    def read(cols):
+        return rd.read_parquet(files, columns=cols,
+                               override_num_blocks=len(files))
+
+    results = {}
+
+    def timed(name, fn):
+        if only and name not in only:
+            return
+        t0 = time.perf_counter()
+        n = fn()
+        dt = time.perf_counter() - t0
+        results[name] = {"sec": round(dt, 2), "rows_out": int(n),
+                         "spilled_bytes": _spilled_bytes()}
+        print(f"{name}: {dt:.2f}s rows_out={n} "
+              f"spilled={results[name]['spilled_bytes']}", flush=True)
+
+    # --- window functions: bucketed lag/lead + rolling over 52M rows ----
+    def windowfn_lag():
+        ds = read(["conv_id", "turn_idx"])
+        out = __import__("logray.stages.windowfn", fromlist=["lag_lead"]) \
+            .lag_lead(ds, "conv_id", "turn_idx", "turn_idx")
+        return out.count()
+
+    def windowfn_rolling():
+        from logray.stages.windowfn import rolling_agg
+
+        ds = read(["conv_id", "turn_idx"])
+        return rolling_agg(ds, "conv_id", "turn_idx", "turn_idx",
+                           window=8).count()
+
+    # --- sequence: transition counts, both plans, + funnel ---------------
+    def seq_transitions_bucket():
+        from logray.stages.sequence import transition_counts
+
+        ds = read(["conv_id", "turn_idx", "role"])
+        return len(transition_counts(ds, "conv_id", "turn_idx", "role"))
+
+    def seq_transitions_skewsafe():
+        from logray.stages.sequence import transition_counts
+
+        ds = read(["conv_id", "turn_idx", "role"])
+        return len(transition_counts(ds, "conv_id", "turn_idx", "role",
+                                     skew_safe=True))
+
+    def seq_funnel():
+        from logray.stages.sequence import funnel
+
+        ds = read(["conv_id", "turn_idx", "role"])
+        return len(funnel(ds, "conv_id", "turn_idx", "role",
+                          ["user", "assistant", "tool"]))
+
+    # --- line dedup: every turn a doc, 52M lines --------------------------
+    def line_dedup():
+        from logray.functions.linededup import dedup_lines
+
+        ds = read(["conv_id", "turn_idx", "text"])
+
+        def add_id(t):
+            rid = pc.binary_join_element_wise(
+                t["conv_id"], pc.cast(t["turn_idx"], "string"), "#")
+            return t.select(["text"]).append_column("doc_id", rid)
+
+        docs = ds.map_batches(add_id, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+        return dedup_lines(docs, min_len=8).count()
+
+    timed("windowfn_lag_lead", windowfn_lag)
+    timed("windowfn_rolling", windowfn_rolling)
+    timed("transition_counts_bucket", seq_transitions_bucket)
+    timed("transition_counts_skew_safe", seq_transitions_skewsafe)
+    timed("funnel", seq_funnel)
+    timed("dedup_lines", line_dedup)
+
+    print(json.dumps({"rows": rows, "num_cpus": ncpu, "families": results}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
