@@ -22,22 +22,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _spilled_bytes() -> int:
-    import ray
+def _spill_events() -> int:
+    """Count object-spill log lines in the live session's raylet log —
+    0 = the whole run stayed within the object store."""
+    import glob
+    import re
 
-    try:
-        summary = ray._private.internal_api.memory_summary(stats_only=True)
-    except Exception:
-        return -1
-    for line in summary.splitlines():
-        if "Spilled" in line:
-            # e.g. "Spilled 1234 MiB, ..."
-            toks = line.split()
-            try:
-                return int(float(toks[1]) * (1 << 20))
-            except (ValueError, IndexError):
-                return -1
-    return 0
+    n = 0
+    for f in glob.glob("/tmp/ray/*/session_latest/logs/raylet.out"):
+        try:
+            with open(f, errors="ignore") as fh:
+                n += sum(1 for line in fh
+                         if re.search(r"Spilled [0-9]", line))
+        except OSError:
+            pass
+    return n
 
 
 def main() -> int:
@@ -80,9 +79,9 @@ def main() -> int:
         n = fn()
         dt = time.perf_counter() - t0
         results[name] = {"sec": round(dt, 2), "rows_out": int(n),
-                         "spilled_bytes": _spilled_bytes()}
+                         "spill_events": _spill_events()}
         print(f"{name}: {dt:.2f}s rows_out={n} "
-              f"spilled={results[name]['spilled_bytes']}", flush=True)
+              f"spill_events={results[name]['spill_events']}", flush=True)
 
     # --- window functions: bucketed lag/lead + rolling over 52M rows ----
     def windowfn_lag():
