@@ -28,7 +28,6 @@ repeated pairs, so phase 2 skips the global pair-dedup shuffle entirely.
 
 from __future__ import annotations
 
-import glob
 import os
 
 import pyarrow as pa
@@ -42,11 +41,7 @@ from logray.functions.dedup import (
     connected_components,
     connected_components_distributed,
 )
-from logray.state.manifest import default_partitions, run_resumable
-
-
-def _part_files(phase_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(phase_dir, "parts", "*", "*.parquet")))
+from logray.state.manifest import default_partitions, part_files, run_resumable
 
 
 def near_dedup_resumable(
@@ -82,23 +77,18 @@ def near_dedup_resumable(
     bands_dir = os.path.join(out_dir, "bands")
     explode = _explode_bands_fn(text_col, id_col, num_perm, bands, k, seed)
 
-    def run_bands(files, pdir, *, _pid=None):
-        fault("bands", _pid)
+    def run_bands(files, pdir, *, part_id=None):
+        fault("bands", part_id)
         ds = rd.read_parquet(files, columns=[id_col, text_col])
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True
                        ).write_parquet(pdir)
         return {}
 
-    run_resumable(
-        input_path, bands_dir,
-        lambda files, pdir, parts=input_parts: run_bands(
-            files, pdir, _pid=_pid_of(parts, files)),
-        partitions=input_parts,
-    )
+    run_resumable(input_path, bands_dir, run_bands, partitions=input_parts)
 
     # --- phase 2: pairs per band ------------------------------------------
     pairs_dir = os.path.join(out_dir, "pairs")
-    band_files = _part_files(bands_dir)
+    band_files = part_files(bands_dir)
     bucket_pairs = _bucket_pairs_fn(id_col, threshold, num_perm, max_bucket)
 
     def run_band_pairs(band_ids, pdir):
@@ -116,7 +106,7 @@ def near_dedup_resumable(
 
     # --- phase 3: closure -> drop list ------------------------------------
     closure_dir = os.path.join(out_dir, "closure")
-    pair_files = _part_files(pairs_dir)
+    pair_files = part_files(pairs_dir)
 
     def run_closure(_files, pdir):
         fault("closure", "closure")
@@ -147,8 +137,8 @@ def near_dedup_resumable(
     )
     drop_ref = ray.put(drop_tbl["doc_id"].combine_chunks())
 
-    def run_dedup(files, pdir, *, _pid=None):
-        fault("dedup", _pid)
+    def run_dedup(files, pdir, *, part_id=None):
+        fault("dedup", part_id)
         drop_set = ray.get(drop_ref)
 
         def keep(t: pa.Table) -> pa.Table:
@@ -161,19 +151,9 @@ def near_dedup_resumable(
         ds.write_parquet(pdir)
         return {"rows": ds.count()}
 
-    metrics = run_resumable(
-        input_path, dedup_dir,
-        lambda files, pdir, parts=input_parts: run_dedup(
-            files, pdir, _pid=_pid_of(parts, files)),
-        partitions=input_parts,
-    )
+    metrics = run_resumable(input_path, dedup_dir, run_dedup,
+                            partitions=input_parts)
     metrics["dropped"] = int(len(drop_tbl))
     metrics["output_dir"] = dedup_dir
     return metrics
 
-
-def _pid_of(partitions, files):
-    for pid, fs in partitions:
-        if fs == files:
-            return pid
-    return None

@@ -31,7 +31,6 @@ with null text, are absent on both sides.
 
 from __future__ import annotations
 
-import glob
 import os
 
 import numpy as np
@@ -42,20 +41,9 @@ import pyarrow.parquet as pq
 
 from logray.functions.linededup import _explode_lines_fn, _rejoin_fn
 from logray.stages.bucketing import bucket_of, run_starts
-from logray.state.manifest import default_partitions, run_resumable
+from logray.state.manifest import default_partitions, part_files, run_resumable
 
 __all__ = ["dedup_lines_resumable"]
-
-
-def _part_files(phase_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(phase_dir, "parts", "*", "*.parquet")))
-
-
-def _pid_of(partitions, files):
-    for pid, fs in partitions:
-        if fs == files:
-            return pid
-    return None
 
 
 def _cand_fn(id_col: str, text_col: str, min_len: int, sep: str,
@@ -128,25 +116,20 @@ def dedup_lines_resumable(
     # --- phase 1: winners + local tombstones per input file -----------------
     cand_dir = os.path.join(out_dir, "cand")
 
-    def run_cand(files, pdir, *, _pid=None):
-        fault("cand", _pid)
-        fn = _cand_fn(id_col, text_col, min_len, sep, num_buckets, _pid)
+    def run_cand(files, pdir, *, part_id=None):
+        fault("cand", part_id)
+        fn = _cand_fn(id_col, text_col, min_len, sep, num_buckets, part_id)
         (rd.read_parquet(files, columns=[id_col, text_col])
            .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                         batch_size=None)
            .write_parquet(pdir))
         return {}
 
-    run_resumable(
-        input_path, cand_dir,
-        lambda files, pdir, parts=input_parts: run_cand(
-            files, pdir, _pid=_pid_of(parts, files)),
-        partitions=input_parts,
-    )
+    run_resumable(input_path, cand_dir, run_cand, partitions=input_parts)
 
     # --- phase 2: global tombstones per bucket -------------------------------
     losers_dir = os.path.join(out_dir, "losers")
-    cand_files = _part_files(cand_dir)
+    cand_files = part_files(cand_dir)
 
     def run_losers(bucket_ids, pdir):
         b = bucket_ids[0]
@@ -179,24 +162,24 @@ def dedup_lines_resumable(
 
     # --- phase 3: local rebuild per input file -------------------------------
     out_phase_dir = os.path.join(out_dir, "deduped")
-    loser_files = _part_files(losers_dir)
+    loser_files = part_files(losers_dir)
     rejoin = _rejoin_fn(id_col, text_col, sep)
     explode = _explode_lines_fn(id_col, text_col, sep)
 
-    def run_rebuild(files, pdir, *, _pid=None):
-        fault("rebuild", _pid)
+    def run_rebuild(files, pdir, *, part_id=None):
+        fault("rebuild", part_id)
         tomb = []
         if cand_files:
             tomb.append(rd.read_parquet(
                 cand_files,
                 columns=[id_col, "line_idx"],
-                filter=(pc.field("__part") == _pid) & pc.field("__loser"),
+                filter=(pc.field("__part") == part_id) & pc.field("__loser"),
             ).to_pandas())
         if loser_files:
             tomb.append(rd.read_parquet(
                 loser_files,
                 columns=[id_col, "line_idx"],
-                filter=pc.field("__part") == _pid,
+                filter=pc.field("__part") == part_id,
             ).to_pandas())
         # an empty filtered read comes back column-less: keep only
         # non-empty frames, fall back to a typed empty tombstone set
@@ -222,11 +205,7 @@ def dedup_lines_resumable(
         out.write_parquet(pdir)
         return {"rows": out.count(), "tombstones_applied": int(len(tdf))}
 
-    metrics = run_resumable(
-        input_path, out_phase_dir,
-        lambda files, pdir, parts=input_parts: run_rebuild(
-            files, pdir, _pid=_pid_of(parts, files)),
-        partitions=input_parts,
-    )
+    metrics = run_resumable(input_path, out_phase_dir, run_rebuild,
+                            partitions=input_parts)
     metrics["output_dir"] = out_phase_dir
     return metrics

@@ -240,12 +240,47 @@ def _doc_bytes(t: pa.Table, id_col: str, text_col: str):
     return t, flat, lengths
 
 
-def _byte_gram_hashes(flat: np.ndarray, lengths: np.ndarray, window: int):
+def _byte_gram_hashes(flat: np.ndarray, lengths: np.ndarray, window: int,
+                      seg_bytes: int = 16 << 20):
     """(h1, h2, valid starts) for the byte ``window``-gram at EVERY byte
-    offset that lies entirely inside one document.  O(n) via prefix
-    polynomial hashes with modular-inverse powers (all arithmetic wraps
-    mod 2^64 in uint64): G[i] = A^(i+W-1) * (Q[i+W] - Q[i]) where
-    Q[k] = sum_{j<k} b[j]*Ainv^j, so G[i] = sum b[i..i+W-1]*A^(W-1-j)."""
+    offset that lies entirely inside one document.
+
+    The hash kernel allocates ~50x its input in transient uint64 arrays
+    (prefix powers, inverse powers, prefix sums, products — all length
+    n), so the tape is processed in <= ``seg_bytes`` SEGMENTS split at
+    document boundaries (grams never cross documents, so segmenting is
+    exact): peak transient memory is ~50 x seg_bytes per task instead of
+    ~50 x the whole batch's text.  A single document larger than
+    ``seg_bytes`` forms its own segment (its hashes are irreducible)."""
+    n = len(flat)
+    if n <= seg_bytes or len(lengths) <= 1:
+        return _byte_gram_core(flat, lengths, window)
+    ends = np.cumsum(lengths)
+    h1s, h2s, sts = [], [], []
+    base_doc, base_byte = 0, 0
+    ndocs = len(lengths)
+    while base_doc < ndocs:
+        j = int(np.searchsorted(ends, base_byte + seg_bytes, side="right"))
+        j = max(j, base_doc + 1)  # an oversized doc is its own segment
+        seg_end = int(ends[j - 1])
+        h1, h2, st = _byte_gram_core(
+            flat[base_byte:seg_end], lengths[base_doc:j], window)
+        if len(st):
+            h1s.append(h1)
+            h2s.append(h2)
+            sts.append(st + base_byte)
+        base_doc, base_byte = j, seg_end
+    if not sts:
+        z = np.zeros(0, np.uint64)
+        return z, z, np.zeros(0, np.int64)
+    return (np.concatenate(h1s), np.concatenate(h2s), np.concatenate(sts))
+
+
+def _byte_gram_core(flat: np.ndarray, lengths: np.ndarray, window: int):
+    """One segment's gram hashes: O(n) via prefix polynomial hashes with
+    modular-inverse powers (all arithmetic wraps mod 2^64 in uint64):
+    G[i] = A^(i+W-1) * (Q[i+W] - Q[i]) where Q[k] = sum_{j<k} b[j]*Ainv^j,
+    so G[i] = sum b[i..i+W-1]*A^(W-1-j)."""
     n = len(flat)
     m = n - window + 1
     if m <= 0:
@@ -364,13 +399,23 @@ def _cut_bytes_fn(id_col: str, text_col: str, window: int, dup_ref):
         kept = np.ascontiguousarray(flat[keep])
         new_off = np.zeros(len(lengths) + 1, np.int64)
         np.cumsum(lengths - removed, out=new_off[1:])
-        arr = pa.Array.from_buffers(
-            pa.binary(), len(lengths),
-            [None, pa.py_buffer(new_off.astype(np.int32)),
-             pa.py_buffer(kept)], null_count=0)
+        if int(new_off[-1]) < 2**31:
+            arr = pa.Array.from_buffers(
+                pa.binary(), len(lengths),
+                [None, pa.py_buffer(new_off.astype(np.int32)),
+                 pa.py_buffer(kept)], null_count=0)
+            text = arr.cast(pa.string())  # validates UTF-8
+        else:
+            # > 2 GiB of kept text in one batch: int32 offsets would wrap
+            # (silently corrupting documents) — use 64-bit offsets
+            arr = pa.Array.from_buffers(
+                pa.large_binary(), len(lengths),
+                [None, pa.py_buffer(new_off), pa.py_buffer(kept)],
+                null_count=0)
+            text = arr.cast(pa.large_string())  # validates UTF-8
         return pa.table({
             id_col: t[id_col],
-            text_col: arr.cast(pa.string()),  # validates UTF-8
+            text_col: text,
             "n_removed": pa.array(removed.astype(np.int64)),
         })
 

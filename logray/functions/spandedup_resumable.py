@@ -25,7 +25,6 @@ checkpoint.  Output is exactly equal to the single-shot operators
 
 from __future__ import annotations
 
-import glob
 import os
 
 import numpy as np
@@ -42,20 +41,9 @@ from logray.functions.spandedup import (
     _dup_bucket,
 )
 from logray.stages.bucketing import bucket_tagger
-from logray.state.manifest import default_partitions, run_resumable
+from logray.state.manifest import default_partitions, part_files, run_resumable
 
 __all__ = ["dedup_spans_resumable"]
-
-
-def _part_files(phase_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(phase_dir, "parts", "*", "*.parquet")))
-
-
-def _pid_of(partitions, files):
-    for pid, fs in partitions:
-        if fs == files:
-            return pid
-    return None
 
 
 def dedup_spans_resumable(
@@ -98,8 +86,8 @@ def dedup_spans_resumable(
     # --- phase 1: census partials per input file ---------------------------
     census_dir = os.path.join(out_dir, "census")
 
-    def run_census(files, pdir, *, _pid=None):
-        fault("census", _pid)
+    def run_census(files, pdir, *, part_id=None):
+        fault("census", part_id)
         ds = rd.read_parquet(files, columns=[id_col, text_col])
         (ds.map_batches(census_fn, batch_format="pyarrow",
                         zero_copy_batch=True, batch_size=None)
@@ -108,16 +96,11 @@ def dedup_spans_resumable(
            .write_parquet(pdir))
         return {}
 
-    run_resumable(
-        input_path, census_dir,
-        lambda files, pdir, parts=input_parts: run_census(
-            files, pdir, _pid=_pid_of(parts, files)),
-        partitions=input_parts,
-    )
+    run_resumable(input_path, census_dir, run_census, partitions=input_parts)
 
     # --- phase 2: duplicated grams per bucket -------------------------------
     dups_dir = os.path.join(out_dir, "dups")
-    census_files = _part_files(census_dir)
+    census_files = part_files(census_dir)
 
     def run_dups(bucket_ids, pdir):
         b = bucket_ids[0]
@@ -143,7 +126,7 @@ def dedup_spans_resumable(
     # --- phase 3: mark & cut per input file ---------------------------------
     cut_dir = os.path.join(out_dir, "cut")
     dup_tables = [pq.read_table(f, columns=["h1"])
-                  for f in _part_files(dups_dir)]
+                  for f in part_files(dups_dir)]
     dup = (pa.concat_tables(dup_tables)["h1"].to_numpy().astype(np.int64)
            if dup_tables else np.zeros(0, np.int64))
     if len(dup) > max_broadcast:
@@ -155,20 +138,16 @@ def dedup_spans_resumable(
     cut = (_cut_words_fn if level == "word" else _cut_bytes_fn)(
         id_col, text_col, window, dup_ref)
 
-    def run_cut(files, pdir, *, _pid=None):
-        fault("cut", _pid)
+    def run_cut(files, pdir, *, part_id=None):
+        fault("cut", part_id)
         out = rd.read_parquet(files, columns=[id_col, text_col]).map_batches(
             cut, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None).materialize()
         out.write_parquet(pdir)
         return {"rows": out.count()}
 
-    metrics = run_resumable(
-        input_path, cut_dir,
-        lambda files, pdir, parts=input_parts: run_cut(
-            files, pdir, _pid=_pid_of(parts, files)),
-        partitions=input_parts,
-    )
+    metrics = run_resumable(input_path, cut_dir, run_cut,
+                            partitions=input_parts)
     metrics["dup_grams"] = int(len(dup))
     metrics["output_dir"] = cut_dir
     return metrics

@@ -247,14 +247,215 @@ def min_max(ds, col: str):
 
 def kth_smallest(ds, col: str, k: int):
     """Exact k-th smallest value (0-based) of a column — one order
-    statistic via the :func:`exact_quantiles` sample-guided bisection
-    selector (``rank_of`` pins the rank to ``k``): NO sort, NO shuffle,
-    only streaming counting passes.  The previous implementation pushed
-    the whole corpus through a sort's all-to-all exchange to read back
-    k+1 rows.  Nulls are ignored (SQL ``ORDER BY col LIMIT 1 OFFSET k``
-    under NULLS LAST, k inside the non-null range); returns None when
-    k is out of range."""
+    statistic via sample-guided bisection (``rank_of`` pins the rank to
+    ``k``): NO sort, NO shuffle, only streaming counting passes.  The
+    previous implementation pushed the whole corpus through a sort's
+    all-to-all exchange to read back k+1 rows.  Nulls are ignored (SQL
+    ``ORDER BY col LIMIT 1 OFFSET k`` under NULLS LAST, k inside the
+    non-null range); returns None when k is out of range.
+
+    Numeric columns route through :func:`exact_quantiles`; every other
+    ordered type (string, timestamp, date, decimal, boolean) through
+    :func:`_kth_ordered`, the value-space variant of the same selector
+    (sampled pivots only — no midpoint arithmetic), so the non-numeric
+    support of the old sort-based implementation is preserved without
+    its shuffle."""
+    sch = ds.schema()
+    vtype = dict(zip(sch.names, sch.types))[col]
+    if isinstance(vtype, pa.DataType) and not (
+            pa.types.is_integer(vtype) or pa.types.is_floating(vtype)):
+        return _kth_ordered(ds, col, k)
     return exact_quantiles(ds, col, ["k"], rank_of=lambda _q, _n: k)["k"]
+
+
+def _kth_ordered(ds, col: str, k: int, sample_per_batch: int = 64,
+                 max_bracket_rows: int = 4_000_000, max_passes: int = 48):
+    """Exact k-th smallest for any ORDERED column type numpy can compare
+    (strings as object arrays, datetime64, decimals) — the
+    :func:`exact_quantiles` bisection restricted to one rank, with pivots
+    drawn ONLY from sampled values (value midpoints don't exist for
+    strings).  Duplicate-heavy brackets resolve via a strict-below count
+    (#{v < hi} == c_lo proves the bracket is all ``hi``) computed in the
+    same pass as #{v <= p} — no predecessor arithmetic needed.
+
+    Each pass is one streaming count; a bracket holding
+    <= ``max_bracket_rows`` rows is collected and selected directly."""
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[col])),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+    def col_np(t):
+        return t[col].to_numpy(zero_copy_only=False)
+
+    def in_bracket(v, lo, hi):
+        m = np.ones(len(v), np.bool_)
+        if lo is not None:
+            m &= v > lo
+        if hi is not None:
+            m &= v <= hi
+        return m
+
+    def sample_pass(lo, hi):
+        """(count in bracket, sorted sampled values, weights)."""
+
+        def part(t: pa.Table) -> pa.Table:
+            v = col_np(t)
+            v = v[in_bracket(v, lo, hi)]
+            n = len(v)
+            vt = t[col].type
+            if n == 0:
+                return pa.table({"n": pa.array([0], pa.int64()),
+                                 "vals": pa.array([[]], pa.list_(vt)),
+                                 "w": pa.array([0.0])})
+            g = min(n, sample_per_batch)
+            grid = np.sort(v)[np.linspace(0, n - 1, g).astype(np.int64)]
+            return pa.table({
+                "n": pa.array([n], pa.int64()),
+                "vals": pa.array([pa.array(grid, type=vt)], pa.list_(vt)),
+                "w": pa.array([n / g]),
+            })
+
+        total, vals, ws = 0, [], []
+        out = ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+            total += int(pc.sum(b["n"]).as_py() or 0)
+            colv = b["vals"]
+            if isinstance(colv, pa.ChunkedArray):
+                colv = colv.combine_chunks()
+            # stay in numpy form (datetime64 / object-str) so later
+            # comparisons against batch arrays use one dtype family
+            lens = pc.list_value_length(colv).to_numpy(zero_copy_only=False)
+            flat = colv.flatten().to_numpy(zero_copy_only=False)
+            wrow = np.asarray(b["w"].to_numpy(zero_copy_only=False))
+            if len(flat):
+                vals.append(flat)
+                ws.append(np.repeat(wrow, lens))
+        if not vals:
+            return total, np.zeros(0, object), np.zeros(0)
+        v = np.concatenate(vals)
+        w = np.concatenate(ws)
+        order = np.argsort(v, kind="mergesort")
+        return total, v[order], w[order]
+
+    def count_pass(pivots):
+        """(#{v <= p}, #{v < p}) per pivot — one streaming pass."""
+
+        def part(t: pa.Table) -> pa.Table:
+            v = np.sort(col_np(t))
+            le = np.searchsorted(v, pivots, side="right")
+            lt = np.searchsorted(v, pivots, side="left")
+            return pa.table({
+                "le": pa.array([le.astype(np.int64)], pa.list_(pa.int64())),
+                "lt": pa.array([lt.astype(np.int64)], pa.list_(pa.int64())),
+            })
+
+        out = ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+        tot_le = np.zeros(len(pivots), np.int64)
+        tot_lt = np.zeros(len(pivots), np.int64)
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for name, tot in (("le", tot_le), ("lt", tot_lt)):
+                colv = b[name]
+                if isinstance(colv, pa.ChunkedArray):
+                    colv = colv.combine_chunks()
+                m = colv.flatten().to_numpy(zero_copy_only=False).reshape(
+                    len(colv), len(pivots))
+                tot += m.sum(axis=0, dtype=np.int64)
+        return tot_le, tot_lt
+
+    def collect_bracket(lo, hi):
+        def part(t: pa.Table) -> pa.Table:
+            v = col_np(t)
+            kept = v[in_bracket(v, lo, hi)]
+            return pa.table({"vals": pa.array([pa.array(kept, t[col].type)],
+                                              pa.list_(t[col].type))})
+
+        out = ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+        got = []
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+            colv = b["vals"]
+            if isinstance(colv, pa.ChunkedArray):
+                colv = colv.combine_chunks()
+            flat = colv.flatten().to_numpy(zero_copy_only=False)
+            if len(flat):
+                got.append(flat)
+        return np.concatenate(got) if got else np.zeros(0, object)
+
+    def to_py(x):
+        return x.item() if isinstance(x, np.generic) else x
+
+    n, sv, sw = sample_pass(None, None)
+    s_base = 0  # rank offset of the current sample's bracket
+    if k < 0 or k >= n:
+        return None
+    lo, c_lo, hi, c_hi = None, 0, None, n  # bracket (lo, hi], counts exact
+
+    for _pass in range(max_passes):
+        if c_hi - c_lo <= max_bracket_rows:
+            inb = np.sort(collect_bracket(lo, hi), kind="mergesort")
+            return to_py(inb[k - c_lo])
+        m = np.ones(len(sv), np.bool_)
+        if lo is not None:
+            m &= sv > lo
+        if hi is not None:
+            m &= sv < hi
+        inside = np.unique(sv[m])
+        if len(inside) > 13:
+            # estimated-rank grid over the bracket
+            pcs = np.cumsum(sw) + s_base
+            tgt = np.linspace(c_lo, c_hi, 15)[1:-1]
+            sel = np.unique(sv[np.clip(
+                np.searchsorted(pcs, tgt), 0, len(sv) - 1)])
+            keep = np.ones(len(sel), np.bool_)
+            if lo is not None:
+                keep &= sel > lo
+            if hi is not None:
+                keep &= sel < hi
+            inside = sel[keep] if keep.any() else inside
+        cand = list(inside)
+        if hi is not None:
+            cand.append(hi)  # its strict-below count is the dup proof
+        if not cand:
+            # sample blind inside a still-big bracket: resample there
+            _sub, sv, sw = sample_pass(lo, hi)
+            s_base = c_lo
+            if len(sv) == 0:
+                # nothing strictly inside (lo, hi): the bracket is all hi
+                return to_py(hi)
+            continue
+        pivots = np.unique(np.asarray(
+            cand, dtype=object if isinstance(cand[0], str) else None))
+        c_le, c_lt = count_pass(pivots)
+        for p, le, lt in zip(pivots, c_le, c_lt):
+            if lo is not None and not (p > lo):
+                continue
+            if hi is not None and not (p <= hi):
+                continue
+            if le <= k:
+                if lo is None or p > lo:
+                    lo, c_lo = p, int(le)
+            else:
+                # p's own run straddles the rank when #{v < p} <= k < #{v <= p}
+                if lt <= k:
+                    return to_py(p)
+                if hi is None or p < hi:
+                    hi, c_hi = p, int(le)
+        # resample when the sample went blind inside the new bracket
+        m = np.ones(len(sv), np.bool_)
+        if lo is not None:
+            m &= sv > lo
+        if hi is not None:
+            m &= sv < hi
+        if c_hi - c_lo > max_bracket_rows and m.sum() < 4:
+            _sub, sv, sw = sample_pass(lo, hi)
+            s_base = c_lo
+
+    raise RuntimeError(
+        f"_kth_ordered failed to converge after {max_passes} passes "
+        f"(raise max_bracket_rows or max_passes)")
 
 
 def exact_quantiles(ds, col: str, qs, sample_per_batch: int = 64,

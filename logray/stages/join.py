@@ -144,10 +144,127 @@ def hash_join(left, right, on, right_on=None, how: str = "inner",
     return _bucketed_join(left, right, on, right_on, how, num_partitions)
 
 
-def _bucketed_join(left, right, on, right_on, how, num_buckets):
+_BUCKETED_JOIN_TYPE = {"inner": "inner", "left": "left outer",
+                       "right": "right outer", "outer": "full outer"}
+
+
+def _arrow_types(sch) -> dict | None:
+    """Arrow type per column of a Dataset schema, or None when any column
+    carries a non-Arrow type we cannot express (pandas object blocks)."""
+    out = {}
+    for name, typ in zip(sch.names, sch.types):
+        if not isinstance(typ, pa.DataType):
+            try:
+                typ = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError):
+                return None
+        out[name] = typ
+    return out
+
+
+def _bucketed_join(left, right, on, right_on, how, num_buckets,
+                   expect_left_one_to_one: bool = False):
     """Explicit partitioned hash join: tag both sides with
-    ``hash(key) % B``, union, co-group per bucket, merge per group.
-    Salt hot keys by raising B."""
+    ``hash(key) % B``, union, co-group per bucket, merge per group with an
+    Arrow-native ``pa.Table.join`` (Acero hash join).  Salt hot keys by
+    raising B.
+
+    The per-bucket merge stays in Arrow end-to-end, so null-extended
+    integer columns keep their exact int64 values (a pandas merge NaN-pads
+    the absent side, coercing int64 -> float64 and silently rounding
+    values past 2^53 — full-range hash/id columns would corrupt).  Null
+    join keys follow SQL semantics (never match, but survive outer joins
+    null-extended).  Right-side columns whose names collide with left
+    columns are suffixed ``_right`` unless coalesced as same-named keys.
+
+    ``expect_left_one_to_one=True`` (inner joins whose right side must
+    match every left row exactly once, e.g. joining a derived per-id table
+    back onto its source) raises per bucket when the joined row count
+    differs from the bucket's left row count — the cheap guard against a
+    non-unique join-back key silently multiplying rows.
+
+    Falls back to the pandas merge (NaN-key matching, _x/_y collision
+    suffixes, float64 null-padding) only when a side's schema holds
+    non-Arrow object columns."""
+    ltypes = _arrow_types(left.schema())
+    rtypes = _arrow_types(right.schema())
+    if ltypes is None or rtypes is None or how not in _BUCKETED_JOIN_TYPE:
+        return _bucketed_join_pandas(left, right, on, right_on, how,
+                                     num_buckets)
+    same_keys = tuple(on) == tuple(right_on)
+    if same_keys and any(ltypes[k] != rtypes[k] for k in on):
+        # coalesced same-named keys must share one dtype in the union
+        return _bucketed_join_pandas(left, right, on, right_on, how,
+                                     num_buckets)
+    # rename colliding right columns BEFORE the union so one shared column
+    # never has to carry two dtypes (same-named keys coalesce instead)
+    ren = {c: c + "_right" for c in rtypes
+           if c in ltypes and not (same_keys and c in on)}
+    right_named = {ren.get(c, c): t for c, t in rtypes.items()}
+    right_keys = [ren.get(c, c) for c in right_on]
+    all_cols = list(ltypes) + [c for c in right_named if c not in ltypes]
+    types = dict(right_named)
+    types.update(ltypes)
+
+    inv = {v: k for k, v in ren.items()}
+
+    def tag(side):
+        keys = on if side == 0 else right_on
+        # unified column -> this side's source column (None = null-pad)
+        src_of = {}
+        for c in all_cols:
+            if side == 0:
+                src_of[c] = c if c in ltypes else None
+            else:
+                src_of[c] = inv.get(c, c) if c in right_named else None
+
+        def fn(t: pa.Table) -> pa.Table:
+            h = np.zeros(t.num_rows, np.uint64)
+            for k in keys:
+                col = t[k].to_numpy(zero_copy_only=False)
+                h = h * np.uint64(1000003) + pd.util.hash_array(np.asarray(col)).astype(np.uint64)
+            cols = {c: (t[src] if src is not None
+                        else pa.nulls(t.num_rows, types[c]))
+                    for c, src in src_of.items()}
+            out = pa.table(cols)
+            out = out.append_column(
+                "__bucket", pa.array((h % num_buckets).astype(np.int64)))
+            return out.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, np.int8)))
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+    both = lt.union(rt)
+    jt = _BUCKETED_JOIN_TYPE[how]
+    left_cols = list(ltypes)
+    right_cols = list(right_named)
+
+    def merge(g: pa.Table) -> pa.Table:
+        mask = pc.equal(g["__side"], 0)
+        l_src = g.filter(mask)
+        r_src = g.filter(pc.invert(mask))
+        l = pa.table({c: l_src[c] for c in left_cols})
+        r = pa.table({c: r_src[c] for c in right_cols})
+        out = l.join(r, keys=list(on), right_keys=right_keys,
+                     join_type=jt, coalesce_keys=same_keys)
+        if expect_left_one_to_one and out.num_rows != l.num_rows:
+            raise ValueError(
+                f"_bucketed_join: expected a 1:1 join-back but a bucket's "
+                f"{l.num_rows} left rows joined to {out.num_rows} rows — "
+                f"the right-side key {right_keys} is not unique")
+        return out.select(all_cols)
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def _bucketed_join_pandas(left, right, on, right_on, how, num_buckets):
+    """Legacy pandas-merge bucketed join, kept ONLY for inputs whose
+    schema cannot be expressed in Arrow (pandas object blocks).  Caveats
+    vs the Arrow path: NaN keys match each other, null-extended int64
+    columns coerce to float64 (values past 2^53 round), collisions get
+    pandas _x/_y suffixes."""
 
     def tag(side):
         keys = on if side == 0 else right_on

@@ -342,7 +342,8 @@ def rank_window(ds, key_col: str, order_col: str,
 
 
 def global_rank(ds, col: str, id_col: str, pct: bool = True,
-                num_partitions: int = 32):
+                num_partitions: int | None = None,
+                rows_per_partition: int = 1_000_000):
     """UNPARTITIONED ranking window: per row ``row_num`` (ROW_NUMBER over
     ORDER BY (col, id)), ``rnk`` (RANK over col alone, ties share) and
     ``pct_rank`` (= (rnk-1)/(N-1), 0.0 when N==1) over the WHOLE dataset —
@@ -362,48 +363,38 @@ def global_rank(ds, col: str, id_col: str, pct: bool = True,
     being sort-materialized in the object store (the round-3 design
     pinned every column of the corpus — the 100-TB killer).  Requires a
     non-null ``col`` (SQL null-ordering is not replicated) and unique
-    ``id_col``."""
+    ``id_col`` — a duplicated id raises inside the join-back (the
+    1:1 guard) instead of silently multiplying rows.
+
+    ``num_partitions=None`` sizes the join-back's bucket count from the
+    corpus: ``max(32, ceil(total_rows / rows_per_partition))``, so one
+    bucket's full-width rows stay a bounded per-task working set as the
+    corpus grows.  Lower ``rows_per_partition`` (or pass
+    ``num_partitions`` explicitly) for very fat rows — the rule assumes
+    ~1 KB-scale rows; 1 M document-sized rows may still be several GB."""
     # the task-based bucketed join, NOT Ray's builtin JoinOperator: the
     # builtin's aggregator-actor pool requires num_partitions/8 CPUs up
-    # front and deadlocks under small budgets (join.py:hash_join notes)
+    # front and deadlocks under small budgets (join.py:hash_join notes);
+    # its per-bucket Arrow merge also keeps null-padded int64 columns
+    # exact (a pandas merge would round values past 2^53 via float64)
+    import math
+
     from logray.stages.join import _bucketed_join
 
-    sch = ds.schema()
-    types = {}
-    for name, typ in zip(sch.names, sch.types):
-        if not isinstance(typ, pa.DataType):
-            # pandas-block schemas carry numpy dtypes, not Arrow types
-            try:
-                typ = pa.from_numpy_dtype(typ)
-            except (pa.ArrowNotImplementedError, TypeError):
-                continue  # object dtype etc.: leave the column alone
-        types[name] = typ
-    types["row_num"] = pa.int64()
-    types["rnk"] = pa.int64()
-    if pct:
-        types["pct_rank"] = pa.float64()
     narrow = ds.select_columns([col, id_col])
-    rank_ds = _rank_table(narrow, col, id_col, pct)
-    joined = _bucketed_join(ds, rank_ds, (id_col,), (id_col,), "inner",
-                            num_partitions)
-
-    def restore_types(t: pa.Table) -> pa.Table:
-        # the bucketed join's two-sided union pads each side's missing
-        # columns with nulls, so pandas coerces int64 -> float64; the
-        # values are exact, so the safe cast back is lossless (and
-        # raises loudly if it ever were not)
-        return pa.table({c: t[c].cast(types[c]) if c in types else t[c]
-                         for c in t.column_names})
-
-    return joined.map_batches(restore_types, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=None)
+    rank_ds, total = _rank_table(narrow, col, id_col, pct)
+    if num_partitions is None:
+        num_partitions = max(32, math.ceil(total / rows_per_partition))
+    return _bucketed_join(ds, rank_ds, (id_col,), (id_col,), "inner",
+                          num_partitions, expect_left_one_to_one=True)
 
 
 def _rank_table(narrow, col: str, id_col: str, pct: bool = True):
     """Sort the two-column ``(col, id_col)`` projection and emit the
-    narrow ``(id_col, row_num, rnk[, pct_rank])`` rank table.  Refuses a
-    wider input — the materialized sort output is exactly the working
-    set this op is allowed to pin."""
+    narrow ``(id_col, row_num, rnk[, pct_rank])`` rank table plus the
+    total row count as ``(Dataset, total)``.  Refuses a wider input —
+    the materialized sort output is exactly the working set this op is
+    allowed to pin."""
     import ray
     import ray.data as rd
 
@@ -453,7 +444,7 @@ def _rank_table(narrow, col: str, id_col: str, pct: bool = True):
     refs = [r for r, _m in blocks]
     if not refs:
         return sorted_ds.map_batches(
-            lambda t: apply(t, 0, 0, 0), batch_format="pyarrow")
+            lambda t: apply(t, 0, 0, 0), batch_format="pyarrow"), 0
 
     summary_task = ray.remote(num_cpus=0.5)(summary)
     apply_task = ray.remote(num_cpus=0.5)(apply)
@@ -478,7 +469,7 @@ def _rank_table(narrow, col: str, id_col: str, pct: bool = True):
         apply_task.remote(r, ro, ho, total)
         for r, ro, ho in zip(refs, row_offs, head_offs)
     ]
-    return rd.from_arrow_refs(out_refs)
+    return rd.from_arrow_refs(out_refs), total
 
 
 def global_rank_sql(table: str, col: str, id_col: str,

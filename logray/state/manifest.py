@@ -93,6 +93,12 @@ def default_partitions(input_path: str) -> list[tuple[str, list[str]]]:
     return out
 
 
+def part_files(phase_dir: str) -> list[str]:
+    """All parquet files a finished (or partially finished) resumable
+    phase has published under ``<phase_dir>/parts/*/``."""
+    return sorted(glob.glob(os.path.join(phase_dir, "parts", "*", "*.parquet")))
+
+
 def run_resumable(
     input_path: str,
     out_dir: str,
@@ -101,11 +107,20 @@ def run_resumable(
 ) -> dict:
     """Run ``run_partition(files, partition_out_dir) -> dict`` once per
     pending partition; completed partitions (manifest present) are skipped.
+    A ``run_partition`` that also accepts a ``part_id`` keyword receives
+    the partition's id (fault-injection hooks and per-partition naming
+    need it — callers must not reverse-map it from ``files``).
 
     The partition function writes its outputs under a temp dir we pass in;
     on success we atomically rename it into place and commit the manifest.
     Returns merged run metrics.
     """
+    import inspect
+
+    try:
+        pass_pid = "part_id" in inspect.signature(run_partition).parameters
+    except (TypeError, ValueError):
+        pass_pid = False
     mf = RunManifest(out_dir)
     os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
     parts = partitions if partitions is not None else default_partitions(input_path)
@@ -128,7 +143,8 @@ def run_resumable(
             shutil.rmtree(tmp)  # leftover from a crashed attempt
         os.makedirs(tmp)
         t0 = time.perf_counter()
-        stats = run_partition(files, tmp) or {}
+        stats = (run_partition(files, tmp, part_id=part_id)
+                 if pass_pid else run_partition(files, tmp)) or {}
         # atomic publish: move outputs into place, then commit the manifest
         if os.path.exists(pdir):
             shutil.rmtree(pdir)

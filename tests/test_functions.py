@@ -2200,6 +2200,27 @@ def test_dedup_spans_bytes_fuzz_vs_bruteforce(ray_session):
         assert list(got["n_removed"]) == [w[1] for w in want], (seed, window)
 
 
+def test_byte_gram_hashes_segmented_identical():
+    """Segmenting the byte tape at doc boundaries (the bounded-memory
+    path: ~50x transients per SEGMENT, not per batch) yields exactly the
+    hashes and starts of the single-shot kernel — including oversized
+    single docs and zero-length docs at segment edges."""
+    import numpy as np
+
+    from logray.functions.spandedup import _byte_gram_core, _byte_gram_hashes
+
+    rng = np.random.default_rng(3)
+    lengths = np.array([0, 37, 5, 0, 900, 13, 0, 64, 258, 2, 0],
+                       np.int64)
+    flat = rng.integers(0, 256, int(lengths.sum())).astype(np.uint8)
+    for window in (4, 25):
+        ref = _byte_gram_core(flat, lengths, window)
+        for seg in (64, 100, 333, 10_000):
+            got = _byte_gram_hashes(flat, lengths, window, seg_bytes=seg)
+            for a, b in zip(ref, got):
+                assert np.array_equal(a, b), (window, seg)
+
+
 def test_dedup_spans_bytes_matches_duckdb(ray_session):
     import duckdb
     import numpy as np

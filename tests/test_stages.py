@@ -753,6 +753,43 @@ def test_hash_join_outer_unmatched_both_sides(ray_session):
     assert out["b"].fillna(-1).tolist() == [-1, 200.0, 300.0]
 
 
+def test_hash_join_left_right_arrow_dtypes(ray_session):
+    """left/right joins through the Arrow bucketed merge: unmatched rows
+    null-extend WITHOUT coercing the other side's int64 through float64
+    (values past 2^53 must survive byte-exactly)."""
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.join import hash_join
+
+    big = 2**53 + 1
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "h": pa.array([big, big + 2, big + 4], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 4], pa.int64()),
+        "b": pa.array([20, 40], pa.int64()),
+    }))
+    lo = (hash_join(left, right, on="k", right_on="rk", how="left",
+                    num_partitions=4)
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    assert lo["h"].dtype == np.int64  # never visited float64
+    assert lo["h"].tolist() == [big, big + 2, big + 4]
+    assert lo["b"].isna().tolist() == [True, False, True]
+    # right join checked at the ARROW level: int64-with-null survives in
+    # the engine; only a terminal .to_pandas() would float64-coerce it
+    ro_tbls = list(
+        hash_join(left, right, on="k", right_on="rk", how="right",
+                  num_partitions=4)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    ro = pa.concat_tables([t for t in ro_tbls if t.num_rows])
+    assert ro["h"].type == pa.int64()
+    rows = sorted(ro.to_pylist(), key=lambda r: r["rk"])
+    assert [r["rk"] for r in rows] == [2, 4]
+    assert rows[0]["h"] == big + 2 and rows[1]["h"] is None
+
+
 def test_stats_agg_null_keys_and_null_values(ray_session):
     import duckdb
     import numpy as np

@@ -204,6 +204,42 @@ def test_kth_smallest(ray_session):
     assert kth_smallest(ds, "v", 99) is None
 
 
+def test_kth_smallest_non_numeric(ray_session, monkeypatch):
+    """String and timestamp columns go through the value-space bisection
+    (_kth_ordered) — the non-numeric support the old sort-based
+    implementation had, still with NO sort of the dataset."""
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.aggregate import _kth_ordered, kth_smallest
+
+    def boom(self, *a, **k):
+        raise AssertionError("kth_smallest must not sort the dataset")
+
+    monkeypatch.setattr(rd.Dataset, "sort", boom)
+    rng = np.random.default_rng(11)
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+    s = words[rng.integers(0, 6, 3000)]
+    ds = rd.from_arrow(pa.table({"v": s})).repartition(5)
+    srt = np.sort(s)
+    for k in [0, 1, 1499, 2999]:
+        # tiny bracket budget forces the pivot-count bisection paths
+        assert _kth_ordered(ds, "v", k, max_bracket_rows=40) == srt[k]
+        assert kth_smallest(ds, "v", k) == srt[k]
+    assert kth_smallest(ds, "v", 3000) is None
+
+    ts = (np.datetime64("2026-01-01")
+          + rng.integers(0, 9999, 500).astype("timedelta64[s]"))
+    ds2 = rd.from_arrow(pa.table({"t": pa.array(ts)})).repartition(3)
+    wt = np.sort(ts)
+    for k in [0, 250, 499]:
+        assert np.datetime64(kth_smallest(ds2, "t", k)) == wt[k]
+
+    # all-duplicates bracket resolves via the strict-below proof
+    const = rd.from_arrow(pa.table({"v": ["x"] * 800})).repartition(3)
+    assert _kth_ordered(const, "v", 799, max_bracket_rows=10) == "x"
+
+
 def test_kth_smallest_never_sorts(ray_session, monkeypatch):
     """kth_smallest is a bisection selection — a full sort of the corpus
     for one order statistic is the scale anti-pattern it replaced."""
@@ -760,6 +796,41 @@ def test_global_rank_single_row_and_all_ties(ray_session):
     assert (got["pct_rank"] == 0.0).all()
 
 
+def test_global_rank_preserves_full_range_int64(ray_session):
+    """Payload int64 columns past 2^53 ride through the join-back
+    byte-exactly — the Arrow per-bucket merge never NaN-pads them
+    through float64 (which silently rounds full-range hash/id values)."""
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.windowfn import global_rank
+
+    big = 2**53 + 1
+    df = pd.DataFrame({
+        "id": np.arange(8, dtype=np.int64),
+        "v": np.arange(8, dtype=np.int64) % 3,
+        "h": np.arange(big, big + 16, 2, dtype=np.int64),
+    })
+    got = (
+        global_rank(rd.from_pandas(df).repartition(3), "v", "id")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got["h"].dtype == np.int64
+    assert got["h"].tolist() == df["h"].tolist()
+
+
+def test_global_rank_duplicate_id_raises(ray_session):
+    """A non-unique id_col raises in the join-back (1:1 guard) instead
+    of silently emitting multiplied, mis-ranked rows."""
+    import ray.data as rd
+
+    from logray.stages.windowfn import global_rank
+
+    df = pd.DataFrame({"id": [1, 2, 2, 3], "v": [10, 20, 30, 40]})
+    with pytest.raises(Exception, match="not unique|1:1"):
+        global_rank(rd.from_pandas(df), "v", "id").materialize()
+
+
 def test_global_rank_sorts_only_the_narrow_projection(ray_session,
                                                       monkeypatch):
     """The sort-materialized working set is the two-column (col, id)
@@ -803,8 +874,9 @@ def test_global_rank_sorts_only_the_narrow_projection(ray_session,
             == df["v"].rank(method="min").astype(np.int64).to_numpy()).all()
     assert got["payload"].tolist() == df["payload"].tolist()
     # the rank table itself is narrow and refuses a wide input
-    rt = _rank_table(rd.from_pandas(df[["v", "id"]]), "v", "id")
+    rt, rt_total = _rank_table(rd.from_pandas(df[["v", "id"]]), "v", "id")
     assert set(rt.schema().names) == {"id", "row_num", "rnk", "pct_rank"}
+    assert rt_total == 300
     with pytest.raises(ValueError):
         _rank_table(rd.from_pandas(df), "v", "id")
 

@@ -75,11 +75,12 @@ def main() -> int:
     def timed(name, fn):
         if only and name not in only:
             return
+        s0 = _spill_events()  # raylet counter is cumulative: record deltas
         t0 = time.perf_counter()
         n = fn()
         dt = time.perf_counter() - t0
         results[name] = {"sec": round(dt, 2), "rows_out": int(n),
-                         "spill_events": _spill_events()}
+                         "spill_events": _spill_events() - s0}
         print(f"{name}: {dt:.2f}s rows_out={n} "
               f"spill_events={results[name]['spill_events']}", flush=True)
 
