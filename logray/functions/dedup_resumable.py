@@ -41,7 +41,8 @@ from logray.functions.dedup import (
     connected_components,
     connected_components_distributed,
 )
-from logray.state.manifest import default_partitions, part_files, run_resumable
+from logray.state.manifest import (check_run_config, default_partitions,
+                                   part_files, run_resumable)
 
 
 def near_dedup_resumable(
@@ -71,6 +72,11 @@ def near_dedup_resumable(
         if _fault is not None:
             _fault(phase, part_id)
 
+    check_run_config(out_dir, {
+        "op": "near_dedup", "text_col": text_col, "id_col": id_col,
+        "num_perm": num_perm, "bands": bands, "k": k,
+        "threshold": threshold, "seed": seed, "max_bucket": max_bucket,
+    })
     input_parts = default_partitions(input_path)
 
     # --- phase 1: band rows per input file --------------------------------

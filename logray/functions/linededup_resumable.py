@@ -41,7 +41,8 @@ import pyarrow.parquet as pq
 
 from logray.functions.linededup import _explode_lines_fn, _rejoin_fn
 from logray.stages.bucketing import bucket_of, run_starts
-from logray.state.manifest import default_partitions, part_files, run_resumable
+from logray.state.manifest import (check_run_config, default_partitions,
+                                   part_files, run_resumable)
 
 __all__ = ["dedup_lines_resumable"]
 
@@ -111,6 +112,10 @@ def dedup_lines_resumable(
         if _fault is not None:
             _fault(phase, part_id)
 
+    check_run_config(out_dir, {
+        "op": "dedup_lines", "id_col": id_col, "text_col": text_col,
+        "min_len": min_len, "sep": sep, "num_buckets": num_buckets,
+    })
     input_parts = default_partitions(input_path)
 
     # --- phase 1: winners + local tombstones per input file -----------------

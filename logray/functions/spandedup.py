@@ -369,6 +369,35 @@ def dedup_spans_bytes(ds, id_col: str = "doc_id", text_col: str = "text",
                           batch_size=None)
 
 
+def _downcast_string_chunks(big: pa.Array, offsets: np.ndarray,
+                            limit: int = 2**31 - 1) -> pa.ChunkedArray:
+    """Split a ``large_string`` array into doc-boundary slices of at most
+    ``limit`` bytes each and cast every slice down to ``string``, so a
+    batch that transiently needed 64-bit offsets still emits the same
+    column type as its siblings.  ``offsets`` is the int64 offset vector
+    (len = docs + 1).  A single document over ``limit`` bytes is
+    unrepresentable as ``string`` — raise rather than corrupt."""
+    n = len(offsets) - 1
+    doc_bytes = offsets[1:] - offsets[:-1]
+    too_big = int(doc_bytes.max(initial=0))
+    if too_big > limit:
+        raise ValueError(
+            f"dedup_spans_bytes: a single kept document holds {too_big} "
+            f"bytes, which cannot be represented in a 32-bit-offset "
+            f"string column; split the document upstream")
+    chunks = []
+    start = 0
+    while start < n:
+        # last doc boundary within `limit` bytes of offsets[start]
+        end = int(np.searchsorted(offsets, offsets[start] + limit,
+                                  side="right")) - 1
+        chunks.append(big.slice(start, end - start).cast(pa.string()))
+        start = end
+    if not chunks:
+        chunks = [pa.array([], pa.string())]
+    return pa.chunked_array(chunks)
+
+
 def _cut_bytes_fn(id_col: str, text_col: str, window: int, dup_ref):
     """Mark-and-cut map for the byte-level pass; ``dup_ref`` is the
     ``ray.put`` handle of the SORTED duplicated-h1 uint64 array."""
@@ -407,12 +436,17 @@ def _cut_bytes_fn(id_col: str, text_col: str, window: int, dup_ref):
             text = arr.cast(pa.string())  # validates UTF-8
         else:
             # > 2 GiB of kept text in one batch: int32 offsets would wrap
-            # (silently corrupting documents) — use 64-bit offsets
+            # (silently corrupting documents) — build through 64-bit
+            # offsets, then down-cast doc-boundary slices back to
+            # ``string`` so every batch keeps ONE schema (a lone
+            # large_string block alongside string blocks fails schema
+            # unification at the write/union downstream)
             arr = pa.Array.from_buffers(
                 pa.large_binary(), len(lengths),
                 [None, pa.py_buffer(new_off), pa.py_buffer(kept)],
                 null_count=0)
-            text = arr.cast(pa.large_string())  # validates UTF-8
+            big = arr.cast(pa.large_string())  # validates UTF-8
+            text = _downcast_string_chunks(big, new_off)
         return pa.table({
             id_col: t[id_col],
             text_col: text,

@@ -41,7 +41,8 @@ from logray.functions.spandedup import (
     _dup_bucket,
 )
 from logray.stages.bucketing import bucket_tagger
-from logray.state.manifest import default_partitions, part_files, run_resumable
+from logray.state.manifest import (check_run_config, default_partitions,
+                                   part_files, run_resumable)
 
 __all__ = ["dedup_spans_resumable"]
 
@@ -78,6 +79,10 @@ def dedup_spans_resumable(
         if _fault is not None:
             _fault(phase, part_id)
 
+    check_run_config(out_dir, {
+        "op": "dedup_spans", "id_col": id_col, "text_col": text_col,
+        "window": window, "level": level, "num_buckets": num_buckets,
+    })
     input_parts = default_partitions(input_path)
     census_fn = (_census_fn if level == "word" else _census_bytes_fn)(
         id_col, text_col, window)

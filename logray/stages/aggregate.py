@@ -262,8 +262,15 @@ def kth_smallest(ds, col: str, k: int):
     its shuffle."""
     sch = ds.schema()
     vtype = dict(zip(sch.names, sch.types))[col]
-    if isinstance(vtype, pa.DataType) and not (
-            pa.types.is_integer(vtype) or pa.types.is_floating(vtype)):
+    if not isinstance(vtype, pa.DataType):
+        # pandas-block schema: numpy dtype, or the object class for
+        # string columns — resolve to an Arrow type when possible,
+        # else it is certainly not numeric
+        try:
+            vtype = pa.from_numpy_dtype(vtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return _kth_ordered(ds, col, k)
+    if not (pa.types.is_integer(vtype) or pa.types.is_floating(vtype)):
         return _kth_ordered(ds, col, k)
     return exact_quantiles(ds, col, ["k"], rank_of=lambda _q, _n: k)["k"]
 

@@ -17,8 +17,37 @@ import pandas as pd
 import pyarrow as pa
 
 
+# bump whenever the bucket-assignment hash changes: resumable runs
+# checkpoint phase outputs partitioned by this hash, and resuming a
+# half-finished run under a different assignment silently corrupts it
+# (state/manifest.py::check_run_config compares this marker)
+HASH_VERSION = "canonical-f64-v2"
+
+
+def key_hashes(keys: np.ndarray) -> np.ndarray:
+    """Dtype-canonical uint64 hash per key: equal LOGICAL values hash
+    identically regardless of physical representation.  Without this, an
+    int64 batch containing any null comes out of ``to_numpy`` as float64
+    (NaN for nulls), so its non-null keys hash to different buckets than
+    the same keys in a null-free batch — silently splitting one key
+    across buckets (dropped join matches, duplicated window partials).
+
+    Canonical form: ints / uints / bools / datetimes hash through
+    float64.  Equal values always map to the same float64, so they can
+    never split; distinct giant ints colliding past 2^53 only merges
+    buckets, which is harmless.  Floats and objects (strings) hash
+    as-is."""
+    k = np.asarray(keys)
+    if k.dtype.kind in "iub":
+        k = k.astype(np.float64)
+    elif k.dtype.kind in "Mm":
+        k = k.view(np.int64).astype(np.float64)
+    return pd.util.hash_array(k).astype(np.uint64)
+
+
 def bucket_tagger(key_col: str, num_buckets: int, col_name: str = "__b"):
-    """map_batches fn appending ``col_name = hash(key_col) % num_buckets``.
+    """map_batches fn appending ``col_name = hash(key_col) % num_buckets``
+    (dtype-canonical, see :func:`key_hashes`).
 
     Null keys are pinned to bucket 0: their hash is NOT stable across
     block dtypes (an all-null block infers a null-typed Arrow column
@@ -29,7 +58,7 @@ def bucket_tagger(key_col: str, num_buckets: int, col_name: str = "__b"):
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        kh = pd.util.hash_array(np.asarray(t[key_col].to_numpy(zero_copy_only=False)))
+        kh = key_hashes(t[key_col].to_numpy(zero_copy_only=False))
         b = (kh % num_buckets).astype(np.int64)
         valid = pc.is_valid(t[key_col]).to_numpy(zero_copy_only=False)
         b[~np.asarray(valid, np.bool_)] = 0
@@ -41,7 +70,7 @@ def bucket_tagger(key_col: str, num_buckets: int, col_name: str = "__b"):
 def bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     """The same bucket assignment for code already holding a numpy array
     (nulls pinned to bucket 0, see :func:`bucket_tagger`)."""
-    b = (pd.util.hash_array(np.asarray(keys)) % num_buckets).astype("int64")
+    b = (key_hashes(keys) % num_buckets).astype("int64")
     b[pd.isna(keys)] = 0
     return b
 

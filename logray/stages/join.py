@@ -20,6 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from logray.stages.bucketing import key_hashes
+
 
 # Only inner/left are sound PER BATCH against a broadcast side: a per-batch
 # right/full-outer would re-emit every unmatched small-side row once per
@@ -134,18 +136,46 @@ def hash_join(left, right, on, right_on=None, how: str = "inner",
         (right_on,) if isinstance(right_on, str) else tuple(right_on)
     )
     if hasattr(left, "join") and how == "inner":
-        return left.join(
-            right,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=on,
-            right_on=right_on if right_on != on else None,
-        )
+        lt = _arrow_types(left.schema())
+        rt = _arrow_types(right.schema())
+        if (lt is not None and rt is not None
+                and all(lt[a] == rt[b] for a, b in zip(on, right_on))):
+            return left.join(
+                right,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=on,
+                right_on=right_on if right_on != on else None,
+            )
+        # mismatched key dtypes (int64 vs float64) or object-block
+        # schemas crash or mis-route the builtin typed hash join — the
+        # bucketed path normalizes / falls back per dtype pair
     return _bucketed_join(left, right, on, right_on, how, num_partitions)
 
 
 _BUCKETED_JOIN_TYPE = {"inner": "inner", "left": "left outer",
                        "right": "right outer", "outer": "full outer"}
+
+
+def _normalize_arrow(ds):
+    """(dataset, arrow types) for the bucketed join.  A pandas-block
+    dataset reports numpy dtypes; object columns hide perfectly
+    Arrow-able strings, and sending those through the pandas fallback
+    silently corrupts unrelated int64 columns (the cross-side column
+    union NaN-pads them to float64).  Rewrap such datasets as Arrow
+    blocks and re-read the schema — only a genuinely mixed-object column
+    (schema still unresolvable, or the conversion itself failing) drops
+    to the pandas path."""
+    types = _arrow_types(ds.schema())
+    if types is not None:
+        return ds, types
+    conv = ds.map_batches(lambda t: t, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+    try:
+        types = _arrow_types(conv.schema())
+    except Exception:
+        return ds, None
+    return (ds, None) if types is None else (conv, types)
 
 
 def _arrow_types(sch) -> dict | None:
@@ -185,21 +215,34 @@ def _bucketed_join(left, right, on, right_on, how, num_buckets,
 
     Falls back to the pandas merge (NaN-key matching, _x/_y collision
     suffixes, float64 null-padding) only when a side's schema holds
-    non-Arrow object columns."""
-    ltypes = _arrow_types(left.schema())
-    rtypes = _arrow_types(right.schema())
+    non-Arrow object columns that Arrow-block normalization cannot
+    resolve, or when the two sides' key dtypes differ."""
+    left, ltypes = _normalize_arrow(left)
+    right, rtypes = _normalize_arrow(right)
     if ltypes is None or rtypes is None or how not in _BUCKETED_JOIN_TYPE:
         return _bucketed_join_pandas(left, right, on, right_on, how,
-                                     num_buckets)
+                                     num_buckets, expect_left_one_to_one)
     same_keys = tuple(on) == tuple(right_on)
-    if same_keys and any(ltypes[k] != rtypes[k] for k in on):
-        # coalesced same-named keys must share one dtype in the union
+    if any(ltypes[a] != rtypes[b] for a, b in zip(on, right_on)):
+        # coalesced same-named keys must share one dtype in the union;
+        # differently-named mismatched keys (int64 vs float64) would make
+        # Acero's typed hash join reject or miss — pandas merge matches
+        # 2 with 2.0 (and the canonical bucket hash keeps them together)
         return _bucketed_join_pandas(left, right, on, right_on, how,
-                                     num_buckets)
+                                     num_buckets, expect_left_one_to_one)
     # rename colliding right columns BEFORE the union so one shared column
-    # never has to carry two dtypes (same-named keys coalesce instead)
-    ren = {c: c + "_right" for c in rtypes
-           if c in ltypes and not (same_keys and c in on)}
+    # never has to carry two dtypes (same-named keys coalesce instead);
+    # keep appending the suffix until the name is actually free so a real
+    # right-side "x_right" column is never silently overwritten
+    taken = set(ltypes) | set(rtypes)
+    ren = {}
+    for c in rtypes:
+        if c in ltypes and not (same_keys and c in on):
+            new = c + "_right"
+            while new in taken:
+                new += "_right"
+            ren[c] = new
+            taken.add(new)
     right_named = {ren.get(c, c): t for c, t in rtypes.items()}
     right_keys = [ren.get(c, c) for c in right_on]
     all_cols = list(ltypes) + [c for c in right_named if c not in ltypes]
@@ -221,8 +264,8 @@ def _bucketed_join(left, right, on, right_on, how, num_buckets,
         def fn(t: pa.Table) -> pa.Table:
             h = np.zeros(t.num_rows, np.uint64)
             for k in keys:
-                col = t[k].to_numpy(zero_copy_only=False)
-                h = h * np.uint64(1000003) + pd.util.hash_array(np.asarray(col)).astype(np.uint64)
+                h = h * np.uint64(1000003) + key_hashes(
+                    t[k].to_numpy(zero_copy_only=False))
             cols = {c: (t[src] if src is not None
                         else pa.nulls(t.num_rows, types[c]))
                     for c, src in src_of.items()}
@@ -259,12 +302,14 @@ def _bucketed_join(left, right, on, right_on, how, num_buckets,
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
-def _bucketed_join_pandas(left, right, on, right_on, how, num_buckets):
+def _bucketed_join_pandas(left, right, on, right_on, how, num_buckets,
+                          expect_left_one_to_one: bool = False):
     """Legacy pandas-merge bucketed join, kept ONLY for inputs whose
-    schema cannot be expressed in Arrow (pandas object blocks).  Caveats
-    vs the Arrow path: NaN keys match each other, null-extended int64
-    columns coerce to float64 (values past 2^53 round), collisions get
-    pandas _x/_y suffixes."""
+    schema cannot be expressed in Arrow (mixed-object blocks) or whose
+    key dtypes differ across sides.  Caveats vs the Arrow path: NaN keys
+    match each other, null-extended / cross-side-unioned int64 columns
+    coerce to float64 (values past 2^53 round), collisions get pandas
+    _x/_y suffixes."""
 
     def tag(side):
         keys = on if side == 0 else right_on
@@ -272,8 +317,8 @@ def _bucketed_join_pandas(left, right, on, right_on, how, num_buckets):
         def fn(t: pa.Table) -> pa.Table:
             h = np.zeros(t.num_rows, np.uint64)
             for k in keys:
-                col = t[k].to_numpy(zero_copy_only=False)
-                h = h * np.uint64(1000003) + pd.util.hash_array(np.asarray(col)).astype(np.uint64)
+                h = h * np.uint64(1000003) + key_hashes(
+                    t[k].to_numpy(zero_copy_only=False))
             t = t.append_column("__bucket", pa.array((h % num_buckets).astype(np.int64)))
             return t.append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
 
@@ -291,7 +336,13 @@ def _bucketed_join_pandas(left, right, on, right_on, how, num_buckets):
         # so the merge degenerates to empty instead of KeyError-ing
         l = g.loc[g["__side"] == 0].reindex(columns=left_cols)
         r = g.loc[g["__side"] == 1].reindex(columns=right_cols)
-        return l.merge(r, left_on=list(on), right_on=list(right_on), how=how)
+        out = l.merge(r, left_on=list(on), right_on=list(right_on), how=how)
+        if expect_left_one_to_one and len(out) != len(l):
+            raise ValueError(
+                f"_bucketed_join: expected a 1:1 join-back but a bucket's "
+                f"{len(l)} left rows joined to {len(out)} rows — the "
+                f"right-side key {list(right_on)} is not unique")
+        return out
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 

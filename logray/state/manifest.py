@@ -67,6 +67,39 @@ class RunManifest:
         return {"partitions": len(parts), "rows": total_rows, "routes": routes}
 
 
+def check_run_config(out_dir: str, config: dict) -> None:
+    """Refuse to resume a checkpointed run whose semantic parameters — or
+    the engine's partitioning-hash version — differ from the ones the
+    directory was started with: completed partitions were produced under
+    a different plan, and mixing them silently corrupts the output (e.g.
+    a bucket-hash change reassigns keys across phase-2 buckets).  The
+    first call records the config at ``<out_dir>/run_config.json``;
+    later calls compare and raise on any mismatch."""
+    from logray.stages.bucketing import HASH_VERSION
+
+    cfg = {k: v for k, v in config.items()}
+    cfg["bucket_hash_version"] = HASH_VERSION
+    # normalize through JSON so the recorded and compared forms agree
+    cfg = json.loads(json.dumps(cfg, sort_keys=True, default=str))
+    path = os.path.join(out_dir, "run_config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        if old != cfg:
+            diffs = {k: (old.get(k), cfg.get(k))
+                     for k in set(old) | set(cfg) if old.get(k) != cfg.get(k)}
+            raise ValueError(
+                f"resumable run at {out_dir} was started with different "
+                f"parameters; refusing to mix its checkpoints with this "
+                f"plan: {diffs} — rerun in a fresh out_dir")
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cfg, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def default_partitions(input_path: str) -> list[tuple[str, list[str]]]:
     """One partition per input parquet file.  Partition ids derive from
     the FILE NAME, not the sort position: positional ids (p00000, ...)

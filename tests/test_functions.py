@@ -2633,3 +2633,55 @@ def test_dedup_spans_fuzz_vs_duckdb(ray_session):
         want = con.sql(dedup_spans_sql("fuzzdocs", window=window)
                        + " ORDER BY doc_id").df()
         pd.testing.assert_frame_equal(got, want), seed
+
+
+def test_downcast_string_chunks():
+    """The >2GiB span-dedup branch must emit the same `string` column
+    type as its sibling batches: the helper splits at doc boundaries
+    under the offset limit and down-casts each slice."""
+    import pyarrow as pa
+
+    from logray.functions.spandedup import _downcast_string_chunks
+
+    docs = ["aa", "bbb", "", "cccc", "d"]
+    off = np.zeros(len(docs) + 1, np.int64)
+    np.cumsum([len(d) for d in docs], out=off[1:])
+    big = pa.array(docs, pa.large_string())
+    out = _downcast_string_chunks(big, off, limit=4)
+    assert out.type == pa.string()
+    assert out.to_pylist() == docs
+    assert all(len("".join(c.to_pylist())) <= 4 for c in out.chunks)
+    # a single doc over the limit is unrepresentable -> loud failure
+    with pytest.raises(ValueError, match="single kept document"):
+        _downcast_string_chunks(pa.array(["eeeeee"], pa.large_string()),
+                                np.array([0, 6], np.int64), limit=4)
+
+
+def test_resumable_run_config_guard(ray_session, tmp_path):
+    """Resuming a checkpointed dedup run with different semantic
+    parameters (or after a bucket-hash change) must refuse loudly —
+    completed partitions were produced under a different plan and mixing
+    them silently corrupts output."""
+    import json
+
+    from logray.functions.linededup_resumable import dedup_lines_resumable
+    from logray.state.manifest import check_run_config
+
+    src = _span_line_corpus(tmp_path, "docs_guard")
+    out = tmp_path / "guard_out"
+    dedup_lines_resumable(str(src), str(out), min_len=5, num_buckets=8)
+    # identical params: clean no-op resume
+    dedup_lines_resumable(str(src), str(out), min_len=5, num_buckets=8)
+    # changed bucket count: refuse
+    with pytest.raises(ValueError, match="different parameters"):
+        dedup_lines_resumable(str(src), str(out), min_len=5, num_buckets=16)
+    # a hash-version bump alone also refuses
+    cfg_path = out / "run_config.json"
+    cfg = json.loads(cfg_path.read_text())
+    cfg["bucket_hash_version"] = "old-v1"
+    cfg_path.write_text(json.dumps(cfg))
+    with pytest.raises(ValueError, match="bucket_hash_version"):
+        check_run_config(str(out), {
+            "op": "dedup_lines", "id_col": "doc_id", "text_col": "text",
+            "min_len": 5, "sep": "\n", "num_buckets": 8,
+        })

@@ -1179,3 +1179,89 @@ def test_grouped_apply_extension_point(ray_session):
     want = (df.groupby("k")["v"].agg(lambda s: s.max() - s.min())
             .rename("rng").reset_index())
     pd.testing.assert_frame_equal(got, want.astype({"rng": got["rng"].dtype}))
+
+
+def test_hash_join_null_int_keys_match(ray_session):
+    """An int64 key batch containing any null comes out of to_numpy as
+    float64 — before the canonical key hash, its non-null keys routed to
+    different buckets than the same keys on the other side, silently
+    dropping every match."""
+    import ray.data as rd
+
+    from logray.stages.join import hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "a": pa.array([10, 20, 30], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, None], pa.int64()),
+        "b": pa.array([100, 200, 300], pa.int64()),
+    }))
+    out = (hash_join(left, right, on="k", how="left", num_partitions=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["b"].fillna(-1).tolist() == [100.0, 200.0, -1]
+    # outer: the null right key survives exactly once, null-extended
+    full = (hash_join(left, right, on="k", how="outer", num_partitions=4)
+            .to_pandas())
+    assert len(full) == 4
+    assert full["b"].fillna(-1).sort_values().tolist() == [-1, 100, 200, 300]
+
+
+def test_hash_join_mismatched_key_dtypes(ray_session):
+    """Differently-named keys with different dtypes (int64 vs float64)
+    must still match 2 with 2.0 — the canonical bucket hash keeps them in
+    one bucket and the pandas merge fallback joins across dtypes."""
+    import ray.data as rd
+
+    from logray.stages.join import hash_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([2, 5], pa.int64()),
+                                   "a": pa.array([20, 50])}))
+    right = rd.from_arrow(pa.table({"rk": pa.array([2.0, 7.0], pa.float64()),
+                                    "b": pa.array([200, 700])}))
+    out = (hash_join(left, right, on="k", right_on="rk", how="inner",
+                     num_partitions=4).to_pandas())
+    assert len(out) == 1
+    assert out["a"].tolist() == [20] and out["b"].tolist() == [200]
+
+
+def test_hash_join_right_suffix_collision(ray_session):
+    """A right side carrying both a colliding column x AND a genuine
+    x_right column must keep both — the rename picks a free name instead
+    of silently overwriting the real x_right."""
+    import ray.data as rd
+
+    from logray.stages.join import hash_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                   "x": pa.array([10], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "x": pa.array([77], pa.int64()),
+        "x_right": pa.array([88], pa.int64()),
+    }))
+    out = (hash_join(left, right, on="k", how="left", num_partitions=2)
+           .to_pandas())
+    assert out["x"].tolist() == [10]
+    assert out["x_right"].tolist() == [88]
+    assert out["x_right_right"].tolist() == [77]
+
+
+def test_bucket_hash_dtype_canonical():
+    """Equal logical keys hash to the same bucket across physical dtypes
+    (int64 vs the float64 a nullable batch coerces to, vs int32)."""
+    import numpy as np
+
+    from logray.stages.bucketing import bucket_of, key_hashes
+
+    ints = np.array([1, 2, 3, 2**40], np.int64)
+    floats = ints.astype(np.float64)
+    ints32 = np.array([1, 2, 3, 0], np.int32)
+    assert (key_hashes(ints) == key_hashes(floats)).all()
+    assert (key_hashes(ints[:3]) == key_hashes(ints32[:3].astype(np.int64))).all()
+    assert (bucket_of(ints, 16) == bucket_of(floats, 16)).all()
+    # a batch with a null alongside real keys: the real keys keep their
+    # null-free bucket assignment
+    with_nan = np.array([1.0, 2.0, np.nan])
+    assert (bucket_of(with_nan, 16)[:2] == bucket_of(ints[:2], 16)).all()

@@ -1571,3 +1571,48 @@ def test_lateness_null_ts_dropped_like_sql(ray_session):
         got[["user_id", "event_id", "late_us"]],
         want[["user_id", "event_id", "late_us"]])
     assert len(got) == 90  # null-ts rows dropped on both sides
+
+
+def test_global_rank_pandas_blocks_string_payload(ray_session):
+    """A from_pandas dataset with a string payload column must take the
+    Arrow join path (block normalization), not the pandas fallback: int64
+    payloads past 2^53 stay exact, row_num/rnk stay int64, and a
+    duplicated id still raises."""
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.windowfn import global_rank
+
+    big = 2**53 + 1
+    df = pd.DataFrame({
+        "id": [1, 2, 3],
+        "score": [0.5, 0.1, 0.9],
+        "text": ["a", "b", "c"],
+        "h": [big, big + 2, big + 4],
+    })
+    out = (global_rank(rd.from_pandas(df).repartition(2), "score", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["h"].tolist() == [big, big + 2, big + 4]
+    assert str(out["row_num"].dtype) == "int64"
+    assert str(out["rnk"].dtype) == "int64"
+    assert out["rnk"].tolist() == [2, 1, 3]
+
+    dup = pd.DataFrame({"id": [1, 1, 2], "score": [0.1, 0.2, 0.3],
+                        "text": ["x", "y", "z"]})
+    with pytest.raises(Exception, match="not unique|1:1"):
+        global_rank(rd.from_pandas(dup), "score", "id").materialize()
+
+
+def test_kth_smallest_pandas_string_blocks(ray_session):
+    """kth_smallest on a from_pandas string column (object-dtype schema)
+    routes through the ordered selector instead of crashing in the
+    numeric bisection."""
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.stages.aggregate import kth_smallest
+
+    ds = rd.from_pandas(pd.DataFrame({"v": list("dacbe")}))
+    assert kth_smallest(ds, "v", 0) == "a"
+    assert kth_smallest(ds, "v", 2) == "c"
+    assert kth_smallest(ds, "v", 4) == "e"
