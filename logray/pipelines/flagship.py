@@ -150,7 +150,21 @@ def run_pipeline_resumable(input_path: str, cfg: PipelineConfig, out_dir: str) -
     (rows + per-route counts folded across partition manifests)."""
     import ray.data as rd
 
-    from logray.state.manifest import run_resumable
+    from logray.state.manifest import check_run_config, run_resumable
+
+    # semantic parameters only: execution knobs (batch size, concurrency)
+    # don't change the output, so retuning them may resume freely
+    check_run_config(out_dir, {
+        "op": "flagship",
+        "format_string": cfg.format_string,
+        "routes": [list(r) for r in cfg.routes],
+        "default_route": cfg.default_route,
+        "text_col": cfg.text_col,
+        "line_col": cfg.line_col,
+        "conv_col": cfg.conv_col,
+        "normalize": cfg.normalize,
+        "enrich": cfg.enrich,
+    })
 
     def run_partition(files, part_out):
         m = run_pipeline(rd.read_parquet(files), cfg, part_out, write_metrics=False)

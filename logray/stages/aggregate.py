@@ -260,17 +260,14 @@ def kth_smallest(ds, col: str, k: int):
     (sampled pivots only — no midpoint arithmetic), so the non-numeric
     support of the old sort-based implementation is preserved without
     its shuffle."""
+    from logray.stages.bucketing import arrow_type_of
+
     sch = ds.schema()
-    vtype = dict(zip(sch.names, sch.types))[col]
-    if not isinstance(vtype, pa.DataType):
-        # pandas-block schema: numpy dtype, or the object class for
-        # string columns — resolve to an Arrow type when possible,
-        # else it is certainly not numeric
-        try:
-            vtype = pa.from_numpy_dtype(vtype)
-        except (pa.ArrowNotImplementedError, TypeError):
-            return _kth_ordered(ds, col, k)
-    if not (pa.types.is_integer(vtype) or pa.types.is_floating(vtype)):
+    # pandas-block schemas carry numpy dtypes / the object class for
+    # strings — resolve through the shared helper (None = not numeric)
+    vtype = arrow_type_of(dict(zip(sch.names, sch.types))[col])
+    if vtype is None or not (
+            pa.types.is_integer(vtype) or pa.types.is_floating(vtype)):
         return _kth_ordered(ds, col, k)
     return exact_quantiles(ds, col, ["k"], rank_of=lambda _q, _n: k)["k"]
 

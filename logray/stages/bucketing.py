@@ -32,17 +32,48 @@ def key_hashes(keys: np.ndarray) -> np.ndarray:
     the same keys in a null-free batch — silently splitting one key
     across buckets (dropped join matches, duplicated window partials).
 
-    Canonical form: ints / uints / bools / datetimes hash through
-    float64.  Equal values always map to the same float64, so they can
-    never split; distinct giant ints colliding past 2^53 only merges
-    buckets, which is harmless.  Floats and objects (strings) hash
-    as-is."""
+    Canonical form: ints / uints / bools / floats of every width hash
+    through float64 (lossless for f16/f32; -0.0 normalized to +0.0 since
+    they compare equal), datetimes/timedeltas through their [ns] int64
+    view (so the same instant hashes identically across units; dates past
+    2262 are out of ns range and out of scope), and object arrays that
+    pandas infers as boolean/numeric (a nullable bool batch comes out of
+    to_numpy as OBJECT, not bool) coerce to the same float64 path.  Equal
+    values always map to the same float64, so they can never split;
+    distinct giant ints colliding past 2^53 only merges buckets, which
+    is harmless.  Strings hash as objects."""
     k = np.asarray(keys)
+    if k.dtype == object and len(k):
+        inferred = pd.api.types.infer_dtype(k, skipna=True)
+        if inferred in ("boolean", "integer", "floating",
+                        "mixed-integer-float", "empty"):
+            k = pd.to_numeric(pd.Series(k), errors="coerce").to_numpy(
+                np.float64)
+        elif inferred in ("datetime", "datetime64", "date"):
+            k = pd.to_datetime(pd.Series(k), errors="coerce").to_numpy()
     if k.dtype.kind in "iub":
         k = k.astype(np.float64)
     elif k.dtype.kind in "Mm":
-        k = k.view(np.int64).astype(np.float64)
+        k = k.astype(f"{k.dtype.kind}8[ns]", copy=False).view(
+            np.int64).astype(np.float64)
+    elif k.dtype.kind == "f":
+        # float64 for every width; +0.0 for -0.0 (they compare equal)
+        k = k.astype(np.float64) + 0.0
     return pd.util.hash_array(k).astype(np.uint64)
+
+
+def arrow_type_of(typ) -> pa.DataType | None:
+    """Resolve a Dataset schema entry — a ``pa.DataType``, or a numpy
+    dtype / the ``object`` class on pandas-block schemas — to an Arrow
+    type; None when it cannot be expressed (object blocks).  The ONE
+    definition of "Arrow-able" shared by the join planner and the
+    selector dispatch, so they never disagree on a schema."""
+    if isinstance(typ, pa.DataType):
+        return typ
+    try:
+        return pa.from_numpy_dtype(typ)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return None
 
 
 def bucket_tagger(key_col: str, num_buckets: int, col_name: str = "__b"):

@@ -181,13 +181,13 @@ def _normalize_arrow(ds):
 def _arrow_types(sch) -> dict | None:
     """Arrow type per column of a Dataset schema, or None when any column
     carries a non-Arrow type we cannot express (pandas object blocks)."""
+    from logray.stages.bucketing import arrow_type_of
+
     out = {}
     for name, typ in zip(sch.names, sch.types):
-        if not isinstance(typ, pa.DataType):
-            try:
-                typ = pa.from_numpy_dtype(typ)
-            except (pa.ArrowNotImplementedError, TypeError):
-                return None
+        typ = arrow_type_of(typ)
+        if typ is None:
+            return None
         out[name] = typ
     return out
 

@@ -25,6 +25,8 @@ import shutil
 import time
 from dataclasses import dataclass
 
+import numpy as np
+
 
 @dataclass
 class RunManifest:
@@ -74,14 +76,36 @@ def check_run_config(out_dir: str, config: dict) -> None:
     a different plan, and mixing them silently corrupts the output (e.g.
     a bucket-hash change reassigns keys across phase-2 buckets).  The
     first call records the config at ``<out_dir>/run_config.json``;
-    later calls compare and raise on any mismatch."""
+    later calls compare and raise on any mismatch.  An out_dir holding
+    completed partition manifests but NO recorded config (a run started
+    before configs were versioned) also refuses: its checkpoints were
+    produced under an unknown plan — possibly an older bucket hash — and
+    blessing them with today's config is exactly the corruption this
+    guard exists to stop."""
     from logray.stages.bucketing import HASH_VERSION
 
-    cfg = {k: v for k, v in config.items()}
+    def native(v):
+        # numpy scalars JSON-ify as strings via default=str; a resume
+        # passing the same value as a python int would then spuriously
+        # mismatch — coerce to native first
+        return v.item() if isinstance(v, np.generic) else v
+
+    cfg = {k: native(v) for k, v in config.items()}
     cfg["bucket_hash_version"] = HASH_VERSION
     # normalize through JSON so the recorded and compared forms agree
     cfg = json.loads(json.dumps(cfg, sort_keys=True, default=str))
     path = os.path.join(out_dir, "run_config.json")
+    if not os.path.exists(path):
+        pre_versioned = glob.glob(
+            os.path.join(out_dir, "parts", "*", "manifest.json")
+        ) or glob.glob(
+            os.path.join(out_dir, "*", "parts", "*", "manifest.json"))
+        if pre_versioned:
+            raise ValueError(
+                f"resumable run at {out_dir} holds checkpoints but no "
+                f"run_config.json (started before configs were "
+                f"versioned); its partitioning plan is unknown — rerun "
+                f"in a fresh out_dir")
     if os.path.exists(path):
         with open(path) as f:
             old = json.load(f)

@@ -2685,3 +2685,25 @@ def test_resumable_run_config_guard(ray_session, tmp_path):
             "op": "dedup_lines", "id_col": "doc_id", "text_col": "text",
             "min_len": 5, "sep": "\n", "num_buckets": 8,
         })
+
+
+def test_run_config_pre_versioned_checkpoints_refused(tmp_path):
+    """An out_dir holding partition manifests but no run_config.json
+    (a run started before configs were versioned) must refuse to resume:
+    its checkpoints were produced under an unknown partitioning plan."""
+    import os
+
+    import numpy as np
+
+    from logray.state.manifest import check_run_config
+
+    out = tmp_path / "legacy"
+    os.makedirs(out / "cand" / "parts" / "p-x", exist_ok=True)
+    (out / "cand" / "parts" / "p-x" / "manifest.json").write_text("{}")
+    with pytest.raises(ValueError, match="before configs were versioned"):
+        check_run_config(str(out), {"op": "dedup_lines"})
+    # numpy scalar params normalize: recording with np.int64 then
+    # resuming with a python int is NOT a mismatch
+    out2 = tmp_path / "npscalar"
+    check_run_config(str(out2), {"op": "x", "n": np.int64(8)})
+    check_run_config(str(out2), {"op": "x", "n": 8})

@@ -1265,3 +1265,49 @@ def test_bucket_hash_dtype_canonical():
     # null-free bucket assignment
     with_nan = np.array([1.0, 2.0, np.nan])
     assert (bucket_of(with_nan, 16)[:2] == bucket_of(ints[:2], 16)).all()
+
+
+def test_key_hashes_object_bool_float32_datetime_negzero():
+    """The canonicalization edge cases: a nullable bool batch (OBJECT
+    array from to_numpy), narrow floats, datetime units, and signed zero
+    must all hash like their canonical representation."""
+    import numpy as np
+
+    from logray.stages.bucketing import key_hashes
+
+    # nullable bool object array vs plain bool array
+    obj = pa.array([True, False, None]).to_numpy(zero_copy_only=False)
+    assert obj.dtype == object
+    plain = np.array([True, False])
+    assert (key_hashes(obj)[:2] == key_hashes(plain)).all()
+    # object ints with a null vs int64
+    obj_i = pa.array([7, 9, None], pa.int64()).to_numpy(zero_copy_only=False)
+    assert (key_hashes(obj_i.astype(object))[:2]
+            == key_hashes(np.array([7, 9], np.int64))).all()
+    # float32 vs float64 vs int64 of the same value
+    assert (key_hashes(np.float32([2.0, 5.5]))
+            == key_hashes(np.float64([2.0, 5.5]))).all()
+    assert (key_hashes(np.float32([2.0]))
+            == key_hashes(np.array([2], np.int64))).all()
+    # same instant across datetime64 units
+    ns = np.array(["2026-01-02T03:04:05.000000"], "datetime64[ns]")
+    us = np.array(["2026-01-02T03:04:05.000000"], "datetime64[us]")
+    assert (key_hashes(ns) == key_hashes(us)).all()
+    # -0.0 == 0.0 must share a bucket
+    assert (key_hashes(np.float64([-0.0])) == key_hashes(np.float64([0.0]))).all()
+
+
+def test_hash_join_nullable_bool_key(ray_session):
+    """End-to-end: a bool join key where one side's batch carries a null
+    must still match its True/False rows."""
+    import ray.data as rd
+
+    from logray.stages.join import hash_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([True, False]),
+                                   "a": pa.array([1, 2])}))
+    right = rd.from_arrow(pa.table({"k": pa.array([True, False, None]),
+                                    "b": pa.array([10, 20, 30])}))
+    out = (hash_join(left, right, on="k", how="left", num_partitions=4)
+           .to_pandas().sort_values("a").reset_index(drop=True))
+    assert out["b"].tolist() == [10, 20]
