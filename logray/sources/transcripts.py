@@ -165,6 +165,33 @@ def _block_conv_summary(t: pa.Table):
     return first, last, n, tail
 
 
+def assign_turn_idx(ds, num_buckets: int = 64):
+    """turn_idx = rank of the event within its conversation by (ts,
+    event_id) — the STREAMING scale shape: one ``hash(conv_id) % B``
+    shuffle, then per bucket an Arrow sort by (conv_id, ts, event_id)
+    and the same vectorized segmented cumcount.  Every conversation is
+    complete inside its bucket, so there is no block-seam fix-up, no
+    global range sort, and — unlike :func:`assign_turn_idx_sorted` —
+    NO full-width materialize: output blocks stream straight into the
+    consumer.  Partitioning assumption: one bucket's rows fit a worker
+    (raise ``num_buckets`` with corpus size; a single pathological
+    conversation bounds the minimum at its own size)."""
+    from logray.stages.bucketing import bucket_tagger
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"]).combine_chunks()
+        t = t.sort_by([("conv_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        return _segmented_turn_idx(t, 0)
+
+    return (
+        ds.map_batches(bucket_tagger("conv_id", num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def assign_turn_idx_sorted(ds):
     """turn_idx = rank of the event within its conversation by (ts,
     event_id), computed WITHOUT per-group Python: one global sort by
@@ -173,6 +200,12 @@ def assign_turn_idx_sorted(ds):
     per-block head offset: tiny per-block (first, last, nrows, tail_run)
     summaries are collected in block order and a driver-side scan derives
     how many rows of each block's first conversation precede it.
+
+    This variant also leaves the corpus globally (conv, ts)-sorted —
+    useful when the caller wants that ordering anyway — but it pins the
+    ENTIRE sorted full-width dataset in the object store.  When only the
+    turn_idx column is needed, :func:`assign_turn_idx` (one bucket
+    shuffle, streaming, no materialize) is the 100-TB shape.
 
     This is the zipWithIndex shape — the one place the Dataset API cannot
     express the dependency (a block's ranks depend on the previous blocks'
@@ -216,9 +249,10 @@ def transcripts_from_events(sf_dir: str, with_turn_idx: bool = True):
     """Build the transcript Dataset from ``{sf_dir}/events.parquet``.
 
     conv_id groups events by user; turn_idx is the rank of the event within
-    its conversation by (ts, event_id) — assigned via one global sort +
-    vectorized segmented cumcount (:func:`assign_turn_idx_sorted`), the
-    engine's canonical partitioning key.
+    its conversation by (ts, event_id) — assigned via one bucketed hash
+    shuffle + vectorized segmented cumcount (:func:`assign_turn_idx`; no
+    global sort, no full-width materialize), the engine's canonical
+    partitioning key.
     """
     import ray.data as rd
 
@@ -228,7 +262,7 @@ def transcripts_from_events(sf_dir: str, with_turn_idx: bool = True):
     )
     ds = ds.map_batches(_events_to_transcript_cols, batch_format="pyarrow")
     if with_turn_idx:
-        ds = assign_turn_idx_sorted(ds)
+        ds = assign_turn_idx(ds)
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"] if with_turn_idx else [
         "conv_id", "event_id", "role", "text", "tool", "ts"
     ]

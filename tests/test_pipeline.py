@@ -253,3 +253,35 @@ def test_incremental_ingest_processes_only_new_files(ray_session, tmp_path):
     scratch = run_resumable(str(src), str(tmp_path / "out2"), run_partition)
     assert scratch["rows"] == second["rows"]
     assert scratch.get("routes") == second.get("routes")
+
+
+def test_assign_turn_idx_bucketed_matches_sorted(ray_session):
+    """The streaming bucketed turn_idx (one hash shuffle, no global sort,
+    no materialize) must agree row-for-row with the sorted variant and
+    the per-group rank, including a hot conversation and ts ties."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logray.sources.transcripts import assign_turn_idx
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    convs = np.array([f"conv-{i:03d}" for i in range(25)])
+    conv = np.where(rng.random(n) < 0.4, "conv-hot", convs[rng.integers(0, 25, n)])
+    t = pa.table({
+        "conv_id": pa.array(conv.tolist()),
+        # coarse ts so ties are common — event_id must break them
+        "ts": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+        "payload": pa.array([f"txt-{i}" for i in range(n)]),
+    })
+    out = (assign_turn_idx(rd.from_arrow(t).repartition(13), num_buckets=7)
+           .to_pandas())
+    want = t.to_pandas().sort_values(["conv_id", "ts", "event_id"])
+    want["turn_idx"] = want.groupby("conv_id").cumcount().astype("int32")
+    got = out.set_index("event_id")["turn_idx"]
+    want_map = want.set_index("event_id")["turn_idx"]
+    assert got.sort_index().equals(want_map.sort_index())
+    # payload survives the shuffle untouched
+    assert set(out["payload"]) == set(f"txt-{i}" for i in range(n))
