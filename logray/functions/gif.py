@@ -105,9 +105,21 @@ def _interlace_order(h: int) -> np.ndarray:
 
 def decode_gif(data: bytes) -> list[np.ndarray]:
     """GIF bytes -> list of (H, W, 3) uint8 frames (composited onto the
-    logical screen with disposal methods 0-3 and transparency)."""
+    logical screen with disposal methods 0-3 and transparency).
+
+    A truncated or structurally malformed payload raises ValueError with
+    a clear message (never a raw IndexError/struct.error): one corrupt
+    media blob in a batch should surface as a codec error the caller can
+    route, not kill the map task with an opaque traceback."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
+    try:
+        return _decode_gif_body(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"GIF: truncated or malformed stream ({e})") from e
+
+
+def _decode_gif_body(data: bytes) -> list[np.ndarray]:
     W, H, packed, bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
@@ -163,6 +175,14 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
         grid = idx.reshape(h, w)
         if ip & 0x40:  # interlaced: reorder decoded rows into place
             grid = grid[_interlace_order(h)]
+        # clip a frame rect extending past the logical screen (malformed
+        # but decodable): the canvas view would otherwise be smaller than
+        # the grid and every masked assignment shape-errors
+        h_vis = max(0, min(h, H - top))
+        w_vis = max(0, min(w, W - left))
+        if (h_vis, w_vis) != (h, w):
+            grid = grid[:h_vis, :w_vis]
+            h, w = h_vis, w_vis
         region = canvas[top:top + h, left:left + w]
         prev_region = region.copy()
         rgb = pal[np.minimum(grid, len(pal) - 1)]

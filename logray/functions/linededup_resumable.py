@@ -42,7 +42,8 @@ import pyarrow.parquet as pq
 from logray.functions.linededup import _explode_lines_fn, _rejoin_fn
 from logray.stages.bucketing import bucket_of, run_starts
 from logray.state.manifest import (check_run_config, default_partitions,
-                                   part_files, run_resumable)
+                                   part_files, part_files_hive,
+                                   run_resumable)
 
 __all__ = ["dedup_lines_resumable"]
 
@@ -115,6 +116,7 @@ def dedup_lines_resumable(
     check_run_config(out_dir, {
         "op": "dedup_lines", "id_col": id_col, "text_col": text_col,
         "min_len": min_len, "sep": sep, "num_buckets": num_buckets,
+        "layout": "hive_bucket_v2",
     })
     input_parts = default_partitions(input_path)
 
@@ -127,23 +129,22 @@ def dedup_lines_resumable(
         (rd.read_parquet(files, columns=[id_col, text_col])
            .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                         batch_size=None)
-           .write_parquet(pdir))
+           # hive-partition by bucket: phase 2 prunes at the PATH level
+           .write_parquet(pdir, partition_cols=["__b"]))
         return {}
 
     run_resumable(input_path, cand_dir, run_cand, partitions=input_parts)
 
     # --- phase 2: global tombstones per bucket -------------------------------
     losers_dir = os.path.join(out_dir, "losers")
-    cand_files = part_files(cand_dir)
 
     def run_losers(bucket_ids, pdir):
         b = bucket_ids[0]
         fault("losers", f"b{b:03d}")
-        if cand_files:
+        files_b = part_files_hive(cand_dir, "__b", b)
+        if files_b:
             df = rd.read_parquet(
-                cand_files,
-                filter=(pc.field("__b") == b) & ~pc.field("__loser"),
-            ).to_pandas()
+                files_b, filter=~pc.field("__loser")).to_pandas()
         else:
             df = pd.DataFrame()
         lose = pd.DataFrame()
@@ -168,6 +169,10 @@ def dedup_lines_resumable(
     # --- phase 3: local rebuild per input file -------------------------------
     out_phase_dir = os.path.join(out_dir, "deduped")
     loser_files = part_files(losers_dir)
+    # the __part row filter prunes fine here: each cand file holds ONE
+    # __part value (constant min==max row-group stats), unlike the
+    # hash-random __b that phase 2 prunes by path instead
+    cand_files = part_files(cand_dir)
     rejoin = _rejoin_fn(id_col, text_col, sep)
     explode = _explode_lines_fn(id_col, text_col, sep)
 

@@ -42,7 +42,8 @@ from logray.functions.spandedup import (
 )
 from logray.stages.bucketing import bucket_tagger
 from logray.state.manifest import (check_run_config, default_partitions,
-                                   part_files, run_resumable)
+                                   part_files, part_files_hive,
+                                   run_resumable)
 
 __all__ = ["dedup_spans_resumable"]
 
@@ -82,6 +83,7 @@ def dedup_spans_resumable(
     check_run_config(out_dir, {
         "op": "dedup_spans", "id_col": id_col, "text_col": text_col,
         "window": window, "level": level, "num_buckets": num_buckets,
+        "layout": "hive_bucket_v2",
     })
     input_parts = default_partitions(input_path)
     census_fn = (_census_fn if level == "word" else _census_bytes_fn)(
@@ -98,21 +100,23 @@ def dedup_spans_resumable(
                         zero_copy_batch=True, batch_size=None)
            .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True,
                         batch_size=None)
-           .write_parquet(pdir))
+           # hive-partition by bucket so phase 2 prunes at the PATH level
+           # (a row filter on the hash-random __b cannot prune row groups
+           # and would rescan the full census once per bucket)
+           .write_parquet(pdir, partition_cols=["__b"]))
         return {}
 
     run_resumable(input_path, census_dir, run_census, partitions=input_parts)
 
     # --- phase 2: duplicated grams per bucket -------------------------------
     dups_dir = os.path.join(out_dir, "dups")
-    census_files = part_files(census_dir)
 
     def run_dups(bucket_ids, pdir):
         b = bucket_ids[0]
         fault("dups", f"b{b:03d}")
-        if census_files:
-            df = rd.read_parquet(
-                census_files, filter=pc.field("__b") == b).to_pandas()
+        files_b = part_files_hive(census_dir, "__b", b)
+        if files_b:
+            df = rd.read_parquet(files_b).to_pandas()
         else:
             df = pd.DataFrame()
         dup = _dup_bucket(df) if len(df) else \

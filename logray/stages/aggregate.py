@@ -259,7 +259,14 @@ def kth_smallest(ds, col: str, k: int):
     :func:`_kth_ordered`, the value-space variant of the same selector
     (sampled pivots only — no midpoint arithmetic), so the non-numeric
     support of the old sort-based implementation is preserved without
-    its shuffle."""
+    its shuffle.
+
+    Float columns may carry NaN (valid non-null values that sort LAST,
+    matching numpy/DuckDB ORDER BY): the bisection's counting passes
+    cannot bracket NaN (every comparison excludes it), so floats first
+    take one streaming (finite, nan) count — a k inside the NaN tail
+    returns NaN directly, and the selector then runs over the
+    NaN-filtered stream."""
     from logray.stages.bucketing import arrow_type_of
 
     sch = ds.schema()
@@ -269,6 +276,24 @@ def kth_smallest(ds, col: str, k: int):
     if vtype is None or not (
             pa.types.is_integer(vtype) or pa.types.is_floating(vtype)):
         return _kth_ordered(ds, col, k)
+    if pa.types.is_floating(vtype):
+        def counts(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False)
+            nan = int(np.isnan(v).sum())  # nulls come through as NaN too
+            null = int(t.num_rows - (pc.sum(
+                pc.is_valid(t[col]).cast(pa.int64())).as_py() or 0))
+            return pa.table({"fin": pa.array([t.num_rows - nan], pa.int64()),
+                             "nan": pa.array([nan - null], pa.int64())})
+
+        part = ds.map_batches(counts, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None) \
+            .to_pandas().sum()
+        n_fin, n_nan = int(part["fin"]), int(part["nan"])
+        if k >= n_fin:
+            return float("nan") if k < n_fin + n_nan else None
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_nan(t[col]).fill_null(True))),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return exact_quantiles(ds, col, ["k"], rank_of=lambda _q, _n: k)["k"]
 
 

@@ -245,7 +245,8 @@ def funnel(ds, key_col: str, order_col: str, val_col: str,
     stage_set = set(stages)
 
     def prune(t: pa.Table) -> pa.Table:
-        df = t.select([key_col, order_col, val_col]).to_pandas()
+        sel = t.select([key_col, order_col, val_col])
+        df = sel.to_pandas()
         m = df[val_col].isin(stage_set).to_numpy()
         keep = df[m]
         rest = df[~m].drop_duplicates(key_col)
@@ -256,7 +257,12 @@ def funnel(ds, key_col: str, order_col: str, val_col: str,
             rest = rest.copy()
             rest[val_col] = None
         out = pd.concat([keep, rest], ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # pin the input schema: an all-sentinel batch (every event
+        # outside the funnel — the exact skew case the prune targets)
+        # would otherwise infer a null-typed value column and fork the
+        # stream's block schemas
+        return pa.Table.from_pandas(out, schema=sel.schema,
+                                    preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g, run_id, _first = _sorted_runs(g, key_col, [order_col])

@@ -152,8 +152,22 @@ def default_partitions(input_path: str) -> list[tuple[str, list[str]]]:
 
 def part_files(phase_dir: str) -> list[str]:
     """All parquet files a finished (or partially finished) resumable
-    phase has published under ``<phase_dir>/parts/*/``."""
-    return sorted(glob.glob(os.path.join(phase_dir, "parts", "*", "*.parquet")))
+    phase has published under ``<phase_dir>/parts/*/`` (one extra level
+    for hive-partitioned phases)."""
+    flat = glob.glob(os.path.join(phase_dir, "parts", "*", "*.parquet"))
+    hive = glob.glob(os.path.join(phase_dir, "parts", "*", "*", "*.parquet"))
+    return sorted(flat + hive)
+
+
+def part_files_hive(phase_dir: str, col: str, value) -> list[str]:
+    """Parquet files of a hive-partitioned resumable phase (written with
+    ``write_parquet(partition_cols=[col])``) holding ONE partition value.
+    This is PATH-level bucket pruning: a per-bucket phase that instead
+    row-filters ``col == value`` over all phase files rescans the whole
+    phase output once per bucket (hash-random tags defeat row-group
+    min/max statistics — a B-fold read amplification at scale)."""
+    return sorted(glob.glob(os.path.join(
+        phase_dir, "parts", "*", f"{col}={value}", "*.parquet")))
 
 
 def run_resumable(

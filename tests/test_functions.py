@@ -2707,3 +2707,31 @@ def test_run_config_pre_versioned_checkpoints_refused(tmp_path):
     out2 = tmp_path / "npscalar"
     check_run_config(str(out2), {"op": "x", "n": np.int64(8)})
     check_run_config(str(out2), {"op": "x", "n": 8})
+
+
+def test_gif_decode_malformed_inputs_raise_valueerror():
+    """Truncated or out-of-bounds GIF payloads must raise a clear
+    ValueError (one corrupt blob should surface as a codec error, not an
+    opaque IndexError killing the task)."""
+    import numpy as np
+
+    from logray.functions.gif import decode_gif, encode_gif
+
+    frames = [np.full((4, 5), v, np.uint8) for v in (10, 200)]
+    data = encode_gif(frames)
+    # truncation at every prefix length: always ValueError, never raw
+    for cut in (7, 12, 14, 20, len(data) // 2, len(data) - 2):
+        with pytest.raises(ValueError):
+            decode_gif(data[:cut])
+    full = decode_gif(data)
+    assert len(full) == 2 and full[0].shape == (4, 5, 3)
+    # a frame rect past the logical screen is clipped, not a crash:
+    # rewrite the image descriptor's left/top to overflow the screen
+    import struct as _s
+
+    idesc = data.index(b"\x2C")
+    shifted = (data[:idesc + 1]
+               + _s.pack("<HHHHB", 3, 2, 4, 5, 0)
+               + data[idesc + 10:])
+    out = decode_gif(shifted)
+    assert out[0].shape == (4, 5, 3)  # canvas shape, frame clipped into it

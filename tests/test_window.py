@@ -1616,3 +1616,54 @@ def test_kth_smallest_pandas_string_blocks(ray_session):
     assert kth_smallest(ds, "v", 0) == "a"
     assert kth_smallest(ds, "v", 2) == "c"
     assert kth_smallest(ds, "v", 4) == "e"
+
+
+def test_kth_smallest_nan_tail(ray_session):
+    """NaN is a valid float that sorts LAST (numpy/DuckDB ORDER BY): a k
+    inside the NaN tail returns NaN instead of crashing the bisection,
+    k inside the finite range ignores NaNs, and nulls stay ignored."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.aggregate import kth_smallest
+
+    vals = [3.0, float("nan"), 1.0, None, 2.0, float("nan")]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+    assert kth_smallest(ds, "v", 0) == 1.0
+    assert kth_smallest(ds, "v", 2) == 3.0
+    assert math.isnan(kth_smallest(ds, "v", 3))
+    assert math.isnan(kth_smallest(ds, "v", 4))
+    assert kth_smallest(ds, "v", 5) is None  # past non-null range
+
+
+def test_funnel_all_noise_batch_keeps_schema(ray_session):
+    """A batch whose events are ALL outside the funnel (the exact skew
+    case the prune targets) must emit the input schema, not a null-typed
+    value column that forks the stream's blocks."""
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.sequence import funnel
+
+    n = 200
+    t1 = pa.table({
+        "user_id": pa.array(np.arange(n) % 13, pa.int64()),
+        "ts": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(["noise"] * n),
+    })
+    t2 = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([1000, 1001, 1002], pa.int64()),
+        "event_type": pa.array(["view", "buy", "view"]),
+    })
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    out = funnel(ds, "user_id", "ts", "event_type", ["view", "buy"],
+                 num_buckets=4)
+    out = (out.to_pandas() if hasattr(out, "to_pandas") else out) \
+        .set_index("user_id")
+    assert out.loc[1, "stage_reached"] == 2
+    assert out.loc[2, "stage_reached"] == 1
+    assert out.loc[0, "stage_reached"] == 0
+    assert len(out) == 13
