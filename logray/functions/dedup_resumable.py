@@ -7,10 +7,11 @@ and a crash costs only the in-flight partition.  Four phases, each with
 its own partition axis:
 
 1. **bands** — per INPUT FILE: shingle -> MinHash signatures -> band rows
-   (band_id, band_hash, id, sig) written as Parquet.  Embarrassingly
-   parallel, the bulk of the CPU time.
-2. **pairs** — per BAND: band rows for one band (read with a
-   ``band_id == b`` row-group predicate pushdown) are grouped by
+   (band_hash, id, sig) written as Parquet hive-partitioned on band_id.
+   Embarrassingly parallel, the bulk of the CPU time.
+2. **pairs** — per BAND: band rows for one band (selected at the PATH
+   level via the ``band_id=<b>/`` hive directories — band rows are
+   written doc-major, so a row filter could never prune) are grouped by
    band_hash; each bucket emits signature-verified candidate pairs
    (hot-bucket cap applies).  Bands are independent, so each is a
    resumable partition of the only wide shuffle.
@@ -42,7 +43,8 @@ from logray.functions.dedup import (
     connected_components_distributed,
 )
 from logray.state.manifest import (check_run_config, default_partitions,
-                                   part_files, run_resumable)
+                                   part_files, part_files_hive,
+                                   run_resumable)
 
 
 def near_dedup_resumable(
@@ -76,6 +78,7 @@ def near_dedup_resumable(
         "op": "near_dedup", "text_col": text_col, "id_col": id_col,
         "num_perm": num_perm, "bands": bands, "k": k,
         "threshold": threshold, "seed": seed, "max_bucket": max_bucket,
+        "layout": "hive_band_v2",
     })
     input_parts = default_partitions(input_path)
 
@@ -86,21 +89,27 @@ def near_dedup_resumable(
     def run_bands(files, pdir, *, part_id=None):
         fault("bands", part_id)
         ds = rd.read_parquet(files, columns=[id_col, text_col])
+        # hive-partition by band so phase 2 prunes at the PATH level:
+        # band_id is written doc-major (every row group spans all bands),
+        # so a row filter can never prune and would rescan the whole
+        # bands output once per band
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True
-                       ).write_parquet(pdir)
+                       ).write_parquet(pdir, partition_cols=["band_id"])
         return {}
 
     run_resumable(input_path, bands_dir, run_bands, partitions=input_parts)
 
     # --- phase 2: pairs per band ------------------------------------------
     pairs_dir = os.path.join(out_dir, "pairs")
-    band_files = part_files(bands_dir)
     bucket_pairs = _bucket_pairs_fn(id_col, threshold, num_perm, max_bucket)
 
     def run_band_pairs(band_ids, pdir):
         b = band_ids[0]
         fault("pairs", f"band{b:03d}")
-        ds = rd.read_parquet(band_files, filter=pc.field("band_id") == b)
+        files_b = part_files_hive(bands_dir, "band_id", b)
+        if not files_b:
+            return {}
+        ds = rd.read_parquet(files_b)
         pairs = ds.groupby("band_hash").map_groups(bucket_pairs, batch_format="pandas")
         pairs.write_parquet(pdir)
         return {}

@@ -119,8 +119,18 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
         raise ValueError(f"GIF: truncated or malformed stream ({e})") from e
 
 
+# a corrupt 13-byte header can claim a 65535x65535 screen (~12.9 GB
+# canvas) — bound total pixels so malformed blobs surface as ValueError,
+# not a worker OOM; 64M pixels covers any sane frame-sampling input
+_MAX_PIXELS = 1 << 26
+
+
 def _decode_gif_body(data: bytes) -> list[np.ndarray]:
     W, H, packed, bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    if W * H > _MAX_PIXELS:
+        raise ValueError(
+            f"GIF: logical screen {W}x{H} exceeds the {_MAX_PIXELS}-pixel "
+            f"decode bound (corrupt header or oversized input)")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -155,6 +165,10 @@ def _decode_gif_body(data: bytes) -> list[np.ndarray]:
         if b != 0x2C:
             raise ValueError(f"GIF: unexpected block 0x{b:02x}")
         left, top, w, h, ip = struct.unpack("<HHHHB", data[pos:pos + 9])
+        if w * h > _MAX_PIXELS:
+            raise ValueError(
+                f"GIF: frame rect {w}x{h} exceeds the {_MAX_PIXELS}-pixel "
+                f"decode bound (corrupt descriptor)")
         pos += 9
         pal = gct
         if ip & 0x80:

@@ -280,8 +280,7 @@ def kth_smallest(ds, col: str, k: int):
         def counts(t: pa.Table) -> pa.Table:
             v = t[col].to_numpy(zero_copy_only=False)
             nan = int(np.isnan(v).sum())  # nulls come through as NaN too
-            null = int(t.num_rows - (pc.sum(
-                pc.is_valid(t[col]).cast(pa.int64())).as_py() or 0))
+            null = t[col].null_count
             return pa.table({"fin": pa.array([t.num_rows - nan], pa.int64()),
                              "nan": pa.array([nan - null], pa.int64())})
 
@@ -291,9 +290,12 @@ def kth_smallest(ds, col: str, k: int):
         n_fin, n_nan = int(part["fin"]), int(part["nan"])
         if k >= n_fin:
             return float("nan") if k < n_fin + n_nan else None
-        ds = ds.map_batches(
-            lambda t: t.filter(pc.invert(pc.is_nan(t[col]).fill_null(True))),
-            batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        if n_nan:  # NaN-free columns (the common case) skip the filter
+            ds = ds.map_batches(
+                lambda t: t.filter(
+                    pc.invert(pc.is_nan(t[col]).fill_null(True))),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None)
     return exact_quantiles(ds, col, ["k"], rank_of=lambda _q, _n: k)["k"]
 
 

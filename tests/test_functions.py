@@ -2726,12 +2726,25 @@ def test_gif_decode_malformed_inputs_raise_valueerror():
     full = decode_gif(data)
     assert len(full) == 2 and full[0].shape == (4, 5, 3)
     # a frame rect past the logical screen is clipped, not a crash:
-    # rewrite the image descriptor's left/top to overflow the screen
+    # rewrite the FIRST REAL image descriptor's left/top to overflow the
+    # screen (search past the 13-byte header + 768-byte gray palette —
+    # a bare data.index(b"\\x2C") would hit palette entry 44 and leave
+    # the clip branch untested)
     import struct as _s
 
-    idesc = data.index(b"\x2C")
+    idesc = data.index(b"\x2C", 13 + 256 * 3)
+    assert data[idesc + 1:idesc + 5] == _s.pack("<HH", 0, 0)  # real desc
     shifted = (data[:idesc + 1]
-               + _s.pack("<HHHHB", 3, 2, 4, 5, 0)
+               + _s.pack("<HHHHB", 3, 2, 5, 4, 0)
                + data[idesc + 10:])
     out = decode_gif(shifted)
     assert out[0].shape == (4, 5, 3)  # canvas shape, frame clipped into it
+    # the clipped region really landed: rows/cols inside [2:4, 3:5] carry
+    # the frame's gray value, the rest stays background
+    assert (out[0][2:4, 3:5] == 10).all()
+    assert (out[0][:2, :] == out[0][0, 0]).all()
+    # oversized claimed dimensions fail loudly, not by allocation
+    hdr = bytearray(data[:13])
+    hdr[6:10] = _s.pack("<HH", 65535, 65535)
+    with pytest.raises(ValueError, match="pixel"):
+        decode_gif(bytes(hdr) + data[13:])
