@@ -271,16 +271,21 @@ def cmd_score(args) -> int:
     from logray.functions.modelscore import model_score_stage
 
     ds = rd.read_parquet(args.input)
-    from ray.data.aggregate import Max, Mean, Min
+    from ray.data.aggregate import Count, Max, Mean, Min
 
-    scored = model_score_stage(ds, text_col=args.text_col).materialize()
-    scored.write_parquet(args.out)
-    stats = scored.aggregate(
+    # stream the scored corpus straight to the sink (no full-width
+    # materialize pinning the whole corpus in the object store), then
+    # compute the summary from the written files — a columnar re-read of
+    # the one score column, not a second scoring pass
+    model_score_stage(ds, text_col=args.text_col).write_parquet(args.out)
+    stats = rd.read_parquet(args.out, columns=["model_score"]).aggregate(
+        Count(alias_name="rows"),
         Min("model_score", alias_name="min"),
         Max("model_score", alias_name="max"),
         Mean("model_score", alias_name="mean"),
     )
-    print(json.dumps({"rows": scored.count(), **{k: float(v) for k, v in stats.items()}}))
+    print(json.dumps({"rows": int(stats.pop("rows")),
+                      **{k: float(v) for k, v in stats.items()}}))
     return 0
 
 
