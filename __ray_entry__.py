@@ -1749,6 +1749,66 @@ def _q_transition_skew(sf_dir: str):
                              tiebreak_col="event_id", skew_safe=True)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) verdicts: k-means the embedding
+    space (streaming, bit-deterministic fit), then inside each cluster
+    mark items whose cosine to a lower-id member reaches eps.  Rows-only
+    (the k-means fit has no SQL twin); the triangular-max rule is pinned
+    exactly against a brute-force twin in tests/test_functions.py."""
+    import ray.data as rd
+
+    from logray.functions.semdedup import semdedup_verdicts
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = semdedup_verdicts(ds, k=8, eps=0.42, iters=5).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_dsir_sample(sf_dir: str):
+    """DSIR (Xie et al. 2023): hashed-ngram importance weights of every
+    document against a German-target corpus, Gumbel-top-100 selection.
+    Rows-only (feature hashing has no SQL twin); weights are pinned
+    exactly against a pure-Python twin in tests/test_functions.py."""
+    import ray.data as rd
+
+    from logray.functions.dsir import dsir_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    target = docs.filter(expr="lang == 'de'").select_columns(
+        ["doc_id", "text"])
+    return dsir_sample(docs.select_columns(["doc_id", "text"]), target,
+                       n=100, dim=2048, seed=11)
+
+
+def _q_shuffle_deterministic(sf_dir: str):
+    """Reproducible global training-order shuffle: sort by the seeded
+    id hash — byte-identical order on any topology (exact SQL twin on
+    both the key values and the total order)."""
+    import ray.data as rd
+
+    from logray.functions.sample import deterministic_shuffle
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    return deterministic_shuffle(ds, "doc_id", seed=42).to_pandas()
+
+
+def _q_source_quality_gate(sf_dir: str):
+    """Domain-level quality gate: keep documents only from sources whose
+    pooled alphabetic-character share >= 0.8210 (integer-exact rule,
+    CCNet/C4-style judge-the-domain semantics; exact SQL twin)."""
+    import ray.data as rd
+
+    from logray.functions.quality import source_quality_gate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = source_quality_gate(ds, min_alpha_num=8210,
+                              min_alpha_den=10000).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_transition_matrix(sf_dir: str):
     """First-order Markov transition counts of the per-user event-type
     sequence (one bucket shuffle + segmented shift, tiny partial fold)."""
@@ -2464,6 +2524,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_forward_events": _q_fill_forward_events,
         "dedup_spans_docs": _q_dedup_spans_docs,
         "dedup_spans_bytes": _q_dedup_spans_bytes,
+        "semdedup": _q_semdedup,
+        "dsir_sample": _q_dsir_sample,
+        "shuffle_deterministic": _q_shuffle_deterministic,
+        "source_quality_gate": _q_source_quality_gate,
         "edit_distance_dups": _q_edit_distance_dups,
         "transition_matrix": _q_transition_matrix,
         "transition_skew": _q_transition_skew,
@@ -2507,6 +2571,7 @@ _MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 
 def oracle_sql() -> dict[str, str]:
     from logray.functions.sample import (
+        deterministic_shuffle_sql,
         mixture_sample_sql,
         reservoir_per_key_sql,
         sample_uniform_sql,
@@ -2541,7 +2606,7 @@ def oracle_sql() -> dict[str, str]:
         value_window_sql,
     )
     from logray.functions.pii import redact_pii_sql
-    from logray.functions.quality import gopher_quality_sql
+    from logray.functions.quality import gopher_quality_sql, source_quality_gate_sql
     from logray.functions.decontam import decontaminate_sql
     from logray.functions.heavyhitters import heavy_hitters_sql
     from logray.stages.stats import standardize_sql, stats_agg_sql, winsorize_sql
@@ -2987,6 +3052,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_spans_docs": dedup_spans_sql("documents", window=5),
         "dedup_spans_bytes": dedup_spans_bytes_sql("documents", window=20),
+        "shuffle_deterministic": deterministic_shuffle_sql(
+            "documents", "doc_id", seed=42, cols="doc_id, source, n_chars",
+        ),
+        "source_quality_gate": source_quality_gate_sql(
+            "documents", min_alpha_num=8210, min_alpha_den=10000,
+        ),
         "edit_distance_dups": edit_distance_pairs_sql(
             "documents", ["lang", "source"], max_dist=55
         ),

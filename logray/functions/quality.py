@@ -308,3 +308,69 @@ def compression_ratio(ds, text_col: str = "text", level: int = 6):
 
     return ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=None)
+
+
+def source_quality_gate(ds, text_col: str = "text", key_col: str = "source",
+                        id_col: str = "doc_id", min_alpha_num: int = 55,
+                        min_alpha_den: int = 100):
+    """Drop every document from a low-quality SOURCE: a source survives
+    when its corpus-wide alphabetic-character share reaches
+    ``min_alpha_num / min_alpha_den`` (the CCNet/C4-style domain gate —
+    judge the domain by its pooled text, then keep or drop the domain
+    wholesale).
+
+    Scale shape, no wide join: one streaming pass emits per-batch
+    ``(source, alpha_chars, total_chars)`` int64 partials (pre-aggregated
+    inside the batch, so the shuffle moves at most sources-per-batch
+    rows), a small groupby folds them, the surviving-source list is
+    broadcast once via ``ray.put``, and the corpus filters with one
+    vectorized ``is_in`` pass.  The gate itself is exact integer
+    arithmetic (``alpha * den >= num * total`` — no float division), so
+    the verdict is bit-identical to the SQL twin under any partitioning.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t[text_col]))
+        alpha = pc.utf8_length(pc.replace_substring_regex(
+            t[text_col], pattern="[^a-zA-Z]", replacement=""))
+        total = pc.utf8_length(t[text_col])
+        df = pd.DataFrame({
+            key_col: t[key_col].to_numpy(zero_copy_only=False),
+            "a": alpha.to_numpy(zero_copy_only=False).astype(np.int64),
+            "c": total.to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        return df.groupby(key_col, as_index=False, sort=False).sum()
+
+    folded = (ds.select_columns([key_col, text_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+              .groupby(key_col)
+              .aggregate(Sum("a", alias_name="a"), Sum("c", alias_name="c"))
+              .to_pandas())
+    ok = folded.loc[folded["a"] * min_alpha_den
+                    >= min_alpha_num * folded["c"], key_col]
+    keep_ref = ray.put(pa.array(ok.to_numpy()))
+
+    from logray.functions.dedup import _broadcast_id_filter
+
+    return _broadcast_id_filter(ds, keep_ref, key_col, keep_members=True)
+
+
+def source_quality_gate_sql(table: str, text_col: str = "text",
+                            key_col: str = "source",
+                            min_alpha_num: int = 55,
+                            min_alpha_den: int = 100,
+                            cols: str = "*") -> str:
+    """DuckDB oracle for :func:`source_quality_gate` (same integer
+    gate)."""
+    return (
+        f"WITH s AS (SELECT {key_col}, "
+        f"sum(length(regexp_replace({text_col}, '[^a-zA-Z]', '', 'g'))) AS a, "
+        f"sum(length({text_col})) AS c FROM {table} "
+        f"WHERE {text_col} IS NOT NULL GROUP BY {key_col}) "
+        f"SELECT {cols} FROM {table} d WHERE d.{key_col} IN "
+        f"(SELECT {key_col} FROM s WHERE a * {min_alpha_den} >= {min_alpha_num} * c)"
+    )

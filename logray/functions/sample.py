@@ -303,3 +303,40 @@ def budget_sample_sql(table: str, key: str, id_col: str, weight_col: str,
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum "
         f"FROM {table}) WHERE __cum <= {budget}"
     )
+
+
+def deterministic_shuffle(ds, id_col: str, seed: int = 0,
+                          key_col: str = "shuffle_key"):
+    """Reproducible global training-order shuffle: every row gets the
+    deterministic hash key ``(id % 2^31 + seed) * KNUTH % 2^32`` and the
+    corpus is globally sorted by ``(key, id)``.
+
+    ``ds.random_shuffle()`` gives a DIFFERENT order per run and per
+    cluster size; a training pipeline that must replay the exact example
+    order (resume mid-epoch, ablate data order, bisect a loss spike)
+    needs the order to be a pure function of (id, seed) — re-running on
+    any topology rebuilds byte-identical shards, and a new epoch is just
+    a new seed.  Cost: the one all-to-all sort shuffle any global
+    reorder pays; Ray's sort range-partitions on sampled key pivots, and
+    the hash destroys input clustering so ranges are uniform by
+    construction (no skew).  The key column stays in the output (audit +
+    exact oracle); drop it downstream if unwanted."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column(key_col,
+                               pa.array(_det_hash(ids, seed).astype(np.int64)))
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None).sort([key_col, id_col])
+
+
+def deterministic_shuffle_sql(table: str, id_col: str, seed: int = 0,
+                              key_col: str = "shuffle_key",
+                              cols: str = "*") -> str:
+    """DuckDB oracle for :func:`deterministic_shuffle` (same key, same
+    total order)."""
+    return (
+        f"SELECT {cols}, {_hash_sql(id_col, seed)} AS {key_col} "
+        f"FROM {table} ORDER BY {key_col}, {id_col}"
+    )

@@ -2748,3 +2748,229 @@ def test_gif_decode_malformed_inputs_raise_valueerror():
     hdr[6:10] = _s.pack("<HH", 65535, 65535)
     with pytest.raises(ValueError, match="pixel"):
         decode_gif(bytes(hdr) + data[13:])
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (kmeans + intra-cluster cosine dedup)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_brute(ids, emb, assign, eps, keep, centroids):
+    """Pure-numpy twin of the per-cluster triangular-max rule."""
+    def unit(m):
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return m / n[:, None]
+
+    kept = {}
+    for c in np.unique(assign):
+        m = np.flatnonzero(assign == c)
+        cid, cemb = ids[m], emb[m]
+        if keep == "far_from_centroid":
+            cs = unit(cemb) @ unit(centroids[c][None, :])[0]
+            o = np.lexsort((cid, cs))
+        else:
+            o = np.argsort(cid, kind="stable")
+        cid, cemb = cid[o], cemb[o]
+        u = unit(cemb)
+        sim = u @ u.T
+        for i in range(len(cid)):
+            ms = sim[i, :i].max() if i else -np.inf
+            kept[int(cid[i])] = bool(ms < eps)
+    return kept
+
+
+@pytest.mark.parametrize("keep", ["min_id", "far_from_centroid"])
+def test_semdedup_matches_brute_force_with_planted_dups(ray_session, keep):
+    import ray.data as rd
+
+    from logray.functions.cluster import kmeans_assign, kmeans_fit
+    from logray.functions.semdedup import semdedup_keep, semdedup_verdicts
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    # plant near-duplicates: rows 40.. are tiny perturbations of rows 0..19
+    dups = base[:20] + rng.standard_normal((20, 16)) * 0.01
+    emb = np.vstack([base, dups])
+    ids = np.arange(len(emb), dtype=np.int64)
+    t = pa.table({"vec_id": ids, "embedding": list(emb.astype(np.float32))})
+    ds = rd.from_arrow(t).repartition(5)
+
+    v = semdedup_verdicts(ds, k=4, eps=0.95, iters=6, keep=keep).to_pandas()
+    assert len(v) == len(ids)
+    assert not v.loc[v.vec_id < 40, "kept"].eq(False).all()
+    assert (~v["kept"]).sum() >= 15  # most planted dups caught
+
+    cent, _ = kmeans_fit(ds, 4, id_col="vec_id", iters=6)
+    assign = kmeans_assign(ds, cent).to_pandas().set_index("vec_id")[
+        "cluster"].reindex(ids).to_numpy()
+    want = _semdedup_brute(ids, emb.astype(np.float64), assign, 0.95, keep,
+                           cent)
+    got = dict(zip(v["vec_id"].astype(int), v["kept"]))
+    assert got == want
+
+    kept_ds = semdedup_keep(ds, k=4, eps=0.95, iters=6, keep=keep).to_pandas()
+    assert sorted(kept_ds["vec_id"]) == sorted(
+        i for i, ok in want.items() if ok)
+
+
+def test_semdedup_deterministic_across_partitioning(ray_session):
+    import ray.data as rd
+
+    from logray.functions.semdedup import semdedup_verdicts
+
+    rng = np.random.default_rng(9)
+    emb = rng.standard_normal((60, 8)).astype(np.float32)
+    emb[30:] = emb[:30] * 1.001  # scaled copies: cosine == 1
+    t = pa.table({"vec_id": np.arange(60, dtype=np.int64),
+                  "embedding": list(emb)})
+    out = []
+    for parts in (2, 9):
+        v = (semdedup_verdicts(rd.from_arrow(t).repartition(parts),
+                               k=3, eps=0.99, iters=4)
+             .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        out.append(v)
+    pd.testing.assert_frame_equal(out[0], out[1])
+    # every scaled copy dropped, every original kept
+    assert out[0].loc[out[0].vec_id < 30, "kept"].all()
+    assert not out[0].loc[out[0].vec_id >= 30, "kept"].any()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _dsir_feats(text: str, dim: int):
+    import re
+
+    toks = [w for w in re.split(r"[^0-9a-z]+", text.lower()) if w]
+    if not toks:
+        return []
+    ha = content_hash(pa.array(toks))
+    out = [int(x) % dim for x in ha]
+    mix = 0x9E3779B97F4A7C15
+    for i in range(len(toks) - 1):
+        out.append((((int(ha[i]) * mix) % 2**64) ^ int(ha[i + 1])) % dim)
+    return out
+
+
+def test_dsir_weights_match_brute_force(ray_session):
+    import ray.data as rd
+
+    from logray.functions.dsir import dsir_weights
+
+    raw_texts = ["the cat sat on the mat", "quantum flux capacitor engaged",
+                 "cat mat cat mat", "stock market prices fell today",
+                 "the dog sat on the log", "flux capacitor quantum drive",
+                 None] * 4
+    ids = np.arange(len(raw_texts), dtype=np.int64)
+    tgt_texts = ["the cat sat on a mat", "a dog sat on the mat",
+                 "cat and dog on mat"]
+    dim = 512
+    raw = rd.from_arrow(pa.table({"doc_id": ids, "text": raw_texts}))
+    tgt = rd.from_arrow(pa.table({"doc_id": np.arange(3),
+                                  "text": tgt_texts}))
+    got = (dsir_weights(raw.repartition(4), tgt, dim=dim).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == sum(t is not None for t in raw_texts)
+
+    tc = np.zeros(dim)
+    rc = np.zeros(dim)
+    for t in tgt_texts:
+        for b in _dsir_feats(t, dim):
+            tc[b] += 1
+    for t in raw_texts:
+        for b in _dsir_feats(t or "", dim) if t else []:
+            rc[b] += 1
+    lam = ((np.log(tc + 0.5) - np.log(tc.sum() + 0.5 * dim))
+           - (np.log(rc + 0.5) - np.log(rc.sum() + 0.5 * dim)))
+    want = {i: sum(lam[b] for b in _dsir_feats(t, dim))
+            for i, t in zip(ids, raw_texts) if t is not None}
+    for i, w in zip(got["doc_id"], got["dsir_weight"]):
+        assert abs(w - want[int(i)]) < 1e-9
+    # equal-length docs: the target-like one outranks the alien one
+    assert want[4] > want[3]  # "the dog sat on the log" > stock-market doc
+    assert want[2] > want[1]  # "cat mat cat mat" > quantum doc
+
+
+def test_dsir_sample_deterministic_and_sized(ray_session):
+    import ray.data as rd
+
+    from logray.functions.dsir import dsir_sample
+
+    rng = np.random.default_rng(3)
+    words = np.array(["cat", "dog", "mat", "flux", "stock", "drive", "sat"])
+    texts = [" ".join(rng.choice(words, 6)) for _ in range(100)]
+    raw = rd.from_arrow(pa.table({
+        "doc_id": np.arange(100, dtype=np.int64), "text": texts}))
+    tgt = rd.from_arrow(pa.table({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["cat mat sat"] * 5}))
+    a = dsir_sample(raw.repartition(3), tgt, n=20, dim=256, seed=7)
+    b = dsir_sample(raw.repartition(13), tgt, n=20, dim=256, seed=7)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert len(a) == 20
+    assert (a["dsir_key"].to_numpy()[:-1]
+            >= a["dsir_key"].to_numpy()[1:]).all()
+    c = dsir_sample(raw, tgt, n=20, dim=256, seed=8)
+    assert list(a["doc_id"]) != list(c["doc_id"])  # seed changes the draw
+
+
+# ---------------------------------------------------------------------------
+# deterministic shuffle + source quality gate
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_shuffle_matches_duckdb_and_partitioning(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.sample import (deterministic_shuffle,
+                                         deterministic_shuffle_sql)
+
+    t = pa.table({"doc_id": np.arange(200, dtype=np.int64),
+                  "v": np.arange(200, dtype=np.int64) * 3})
+    got = deterministic_shuffle(rd.from_arrow(t).repartition(7),
+                                "doc_id", seed=5).to_pandas()
+    con = duckdb.connect()
+    con.register("docs", t)
+    want = con.sql(deterministic_shuffle_sql("docs", "doc_id", seed=5)).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
+    # same total order regardless of partitioning; actually shuffled
+    again = deterministic_shuffle(rd.from_arrow(t).repartition(2),
+                                  "doc_id", seed=5).to_pandas()
+    assert list(got["doc_id"]) == list(again["doc_id"])
+    assert list(got["doc_id"]) != list(range(200))
+
+
+def test_source_quality_gate_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.quality import (source_quality_gate,
+                                          source_quality_gate_sql)
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+        "source": pa.array(["good", "good", "bad", "bad", "edge", "edge",
+                            "good", "bad"]),
+        "text": pa.array(["alpha beta", "gamma!", "1234 5678", "99 00 11",
+                          "abc1", "def2", "pure words", None]),
+    })
+    for num, den in ((1, 2), (3, 4), (0, 1)):
+        got = (source_quality_gate(rd.from_arrow(t).repartition(3),
+                                   min_alpha_num=num, min_alpha_den=den)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("docs", t)
+        want = (con.sql(source_quality_gate_sql("docs", min_alpha_num=num,
+                                                min_alpha_den=den)).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)])
+    # "edge" source: 6 alpha of 8 chars = exactly 3/4 -> kept at 3/4 gate
+    kept = source_quality_gate(rd.from_arrow(t), min_alpha_num=3,
+                               min_alpha_den=4).to_pandas()
+    assert set(kept["source"]) >= {"edge"}
