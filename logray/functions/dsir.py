@@ -20,10 +20,9 @@ Scale shape — nothing here shuffles:
   top-k shape.
 
 Features are hashed word unigrams + bigrams (the paper's
-``n in {1,2}``, 10k buckets): tokens come from the shared Arrow
-tokenizer (:func:`logray.functions.tfidf._doc_buckets` convention —
-``lower`` + split on non-alphanumerics), token hashes from the
-vectorized FNV in :mod:`logray.functions.fingerprint`, and bigram
+``n in {1,2}``, 10k buckets): tokens and their hashes come from the
+shared Arrow tokenizer :func:`logray.functions.tfidf._token_hashes`
+(``lower`` + split on non-alphanumerics + vectorized FNV), and bigram
 hashes from a uint64 mix of adjacent token hashes — all vectorized, no
 per-row Python.
 
@@ -45,8 +44,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from logray.functions.fingerprint import content_hash
 from logray.functions.sample import _det_hash
+from logray.functions.tfidf import _token_hashes
 
 __all__ = ["fit_hashed_bag", "dsir_weights", "dsir_sample"]
 
@@ -55,15 +54,7 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 
 def _feature_buckets(t: pa.Table, text_col: str, dim: int):
     """(parent_row, bucket) per unigram AND bigram feature occurrence."""
-    col = t[text_col]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    lists = pc.split_pattern_regex(pc.utf8_lower(col), pattern=r"[^0-9a-z]+")
-    flat = pc.list_flatten(lists)
-    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-    keep = np.asarray(pc.not_equal(flat, ""))
-    flat, parent = flat.filter(pa.array(keep)), parent[keep].astype(np.int64)
-    h = content_hash(flat)
+    parent, h = _token_hashes(t, text_col)
     uni = (h % np.uint64(dim)).astype(np.int64)
     # bigram where adjacent tokens share a document: mix(h[i], h[i+1])
     adj = parent[1:] == parent[:-1]
@@ -140,6 +131,10 @@ def dsir_sample(ds, target_ds, n: int, text_col: str = "text",
     Gumbel(id, seed)``; ``temperature -> 0`` approaches deterministic
     top-n by weight).  The key column makes the draw auditable and the
     result order-stable."""
+    if temperature <= 0:
+        raise ValueError(
+            f"temperature must be > 0 (got {temperature}); for a "
+            "deterministic top-n by weight sort dsir_weights directly")
     scored = dsir_weights(ds, target_ds, text_col, id_col, dim, smooth,
                           fitted)
 
@@ -149,13 +144,18 @@ def dsir_sample(ds, target_ds, n: int, text_col: str = "text",
         u = (_det_hash(ids, seed).astype(np.float64) + 0.5) / 2.0**32
         key = w / temperature - np.log(-np.log(u))
         if len(key) > n:
-            sel = np.argpartition(-key, n - 1)[:n]
+            # full (key desc, id asc) order, NOT argpartition: an exact
+            # key tie at the n-boundary must resolve the same way in
+            # every partitioning for the selection to be reproducible
+            o1 = np.argsort(ids, kind="stable")
+            sel = o1[np.argsort(-key[o1], kind="stable")][:n]
             ids, w, key = ids[sel], w[sel], key[sel]
         return pa.table({id_col: pa.array(ids), "dsir_weight": pa.array(w),
                          "dsir_key": pa.array(key)})
 
     parts = scored.map_batches(local_top, batch_format="pyarrow",
-                               zero_copy_batch=True).to_pandas()
+                               zero_copy_batch=True,
+                               batch_size=None).to_pandas()
     out = parts.sort_values(["dsir_key", id_col],
                             ascending=[False, True]).head(n)
     return out.reset_index(drop=True)

@@ -350,8 +350,11 @@ def source_quality_gate(ds, text_col: str = "text", key_col: str = "source",
               .groupby(key_col)
               .aggregate(Sum("a", alias_name="a"), Sum("c", alias_name="c"))
               .to_pandas())
-    ok = folded.loc[folded["a"] * min_alpha_den
-                    >= min_alpha_num * folded["c"], key_col]
+    # compare in Python ints: a*den on a 100-TB-scale source overflows
+    # int64 (the DuckDB twin promotes to HUGEINT — exact on both sides)
+    good = [int(a) * int(min_alpha_den) >= int(min_alpha_num) * int(c)
+            for a, c in zip(folded["a"], folded["c"])]
+    ok = folded.loc[good, key_col]
     keep_ref = ray.put(pa.array(ok.to_numpy()))
 
     from logray.functions.dedup import _broadcast_id_filter

@@ -40,6 +40,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from logray.functions.ann import _unit
 from logray.functions.cluster import kmeans_assign, kmeans_fit
 from logray.functions.dedup import DEFAULT_MAX_BUCKET, _broadcast_id_filter, _cap_bucket
 
@@ -48,29 +49,40 @@ __all__ = ["semdedup_verdicts", "semdedup_keep"]
 _VERDICT_COLS = ("cluster", "kept", "max_sim")
 
 
-def _unit_rows(m: np.ndarray) -> np.ndarray:
-    norm = np.linalg.norm(m, axis=1)
-    norm[norm == 0] = 1.0
-    return m / norm[:, None]
+def _finite_rows(m: np.ndarray) -> np.ndarray:
+    """Zero out rows with any non-finite component: a corrupt (NaN/inf)
+    embedding behaves as a zero vector — cosine 0 with everything, so it
+    is kept and, crucially, cannot poison the triangular max for the
+    rest of its cluster (NaN propagates through ``max``)."""
+    bad = ~np.isfinite(m).all(axis=1)
+    if bad.any():
+        m = m.copy()
+        m[bad] = 0.0
+    return m
 
 
 def _cluster_verdict_fn(id_col: str, emb_col: str, eps: float, keep: str,
                         centroids: np.ndarray, max_cluster: int):
-    cent_unit = _unit_rows(np.asarray(centroids, np.float64))
+    cent_unit = _unit(_finite_rows(np.asarray(centroids, np.float64)))
 
     def verdict(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
-        emb = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        emb = _finite_rows(np.stack(g[emb_col].to_numpy()).astype(np.float64))
         c = int(g["cluster"].iloc[0])
+        # Canonicalize row order BEFORE any float kernel: group membership
+        # is deterministic (bit-deterministic fit + integer assignment)
+        # but arrival order is not, and BLAS results can shift by ulps
+        # with row order.  Sorting by id first makes the GEMV input — and
+        # therefore the ranking — identical under any partitioning.
+        base = np.argsort(ids, kind="stable")
+        ids, emb = ids[base], emb[base]
         if keep == "far_from_centroid":
-            cent_sim = _unit_rows(emb) @ cent_unit[c]
+            cent_sim = _unit(emb) @ cent_unit[c]
             order = np.lexsort((ids, cent_sim))  # atypical first, id ties
-        else:  # "min_id"
-            order = np.argsort(ids, kind="stable")
-        ids, emb = ids[order], emb[order]
+            ids, emb = ids[order], emb[order]
         sel = _cap_bucket(ids, max_cluster, "semdedup")
         head = len(ids[sel])
-        u = _unit_rows(emb[:head])
+        u = _unit(emb[:head])
         kept = np.ones(len(ids), bool)  # overflow tail stays kept
         max_sim = np.zeros(len(ids), np.float64)
         chunk = 1024
@@ -103,8 +115,10 @@ def semdedup_verdicts(ds, k: int = 16, emb_col: str = "embedding",
     its cluster (0 for each cluster's top-ranked member); ``kept`` is
     ``max_sim < eps``.  Pass precomputed ``centroids`` to skip the fit
     (e.g. reuse one fit across eps sweeps).  Deterministic for a given
-    (k, iters, seed, keep): the fit is bit-deterministic and the ranking
-    breaks every tie by id."""
+    (k, iters, seed, keep): the fit is bit-deterministic, per-cluster
+    rows are id-sorted before any float kernel runs, and the ranking
+    breaks every tie by id.  Rows with a non-finite embedding component
+    are treated as zero vectors (kept, never similar to anything)."""
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"unknown keep policy {keep!r}")
     narrow = ds.select_columns([id_col, emb_col])

@@ -39,8 +39,10 @@ from logray.functions.fingerprint import content_hash
 __all__ = ["fit_df", "tfidf_vectors"]
 
 
-def _doc_buckets(t: pa.Table, text_col: str, dim: int):
-    """(parent_row_index, bucket_id) per non-empty token of the batch."""
+def _token_hashes(t: pa.Table, text_col: str):
+    """(parent_row_index, token_hash) per non-empty token of the batch —
+    the ONE shared tokenizer every hashed-text operator (tf-idf, DSIR)
+    derives features from; change the convention here only."""
     col = t[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -53,8 +55,13 @@ def _doc_buckets(t: pa.Table, text_col: str, dim: int):
     parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
     keep = np.asarray(pc.not_equal(flat, ""))
     flat, parent = flat.filter(pa.array(keep)), parent[keep]
-    bucket = (content_hash(flat) % np.uint64(dim)).astype(np.int64)
-    return parent.astype(np.int64), bucket
+    return parent.astype(np.int64), content_hash(flat)
+
+
+def _doc_buckets(t: pa.Table, text_col: str, dim: int):
+    """(parent_row_index, bucket_id) per non-empty token of the batch."""
+    parent, h = _token_hashes(t, text_col)
+    return parent, (h % np.uint64(dim)).astype(np.int64)
 
 
 def fit_df(ds, text_col: str = "text", dim: int = 256):

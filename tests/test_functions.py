@@ -2766,12 +2766,12 @@ def _semdedup_brute(ids, emb, assign, eps, keep, centroids):
     for c in np.unique(assign):
         m = np.flatnonzero(assign == c)
         cid, cemb = ids[m], emb[m]
+        o = np.argsort(cid, kind="stable")  # engine id-sorts pre-GEMV
+        cid, cemb = cid[o], cemb[o]
         if keep == "far_from_centroid":
             cs = unit(cemb) @ unit(centroids[c][None, :])[0]
             o = np.lexsort((cid, cs))
-        else:
-            o = np.argsort(cid, kind="stable")
-        cid, cemb = cid[o], cemb[o]
+            cid, cemb = cid[o], cemb[o]
         u = unit(cemb)
         sim = u @ u.T
         for i in range(len(cid)):
@@ -2804,8 +2804,10 @@ def test_semdedup_matches_brute_force_with_planted_dups(ray_session, keep):
     cent, _ = kmeans_fit(ds, 4, id_col="vec_id", iters=6)
     assign = kmeans_assign(ds, cent).to_pandas().set_index("vec_id")[
         "cluster"].reindex(ids).to_numpy()
-    want = _semdedup_brute(ids, emb.astype(np.float64), assign, 0.95, keep,
-                           cent)
+    # the engine sees float32-rounded embeddings from the Arrow table;
+    # feed the twin the identical values or near-eps cosines can flip
+    want = _semdedup_brute(ids, emb.astype(np.float32).astype(np.float64),
+                           assign, 0.95, keep, cent)
     got = dict(zip(v["vec_id"].astype(int), v["kept"]))
     assert got == want
 
@@ -2814,7 +2816,8 @@ def test_semdedup_matches_brute_force_with_planted_dups(ray_session, keep):
         i for i, ok in want.items() if ok)
 
 
-def test_semdedup_deterministic_across_partitioning(ray_session):
+@pytest.mark.parametrize("keep", ["min_id", "far_from_centroid"])
+def test_semdedup_deterministic_across_partitioning(ray_session, keep):
     import ray.data as rd
 
     from logray.functions.semdedup import semdedup_verdicts
@@ -2827,13 +2830,37 @@ def test_semdedup_deterministic_across_partitioning(ray_session):
     out = []
     for parts in (2, 9):
         v = (semdedup_verdicts(rd.from_arrow(t).repartition(parts),
-                               k=3, eps=0.99, iters=4)
+                               k=3, eps=0.99, iters=4, keep=keep)
              .to_pandas().sort_values("vec_id").reset_index(drop=True))
         out.append(v)
     pd.testing.assert_frame_equal(out[0], out[1])
-    # every scaled copy dropped, every original kept
-    assert out[0].loc[out[0].vec_id < 30, "kept"].all()
-    assert not out[0].loc[out[0].vec_id >= 30, "kept"].any()
+    # exactly one of each scaled-copy pair survives (min_id keeps the
+    # original; far_from_centroid may keep either member)
+    kept = out[0].set_index("vec_id")["kept"]
+    assert all(kept[i] != kept[i + 30] for i in range(30))
+    if keep == "min_id":
+        assert kept[np.arange(30)].all()
+
+
+def test_semdedup_nan_embedding_does_not_poison_cluster(ray_session):
+    import ray.data as rd
+
+    from logray.functions.semdedup import semdedup_verdicts
+
+    # NaN row has the cluster's LOWEST id: before the sanitize fix its
+    # NaN cosine propagated through max() and un-deduped the whole tail
+    emb = np.array([[np.nan, 1.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+                   np.float32)
+    t = pa.table({"vec_id": np.arange(4, dtype=np.int64),
+                  "embedding": list(emb)})
+    v = (semdedup_verdicts(rd.from_arrow(t), eps=0.95,
+                           centroids=np.zeros((1, 2)))
+         .to_pandas().set_index("vec_id"))
+    assert bool(v.loc[0, "kept"])       # corrupt row kept as zero vector
+    assert float(v.loc[0, "max_sim"]) == 0.0
+    assert bool(v.loc[1, "kept"])
+    assert not bool(v.loc[2, "kept"])   # exact duplicate of id 1 drops
+    assert bool(v.loc[3, "kept"])
 
 
 # ---------------------------------------------------------------------------
@@ -2915,6 +2942,8 @@ def test_dsir_sample_deterministic_and_sized(ray_session):
             >= a["dsir_key"].to_numpy()[1:]).all()
     c = dsir_sample(raw, tgt, n=20, dim=256, seed=8)
     assert list(a["doc_id"]) != list(c["doc_id"])  # seed changes the draw
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_sample(raw, tgt, n=20, dim=256, temperature=0.0)
 
 
 # ---------------------------------------------------------------------------
