@@ -1782,6 +1782,43 @@ def _q_dsir_sample(sf_dir: str):
                        n=100, dim=2048, seed=11)
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """CCNet-style perplexity scoring: fit a hashed 3-gram Stupid
+    Backoff LM on the English documents, score EVERY document; low ppl
+    = looks like the reference corpus.  Rows-only (hashed gram space
+    has no SQL twin); scores are pinned exactly against a pure-Python
+    twin in tests/test_functions.py."""
+    import ray.data as rd
+
+    from logray.functions.lm import fit_ngram_lm, lm_perplexity
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    ref = docs.filter(expr="lang == 'en'").select_columns(["doc_id", "text"])
+    fitted = fit_ngram_lm(ref, n=3, dim=1 << 14)
+    out = lm_perplexity(docs.select_columns(["doc_id", "text"]), fitted,
+                        dim=1 << 14).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail split: per-language perplexity terciles
+    under the English-fitted LM tag every document head (in-domain),
+    middle or tail.  Rows-only (hashed LM); the tercile selector is the
+    exact-oracled grouped_quantiles operator and the split invariants
+    are pinned in tests/test_functions.py."""
+    import ray.data as rd
+
+    from logray.functions.lm import fit_ngram_lm, perplexity_buckets
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    ref = docs.filter(expr="lang == 'en'").select_columns(["doc_id", "text"])
+    fitted = fit_ngram_lm(ref, n=3, dim=1 << 14)
+    out = perplexity_buckets(docs, fitted, dim=1 << 14).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_shuffle_deterministic(sf_dir: str):
     """Reproducible global training-order shuffle: sort by the seeded
     id hash — byte-identical order on any topology (exact SQL twin on
@@ -2526,6 +2563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_bytes": _q_dedup_spans_bytes,
         "semdedup": _q_semdedup,
         "dsir_sample": _q_dsir_sample,
+        "lm_perplexity": _q_lm_perplexity,
+        "ppl_buckets": _q_ppl_buckets,
         "shuffle_deterministic": _q_shuffle_deterministic,
         "source_quality_gate": _q_source_quality_gate,
         "edit_distance_dups": _q_edit_distance_dups,

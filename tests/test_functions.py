@@ -3003,3 +3003,161 @@ def test_source_quality_gate_matches_duckdb(ray_session):
     kept = source_quality_gate(rd.from_arrow(t), min_alpha_num=3,
                                min_alpha_den=4).to_pandas()
     assert set(kept["source"]) >= {"edge"}
+
+
+# ---------------------------------------------------------------------------
+# hashed n-gram LM perplexity (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def _lm_twin(texts, counts, total, dim, alpha=0.4, smooth=0.5):
+    """Pure-Python Stupid Backoff over the same hashed gram space."""
+    import re
+
+    mix = 0x9E3779B97F4A7C15
+    n = len(counts)
+    out = []
+    for text in texts:
+        toks = [w for w in re.split(r"[^0-9a-z]+", text.lower()) if w]
+        if not toks:
+            out.append(None)
+            continue
+        ha = [int(x) for x in content_hash(pa.array(toks))]
+        # grams[k-1][i] = hash of tokens i-k+1..i (end-aligned)
+        grams = [ha]
+        for k in range(2, n + 1):
+            grams.append([((grams[-1][i - 1] * mix) % 2**64) ^ ha[i]
+                          if i >= k - 1 else 0 for i in range(len(ha))])
+        lp = 0.0
+        for i in range(len(ha)):
+            s = (int(counts[0][grams[0][i] % dim]) + smooth) / (
+                total + smooth * dim)
+            for k in range(2, n + 1):
+                if i < k - 1:
+                    continue  # not enough context: keep lower-order score
+                num = int(counts[k - 1][grams[k - 1][i] % dim])
+                ctx = int(counts[k - 2][grams[k - 2][i - 1] % dim])
+                s = num / max(ctx, num) if num > 0 else alpha * s
+            lp += np.log(s)
+        out.append(lp / len(toks))
+    return out
+
+
+def test_lm_perplexity_matches_twin_and_partitioning(ray_session):
+    import ray.data as rd
+
+    from logray.functions.lm import fit_ngram_lm, lm_perplexity
+
+    rng = np.random.default_rng(21)
+    words = np.array(["the", "cat", "sat", "on", "mat", "dog", "ran", "far"])
+    ref_texts = [" ".join(rng.choice(words, 12)) for _ in range(60)]
+    ref = rd.from_arrow(pa.table({
+        "doc_id": np.arange(60, dtype=np.int64), "text": ref_texts}))
+    dim = 2048
+    fitted = fit_ngram_lm(ref.repartition(4), n=3, dim=dim)
+    counts, total = fitted
+    assert total == sum(len(t.split()) for t in ref_texts)
+
+    # shard-merge exactness: fit over shards folds to the same vectors
+    c_a, t_a = fit_ngram_lm(ref.repartition(9), n=3, dim=dim)
+    assert t_a == total
+    for k in range(3):
+        np.testing.assert_array_equal(c_a[k], counts[k])
+
+    score_texts = ["the cat sat on mat", "zq xv wq pl mn",
+                   "dog ran far", "", None, "the the the"]
+    sds = rd.from_arrow(pa.table({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": pa.array(score_texts)}))
+    got = (lm_perplexity(sds.repartition(3), fitted, dim=dim)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # null text dropped, empty text scored null
+    assert list(got["doc_id"]) == [0, 1, 2, 3, 5]
+    assert got.loc[got.doc_id == 3, "ppl"].isna().all()
+    want = _lm_twin([t for t in score_texts if t is not None],
+                    counts, total, dim)
+    for doc_id, w in zip([0, 1, 2, 3, 5], want):
+        row = got.loc[got.doc_id == doc_id]
+        if w is None:
+            assert row["logprob"].isna().all()
+        else:
+            assert np.isclose(float(row["logprob"].iloc[0]), w, rtol=1e-12)
+            assert np.isclose(float(row["ppl"].iloc[0]), np.exp(-w),
+                              rtol=1e-12)
+    # partition invariance
+    again = (lm_perplexity(sds.repartition(1), fitted, dim=dim)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
+    # in-domain text scores better than gibberish
+    assert (float(got.loc[got.doc_id == 0, "ppl"].iloc[0])
+            < float(got.loc[got.doc_id == 1, "ppl"].iloc[0]))
+
+
+def test_lm_perplexity_backoff_orders(ray_session):
+    import ray.data as rd
+
+    from logray.functions.lm import fit_ngram_lm, lm_perplexity
+
+    ref = rd.from_arrow(pa.table({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a b c", "a b c", "a b d"]}))
+    dim = 512
+    fitted = fit_ngram_lm(ref, n=3, dim=dim)
+    with pytest.raises(ValueError, match="n must be"):
+        fit_ngram_lm(ref, n=0, dim=dim)
+    sds = rd.from_arrow(pa.table({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": ["a b c", "a b x"]}))
+    got = (lm_perplexity(sds, fitted, dim=dim)
+           .to_pandas().set_index("doc_id"))
+    # seen trigram continuation beats unseen-token backoff
+    assert float(got.loc[0, "ppl"]) < float(got.loc[1, "ppl"])
+    assert (got["n_tokens"] == 3).all()
+    assert (got["ppl"] >= 1.0 - 1e-12).all()
+
+
+def test_perplexity_buckets_ccnet_split(ray_session):
+    import ray.data as rd
+
+    from logray.functions.lm import fit_ngram_lm, perplexity_buckets
+
+    rng = np.random.default_rng(33)
+    words = np.array(["the", "cat", "sat", "on", "mat", "dog", "ran"])
+    junk = np.array(["zq", "xv", "wq", "pl", "mn", "kj", "bv"])
+    texts, langs = [], []
+    for i in range(90):
+        pool = words if i % 3 else np.concatenate([words, junk])
+        texts.append(" ".join(rng.choice(pool, 10)))
+        langs.append("en" if i < 60 else "de")
+    texts += ["", None]
+    langs += ["en", "de"]
+    t = pa.table({"doc_id": np.arange(92, dtype=np.int64),
+                  "text": pa.array(texts), "lang": pa.array(langs)})
+    ds = rd.from_arrow(t).repartition(4)
+    fitted = fit_ngram_lm(
+        ds.filter(expr="lang == 'en'").select_columns(["doc_id", "text"]),
+        n=2, dim=1024)
+    got = (perplexity_buckets(ds, fitted, dim=1024)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == 91  # null text dropped
+    assert got.loc[got.doc_id == 90, "ppl_bucket"].isna().all()  # empty text
+    scored = got.dropna(subset=["ppl"])
+    # per-lang tercile split: bucket sizes within 1 of n/3 per lang
+    for lang, g in scored.groupby("lang"):
+        n = len(g)
+        counts = g["ppl_bucket"].value_counts()
+        assert counts.get("head", 0) >= 1
+        assert abs(counts.get("head", 0) - n / 3) <= 1
+        # head ppl <= middle ppl <= tail ppl
+        h = g.loc[g.ppl_bucket == "head", "ppl"].max()
+        m_ = g.loc[g.ppl_bucket == "middle", "ppl"]
+        t_ = g.loc[g.ppl_bucket == "tail", "ppl"]
+        if len(m_):
+            assert h <= m_.min() + 1e-12
+            if len(t_):
+                assert m_.max() <= t_.min() + 1e-12
+    # partition invariance
+    again = (perplexity_buckets(rd.from_arrow(t).repartition(9), fitted,
+                                dim=1024)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
