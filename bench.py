@@ -263,6 +263,23 @@ def run_bench() -> dict:
 
     timed("transition_counts", transitions_corpus)
 
+    from logray.functions.lm import fit_ngram_lm, lm_perplexity
+
+    # LM fitted once on the (small) documents table; the timed run scores
+    # the full transcript corpus — train-on-reference, score-everything,
+    # the CCNet shape
+    lm_fitted = fit_ngram_lm(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"]),
+        n=3, dim=1 << 16)
+
+    def lm_score_corpus():
+        ds = rd.read_parquet(corpus, columns=["turn_idx", "text"])
+        return lm_perplexity(ds, lm_fitted, id_col="turn_idx").map_batches(
+            lambda t: t.select(["n_tokens"]), batch_format="pyarrow"
+        ).sum("n_tokens")
+
+    timed("lm_score", lm_score_corpus)
+
     ray.shutdown()
 
     headline_sec = timings["pipeline"]

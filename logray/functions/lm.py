@@ -142,7 +142,10 @@ def lm_perplexity(ds, fitted, text_col: str = "text",
             exists = run >= k
             # clamp: hashed num can exceed hashed ctx (collisions land in
             # different buckets per order); a conditional prob is <= 1
-            ratio = num / np.maximum(ctx, num)
+            # the extra max(.., 1) only guards the num == 0 rows the mask
+            # below discards anyway (0/0 would warn); num > 0 rows divide
+            # by max(ctx, num) unchanged
+            ratio = num / np.maximum(np.maximum(ctx, num), 1)
             # alpha penalizes an UNSEEN gram; a token without k tokens of
             # context (document start) keeps its lower-order score as-is
             s = np.where(exists & (num > 0), ratio,

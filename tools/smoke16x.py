@@ -137,9 +137,23 @@ def main() -> int:
     timed("windowfn_lag_lead", windowfn_lag)
     timed("windowfn_rolling", windowfn_rolling)
     timed("transition_counts_bucket", seq_transitions_bucket)
+    # --- LM perplexity scoring: row-local, 52M turns -----------------------
+    def lm_score():
+        from bench import SF_DIR
+        from logray.functions.lm import fit_ngram_lm, lm_perplexity
+
+        ref = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                              columns=["text"])
+        fitted = fit_ngram_lm(ref, n=3, dim=1 << 16)
+        ds = read(["turn_idx", "text"])
+        return int(lm_perplexity(ds, fitted, id_col="turn_idx").map_batches(
+            lambda t: t.select(["n_tokens"]), batch_format="pyarrow"
+        ).sum("n_tokens"))
+
     timed("transition_counts_skew_safe", seq_transitions_skewsafe)
     timed("funnel", seq_funnel)
     timed("dedup_lines", line_dedup)
+    timed("lm_score", lm_score)
 
     print(json.dumps({"rows": rows, "num_cpus": ncpu, "families": results}))
     ray.shutdown()
