@@ -55,8 +55,23 @@ from logray.functions.packing import pack_documents
 from logray.functions.tfidf import fit_df, tfidf_vectors
 from logray.functions.sketch import approx_distinct_per_key
 from logray.functions.bloom import bloom_prefilter, build_bloom
+from logray.functions.semdedup import semdedup_keep, semdedup_verdicts
+from logray.functions.dsir import dsir_sample, dsir_weights, fit_hashed_bag
+from logray.functions.sample import deterministic_shuffle
+from logray.functions.quality import source_quality_gate
+from logray.functions.lm import fit_ngram_lm, lm_perplexity, perplexity_buckets
 
 __all__ = [
+    "semdedup_keep",
+    "semdedup_verdicts",
+    "dsir_sample",
+    "dsir_weights",
+    "fit_hashed_bag",
+    "deterministic_shuffle",
+    "source_quality_gate",
+    "fit_ngram_lm",
+    "lm_perplexity",
+    "perplexity_buckets",
     "dedup_lines",
     "dedup_spans",
     "edit_distance_pairs",
