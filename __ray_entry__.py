@@ -1782,6 +1782,33 @@ def _q_dsir_sample(sf_dir: str):
                        n=100, dim=2048, seed=11)
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Cross-snapshot incremental dedup: persist a 128-bit fingerprint
+    index of the English snapshot, then filter every OTHER document
+    against it (the continuous-crawl flow — new snapshot vs all prior
+    months, sharded membership plan).  Exact SQL twin: anti-join on
+    text (null text is never a duplicate)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from logray.functions.dedup_incremental import (build_hash_index,
+                                                    dedup_against_index)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    idx_dir = tempfile.mkdtemp(prefix="logray_incdedup_")
+    try:
+        build_hash_index(docs.filter(expr="lang == 'en'"), idx_dir,
+                         num_shards=8)
+        out = dedup_against_index(docs.filter(expr="lang != 'en'"),
+                                  idx_dir, mode="sharded",
+                                  num_shards=8).to_pandas()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """CCNet-style perplexity scoring: fit a hashed 3-gram Stupid
     Backoff LM on the English documents, score EVERY document; low ppl
@@ -2563,6 +2590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_bytes": _q_dedup_spans_bytes,
         "semdedup": _q_semdedup,
         "dsir_sample": _q_dsir_sample,
+        "dedup_incremental": _q_dedup_incremental,
         "lm_perplexity": _q_lm_perplexity,
         "ppl_buckets": _q_ppl_buckets,
         "shuffle_deterministic": _q_shuffle_deterministic,
@@ -3052,6 +3080,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "dedup_incremental": """
+            SELECT * FROM documents
+            WHERE lang <> 'en' AND (text IS NULL OR text NOT IN (
+              SELECT text FROM documents WHERE lang = 'en'
+                AND text IS NOT NULL))
+            ORDER BY doc_id
         """,
         "ngram_jaccard_dups": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -60,8 +60,16 @@ from logray.functions.dsir import dsir_sample, dsir_weights, fit_hashed_bag
 from logray.functions.sample import deterministic_shuffle
 from logray.functions.quality import source_quality_gate
 from logray.functions.lm import fit_ngram_lm, lm_perplexity, perplexity_buckets
+from logray.functions.dedup_incremental import (
+    build_hash_index,
+    dedup_against_index,
+    index_verdicts,
+)
 
 __all__ = [
+    "build_hash_index",
+    "dedup_against_index",
+    "index_verdicts",
     "semdedup_keep",
     "semdedup_verdicts",
     "dsir_sample",

@@ -84,6 +84,37 @@ def content_hash(texts) -> np.ndarray:
     return h
 
 
+_PRIME2 = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
+_OFFSET2 = np.uint64(0x243F6A8885A308D3)  # pi fractional bits
+
+
+def content_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
+    """``(h1, h2)`` per row: the standard FNV-1a hash plus a second
+    FNV-style hash with independent constants, computed in the SAME byte
+    pass — a 128-bit fingerprint for collision-guarded membership tests
+    where the text itself is not kept around to verify equality (e.g.
+    the persistent dedup index).  ``h1`` equals :func:`content_hash`.
+
+    A finalizer of ``h1`` would NOT do here: any bijection of h1 has
+    exactly h1's collisions; the guard needs a second hash of the
+    bytes."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    data, starts, ends = _string_buffer_views(texts)
+    n = len(starts)
+    h1 = np.full(n, _OFFSET, np.uint64)
+    h2 = np.full(n, _OFFSET2, np.uint64)
+    maxlen = int((ends - starts).max()) if n else 0
+    for j in range(maxlen):
+        m = starts + j < ends
+        if not m.any():
+            break
+        b = data[starts[m] + j].astype(np.uint64)
+        h1[m] = ((h1[m] ^ b) * _PRIME) & _MASK
+        h2[m] = ((h2[m] ^ b) * _PRIME2) & _MASK
+    return h1, h2
+
+
 # --- MinHash ---------------------------------------------------------------
 
 

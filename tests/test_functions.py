@@ -17,6 +17,7 @@ from logray.functions.dedup import (
 from logray.functions.fingerprint import (
     band_hashes,
     content_hash,
+    content_hash128,
     hamming64,
     minhash_signatures,
     simhash,
@@ -3161,3 +3162,82 @@ def test_perplexity_buckets_ccnet_split(ray_session):
                                 dim=1024)
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, again)
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup against a persistent hash index
+# ---------------------------------------------------------------------------
+
+
+def test_content_hash128_pairs_and_first_hash_identity():
+    texts = pa.array(["", "a", "ab", "ba", "same", "same", None])
+    h1, h2 = content_hash128(texts)
+    np.testing.assert_array_equal(h1, content_hash(texts))
+    # second hash is NOT a function of the first: "ab"/"ba" style pairs
+    # and the two accumulators diverge on any non-degenerate input
+    assert h2[1] != h1[1]
+    assert (h1[4], h2[4]) == (h1[5], h2[5])
+    assert (h1[2], h2[2]) != (h1[3], h2[3])
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "sharded"])
+def test_dedup_against_index_matches_anti_join(ray_session, tmp_path, mode):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.dedup_incremental import (build_hash_index,
+                                                    dedup_against_index,
+                                                    index_verdicts)
+
+    old = pa.table({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": pa.array(["seen one", "seen two", "", "seen one", None]),
+    })
+    new = pa.table({
+        "doc_id": np.arange(100, 108, dtype=np.int64),
+        "text": pa.array(["seen one", "fresh a", "", "fresh b", None,
+                          "seen two", "fresh a", "fresh c"]),
+    })
+    idx = str(tmp_path / "idx")
+    build_hash_index(rd.from_arrow(old).repartition(3), idx, num_shards=4)
+    got = (dedup_against_index(rd.from_arrow(new).repartition(3), idx,
+                               mode=mode, num_shards=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("old", old)
+    con.register("new", new)
+    want = con.sql("""
+        SELECT * FROM new WHERE text IS NULL OR text NOT IN (
+          SELECT text FROM old WHERE text IS NOT NULL)
+        ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got, want)
+    # within-snapshot duplicates are NOT collapsed (both "fresh a" kept)
+    assert (got["text"] == "fresh a").sum() == 2
+    # verdicts: seen flags exactly the indexed texts, null text never seen
+    v = (index_verdicts(rd.from_arrow(new), idx, mode=mode, num_shards=4)
+         .to_pandas().sort_values("doc_id"))
+    assert list(v["seen"]) == [True, False, True, False, False,
+                               True, False, False]
+
+    # appendable: index the new snapshot too -> everything now seen
+    build_hash_index(rd.from_arrow(new), idx, num_shards=4)
+    again = dedup_against_index(rd.from_arrow(new), idx, mode=mode,
+                                num_shards=4).to_pandas()
+    assert list(again["doc_id"]) == [104]  # only the null-text row
+
+
+def test_dedup_against_index_broadcast_cap(ray_session, tmp_path):
+    import ray.data as rd
+
+    from logray.functions.dedup_incremental import (build_hash_index,
+                                                    index_verdicts)
+
+    t = pa.table({"doc_id": np.arange(10, dtype=np.int64),
+                  "text": pa.array([f"t{i}" for i in range(10)])})
+    idx = str(tmp_path / "idx")
+    build_hash_index(rd.from_arrow(t), idx, num_shards=2)
+    with pytest.raises(ValueError, match="max_broadcast"):
+        index_verdicts(rd.from_arrow(t), idx, mode="broadcast",
+                       num_shards=2, max_broadcast=3)
+    with pytest.raises(ValueError, match="unknown mode"):
+        index_verdicts(rd.from_arrow(t), idx, mode="bogus")
