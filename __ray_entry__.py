@@ -1802,8 +1802,7 @@ def _q_dedup_incremental(sf_dir: str):
         build_hash_index(docs.filter(expr="lang == 'en'"), idx_dir,
                          num_shards=8)
         out = dedup_against_index(docs.filter(expr="lang != 'en'"),
-                                  idx_dir, mode="sharded",
-                                  num_shards=8).to_pandas()
+                                  idx_dir, mode="sharded").to_pandas()
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
     return out.sort_values("doc_id").reset_index(drop=True)

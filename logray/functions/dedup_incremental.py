@@ -45,6 +45,7 @@ held in one process.
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import numpy as np
@@ -58,6 +59,31 @@ from logray.functions.fingerprint import content_hash128
 __all__ = ["build_hash_index", "dedup_against_index", "index_verdicts"]
 
 DEFAULT_MAX_BROADCAST = 100_000_000
+_META = "index.json"
+_HASH_VERSION = 1  # bump if content_hash128's constants ever change
+
+
+def _write_meta(out_dir: str, num_shards: int) -> None:
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump({"num_shards": num_shards,
+                   "hash_version": _HASH_VERSION}, f)
+
+
+def _read_meta(index_dir: str) -> int:
+    """The index's shard count.  A missing/invalid index dir RAISES —
+    silently treating it as empty would score every duplicate as new."""
+    path = os.path.join(index_dir, _META)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"{index_dir!r} is not a fingerprint index (no {_META}); "
+            "refusing to treat it as empty — every duplicate would pass")
+    with open(path) as f:
+        meta = json.load(f)
+    if meta.get("hash_version") != _HASH_VERSION:
+        raise ValueError(
+            f"index {index_dir!r} was built with hash_version="
+            f"{meta.get('hash_version')}; this engine is {_HASH_VERSION}")
+    return int(meta["num_shards"])
 
 
 def _unique_pairs(h1: np.ndarray, h2: np.ndarray):
@@ -76,7 +102,15 @@ def build_hash_index(ds, out_dir: str, text_col: str = "text",
     """One streaming pass: per-batch distinct fingerprints of
     ``text_col`` written hive-partitioned by ``__s = h1 % num_shards``.
     Null texts are skipped (SQL ``NOT IN`` never matches NULL).  Calling
-    again with more data into the same ``out_dir`` appends."""
+    again with more data into the same ``out_dir`` appends; the shard
+    count is persisted in ``index.json`` and an append with a different
+    ``num_shards`` refuses (it would corrupt the layout silently)."""
+    if os.path.exists(os.path.join(out_dir, _META)):
+        existing = _read_meta(out_dir)
+        if existing != num_shards:
+            raise ValueError(
+                f"index {out_dir!r} was built with num_shards={existing}; "
+                f"appending with num_shards={num_shards} would corrupt it")
 
     def part(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t[text_col]))
@@ -91,6 +125,7 @@ def build_hash_index(ds, out_dir: str, text_col: str = "text",
        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
                     batch_size=None)
        .write_parquet(out_dir, partition_cols=["__s"]))
+    _write_meta(out_dir, num_shards)
 
 
 def _shard_files(index_dir: str, shard: int | None = None) -> list[str]:
@@ -125,13 +160,15 @@ def _member128(q1, q2, idx1, idx2) -> np.ndarray:
 
 def index_verdicts(ds, index_dir: str, text_col: str = "text",
                    id_col: str = "doc_id", mode: str = "broadcast",
-                   num_shards: int = 64, num_buckets: int | None = None,
                    max_broadcast: int = DEFAULT_MAX_BROADCAST):
     """Per-row verdict Dataset ``(id_col, seen)``: ``seen`` is whether
     the row's text fingerprint is in the index.  Null texts score
-    ``seen = False`` (never a duplicate)."""
+    ``seen = False`` (never a duplicate).  The shard count comes from
+    the index's own metadata; a directory without one raises (see
+    :func:`_read_meta`)."""
     import ray
 
+    num_shards = _read_meta(index_dir)
     if mode == "broadcast":
         files = _shard_files(index_dir)
         total = sum(pq.read_metadata(f).num_rows for f in files)
@@ -191,7 +228,6 @@ def index_verdicts(ds, index_dir: str, text_col: str = "text",
 
 def dedup_against_index(ds, index_dir: str, text_col: str = "text",
                         id_col: str = "doc_id", mode: str = "broadcast",
-                        num_shards: int = 64,
                         max_broadcast: int = DEFAULT_MAX_BROADCAST):
     """The new snapshot with every already-indexed text dropped.
 
@@ -203,12 +239,15 @@ def dedup_against_index(ds, index_dir: str, text_col: str = "text",
 
     from logray.functions.dedup import _broadcast_id_filter
 
-    v = index_verdicts(ds, index_dir, text_col, id_col, mode, num_shards,
+    v = index_verdicts(ds, index_dir, text_col, id_col, mode,
                        max_broadcast=max_broadcast)
-    dup_df = v.filter(expr="seen == True").select_columns([id_col]).to_pandas()
+    # limit BEFORE to_pandas: the cap must bound the driver fetch, not
+    # fire after an unbounded one
+    dup_df = (v.filter(expr="seen == True").select_columns([id_col])
+              .limit(max_broadcast + 1).to_pandas())
     if len(dup_df) > max_broadcast:
         raise ValueError(
-            f"{len(dup_df)} duplicate ids > max_broadcast={max_broadcast}; "
+            f"over {max_broadcast} duplicate ids (max_broadcast); "
             "join index_verdicts back instead of the broadcast filter")
     dup = (pa.array(dup_df[id_col].to_numpy()) if len(dup_df)
            else pa.array([], pa.int64()))

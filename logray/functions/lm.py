@@ -107,7 +107,7 @@ def fit_ngram_lm(ds, text_col: str = "text", n: int = 3, dim: int = 1 << 16):
 
 
 def lm_perplexity(ds, fitted, text_col: str = "text",
-                  id_col: str = "doc_id", dim: int = 1 << 16,
+                  id_col: str = "doc_id", dim: int | None = None,
                   alpha: float = 0.4, smooth: float = 0.5,
                   keep_cols: tuple = ()):
     """Score every document under the fitted model: a Dataset
@@ -122,9 +122,18 @@ def lm_perplexity(ds, fitted, text_col: str = "text",
     with no penalty.  The order-1 base is the Laplace-smoothed unigram
     ``(c1 + smooth) / (total + smooth * dim)``.  Null-text rows are
     dropped (the DSIR convention).  ``fitted`` is :func:`fit_ngram_lm`'s return value —
-    broadcast once into the scoring tasks, never refit per batch."""
+    broadcast once into the scoring tasks, never refit per batch.
+    ``dim`` is derived from the fitted vectors; passing it explicitly
+    only validates (a fit/score dim mismatch would silently score every
+    gram against the wrong bucket)."""
     counts, total = fitted
     n = len(counts)
+    if dim is None:
+        dim = len(counts[0])
+    elif dim != len(counts[0]):
+        raise ValueError(
+            f"dim={dim} does not match the fitted model "
+            f"(len(counts[0]) == {len(counts[0])})")
     base_den = float(total) + smooth * dim
 
     def score(t: pa.Table) -> pa.Table:
@@ -169,7 +178,7 @@ def lm_perplexity(ds, fitted, text_col: str = "text",
 
 def perplexity_buckets(ds, fitted, text_col: str = "text",
                        id_col: str = "doc_id", key_col: str = "lang",
-                       dim: int = 1 << 16, alpha: float = 0.4,
+                       dim: int | None = None, alpha: float = 0.4,
                        smooth: float = 0.5, qs=(1 / 3, 2 / 3)):
     """CCNet's head/middle/tail split: score every document
     (:func:`lm_perplexity`), take per-``key_col`` exact ``qs`` ppl
@@ -187,14 +196,22 @@ def perplexity_buckets(ds, fitted, text_col: str = "text",
 
     scored = lm_perplexity(ds, fitted, text_col, id_col, dim, alpha,
                            smooth, keep_cols=(key_col,))
+    # the narrow scored projection is consumed twice (threshold pass +
+    # tag pass); pin it or the whole scoring pipeline re-runs
+    scored = scored.materialize()
     qs = sorted(qs)
     if len(qs) != 2:
         raise ValueError(f"qs must be two quantiles (got {qs})")
-    thr = (grouped_quantiles(scored.select_columns([key_col, "ppl"]),
-                             key_col, "ppl", qs).to_pandas()
-           .pivot_table(index=key_col, columns="q", values="value",
-                        dropna=False).reset_index())
-    thr.columns = [key_col, "__q1", "__q2"]
+    tp = grouped_quantiles(scored.select_columns([key_col, "ppl"]),
+                           key_col, "ppl", qs).to_pandas()
+    if len(tp):
+        thr = tp.pivot_table(index=key_col, columns="q", values="value",
+                             dropna=False).reset_index()
+        thr.columns = [key_col, "__q1", "__q2"]
+    else:  # every document token-free: no thresholds, all buckets null
+        thr = pd.DataFrame({key_col: pd.Series([], dtype=object),
+                            "__q1": pd.Series([], dtype=np.float64),
+                            "__q2": pd.Series([], dtype=np.float64)})
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         m = df[[key_col]].merge(thr, on=key_col, how="left")  # keeps order

@@ -3201,7 +3201,7 @@ def test_dedup_against_index_matches_anti_join(ray_session, tmp_path, mode):
     idx = str(tmp_path / "idx")
     build_hash_index(rd.from_arrow(old).repartition(3), idx, num_shards=4)
     got = (dedup_against_index(rd.from_arrow(new).repartition(3), idx,
-                               mode=mode, num_shards=4)
+                               mode=mode)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     con = duckdb.connect()
     con.register("old", old)
@@ -3214,15 +3214,15 @@ def test_dedup_against_index_matches_anti_join(ray_session, tmp_path, mode):
     # within-snapshot duplicates are NOT collapsed (both "fresh a" kept)
     assert (got["text"] == "fresh a").sum() == 2
     # verdicts: seen flags exactly the indexed texts, null text never seen
-    v = (index_verdicts(rd.from_arrow(new), idx, mode=mode, num_shards=4)
+    v = (index_verdicts(rd.from_arrow(new), idx, mode=mode)
          .to_pandas().sort_values("doc_id"))
     assert list(v["seen"]) == [True, False, True, False, False,
                                True, False, False]
 
     # appendable: index the new snapshot too -> everything now seen
     build_hash_index(rd.from_arrow(new), idx, num_shards=4)
-    again = dedup_against_index(rd.from_arrow(new), idx, mode=mode,
-                                num_shards=4).to_pandas()
+    again = dedup_against_index(rd.from_arrow(new), idx,
+                                mode=mode).to_pandas()
     assert list(again["doc_id"]) == [104]  # only the null-text row
 
 
@@ -3238,6 +3238,18 @@ def test_dedup_against_index_broadcast_cap(ray_session, tmp_path):
     build_hash_index(rd.from_arrow(t), idx, num_shards=2)
     with pytest.raises(ValueError, match="max_broadcast"):
         index_verdicts(rd.from_arrow(t), idx, mode="broadcast",
-                       num_shards=2, max_broadcast=3)
+                       max_broadcast=3)
     with pytest.raises(ValueError, match="unknown mode"):
         index_verdicts(rd.from_arrow(t), idx, mode="bogus")
+    # a dir that is not an index refuses instead of scoring all-new
+    with pytest.raises(ValueError, match="not a fingerprint index"):
+        index_verdicts(rd.from_arrow(t), str(tmp_path / "nope"))
+    # appending with a different shard count refuses
+    with pytest.raises(ValueError, match="num_shards"):
+        build_hash_index(rd.from_arrow(t), idx, num_shards=5)
+    # fit/score dim mismatch in the LM refuses
+    from logray.functions.lm import fit_ngram_lm, lm_perplexity
+    fitted = fit_ngram_lm(rd.from_arrow(pa.table(
+        {"doc_id": [1], "text": ["a b"]})), n=2, dim=256)
+    with pytest.raises(ValueError, match="does not match the fitted"):
+        lm_perplexity(rd.from_arrow(t), fitted, dim=512)
