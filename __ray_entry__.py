@@ -1808,6 +1808,31 @@ def _q_dedup_incremental(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_near_dup_incremental(sf_dir: str):
+    """Incremental NEAR-dup: persist a MinHash band index of the
+    English snapshot, drop every other document that LSH-collides with
+    it (pure candidate rule, sharded probe).  Rows-only (LSH has no SQL
+    twin); exact-copy/short-doc/append invariants pinned in tests."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from logray.functions.neardup_incremental import (
+        build_band_index, dedup_near_against_index)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    idx_dir = tempfile.mkdtemp(prefix="logray_bandidx_")
+    try:
+        build_band_index(docs.filter(expr="lang == 'en'"), idx_dir,
+                         num_shards=4)
+        out = dedup_near_against_index(docs.filter(expr="lang != 'en'"),
+                                       idx_dir, mode="sharded").to_pandas()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """CCNet-style perplexity scoring: fit a hashed 3-gram Stupid
     Backoff LM on the English documents, score EVERY document; low ppl
@@ -2590,6 +2615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "dsir_sample": _q_dsir_sample,
         "dedup_incremental": _q_dedup_incremental,
+        "near_dup_incremental": _q_near_dup_incremental,
         "lm_perplexity": _q_lm_perplexity,
         "ppl_buckets": _q_ppl_buckets,
         "shuffle_deterministic": _q_shuffle_deterministic,

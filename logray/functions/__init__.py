@@ -65,11 +65,19 @@ from logray.functions.dedup_incremental import (
     dedup_against_index,
     index_verdicts,
 )
+from logray.functions.neardup_incremental import (
+    build_band_index,
+    dedup_near_against_index,
+    near_dup_ids_against_index,
+)
 
 __all__ = [
     "build_hash_index",
     "dedup_against_index",
     "index_verdicts",
+    "build_band_index",
+    "dedup_near_against_index",
+    "near_dup_ids_against_index",
     "semdedup_keep",
     "semdedup_verdicts",
     "dsir_sample",

@@ -3253,3 +3253,59 @@ def test_dedup_against_index_broadcast_cap(ray_session, tmp_path):
         {"doc_id": [1], "text": ["a b"]})), n=2, dim=256)
     with pytest.raises(ValueError, match="does not match the fitted"):
         lm_perplexity(rd.from_arrow(t), fitted, dim=512)
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "sharded"])
+def test_near_dup_incremental_index(ray_session, tmp_path, mode):
+    import ray.data as rd
+
+    from logray.functions.neardup_incremental import (
+        build_band_index, dedup_near_against_index,
+        near_dup_ids_against_index)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    old = pa.table({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": pa.array([base, "completely unrelated text body here", "ab"]),
+    })
+    new = pa.table({
+        "doc_id": np.arange(100, 106, dtype=np.int64),
+        "text": pa.array([
+            base,                                   # exact copy -> matched
+            base.replace("tonight", "tomorrow"),    # near copy
+            "nothing in common with anything else at all whatsoever",
+            "ab",    # short: shares the degenerate all-zero sig, NEVER matched
+            None,    # null: never matched
+            "zz",    # short
+        ]),
+    })
+    idx = str(tmp_path / "bandidx")
+    build_band_index(rd.from_arrow(old).repartition(2), idx, num_shards=4)
+    got = (dedup_near_against_index(rd.from_arrow(new).repartition(3), idx,
+                                    mode=mode)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    kept = set(got["doc_id"])
+    assert 100 not in kept            # exact copy LSH-collides in every band
+    assert {102, 103, 104, 105} <= kept  # unrelated/short/null all kept
+    ids = (near_dup_ids_against_index(rd.from_arrow(new), idx, mode=mode)
+           .to_pandas()[ "doc_id"].drop_duplicates())
+    assert set(ids) == set(new["doc_id"].to_pylist()) - kept
+    # both modes agree with each other (checked via parametrize + this pin)
+    other = (dedup_near_against_index(
+        rd.from_arrow(new), idx,
+        mode="sharded" if mode == "broadcast" else "broadcast")
+        .to_pandas())
+    assert set(other["doc_id"]) == kept
+    # append: index the new snapshot; its own exact copies now match
+    build_band_index(rd.from_arrow(new), idx, num_shards=4)
+    again = dedup_near_against_index(rd.from_arrow(new), idx,
+                                     mode=mode).to_pandas()
+    # every long doc matches itself now; short/null stay
+    assert set(again["doc_id"]) == {103, 104, 105}
+    # parameter mismatch refuses (signatures not comparable)
+    with pytest.raises(ValueError, match="would mix"):
+        build_band_index(rd.from_arrow(new), idx, num_perm=32, num_shards=4)
+    with pytest.raises(ValueError, match="not a band index"):
+        near_dup_ids_against_index(rd.from_arrow(new),
+                                   str(tmp_path / "nope"))
