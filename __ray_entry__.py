@@ -1782,6 +1782,19 @@ def _q_dsir_sample(sf_dir: str):
                        n=100, dim=2048, seed=11)
 
 
+def _q_profile_events(sf_dir: str):
+    """Audit profile of the events table: per-column row / null /
+    exact-distinct counts (one streaming counts pass + one pruned
+    single-column groupby per column).  Exact SQL twin."""
+    import ray.data as rd
+
+    from logray.stages.profile import table_profile
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    return table_profile(ds, columns=cols)
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Cross-snapshot incremental dedup: persist a 128-bit fingerprint
     index of the English snapshot, then filter every OTHER document
@@ -2616,6 +2629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_sample": _q_dsir_sample,
         "dedup_incremental": _q_dedup_incremental,
         "near_dup_incremental": _q_near_dup_incremental,
+        "profile_events": _q_profile_events,
         "lm_perplexity": _q_lm_perplexity,
         "ppl_buckets": _q_ppl_buckets,
         "shuffle_deterministic": _q_shuffle_deterministic,
@@ -2670,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
         stratified_split_sql,
     )
     from logray.functions.chunking import chunk_documents_sql
+    from logray.stages.profile import table_profile_sql
     from logray.functions.textclean import (
         clean_text_sql,
         json_extract_field_sql,
@@ -3106,6 +3121,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
+        "profile_events": table_profile_sql(
+            "events", ["event_id", "ts", "user_id", "event_type", "value"]),
         "dedup_incremental": """
             SELECT * FROM documents
             WHERE lang <> 'en' AND (text IS NULL OR text NOT IN (

@@ -1311,3 +1311,41 @@ def test_hash_join_nullable_bool_key(ray_session):
     out = (hash_join(left, right, on="k", how="left", num_partitions=4)
            .to_pandas().sort_values("a").reset_index(drop=True))
     assert out["b"].tolist() == [10, 20]
+
+
+# ---------------------------------------------------------------------------
+# table profiling (audit pass)
+# ---------------------------------------------------------------------------
+
+
+def test_table_profile_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logray.stages.profile import table_profile, table_profile_sql
+
+    t = pa.table({
+        "a": pa.array([1, 1, 2, None, 3, None], pa.int64()),
+        "b": pa.array(["x", "y", "x", "x", None, "z"]),
+        "c": pa.array([0.5, 0.5, 0.5, 0.5, 0.5, 0.5], pa.float64()),
+    })
+    got = table_profile(rd.from_arrow(t).repartition(3))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(table_profile_sql("t", ["a", "b", "c"])).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({c: np.int64 for c in got.columns
+                                           if c != "column"}),
+        want.astype({c: np.int64 for c in want.columns if c != "column"}))
+    # column subset + approx mode (HLL within its error bound)
+    ap = table_profile(rd.from_arrow(t), columns=["b"], distinct="approx")
+    assert list(ap["column"]) == ["b"]
+    assert ap.loc[0, "n_null"] == 1
+    assert abs(int(ap.loc[0, "n_distinct"]) - 3) <= 1
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown distinct"):
+        table_profile(rd.from_arrow(t), distinct="bogus")

@@ -150,10 +150,43 @@ def main() -> int:
             lambda t: t.select(["n_tokens"]), batch_format="pyarrow"
         ).sum("n_tokens"))
 
+    # --- SemDeDup at 2M synthetic embeddings (4x planted duplication) ------
+    def semdedup_scale():
+        import numpy as np
+
+        from logray.functions.semdedup import semdedup_verdicts
+
+        n, d = 2_000_000, 32
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        dims = (np.arange(1, d + 1, dtype=np.uint64) * mix)
+
+        def gen(t):
+            import pyarrow as pa
+
+            ids = t["id"].to_numpy().astype(np.uint64)
+            # deterministic unit-ish vectors; groups of 4 ids share one
+            # embedding -> 75% of rows are exact semantic duplicates
+            base = (ids // np.uint64(4))[:, None] * dims[None, :]
+            base ^= base >> np.uint64(33)
+            base *= np.uint64(0xFF51AFD7ED558CCD)
+            base ^= base >> np.uint64(33)
+            emb = (base.astype(np.float64) / 2.0**63 - 1.0).astype(np.float32)
+            return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                             "embedding": pa.array(list(emb))})
+
+        ds = rd.range(n, override_num_blocks=64).map_batches(
+            gen, batch_format="pyarrow", batch_size=None)
+        # k sized so clusters (~n/k) fit under max_cluster and the dedup
+        # runs uncapped; returns the DROP count (expect ~3/4 of rows)
+        v = semdedup_verdicts(ds, k=128, eps=0.999, iters=3,
+                              max_cluster=20_000)
+        return v.filter(expr="kept == False").count()
+
     timed("transition_counts_skew_safe", seq_transitions_skewsafe)
     timed("funnel", seq_funnel)
     timed("dedup_lines", line_dedup)
     timed("lm_score", lm_score)
+    timed("semdedup_2m", semdedup_scale)
 
     print(json.dumps({"rows": rows, "num_cpus": ncpu, "families": results}))
     ray.shutdown()
