@@ -3309,3 +3309,68 @@ def test_near_dup_incremental_index(ray_session, tmp_path, mode):
     with pytest.raises(ValueError, match="not a band index"):
         near_dup_ids_against_index(rd.from_arrow(new),
                                    str(tmp_path / "nope"))
+
+
+def test_artifact_persistence_roundtrips(ray_session, tmp_path):
+    import ray.data as rd
+
+    from logray.functions.cluster import kmeans_fit
+    from logray.functions.dsir import dsir_weights, fit_hashed_bag
+    from logray.functions.lm import fit_ngram_lm, lm_perplexity
+    from logray.functions.tokenize import tokenize_bpe, train_bpe_on_dataset
+    from logray.state.artifacts import (load_bag, load_bpe, load_centroids,
+                                        load_ngram_lm, save_bag, save_bpe,
+                                        save_centroids, save_ngram_lm)
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": np.arange(30, dtype=np.int64),
+        "text": [f"the cat sat on mat number {i} tonight" for i in range(30)],
+    }))
+
+    fitted = fit_ngram_lm(docs, n=3, dim=512)
+    save_ngram_lm(fitted, str(tmp_path / "lm.npz"))
+    loaded = load_ngram_lm(str(tmp_path / "lm.npz"))
+    assert loaded[1] == fitted[1]
+    for a, b in zip(loaded[0], fitted[0]):
+        np.testing.assert_array_equal(a, b)
+    # a reloaded model scores BIT-identically
+    a = lm_perplexity(docs, fitted).to_pandas().sort_values("doc_id")
+    b = lm_perplexity(docs, loaded).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    bag = fit_hashed_bag(docs, dim=256)
+    save_bag(bag, str(tmp_path / "bag.npz"))
+    lb = load_bag(str(tmp_path / "bag.npz"))
+    np.testing.assert_array_equal(lb[0], bag[0])
+    assert lb[1] == bag[1]
+    w1 = dsir_weights(docs, docs, dim=256,
+                      fitted=(bag, bag)).to_pandas().sort_values("doc_id")
+    w2 = dsir_weights(docs, docs, dim=256,
+                      fitted=(lb, lb)).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(w1.reset_index(drop=True),
+                                  w2.reset_index(drop=True))
+
+    emb = rd.from_arrow(pa.table({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": list(np.random.default_rng(7)
+                          .standard_normal((40, 8)).astype(np.float32)),
+    }))
+    cent, _ = kmeans_fit(emb, 4, id_col="vec_id", iters=3)
+    save_centroids(cent, str(tmp_path / "cent.npz"))
+    np.testing.assert_array_equal(load_centroids(str(tmp_path / "cent.npz")),
+                                  cent)
+
+    bpe = train_bpe_on_dataset(docs, vocab_size=300)
+    save_bpe(bpe, str(tmp_path / "bpe.json"))
+    bpe2 = load_bpe(str(tmp_path / "bpe.json"))
+    t1 = tokenize_bpe(docs, bpe).to_pandas().sort_values("doc_id")
+    t2 = tokenize_bpe(docs, bpe2).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(t1.reset_index(drop=True),
+                                  t2.reset_index(drop=True))
+
+    # loading the wrong artifact kind refuses instead of mis-scoring
+    with pytest.raises(ValueError, match="expected"):
+        load_bag(str(tmp_path / "lm.npz"))
+    with pytest.raises(ValueError, match="expected"):
+        load_ngram_lm(str(tmp_path / "cent.npz"))
