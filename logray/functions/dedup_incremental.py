@@ -44,8 +44,6 @@ held in one process.
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 
 import numpy as np
@@ -55,30 +53,19 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from logray.functions.fingerprint import content_hash128
+from logray.functions.indexbase import (META_NAME, read_meta, shard_files,
+                                        total_index_rows, write_meta)
 
 __all__ = ["build_hash_index", "dedup_against_index", "index_verdicts"]
 
 DEFAULT_MAX_BROADCAST = 100_000_000
-_META = "index.json"
 _HASH_VERSION = 1  # bump if content_hash128's constants ever change
 
 
-def _write_meta(out_dir: str, num_shards: int) -> None:
-    with open(os.path.join(out_dir, _META), "w") as f:
-        json.dump({"num_shards": num_shards,
-                   "hash_version": _HASH_VERSION}, f)
-
-
 def _read_meta(index_dir: str) -> int:
-    """The index's shard count.  A missing/invalid index dir RAISES —
-    silently treating it as empty would score every duplicate as new."""
-    path = os.path.join(index_dir, _META)
-    if not os.path.exists(path):
-        raise ValueError(
-            f"{index_dir!r} is not a fingerprint index (no {_META}); "
-            "refusing to treat it as empty — every duplicate would pass")
-    with open(path) as f:
-        meta = json.load(f)
+    """The index's shard count (refuses non-index dirs, see
+    :func:`logray.functions.indexbase.read_meta`)."""
+    meta = read_meta(index_dir, "fingerprint index")
     if meta.get("hash_version") != _HASH_VERSION:
         raise ValueError(
             f"index {index_dir!r} was built with hash_version="
@@ -105,7 +92,7 @@ def build_hash_index(ds, out_dir: str, text_col: str = "text",
     again with more data into the same ``out_dir`` appends; the shard
     count is persisted in ``index.json`` and an append with a different
     ``num_shards`` refuses (it would corrupt the layout silently)."""
-    if os.path.exists(os.path.join(out_dir, _META)):
+    if os.path.exists(os.path.join(out_dir, META_NAME)):
         existing = _read_meta(out_dir)
         if existing != num_shards:
             raise ValueError(
@@ -125,12 +112,8 @@ def build_hash_index(ds, out_dir: str, text_col: str = "text",
        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
                     batch_size=None)
        .write_parquet(out_dir, partition_cols=["__s"]))
-    _write_meta(out_dir, num_shards)
-
-
-def _shard_files(index_dir: str, shard: int | None = None) -> list[str]:
-    pat = f"__s={shard}" if shard is not None else "*"
-    return sorted(glob.glob(os.path.join(index_dir, pat, "*.parquet")))
+    write_meta(out_dir, {"num_shards": num_shards,
+                         "hash_version": _HASH_VERSION})
 
 
 def _load_sorted(files: list[str]):
@@ -170,8 +153,8 @@ def index_verdicts(ds, index_dir: str, text_col: str = "text",
 
     num_shards = _read_meta(index_dir)
     if mode == "broadcast":
-        files = _shard_files(index_dir)
-        total = sum(pq.read_metadata(f).num_rows for f in files)
+        files = shard_files(index_dir, "__s")
+        total = total_index_rows(files)
         if total > max_broadcast:
             raise ValueError(
                 f"index holds {total} fingerprints > max_broadcast="
@@ -217,7 +200,7 @@ def index_verdicts(ds, index_dir: str, text_col: str = "text",
         if s < 0:
             return pd.DataFrame({id_col: g[id_col],
                                  "seen": np.zeros(len(g), bool)})
-        idx1, idx2 = _load_sorted(_shard_files(index_dir, s))
+        idx1, idx2 = _load_sorted(shard_files(index_dir, "__s", s))
         seen = _member128(g["h1"].to_numpy().astype(np.uint64),
                           g["h2"].to_numpy().astype(np.uint64), idx1, idx2)
         return pd.DataFrame({id_col: g[id_col], "seen": seen})

@@ -36,8 +36,6 @@ relaxed from byte equality to MinHash similarity.
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 
 import numpy as np
@@ -47,28 +45,19 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from logray.functions.fingerprint import band_hashes, minhash_signatures
+from logray.functions.indexbase import (META_NAME, read_meta, shard_files,
+                                        total_index_rows, write_meta)
 
 __all__ = ["build_band_index", "near_dup_ids_against_index",
            "dedup_near_against_index"]
 
 DEFAULT_MAX_BROADCAST = 100_000_000
-_META = "index.json"
 
 
 def _params(num_perm: int, bands: int, k: int, seed: int,
             num_shards: int) -> dict:
     return {"num_perm": num_perm, "bands": bands, "k": k, "seed": seed,
             "num_shards": num_shards}
-
-
-def _read_meta(index_dir: str) -> dict:
-    path = os.path.join(index_dir, _META)
-    if not os.path.exists(path):
-        raise ValueError(
-            f"{index_dir!r} is not a band index (no {_META}); refusing "
-            "to treat it as empty — every near-duplicate would pass")
-    with open(path) as f:
-        return json.load(f)
 
 
 def _band_rows(t: pa.Table, text_col: str, meta: dict):
@@ -95,8 +84,8 @@ def build_band_index(ds, out_dir: str, text_col: str = "text",
     directory with identical parameters is additive; any parameter
     mismatch refuses."""
     meta = _params(num_perm, bands, k, seed, num_shards)
-    if os.path.exists(os.path.join(out_dir, _META)):
-        existing = _read_meta(out_dir)
+    if os.path.exists(os.path.join(out_dir, META_NAME)):
+        existing = read_meta(out_dir, "band index")
         if existing != meta:
             raise ValueError(
                 f"band index {out_dir!r} was built with {existing}; "
@@ -119,13 +108,7 @@ def build_band_index(ds, out_dir: str, text_col: str = "text",
        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
                     batch_size=None)
        .write_parquet(out_dir, partition_cols=["__g"]))
-    with open(os.path.join(out_dir, _META), "w") as f:
-        json.dump(meta, f)
-
-
-def _shard_files(index_dir: str, g: int | None = None) -> list[str]:
-    pat = f"__g={g}" if g is not None else "*"
-    return sorted(glob.glob(os.path.join(index_dir, pat, "*.parquet")))
+    write_meta(out_dir, meta)
 
 
 def _per_band_sorted(files: list[str], bands: int) -> list[np.ndarray]:
@@ -158,12 +141,12 @@ def near_dup_ids_against_index(ds, index_dir: str, text_col: str = "text",
     document once per colliding band — consumers are set-semantics)."""
     import ray
 
-    meta = _read_meta(index_dir)
+    meta = read_meta(index_dir, "band index")
     bands, num_shards = meta["bands"], meta["num_shards"]
 
     if mode == "broadcast":
-        files = _shard_files(index_dir)
-        total = sum(pq.read_metadata(f).num_rows for f in files)
+        files = shard_files(index_dir, "__g")
+        total = total_index_rows(files)
         if total > max_broadcast:
             raise ValueError(
                 f"band index holds {total} rows > max_broadcast="
@@ -209,7 +192,7 @@ def near_dup_ids_against_index(ds, index_dir: str, text_col: str = "text",
 
     def per_shard(gdf: pd.DataFrame) -> pd.DataFrame:
         g = int(gdf["__g"].iloc[0])
-        idx = _per_band_sorted(_shard_files(index_dir, g), bands)
+        idx = _per_band_sorted(shard_files(index_dir, "__g", g), bands)
         b = int(gdf["band_id"].iloc[0])  # one band per __g by construction
         hit = _isin_sorted(gdf["band_hash"].to_numpy().astype(np.uint64),
                            idx[b])
@@ -233,12 +216,23 @@ def dedup_near_against_index(ds, index_dir: str, text_col: str = "text",
 
     m = near_dup_ids_against_index(ds, index_dir, text_col, id_col, mode,
                                    max_broadcast)
+    if mode == "sharded":
+        # sharded matches repeat once per colliding band: distinct-ify
+        # with one narrow shuffle so the cap counts DOCUMENTS, and a
+        # many-band collider cannot spuriously trip it
+        m = m.groupby(id_col).count().select_columns([id_col])
+    # limit BEFORE to_pandas: the cap bounds the driver fetch itself
     dup_df = m.limit(max_broadcast + 1).to_pandas()
     if len(dup_df) > max_broadcast:
         raise ValueError(
             f"over {max_broadcast} matched ids (max_broadcast); join "
             "near_dup_ids_against_index back instead")
-    ids = dup_df[id_col].drop_duplicates().to_numpy()
+    if dup_df.empty:
+        # an all-empty-block result loses its schema on the way to
+        # pandas; the no-overlap snapshot is the common case
+        ids = np.zeros(0, np.int64)
+    else:
+        ids = dup_df[id_col].drop_duplicates().to_numpy()
     dup = pa.array(ids) if len(ids) else pa.array([], pa.int64())
     return _broadcast_id_filter(ds, ray.put(dup), id_col,
                                 keep_members=False)

@@ -42,9 +42,12 @@ def table_profile(ds, columns: list[str] | None = None,
         raise ValueError(f"unknown distinct mode {distinct!r}")
     cols = list(columns) if columns else list(ds.schema().names)
     narrow = ds.select_columns(cols)
+    sentinel = "__n"
+    while sentinel in cols:  # a profiled column may itself be named __n
+        sentinel += "_"
 
     def part(t: pa.Table) -> pd.DataFrame:
-        row = {"__n": [t.num_rows]}
+        row = {sentinel: [t.num_rows]}
         for c in cols:
             row[c] = [int(pc.count(t[c]).as_py())]  # non-null count
         return pd.DataFrame(row)
@@ -52,7 +55,7 @@ def table_profile(ds, columns: list[str] | None = None,
     parts = narrow.map_batches(part, batch_format="pyarrow",
                                zero_copy_batch=True,
                                batch_size=None).to_pandas()
-    n_rows = int(parts["__n"].sum())
+    n_rows = int(parts[sentinel].sum())
     out = []
     for c in sorted(cols):
         nn = int(parts[c].sum())

@@ -3287,6 +3287,7 @@ def test_near_dup_incremental_index(ray_session, tmp_path, mode):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     kept = set(got["doc_id"])
     assert 100 not in kept            # exact copy LSH-collides in every band
+    assert 101 not in kept            # NEAR copy (1 word changed) matched too
     assert {102, 103, 104, 105} <= kept  # unrelated/short/null all kept
     ids = (near_dup_ids_against_index(rd.from_arrow(new), idx, mode=mode)
            .to_pandas()[ "doc_id"].drop_duplicates())
@@ -3309,6 +3310,13 @@ def test_near_dup_incremental_index(ray_session, tmp_path, mode):
     with pytest.raises(ValueError, match="not a band index"):
         near_dup_ids_against_index(rd.from_arrow(new),
                                    str(tmp_path / "nope"))
+    # zero-match probe (the COMMON fresh-snapshot case): no crash, all kept
+    fresh = pa.table({"doc_id": np.array([900], np.int64),
+                      "text": pa.array(["entirely novel content never "
+                                        "indexed before today"])})
+    out = dedup_near_against_index(rd.from_arrow(fresh), idx,
+                                   mode=mode).to_pandas()
+    assert list(out["doc_id"]) == [900]
 
 
 def test_artifact_persistence_roundtrips(ray_session, tmp_path):
