@@ -1382,6 +1382,148 @@ def _q_pii_redact(sf_dir: str):
                           zero_copy_batch=True, batch_size=None).to_pandas()
 
 
+# Deterministic URL seeding for the URL-operator family: every branch of
+# the parser/normalizer grammar is exercised (www. prefix, multi-part
+# public suffix, default port, trailing slash, query string, fragment).
+# The Arrow seeder and this SQL expression produce identical strings.
+_URL_SEED_SQL = (
+    "'http' || CASE WHEN doc_id % 11 = 0 THEN '' ELSE 's' END || '://' || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || source || "
+    "CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END || "
+    "'/docs/' || CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 9 AS VARCHAR) "
+    "ELSE '' END"
+)
+
+
+def _seed_urls(t: pa.Table) -> pa.Table:
+    """Arrow twin of ``_URL_SEED_SQL`` (doc_ids are non-negative, so
+    Arrow integer divide == SQL %-semantics)."""
+    did = t["doc_id"]
+    dids = pc.cast(did, pa.string())
+
+    def _mod(m: int):
+        return pc.subtract(did, pc.multiply(pc.divide(did, m), m))
+
+    def _piece(m: int, yes, no=""):
+        return pc.if_else(pc.equal(_mod(m), 0), pa.scalar(yes), pa.scalar(no))
+
+    url = pc.binary_join_element_wise(
+        "http", _piece(11, "", "s"), "://", _piece(3, "www."), t["source"],
+        _piece(5, ".co.uk", ".com"), _piece(7, ":443"), "/docs/", dids,
+        _piece(2, "/"),
+        pc.if_else(pc.equal(_mod(4), 0),
+                   pc.binary_join_element_wise("?utm_source=x&id=", dids, ""),
+                   pa.scalar("")),
+        pc.if_else(pc.equal(_mod(6), 0),
+                   pc.binary_join_element_wise(
+                       "#sec", pc.cast(_mod(9), pa.string()), ""),
+                   pa.scalar("")),
+        "",
+    )
+    return pa.table({"doc_id": did, "url": url})
+
+
+def _q_url_parse(sf_dir: str):
+    """URL component extraction + canonical normalization over a
+    deterministically seeded URL column (exact DuckDB string-fn twin)."""
+    import ray.data as rd
+
+    from logray.functions.urlops import normalize_url_table, parse_url_table
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = normalize_url_table(parse_url_table(_seed_urls(t)))
+        t = t.rename_columns(
+            ["url_query" if c == "query" else c for c in t.column_names])
+        return t.drop_columns(["url"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None).to_pandas()
+
+
+def _q_domain_quota(sf_dir: str):
+    """RefinedWeb-style domain balancing: keep the 7 smallest doc_ids per
+    registered domain (ONE bucket shuffle; exact row_number() twin)."""
+    import ray.data as rd
+
+    from logray.functions.urlops import domain_quota
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    seeded = ds.map_batches(_seed_urls, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    kept = domain_quota(seeded, id_col="doc_id", url_col="url",
+                        max_per_domain=7)
+    df = kept.select_columns(["doc_id", "registered_domain"]).to_pandas()
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _q_url_blocklist(sf_dir: str):
+    """Broadcast domain-blocklist filter (vectorized is_in per batch),
+    then parse the survivors' hosts for the oracle comparison."""
+    import ray.data as rd
+
+    from logray.functions.urlops import blocklist_filter, parse_urls
+
+    blocked = ["src1.com", "src3.co.uk", "src7.com", "src2.co.uk"]
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    seeded = ds.map_batches(_seed_urls, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    kept = parse_urls(blocklist_filter(seeded, blocked))
+    return kept.select_columns(
+        ["doc_id", "host", "registered_domain"]).to_pandas()
+
+
+def _url_parse_docs_sql() -> str:
+    from logray.functions.urlops import normalize_url_sql, parse_url_sql
+
+    parts = parse_url_sql("url")
+    cols = ", ".join(
+        f"{expr} AS {'url_query' if name == 'query' else name}"
+        for name, expr in parts.items()
+    )
+    return (
+        f"SELECT doc_id, {cols}, {normalize_url_sql('url')} AS url_norm "
+        f"FROM (SELECT doc_id, {_URL_SEED_SQL} AS url FROM documents)"
+    )
+
+
+def _domain_quota_docs_sql() -> str:
+    from logray.functions.urlops import registered_domain_sql
+
+    return f"""
+        SELECT doc_id, registered_domain FROM (
+          SELECT doc_id, {registered_domain_sql('url')} AS registered_domain,
+                 row_number() OVER (
+                   PARTITION BY {registered_domain_sql('url')}
+                   ORDER BY doc_id) AS rn
+          FROM (SELECT doc_id, {_URL_SEED_SQL} AS url FROM documents))
+        WHERE rn <= 7 ORDER BY doc_id
+    """
+
+
+def _url_blocklist_docs_sql() -> str:
+    from logray.functions.urlops import parse_url_sql
+
+    parts = parse_url_sql("url")
+    return f"""
+        SELECT doc_id, host, registered_domain FROM (
+          SELECT doc_id, {parts['host']} AS host,
+                 {parts['registered_domain']} AS registered_domain
+          FROM (SELECT doc_id, {_URL_SEED_SQL} AS url FROM documents))
+        WHERE registered_domain NOT IN
+              ('src1.com', 'src3.co.uk', 'src7.com', 'src2.co.uk')
+    """
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher repetition/quality metrics + keep flag per document (one
     vectorized pass; exact DuckDB twin over line/word groupings)."""
@@ -2654,6 +2796,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_events": _q_ewma_events,
         "json_extract_props": _q_json_extract,
         "rolling_median_events": _q_rolling_median,
+        "url_parse_docs": _q_url_parse,
+        "domain_quota_docs": _q_domain_quota,
+        "url_blocklist_docs": _q_url_blocklist,
     }
 
 
@@ -3298,6 +3443,9 @@ def oracle_sql() -> dict[str, str]:
             "user_id", "ts", "click_value", tiebreak_col="event_id",
             cols="user_id, ts, event_id, click_value",
         ),
+        "url_parse_docs": _url_parse_docs_sql(),
+        "domain_quota_docs": _domain_quota_docs_sql(),
+        "url_blocklist_docs": _url_blocklist_docs_sql(),
         # minhash_pairs / simhash_pairs / embedding_dups_lsh / ann_lsh /
         # lang_quality / multimodal_decode / doc_fingerprints are
         # approximate, model-scored, or synthetic-input operators — no SQL

@@ -1,0 +1,236 @@
+"""URL operators for web-scale corpus curation: parse, normalize,
+registered-domain extraction, per-domain quotas and blocklist filtering.
+
+Web-crawl pipelines (C4, RefinedWeb, Gopher) treat the document URL as a
+first-class curation key: normalize it, extract the registered domain,
+cap documents per domain ("domain balancing") and drop blocklisted
+hosts.  Every kernel here is pure Arrow compute (RE2 extraction + string
+algebra) — zero Python per row, fuses into the upstream read — and each
+has an exact DuckDB string-function twin (``*_sql`` helpers) so the
+driver gate verifies values bit-for-bit.
+
+Semantics (shared by the Arrow and SQL paths, applied in this order):
+
+* ``normalize_url``: lowercase scheme+host, strip a ``www.`` prefix,
+  strip default ports (``:80`` for http, ``:443`` for https), drop the
+  fragment, drop the query string entirely (tracking-safe superset of
+  utm-stripping), strip one trailing ``/`` from a non-root path.
+* ``host_of``: the authority between ``://`` and the first ``/ ? #``,
+  ports removed, lowercased.
+* ``registered_domain``: last two host labels, or last three when the
+  penultimate label is a known multi-part public suffix (``co``, ``com``,
+  ``net``, ``org``, ``gov``, ``ac``, ``edu`` — the heuristic core of the
+  public-suffix list; swap in the full PSL as a broadcast table when the
+  real list ships with the job).
+
+The reference engine's closest surface is typed field extraction from a
+formatted line (``src/line_parsing/parsing_basics.cpp`` STR stop-mode
+slicing); a URL is one more line format whose fields are scheme, host,
+path, query.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Heuristic multi-part public-suffix middles: host `a.b.SUF.tld` has
+# registered domain `b.SUF.tld` when SUF is one of these.
+MULTIPART_SUFFIX_MIDDLES = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+# RE2 pieces (no lookaround; identical in Arrow and DuckDB).
+_HOST_PAT = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
+_SCHEME_PAT = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
+_PATH_PAT = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_PAT = r"\?([^#]*)"
+
+
+def _extract_str(arr, pat: str):
+    """RE2 first-group extraction; non-matches -> empty string (DuckDB
+    ``regexp_extract`` returns '' on miss, so the twin matches)."""
+    st = pc.extract_regex(arr, pattern=pat.replace("(", "(?P<g>", 1))
+    vals = pc.struct_field(st, "g")
+    return pc.fill_null(vals, "")
+
+
+def parse_url_table(t: pa.Table, col: str = "url") -> pa.Table:
+    """Append scheme / host / path / query / registered_domain columns."""
+    arr = t[col]
+    scheme = pc.ascii_lower(_extract_str(arr, _SCHEME_PAT))
+    host_raw = pc.ascii_lower(_extract_str(arr, _HOST_PAT))
+    # strip userinfo then port
+    host = pc.replace_substring_regex(host_raw, pattern=r"^[^@]*@", replacement="")
+    host = pc.replace_substring_regex(host, pattern=r":[0-9]*$", replacement="")
+    path = _extract_str(arr, _PATH_PAT)
+    query = _extract_str(arr, _QUERY_PAT)
+    dom = registered_domain_array(host)
+    for name, a in [("scheme", scheme), ("host", host), ("path", path),
+                    ("query", query), ("registered_domain", dom)]:
+        if name in t.column_names:
+            t = t.drop_columns([name])
+        t = t.append_column(name, a)
+    return t
+
+
+def registered_domain_array(host):
+    """Last-2-labels registered domain, last-3 for multi-part suffixes."""
+    two = _extract_str(host, r"([^.]+\.[^.]+)$")
+    three = _extract_str(host, r"([^.]+\.[^.]+\.[^.]+)$")
+    mids = "|".join(MULTIPART_SUFFIX_MIDDLES)
+    is_multi = pc.match_substring_regex(host, rf"[^.]+\.({mids})\.[^.]+$")
+    # hosts with <2 labels fall back to the host itself
+    dom = pc.if_else(is_multi, three, two)
+    return pc.if_else(pc.equal(dom, ""), host, dom)
+
+
+def normalize_url_array(arr):
+    """Canonical URL form (see module docstring for the exact rules)."""
+    scheme = pc.ascii_lower(_extract_str(arr, _SCHEME_PAT))
+    host_raw = pc.ascii_lower(_extract_str(arr, _HOST_PAT))
+    host = pc.replace_substring_regex(host_raw, pattern=r"^[^@]*@", replacement="")
+    host = pc.replace_substring_regex(host, pattern=r"^www\.", replacement="")
+    host = pc.replace_substring_regex(host, pattern=":80$", replacement="")
+    host = pc.replace_substring_regex(host, pattern=":443$", replacement="")
+    path = _extract_str(arr, _PATH_PAT)
+    # strip one trailing slash from a non-root path
+    path = pc.replace_substring_regex(path, pattern="^(.+?)/$", replacement=r"\1")
+    return pc.binary_join_element_wise(scheme, "://", host, path, "")
+
+
+def normalize_url_table(t: pa.Table, col: str = "url",
+                        out_col: str = "url_norm") -> pa.Table:
+    out = normalize_url_array(t[col])
+    if out_col in t.column_names:
+        t = t.drop_columns([out_col])
+    return t.append_column(out_col, out)
+
+
+def parse_urls(ds, col: str = "url"):
+    """Dataset stage: append parsed URL component columns."""
+    return ds.map_batches(lambda t: parse_url_table(t, col),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def normalize_urls(ds, col: str = "url", out_col: str = "url_norm"):
+    return ds.map_batches(lambda t: normalize_url_table(t, col, out_col),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def blocklist_filter(ds, blocked_domains, col: str = "url", keep_blocked=False):
+    """Drop rows whose registered domain is in ``blocked_domains``.
+
+    The domain set is broadcast once per worker via the closure (tiny —
+    blocklists are O(10^5) entries, single MBs); membership is one
+    vectorized ``pc.is_in`` per batch.  ``keep_blocked=True`` inverts the
+    mask (audit mode: what WOULD be dropped).
+    """
+    blocked = pa.array(sorted(set(blocked_domains)), type=pa.string())
+
+    def _f(t: pa.Table) -> pa.Table:
+        host = pc.ascii_lower(_extract_str(t[col], _HOST_PAT))
+        host = pc.replace_substring_regex(host, pattern=r"^[^@]*@", replacement="")
+        host = pc.replace_substring_regex(host, pattern=r":[0-9]*$", replacement="")
+        dom = registered_domain_array(host)
+        mask = pc.is_in(dom, value_set=blocked)
+        if not keep_blocked:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def domain_quota(ds, id_col: str = "doc_id", url_col: str = "url",
+                 max_per_domain: int = 10, num_buckets: int = 64):
+    """Cap documents per registered domain (RefinedWeb domain balancing).
+
+    Deterministic keep rule: the ``max_per_domain`` smallest ``id_col``
+    values per domain survive (ties impossible — ids are unique), so the
+    output is reproducible run-to-run and has an exact SQL twin
+    (``row_number() OVER (PARTITION BY domain ORDER BY id)``).
+
+    Scale shape: ONE hash(domain)%B bucket shuffle (the same shared
+    pattern as the join/window family), then a vectorized per-bucket
+    sort + segmented cumcount — group count = B, never domain
+    cardinality, so a hot domain costs one fat bucket, not one fat
+    Python group.  Rows per domain beyond the cap never leave their
+    bucket.
+    """
+    from logray.stages.bucketing import grouped_apply
+    import numpy as np
+
+    def _with_domain(t: pa.Table) -> pa.Table:
+        host = pc.ascii_lower(_extract_str(t[url_col], _HOST_PAT))
+        host = pc.replace_substring_regex(host, pattern=r"^[^@]*@", replacement="")
+        host = pc.replace_substring_regex(host, pattern=r":[0-9]*$", replacement="")
+        return t.append_column("registered_domain", registered_domain_array(host))
+
+    tagged = ds.map_batches(_with_domain, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+
+    def _cap(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        dom = t["registered_domain"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dom))
+        sdom = dom[order]
+        # segmented cumcount over the domain-sorted rows
+        new_seg = np.empty(len(sdom), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = sdom[1:] != sdom[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(len(sdom)), 0))
+        rank = np.arange(len(sdom)) - seg_start
+        keep_sorted = order[rank < max_per_domain]
+        keep_sorted.sort()
+        return t.take(pa.array(keep_sorted))
+
+    return grouped_apply(tagged, "registered_domain", _cap,
+                         num_buckets=num_buckets, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+def _host_sql(url: str) -> str:
+    h = f"lower(regexp_extract({url}, '{_HOST_PAT}', 1))"
+    h = f"regexp_replace({h}, '^[^@]*@', '')"
+    return f"regexp_replace({h}, ':[0-9]*$', '')"
+
+
+def registered_domain_sql(url: str) -> str:
+    """DuckDB expression for the identical registered domain."""
+    mids = "|".join(MULTIPART_SUFFIX_MIDDLES)
+    h = _host_sql(url)
+    return (
+        "CASE WHEN regexp_matches(host_t, '[^.]+\\.(" + mids + ")\\.[^.]+$') "
+        "THEN regexp_extract(host_t, '([^.]+\\.[^.]+\\.[^.]+)$', 1) "
+        "WHEN regexp_extract(host_t, '([^.]+\\.[^.]+)$', 1) = '' THEN host_t "
+        "ELSE regexp_extract(host_t, '([^.]+\\.[^.]+)$', 1) END"
+    ).replace("host_t", f"({h})")
+
+
+def parse_url_sql(url: str) -> dict[str, str]:
+    """Column-name -> DuckDB expression matching ``parse_url_table``."""
+    return {
+        "scheme": f"lower(regexp_extract({url}, '{_SCHEME_PAT}', 1))",
+        "host": _host_sql(url),
+        "path": f"regexp_extract({url}, '{_PATH_PAT}', 1)",
+        "query": f"regexp_extract({url}, '\\?([^#]*)', 1)",
+        "registered_domain": registered_domain_sql(url),
+    }
+
+
+def normalize_url_sql(url: str) -> str:
+    scheme = f"lower(regexp_extract({url}, '{_SCHEME_PAT}', 1))"
+    h = f"lower(regexp_extract({url}, '{_HOST_PAT}', 1))"
+    h = f"regexp_replace({h}, '^[^@]*@', '')"
+    h = f"regexp_replace({h}, '^www\\.', '')"
+    h = f"regexp_replace({h}, ':80$', '')"
+    h = f"regexp_replace({h}, ':443$', '')"
+    p = f"regexp_extract({url}, '{_PATH_PAT}', 1)"
+    p = f"regexp_replace({p}, '^(.+?)/$', '\\1')"
+    return f"({scheme} || '://' || {h} || {p})"

@@ -1,0 +1,124 @@
+"""URL operator tests: parse/normalize kernels vs the DuckDB twin on
+adversarial URLs, domain quota vs a brute-force oracle, blocklist filter."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from logray.functions.urlops import (
+    blocklist_filter,
+    domain_quota,
+    normalize_url_array,
+    normalize_url_sql,
+    parse_url_sql,
+    parse_url_table,
+    parse_urls,
+    registered_domain_array,
+)
+
+EDGE_URLS = [
+    "https://www.Example.COM:443/a/b/?utm=1#frag",
+    "http://user:pw@news.bbc.CO.uk:80/story/123/",
+    "https://sub.deep.host.org/path",
+    "ftp://files.example.net/x.txt",
+    "https://example.com",
+    "http://single",
+    "https://a.b.co.jp/q?x=1&y=2",
+    "https://x.ac.uk:8080/p?a=#z",
+    "https://WWW.ONLY.www/www/",
+    "not a url at all",
+    "",
+    "https:///odd//path/",
+]
+
+
+def _oracle(urls):
+    t = pa.table({"url": pa.array(urls, type=pa.string())})
+    con = duckdb.connect()
+    con.register("u", t)
+    exprs = parse_url_sql("url")
+    sql = (
+        "SELECT "
+        + ", ".join(f"{e} AS {k}" for k, e in exprs.items())
+        + f", {normalize_url_sql('url')} AS url_norm FROM u"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def test_parse_and_normalize_match_duckdb_twin():
+    t = pa.table({"url": pa.array(EDGE_URLS, type=pa.string())})
+    got = parse_url_table(t).to_pandas()
+    got["url_norm"] = normalize_url_array(t["url"]).to_pandas()
+    want = _oracle(EDGE_URLS)
+    for col in ["scheme", "host", "path", "query", "registered_domain", "url_norm"]:
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_parse_semantics_pinned():
+    t = pa.table({"url": pa.array(EDGE_URLS[:3], type=pa.string())})
+    got = parse_url_table(t).to_pandas()
+    # userinfo and port stripped, host lowercased
+    assert got["host"][1] == "news.bbc.co.uk"
+    # multi-part public suffix keeps three labels
+    assert got["registered_domain"][1] == "bbc.co.uk"
+    # plain suffix keeps two
+    assert got["registered_domain"][2] == "host.org"
+    # query excludes the fragment
+    assert got["query"][0] == "utm=1"
+    assert got["path"][0] == "/a/b/"
+
+
+def test_normalize_semantics_pinned():
+    norm = normalize_url_array(
+        pa.array(["https://www.Example.COM:443/a/b/?utm=1#frag",
+                  "https://example.com"])
+    ).to_pylist()
+    assert norm == ["https://example.com/a/b", "https://example.com"]
+
+
+def test_registered_domain_fallback_short_host():
+    doms = registered_domain_array(pa.array(["single", "a.b", "x.co.uk"]))
+    assert doms.to_pylist() == ["single", "a.b", "x.co.uk"]
+
+
+@pytest.fixture()
+def url_docs(ray_session):
+    import ray.data as rd
+
+    rows = []
+    for i in range(200):
+        dom = f"site{i % 7}.{'co.uk' if i % 2 else 'com'}"
+        rows.append({"doc_id": i, "url": f"https://www.{dom}/p/{i}"})
+    return rd.from_items(rows)
+
+
+def test_domain_quota_keeps_smallest_ids(url_docs):
+    out = domain_quota(url_docs, id_col="doc_id", url_col="url",
+                       max_per_domain=3, num_buckets=4).to_pandas()
+    assert len(out) == 14 * 3  # 14 distinct domains x cap
+    by_dom = out.groupby("registered_domain")["doc_id"].apply(list).to_dict()
+    # brute-force oracle: 3 smallest ids per domain
+    want: dict[str, list[int]] = {}
+    for i in range(200):
+        dom = f"site{i % 7}.{'co.uk' if i % 2 else 'com'}"
+        want.setdefault(dom, []).append(i)
+    for dom, ids in want.items():
+        assert sorted(by_dom[dom]) == sorted(ids)[:3], dom
+
+
+def test_blocklist_filter_drops_only_blocked(url_docs):
+    out = blocklist_filter(url_docs, ["site0.com", "site3.co.uk"]).to_pandas()
+    doms = parse_urls(blocklist_filter(url_docs, ["site0.com", "site3.co.uk"]))
+    assert "site0.com" not in set(doms.to_pandas()["registered_domain"])
+    # site0.com appears for even i%7==0 -> i in {0,14,28,...}: i%2==0 path
+    blocked_ids = {i for i in range(200)
+                   if (i % 7 == 0 and i % 2 == 0) or (i % 7 == 3 and i % 2 == 1)}
+    assert set(out["doc_id"]) == set(range(200)) - blocked_ids
+
+
+def test_blocklist_audit_mode(url_docs):
+    kept = blocklist_filter(url_docs, ["site0.com"], keep_blocked=True).to_pandas()
+    assert set(kept["doc_id"]) == {i for i in range(200)
+                                   if i % 7 == 0 and i % 2 == 0}
