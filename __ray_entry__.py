@@ -1482,6 +1482,57 @@ def _q_url_blocklist(sf_dir: str):
         ["doc_id", "host", "registered_domain"]).to_pandas()
 
 
+def _q_quality_classifier(sf_dir: str):
+    """Distributed trained quality classifier: seed a deterministic
+    label signal (three marker tokens appended when doc_id%3==0), fit
+    hashed-feature logistic regression with full-batch GD (one streaming
+    pass per epoch, gradient partials only), score row-locally.  The
+    fitted model separates the classes completely, so the predictions
+    match the label rule exactly — which is what the SQL twin checks."""
+    import ray.data as rd
+
+    from logray.functions.classifier import fit_logreg, score_logreg
+
+    def seed(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        lab = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 3), 3)), 0)
+        # three DISTINCT markers: a single hash collision cannot flip a
+        # prediction (plus their bigrams, five discriminative buckets)
+        marked = pc.if_else(
+            lab,
+            pc.binary_join_element_wise(t["text"], " qgooda qgoodb qgoodc", ""),
+            t["text"])
+        return pa.table({"doc_id": did, "text": marked, "label": lab})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    seeded = ds.map_batches(seed, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    model = fit_logreg(seeded, "label", dim=4096, epochs=24, lr=5.0,
+                       id_col="doc_id", features="binary")
+    out = score_logreg(seeded, model, features="binary")
+    return out.select_columns(["doc_id", "quality_pred"]).to_pandas()
+
+
+def _q_pca_embeddings(sf_dir: str):
+    """Distributed PCA: one moments pass + driver eigh, then row-local
+    whitened projection of every embedding to 4 components (no SQL twin
+    — eigendecomposition; pinned by test_mlops vs exact numpy PCA)."""
+    import ray.data as rd
+
+    from logray.functions.pca import fit_pca, project_pca
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    model = fit_pca(ds, col="embedding", k=4, id_col="vec_id")
+    out = project_pca(ds, model, col="embedding", whiten=True).to_pandas()
+    pcs = np.stack(out["pca"].to_numpy())
+    for i in range(4):
+        out[f"pc{i}"] = pcs[:, i]
+    return out.drop(columns=["pca"]).sort_values("vec_id",
+                                                 ignore_index=True)
+
+
 def _url_parse_docs_sql() -> str:
     from logray.functions.urlops import normalize_url_sql, parse_url_sql
 
@@ -2799,6 +2850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parse_docs": _q_url_parse,
         "domain_quota_docs": _q_domain_quota,
         "url_blocklist_docs": _q_url_blocklist,
+        "quality_classifier": _q_quality_classifier,
+        "pca_embeddings": _q_pca_embeddings,
     }
 
 
@@ -3446,6 +3499,11 @@ def oracle_sql() -> dict[str, str]:
         "url_parse_docs": _url_parse_docs_sql(),
         "domain_quota_docs": _domain_quota_docs_sql(),
         "url_blocklist_docs": _url_blocklist_docs_sql(),
+        "quality_classifier": (
+            "SELECT doc_id, (doc_id % 3 = 0) AS quality_pred FROM documents"
+        ),
+        # pca_embeddings: eigendecomposition has no SQL twin (rows-only;
+        # pinned against exact local numpy PCA in tests/test_mlops.py).
         # minhash_pairs / simhash_pairs / embedding_dups_lsh / ann_lsh /
         # lang_quality / multimodal_decode / doc_fingerprints are
         # approximate, model-scored, or synthetic-input operators — no SQL
