@@ -280,6 +280,38 @@ def run_bench() -> dict:
 
     timed("lm_score", lm_score_corpus)
 
+    from logray.functions.classifier import fit_logreg, score_logreg
+
+    # quality classifier fitted once on the (small, label-seeded) documents
+    # table; the timed run scores every turn of the full corpus — the
+    # fastText-filter shape: train on curated labels, score the crawl
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def _seed_labels(t):
+        did = t["doc_id"]
+        lab = _pc.equal(_pc.subtract(did, _pc.multiply(_pc.divide(did, 3), 3)), 0)
+        marked = _pc.if_else(
+            lab, _pc.binary_join_element_wise(t["text"], " qgooda qgoodb", ""),
+            t["text"])
+        return _pa.table({"doc_id": did, "text": marked, "label": lab})
+
+    clf = fit_logreg(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "text"]).map_batches(
+            _seed_labels, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None),
+        "label", dim=4096, epochs=10, lr=5.0, id_col="doc_id",
+        features="binary")
+
+    def classifier_score_corpus():
+        ds = rd.read_parquet(corpus, columns=["text"])
+        return score_logreg(ds, clf, features="binary").map_batches(
+            lambda t: t.select(["quality_prob"]), batch_format="pyarrow"
+        ).sum("quality_prob")
+
+    timed("classifier_score", classifier_score_corpus)
+
     ray.shutdown()
 
     headline_sec = timings["pipeline"]

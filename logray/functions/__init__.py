@@ -60,6 +60,14 @@ from logray.functions.dsir import dsir_sample, dsir_weights, fit_hashed_bag
 from logray.functions.sample import deterministic_shuffle
 from logray.functions.quality import source_quality_gate
 from logray.functions.lm import fit_ngram_lm, lm_perplexity, perplexity_buckets
+from logray.functions.urlops import (
+    blocklist_filter,
+    domain_quota,
+    normalize_urls,
+    parse_urls,
+)
+from logray.functions.classifier import LogRegModel, fit_logreg, score_logreg
+from logray.functions.pca import PCAModel, fit_pca, project_pca
 from logray.functions.dedup_incremental import (
     build_hash_index,
     dedup_against_index,
@@ -153,4 +161,14 @@ __all__ = [
     "decode_stage",
     "decode_png",
     "encode_png",
+    "parse_urls",
+    "normalize_urls",
+    "domain_quota",
+    "blocklist_filter",
+    "LogRegModel",
+    "fit_logreg",
+    "score_logreg",
+    "PCAModel",
+    "fit_pca",
+    "project_pca",
 ]
