@@ -1533,6 +1533,35 @@ def _q_pca_embeddings(sf_dir: str):
                                                  ignore_index=True)
 
 
+def _q_group_split(sf_dir: str):
+    """Leakage-free grouped split: every event of a user lands in the
+    same train/val/test bucket (key-hash draw; exact Knuth-hash twin)."""
+    import ray.data as rd
+
+    from logray.functions.sample import group_split
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+    out = group_split(ds, {"train": 0.8, "val": 0.1, "test": 0.1},
+                      "user_id", seed=9)
+    return out.to_pandas()
+
+
+def _q_cm_counts(sf_dir: str):
+    """Count-Min sketch probe of the five event types: one streaming
+    64 KiB-partial fold, no shuffle.  The column has exactly five
+    distinct values, so the sketch rows are collision-free and the
+    estimates equal GROUP BY counts exactly — which the twin checks."""
+    import ray.data as rd
+
+    from logray.functions.sketch import cm_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    out = cm_counts(ds, "event_type", _EVENT_TYPES, key_type=pa.string())
+    out["approx_count"] = out["approx_count"].astype("int64")
+    return out
+
+
 def _url_parse_docs_sql() -> str:
     from logray.functions.urlops import normalize_url_sql, parse_url_sql
 
@@ -2852,6 +2881,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist_docs": _q_url_blocklist,
         "quality_classifier": _q_quality_classifier,
         "pca_embeddings": _q_pca_embeddings,
+        "group_split_events": _q_group_split,
+        "cm_counts_events": _q_cm_counts,
     }
 
 
@@ -2876,6 +2907,7 @@ _MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 def oracle_sql() -> dict[str, str]:
     from logray.functions.sample import (
         deterministic_shuffle_sql,
+        group_split_sql,
         mixture_sample_sql,
         reservoir_per_key_sql,
         sample_uniform_sql,
@@ -3501,6 +3533,13 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist_docs": _url_blocklist_docs_sql(),
         "quality_classifier": (
             "SELECT doc_id, (doc_id % 3 = 0) AS quality_pred FROM documents"
+        ),
+        "group_split_events": group_split_sql(
+            "events", {"train": 0.8, "val": 0.1, "test": 0.1}, "user_id",
+            seed=9, cols="event_id, user_id"),
+        "cm_counts_events": (
+            "SELECT event_type, count(*) AS approx_count FROM events "
+            "GROUP BY event_type"
         ),
         # pca_embeddings: eigendecomposition has no SQL twin (rows-only;
         # pinned against exact local numpy PCA in tests/test_mlops.py).

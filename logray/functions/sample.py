@@ -219,6 +219,59 @@ def stratified_split_sql(table: str, fractions: dict, id_col: str,
     return f"SELECT {cols}, {case} FROM {table}"
 
 
+def group_split(ds, fractions: dict, key_col: str, seed: int = 0,
+                split_col: str = "split"):
+    """Leakage-free grouped split: every row of a GROUP (same ``key_col``
+    value — a conversation, a user, a domain) lands in the same split,
+    because the draw hashes the group key, not the row id.  This is the
+    split a training pipeline actually needs: hashing row ids scatters a
+    conversation's turns across train and test (contamination by shared
+    context); hashing the key keeps whole groups together.
+
+    Integer keys go straight through the shared Knuth hash (exact DuckDB
+    twin, :func:`group_split_sql`); string keys are FNV-1a-hashed to
+    int64 first (:func:`logray.functions.fingerprint.content_hash`),
+    which has no SQL twin (rows-only oracle).  Same cut-point rule as
+    :func:`stratified_split`: cumulative fractions over [0, 2^32),
+    remainder to the last name.  No shuffle — one vectorized hash +
+    searchsorted per batch, stable under repartitioning and retries."""
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    if cum[-1] > 1 + 1e-9:
+        raise ValueError("fractions sum to > 1")
+    bounds = (cum * _M32).astype(np.int64)
+    bounds[-1] = _M32  # remainder -> last split
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if pa.types.is_integer(col.type):
+            keys = col.to_numpy(zero_copy_only=False)
+        else:
+            from logray.functions.fingerprint import content_hash
+
+            # non-negative int64 from the byte content; mod 2^31 happens
+            # inside _det_hash
+            keys = (content_hash(col) >> np.uint64(1)).astype(np.int64)
+        h = _det_hash(keys, seed)
+        idx = np.searchsorted(bounds, h, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        labels = pa.array(np.array(names, dtype=object)[idx].tolist(), pa.string())
+        if split_col in t.column_names:
+            t = t.drop_columns([split_col])
+        return t.append_column(split_col, labels)
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def group_split_sql(table: str, fractions: dict, key_col: str,
+                    seed: int = 0, cols: str = "*",
+                    split_col: str = "split") -> str:
+    """DuckDB oracle for :func:`group_split` over an INTEGER key column."""
+    return stratified_split_sql(table, fractions, key_col, seed=seed,
+                                cols=cols, split_col=split_col)
+
+
 def weighted_sample(ds, k: int, id_col: str, weight_col: str, seed: int = 0):
     """Deterministic weighted sample WITHOUT replacement (Efraimidis–
     Spirakis exponential race): each row draws priority

@@ -382,3 +382,74 @@ def approx_distinct_per_key(ds, key: str, col: str, p: int = 12,
     })
     out["approx_distinct"] = out["approx_distinct"].astype("int64")
     return out if as_pandas else pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): approximate per-key
+# counts with one fixed-size mergeable array
+# ---------------------------------------------------------------------------
+
+_CM_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                     dtype=np.uint64)
+
+
+def cm_table(col, width: int = 2048, depth: int = 4) -> np.ndarray:
+    """Fold one Arrow column into a (depth, width) int64 Count-Min table.
+
+    Each row d scatter-adds value occurrences at
+    ``finalize(h * salt_d) % width``.  Tables MERGE BY ELEMENTWISE SUM
+    (the partial is a plain linear projection of the count vector), so
+    repartitioning/retries cannot change the folded table — the exact
+    combiner-shape contract the other sketches here follow.
+    """
+    h = _hash_column(col)
+    tab = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        idx = _finalize((h * _CM_SALTS[d]) & _MASK) % np.uint64(width)
+        np.add.at(tab[d], idx.astype(np.int64), 1)
+    return tab
+
+
+def cm_estimate(tab: np.ndarray, keys, key_type=None) -> np.ndarray:
+    """Point-estimate counts for ``keys`` (min over depth rows — always an
+    OVERestimate: error <= 2N/width with prob 1 - 2^-depth)."""
+    arr = pa.array(keys, type=key_type) if not isinstance(keys, (pa.Array, pa.ChunkedArray)) else keys
+    h = _hash_column(arr)
+    depth, width = tab.shape
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = _finalize((h * _CM_SALTS[d]) & _MASK) % np.uint64(width)
+        est = np.minimum(est, tab[d][idx.astype(np.int64)])
+    return est
+
+
+def cm_counts(ds, col: str, keys, width: int = 2048, depth: int = 4,
+              key_type=None):
+    """Approximate counts of ``keys`` in ``ds[col]`` via a distributed
+    Count-Min fold: one streaming pass emitting a (depth*width) int64
+    partial per block, summed on the driver (order-free — integer sums),
+    then probed once.  Nulls are ignored (COUNT(col) semantics).
+
+    The 100 TB shape for "how often does each of these M keys occur"
+    when the key UNIVERSE is huge but the probe set is small: no
+    shuffle, no groupby — the sketch is ~64 KiB regardless of corpus
+    size, and widths sized >> distinct-count make the estimate exact
+    with high probability (collision-free paths are exact by
+    construction; tests pin both regimes).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        tab = cm_table(t[col], width, depth)
+        return pa.table({"t": pa.array([tab.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    tab = np.zeros((depth, width), dtype=np.int64)
+    for chunk in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in chunk["t"].to_pylist():
+            tab += np.frombuffer(buf, np.int64).reshape(depth, width)
+    import pandas as pd
+
+    est = cm_estimate(tab, keys, key_type)
+    return pd.DataFrame({col: list(keys), "approx_count": est})

@@ -182,11 +182,62 @@ def main() -> int:
                               max_cluster=20_000)
         return v.filter(expr="kept == False").count()
 
+    # --- quality classifier: 2 tree-fold gradient passes + row-local score
+    def classifier_fit_score():
+        import pyarrow as pa
+
+        from logray.functions.classifier import fit_logreg, score_logreg
+
+        ds0 = read(["turn_idx", "text"])
+
+        def seed(t):
+            lab = pc.equal(pc.bit_wise_and(t["turn_idx"], 3), 0)
+            marked = pc.if_else(
+                lab,
+                pc.binary_join_element_wise(t["text"], " qgooda qgoodb", ""),
+                t["text"])
+            return pa.table({"turn_idx": t["turn_idx"], "text": marked,
+                             "label": lab})
+
+        seeded = ds0.map_batches(seed, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+        model = fit_logreg(seeded, "label", dim=4096, epochs=2, lr=5.0,
+                           id_col="turn_idx", features="binary",
+                           tree_fold=True)
+        out = score_logreg(seeded, model, features="binary")
+        return int(out.map_batches(
+            lambda t: t.select(["quality_prob"]), batch_format="pyarrow"
+        ).sum("quality_prob"))
+
+    # --- domain quota over 52M derived URLs: ONE bucket shuffle ------------
+    def domain_quota_52m():
+        import pyarrow as pa
+
+        from logray.functions.urlops import domain_quota
+
+        ds0 = read(["conv_id", "turn_idx"])
+
+        def to_urls(t):
+            url = pc.binary_join_element_wise(
+                "https://www.", t["conv_id"], ".com/t/",
+                pc.cast(t["turn_idx"], "string"), "")
+            rid = pc.add(pc.multiply(pc.cast(t["turn_idx"], "int64"),
+                                     1 << 32),
+                         pc.cast(pc.utf8_length(t["conv_id"]), "int64"))
+            return pa.table({"row_id": rid, "url": url})
+
+        urls = ds0.map_batches(to_urls, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+        return domain_quota(urls, id_col="row_id", url_col="url",
+                            max_per_domain=8, num_buckets=256).count()
+
     timed("transition_counts_skew_safe", seq_transitions_skewsafe)
     timed("funnel", seq_funnel)
     timed("dedup_lines", line_dedup)
     timed("lm_score", lm_score)
     timed("semdedup_2m", semdedup_scale)
+    timed("classifier_fit_score", classifier_fit_score)
+    timed("domain_quota", domain_quota_52m)
 
     print(json.dumps({"rows": rows, "num_cpus": ncpu, "families": results}))
     ray.shutdown()
