@@ -1465,6 +1465,24 @@ def _q_domain_quota(sf_dir: str):
     return df.sort_values("doc_id", ignore_index=True)
 
 
+def _q_domain_quota_narrow(sf_dir: str):
+    """The 100 TB quota plan: only (domain, id) shuffles; document rows
+    never enter a shuffle (thresholds broadcast, second pass filters
+    row-locally).  Same exact row_number() twin as the full plan."""
+    import ray.data as rd
+
+    from logray.functions.urlops import domain_quota
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    seeded = ds.map_batches(_seed_urls, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    kept = domain_quota(seeded, id_col="doc_id", url_col="url",
+                        max_per_domain=7, mode="narrow")
+    df = kept.select_columns(["doc_id", "registered_domain"]).to_pandas()
+    return df.sort_values("doc_id", ignore_index=True)
+
+
 def _q_url_blocklist(sf_dir: str):
     """Broadcast domain-blocklist filter (vectorized is_in per batch),
     then parse the survivors' hosts for the oracle comparison."""
@@ -2883,6 +2901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": _q_pca_embeddings,
         "group_split_events": _q_group_split,
         "cm_counts_events": _q_cm_counts,
+        "domain_quota_narrow": _q_domain_quota_narrow,
     }
 
 
@@ -3541,6 +3560,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS approx_count FROM events "
             "GROUP BY event_type"
         ),
+        "domain_quota_narrow": _domain_quota_docs_sql(),
         # pca_embeddings: eigendecomposition has no SQL twin (rows-only;
         # pinned against exact local numpy PCA in tests/test_mlops.py).
         # minhash_pairs / simhash_pairs / embedding_dups_lsh / ann_lsh /

@@ -108,6 +108,43 @@ def test_domain_quota_keeps_smallest_ids(url_docs):
         assert sorted(by_dom[dom]) == sorted(ids)[:3], dom
 
 
+def test_domain_quota_narrow_equals_full(url_docs):
+    full = domain_quota(url_docs, id_col="doc_id", url_col="url",
+                        max_per_domain=3, num_buckets=4).to_pandas()
+    narrow = domain_quota(url_docs, id_col="doc_id", url_col="url",
+                          max_per_domain=3, num_buckets=4,
+                          mode="narrow").to_pandas()
+    cols = ["doc_id", "registered_domain"]
+    assert full[cols].sort_values("doc_id", ignore_index=True).equals(
+        narrow[cols].sort_values("doc_id", ignore_index=True))
+
+
+def test_domain_quota_narrow_all_under_quota(ray_session):
+    import ray.data as rd
+
+    rows = [{"doc_id": i, "url": f"https://d{i}.com/x"} for i in range(20)]
+    out = domain_quota(rd.from_items(rows), max_per_domain=5,
+                       mode="narrow").to_pandas()
+    assert sorted(out["doc_id"]) == list(range(20))  # nothing dropped
+
+
+def test_domain_quota_narrow_exact_boundary(ray_session):
+    """Domains with exactly cap rows keep everything; cap+1 loses one."""
+    import ray.data as rd
+
+    rows = [{"doc_id": i, "url": "https://a.com/x"} for i in range(3)]
+    rows += [{"doc_id": 100 + i, "url": "https://b.com/x"} for i in range(4)]
+    out = domain_quota(rd.from_items(rows), max_per_domain=3,
+                       mode="narrow").to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2, 100, 101, 102]
+
+
+def test_domain_quota_max_domains_guard(url_docs):
+    with pytest.raises(ValueError, match="max_domains"):
+        domain_quota(url_docs, max_per_domain=1, mode="narrow",
+                     max_domains=2).to_pandas()
+
+
 def test_blocklist_filter_drops_only_blocked(url_docs):
     out = blocklist_filter(url_docs, ["site0.com", "site3.co.uk"]).to_pandas()
     doms = parse_urls(blocklist_filter(url_docs, ["site0.com", "site3.co.uk"]))

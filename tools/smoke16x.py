@@ -231,6 +231,28 @@ def main() -> int:
         return domain_quota(urls, id_col="row_id", url_col="url",
                             max_per_domain=8, num_buckets=256).count()
 
+    def domain_quota_narrow_52m():
+        import pyarrow as pa
+
+        from logray.functions.urlops import domain_quota
+
+        ds0 = read(["conv_id", "turn_idx"])
+
+        def to_urls(t):
+            url = pc.binary_join_element_wise(
+                "https://www.", t["conv_id"], ".com/t/",
+                pc.cast(t["turn_idx"], "string"), "")
+            rid = pc.add(pc.multiply(pc.cast(t["turn_idx"], "int64"),
+                                     1 << 32),
+                         pc.cast(pc.utf8_length(t["conv_id"]), "int64"))
+            return pa.table({"row_id": rid, "url": url})
+
+        urls = ds0.map_batches(to_urls, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+        return domain_quota(urls, id_col="row_id", url_col="url",
+                            max_per_domain=8, num_buckets=256,
+                            mode="narrow").count()
+
     timed("transition_counts_skew_safe", seq_transitions_skewsafe)
     timed("funnel", seq_funnel)
     timed("dedup_lines", line_dedup)
@@ -238,6 +260,7 @@ def main() -> int:
     timed("semdedup_2m", semdedup_scale)
     timed("classifier_fit_score", classifier_fit_score)
     timed("domain_quota", domain_quota_52m)
+    timed("domain_quota_narrow", domain_quota_narrow_52m)
 
     print(json.dumps({"rows": rows, "num_cpus": ncpu, "families": results}))
     ray.shutdown()
