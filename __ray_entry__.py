@@ -1580,6 +1580,21 @@ def _q_cm_counts(sf_dir: str):
     return out
 
 
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-flattened source mixing (alpha=0.5): one counts pass
+    computes per-source rates N*c^a/S/c, then the deterministic mixture
+    expansion up/downsamples rows; self-contained SQL twin recomputes
+    the rates in DuckDB."""
+    import ray.data as rd
+
+    from logray.functions.sample import temperature_mixture
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return temperature_mixture(ds, "source", "doc_id", alpha=0.5,
+                               seed=4).to_pandas()
+
+
 def _url_parse_docs_sql() -> str:
     from logray.functions.urlops import normalize_url_sql, parse_url_sql
 
@@ -2902,6 +2917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_split_events": _q_group_split,
         "cm_counts_events": _q_cm_counts,
         "domain_quota_narrow": _q_domain_quota_narrow,
+        "temperature_mix_docs": _q_temperature_mix,
     }
 
 
@@ -2927,6 +2943,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.sample import (
         deterministic_shuffle_sql,
         group_split_sql,
+        temperature_mixture_sql,
         mixture_sample_sql,
         reservoir_per_key_sql,
         sample_uniform_sql,
@@ -3561,6 +3578,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY event_type"
         ),
         "domain_quota_narrow": _domain_quota_docs_sql(),
+        "temperature_mix_docs": temperature_mixture_sql(
+            "documents", "source", "doc_id", alpha=0.5, seed=4,
+            cols="doc_id, source"),
         # pca_embeddings: eigendecomposition has no SQL twin (rows-only;
         # pinned against exact local numpy PCA in tests/test_mlops.py).
         # minhash_pairs / simhash_pairs / embedding_dups_lsh / ann_lsh /

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
 _M31 = 2_147_483_648  # 2**31
@@ -173,6 +174,76 @@ def mixture_sample_sql(table: str, rates: dict, key_col: str, id_col: str,
         f"SELECT {cols}, unnest(generate_series(1, n)) AS {copy_col} "
         f"FROM (SELECT {cols}, {n_expr} AS n FROM {table})"
     )
+
+
+def _key_counts(ds, key_col: str) -> dict:
+    """Exact per-key counts: pruned read + per-batch value_counts partials
+    folded on the driver (integer sums — order-free)."""
+    def part(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t[key_col])
+        return pa.table({"k": vc.field("values"), "c": vc.field("counts")})
+
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None).to_pandas()
+    return parts.groupby("k")["c"].sum().astype(int).to_dict()
+
+
+def temperature_mixture(ds, key_col: str, id_col: str, alpha: float,
+                        seed: int = 0, copy_col: str = "copy_idx",
+                        round_rates: int = 6):
+    """Temperature-flattened source mixing (the multilingual-LM recipe:
+    sample sources proportional to count^alpha).  Effective per-key
+    counts become ``N * c_k^alpha / sum(c^alpha)`` — total preserved in
+    expectation, small sources upsampled (rate > 1 repeats rows), large
+    sources downsampled — realized through the deterministic
+    :func:`mixture_sample` expansion with computed rates
+    ``rate_k = round(N * c_k^alpha / S / c_k, round_rates)``.
+
+    alpha = 1 keeps the natural distribution (all rates 1); alpha = 0
+    flattens to uniform.  Cost: ONE exact counts pass over the pruned
+    key column, then the shuffle-free per-batch expansion.  The rounding
+    makes the Python-computed rates and the SQL twin's
+    (:func:`temperature_mixture_sql`, which recomputes them in DuckDB)
+    agree bit-for-bit except on ~1e-10-probability rounding boundaries.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = _key_counts(ds, key_col)
+    if not counts:
+        return mixture_sample(ds, {}, key_col, id_col, seed,
+                              copy_col=copy_col)
+    n = float(sum(counts.values()))
+    s = sum(float(c) ** alpha for c in counts.values())
+    rates = {k: round(n * float(c) ** alpha / s / float(c), round_rates)
+             for k, c in counts.items()}
+    return mixture_sample(ds, rates, key_col, id_col, seed,
+                          copy_col=copy_col)
+
+
+def temperature_mixture_sql(table: str, key_col: str, id_col: str,
+                            alpha: float, seed: int = 0, cols: str = "*",
+                            copy_col: str = "copy_idx",
+                            round_rates: int = 6) -> str:
+    """Self-contained DuckDB oracle for :func:`temperature_mixture`
+    (recomputes counts, rates, floor/threshold and the hash draw)."""
+    h = _hash_sql(f"t.{id_col}", seed)
+    col_list = ", ".join(f"t.{c.strip()}" for c in cols.split(","))
+    return f"""
+        WITH __tc AS (
+          SELECT {key_col} AS k, CAST(count(*) AS DOUBLE) AS cnt
+          FROM {table} GROUP BY {key_col}),
+        __tr AS (
+          SELECT k, round((SELECT sum(cnt) FROM __tc) * pow(cnt, {alpha})
+                    / (SELECT sum(pow(cnt, {alpha})) FROM __tc)
+                    / cnt, {round_rates}) AS rate FROM __tc)
+        SELECT {cols}, unnest(generate_series(1, n)) AS {copy_col}
+        FROM (
+          SELECT {col_list},
+                 CAST(floor(r.rate) AS BIGINT) +
+                 CASE WHEN {h} < CAST(round((r.rate - floor(r.rate))
+                      * {_M32}) AS BIGINT) THEN 1 ELSE 0 END AS n
+          FROM {table} t JOIN __tr r ON t.{key_col} = r.k)
+    """
 
 
 def stratified_split(ds, fractions: dict, id_col: str, seed: int = 0,

@@ -65,6 +65,56 @@ def test_group_split_stable_under_partitioning(ray_session):
         list(b.sort_values("row_id")["split"])
 
 
+def test_temperature_mixture_alpha1_is_identity(ray_session):
+    import ray.data as rd
+
+    from logray.functions.sample import temperature_mixture
+
+    rows = [{"doc_id": i, "source": f"s{i % 4}"} for i in range(100)]
+    out = temperature_mixture(rd.from_items(rows), "source", "doc_id",
+                              alpha=1.0).to_pandas()
+    assert len(out) == 100
+    assert (out["copy_idx"] == 1).all()
+
+
+def test_temperature_mixture_flattens(ray_session):
+    """alpha=0 targets uniform effective counts across sources."""
+    import ray.data as rd
+
+    from logray.functions.sample import temperature_mixture
+
+    rows = ([{"doc_id": i, "source": "big"} for i in range(900)]
+            + [{"doc_id": 1000 + i, "source": "small"} for i in range(100)])
+    out = temperature_mixture(rd.from_items(rows), "source", "doc_id",
+                              alpha=0.0, seed=3).to_pandas()
+    got = out["source"].value_counts().to_dict()
+    # target: 500 each (N * c^0 / sum(c^0) = 1000/2); Bernoulli noise on
+    # the fractional part only
+    assert abs(got["big"] - 500) < 60
+    assert abs(got["small"] - 500) < 60
+    assert got["small"] > 400  # genuinely upsampled (rate 5.0)
+
+
+def test_temperature_mixture_matches_sql_twin(ray_session):
+    import ray.data as rd
+
+    from logray.functions.sample import (temperature_mixture,
+                                         temperature_mixture_sql)
+
+    rows = [{"doc_id": i, "source": f"s{i % 5}"} for i in range(211)]
+    got = temperature_mixture(rd.from_items(rows), "source", "doc_id",
+                              alpha=0.4, seed=7).to_pandas()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows))
+    want = con.execute(temperature_mixture_sql(
+        "t", "source", "doc_id", alpha=0.4, seed=7,
+        cols="doc_id, source")).fetchdf()
+    key = ["doc_id", "source", "copy_idx"]
+    g = got[key].sort_values(key, ignore_index=True)
+    w = want[key].sort_values(key, ignore_index=True).astype(g.dtypes)
+    assert g.equals(w)
+
+
 def test_cm_exact_when_collision_free():
     vals = pa.array(["a"] * 10 + ["b"] * 7 + ["c"] * 3 + [None] * 2)
     tab = cm_table(vals, width=1024, depth=4)
