@@ -102,3 +102,47 @@ def load_bpe(path: str):
 
     with open(path) as f:
         return ByteBPE.from_json(f.read())
+
+
+def save_logreg(model, path: str) -> None:
+    """Persist a fitted quality classifier
+    (:func:`~logray.functions.classifier.fit_logreg`): weights, bias,
+    feature mode and the fit loss curve — a reloaded model scores
+    bit-identically (train once on the labeled reference set, score
+    every crawl snapshot)."""
+    np.savez(path, __kind="logreg", __version=_VERSION,
+             weights=model.weights, bias=float(model.bias),
+             dim=int(model.dim), losses=np.asarray(model.losses),
+             features=model.features)
+
+
+def load_logreg(path: str):
+    from logray.functions.classifier import LogRegModel
+
+    with np.load(path) as d:
+        _check(d, "logreg")
+        return LogRegModel(weights=d["weights"], bias=float(d["bias"]),
+                           dim=int(d["dim"]),
+                           losses=[float(x) for x in d["losses"]],
+                           features=str(d["features"]))
+
+
+def save_pca(model, path: str) -> None:
+    """Persist a fitted PCA basis
+    (:func:`~logray.functions.pca.fit_pca`)."""
+    np.savez(path, __kind="pca", __version=_VERSION,
+             mean=model.mean, components=model.components,
+             explained_variance=model.explained_variance,
+             explained_variance_ratio=model.explained_variance_ratio,
+             n_rows=int(model.n_rows))
+
+
+def load_pca(path: str):
+    from logray.functions.pca import PCAModel
+
+    with np.load(path) as d:
+        _check(d, "pca")
+        return PCAModel(mean=d["mean"], components=d["components"],
+                        explained_variance=d["explained_variance"],
+                        explained_variance_ratio=d["explained_variance_ratio"],
+                        n_rows=int(d["n_rows"]))

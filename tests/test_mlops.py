@@ -117,6 +117,41 @@ def test_logreg_tree_fold_close_to_exact(labeled_docs):
                                atol=1e-12)
 
 
+def test_logreg_pca_artifact_roundtrip(ray_session, tmp_path):
+    """Persisted classifier / PCA models reload and score bit-identically
+    (and a wrong-kind load refuses)."""
+    import ray.data as rd
+
+    from logray.state.artifacts import (load_logreg, load_pca, save_logreg,
+                                        save_pca)
+
+    ds = rd.from_items(_docs(n=80))
+    model = fit_logreg(ds, "label", dim=256, epochs=5, id_col="doc_id",
+                       features="binary")
+    save_logreg(model, str(tmp_path / "clf.npz"))
+    loaded = load_logreg(str(tmp_path / "clf.npz"))
+    assert loaded.features == "binary" and loaded.dim == model.dim
+    a = score_logreg(ds, model, features="binary").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    b = score_logreg(ds, loaded, features=loaded.features).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert (a["quality_prob"] == b["quality_prob"]).all()
+
+    x, rows = _vec_rows(n=60)
+    eds = rd.from_items(rows)
+    pca = fit_pca(eds, k=2, id_col="vec_id")
+    save_pca(pca, str(tmp_path / "pca.npz"))
+    lp = load_pca(str(tmp_path / "pca.npz"))
+    np.testing.assert_array_equal(lp.components, pca.components)
+    p1 = project_pca(eds, pca).to_pandas().sort_values("vec_id")
+    p2 = project_pca(eds, lp).to_pandas().sort_values("vec_id")
+    assert all((np.asarray(u) == np.asarray(v)).all()
+               for u, v in zip(p1["pca"], p2["pca"]))
+
+    with pytest.raises(ValueError):
+        load_pca(str(tmp_path / "clf.npz"))  # wrong kind refuses
+
+
 def _vec_rows(n=300, d=6, seed=3):
     rng = np.random.default_rng(seed)
     # anisotropic gaussian: known principal axes
