@@ -57,9 +57,6 @@ class LogRegModel:
     losses: list[float]          # mean log-loss per epoch (fit curve)
     features: str = "mean"       # feature mode the model was fitted with
 
-    def decision(self, z):
-        return 1.0 / (1.0 + np.exp(-z))
-
 
 def _doc_features(t: pa.Table, text_col: str, dim: int,
                   features: str = "mean"):
@@ -141,6 +138,10 @@ def fit_logreg(ds, label_col: str, text_col: str = "text", dim: int = 4096,
         cur_w, cur_b = w, b  # broadcast via closure, read-only per task
 
         def grad_part(t: pa.Table) -> pd.DataFrame:
+            if t[label_col].null_count:
+                raise ValueError(
+                    "fit_logreg: null labels poison the gradient — filter "
+                    f"rows where {label_col!r} is null before fitting")
             t = t.filter(pc.is_valid(t[text_col]))
             n = t.num_rows
             key_col = id_col or t.column_names[0]
@@ -196,9 +197,15 @@ def fit_logreg(ds, label_col: str, text_col: str = "text", dim: int = 4096,
 
 def score_logreg(ds, model: LogRegModel, text_col: str = "text",
                  prob_col: str = "quality_prob", pred_col: str = "quality_pred",
-                 threshold: float = 0.5, features: str = "mean"):
-    """Append probability + boolean prediction columns (row-local)."""
+                 threshold: float = 0.5, features: str | None = None):
+    """Append probability + boolean prediction columns (row-local).
+
+    ``features`` defaults to THE MODE THE MODEL WAS FITTED WITH
+    (``model.features``) — scoring binary-fit weights with mean features
+    silently produces garbage, so only override deliberately."""
     w, b, dim = model.weights, model.bias, model.dim
+    if features is None:
+        features = model.features
 
     def score(t: pa.Table) -> pa.Table:
         n = t.num_rows

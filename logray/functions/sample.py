@@ -108,6 +108,25 @@ def reservoir_per_key_sql(table: str, key: str, n: int, id_col: str,
     )
 
 
+def _split_bounds(fractions: dict):
+    """Shared cut-point rule for the split taggers: cumulative fractions
+    over [0, 2^32), remainder to the LAST name."""
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    if cum[-1] > 1 + 1e-9:
+        raise ValueError("fractions sum to > 1")
+    bounds = (cum * _M32).astype(np.int64)
+    bounds[-1] = _M32
+    return names, bounds
+
+
+def _split_labels(h: np.ndarray, names, bounds) -> pa.Array:
+    """Map hashes to split names via the shared cut points."""
+    idx = np.searchsorted(bounds, h, side="right")
+    idx = np.minimum(idx, len(names) - 1)
+    return pa.array(np.array(names, dtype=object)[idx].tolist(), pa.string())
+
+
 def _mixture_plan(rates: dict, default_rate: float):
     """Per-key (full_copies, fractional int threshold) — precomputed in
     Python ints so the engine and the SQL twin share EXACT thresholds (no
@@ -200,7 +219,9 @@ def temperature_mixture(ds, key_col: str, id_col: str, alpha: float,
     ``rate_k = round(N * c_k^alpha / S / c_k, round_rates)``.
 
     alpha = 1 keeps the natural distribution (all rates 1); alpha = 0
-    flattens to uniform.  Cost: ONE exact counts pass over the pruned
+    flattens to uniform.  NULL-key rows are excluded from the counts and
+    dropped from the output (rate 0), matching the SQL twin's inner join
+    over non-null keys.  Cost: ONE exact counts pass over the pruned
     key column, then the shuffle-free per-batch expansion.  The rounding
     makes the Python-computed rates and the SQL twin's
     (:func:`temperature_mixture_sql`, which recomputes them in DuckDB)
@@ -231,7 +252,7 @@ def temperature_mixture_sql(table: str, key_col: str, id_col: str,
     return f"""
         WITH __tc AS (
           SELECT {key_col} AS k, CAST(count(*) AS DOUBLE) AS cnt
-          FROM {table} GROUP BY {key_col}),
+          FROM {table} WHERE {key_col} IS NOT NULL GROUP BY {key_col}),
         __tr AS (
           SELECT k, round((SELECT sum(cnt) FROM __tc) * pow(cnt, {alpha})
                     / (SELECT sum(pow(cnt, {alpha})) FROM __tc)
@@ -254,18 +275,11 @@ def stratified_split(ds, fractions: dict, id_col: str, seed: int = 0,
     split without reshuffling old ones).  ``fractions`` maps name ->
     fraction; fractions must sum to <= 1 and any remainder goes to the
     LAST name.  No shuffle — one vectorized hash + searchsorted per batch."""
-    names = list(fractions)
-    cum = np.cumsum([fractions[n] for n in names])
-    if cum[-1] > 1 + 1e-9:
-        raise ValueError("fractions sum to > 1")
-    bounds = (cum * _M32).astype(np.int64)
-    bounds[-1] = _M32  # remainder -> last split
+    names, bounds = _split_bounds(fractions)
 
     def tag(t: pa.Table) -> pa.Table:
         h = _det_hash(t[id_col].to_numpy(zero_copy_only=False), seed)
-        idx = np.searchsorted(bounds, h, side="right")
-        idx = np.minimum(idx, len(names) - 1)
-        labels = pa.array(np.array(names, dtype=object)[idx].tolist(), pa.string())
+        labels = _split_labels(h, names, bounds)
         if split_col in t.column_names:
             t = t.drop_columns([split_col])
         return t.append_column(split_col, labels)
@@ -278,10 +292,7 @@ def stratified_split_sql(table: str, fractions: dict, id_col: str,
                          seed: int = 0, cols: str = "*",
                          split_col: str = "split") -> str:
     """DuckDB oracle for :func:`stratified_split` (identical assignment)."""
-    names = list(fractions)
-    cum = np.cumsum([fractions[n] for n in names])
-    bounds = (cum * _M32).astype(np.int64)
-    bounds[-1] = _M32
+    names, bounds = _split_bounds(fractions)
     h = _hash_sql(id_col, seed)
     case = "CASE "
     for name, b in zip(names[:-1], bounds[:-1]):
@@ -306,12 +317,7 @@ def group_split(ds, fractions: dict, key_col: str, seed: int = 0,
     :func:`stratified_split`: cumulative fractions over [0, 2^32),
     remainder to the last name.  No shuffle — one vectorized hash +
     searchsorted per batch, stable under repartitioning and retries."""
-    names = list(fractions)
-    cum = np.cumsum([fractions[n] for n in names])
-    if cum[-1] > 1 + 1e-9:
-        raise ValueError("fractions sum to > 1")
-    bounds = (cum * _M32).astype(np.int64)
-    bounds[-1] = _M32  # remainder -> last split
+    names, bounds = _split_bounds(fractions)
 
     def tag(t: pa.Table) -> pa.Table:
         col = t[key_col]
@@ -324,9 +330,7 @@ def group_split(ds, fractions: dict, key_col: str, seed: int = 0,
             # inside _det_hash
             keys = (content_hash(col) >> np.uint64(1)).astype(np.int64)
         h = _det_hash(keys, seed)
-        idx = np.searchsorted(bounds, h, side="right")
-        idx = np.minimum(idx, len(names) - 1)
-        labels = pa.array(np.array(names, dtype=object)[idx].tolist(), pa.string())
+        labels = _split_labels(h, names, bounds)
         if split_col in t.column_names:
             t = t.drop_columns([split_col])
         return t.append_column(split_col, labels)

@@ -415,6 +415,9 @@ def cm_estimate(tab: np.ndarray, keys, key_type=None) -> np.ndarray:
     """Point-estimate counts for ``keys`` (min over depth rows — always an
     OVERestimate: error <= 2N/width with prob 1 - 2^-depth)."""
     arr = pa.array(keys, type=key_type) if not isinstance(keys, (pa.Array, pa.ChunkedArray)) else keys
+    if arr.null_count:
+        raise ValueError("cm_estimate: null probe keys would silently "
+                         "misalign results with inputs — drop them first")
     h = _hash_column(arr)
     depth, width = tab.shape
     est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)

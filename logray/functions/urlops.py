@@ -42,7 +42,9 @@ MULTIPART_SUFFIX_MIDDLES = ("co", "com", "net", "org", "gov", "ac", "edu")
 _HOST_PAT = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
 _SCHEME_PAT = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
 _PATH_PAT = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
-_QUERY_PAT = r"\?([^#]*)"
+# query starts at the FIRST '?' before any '#' (RFC 3986); the prefix
+# class excludes both so no '?' inside a fragment can match
+_QUERY_PAT = r"^[^#?]*\?([^#]*)"
 
 
 def _extract_str(arr, pat: str):
@@ -53,14 +55,19 @@ def _extract_str(arr, pat: str):
     return pc.fill_null(vals, "")
 
 
+def host_array(arr):
+    """Lowercased authority host: between ``://`` and the first
+    ``/ ? #``, userinfo and port stripped (Arrow twin of ``_host_sql``)."""
+    host = pc.ascii_lower(_extract_str(arr, _HOST_PAT))
+    host = pc.replace_substring_regex(host, pattern=r"^[^@]*@", replacement="")
+    return pc.replace_substring_regex(host, pattern=r":[0-9]*$", replacement="")
+
+
 def parse_url_table(t: pa.Table, col: str = "url") -> pa.Table:
     """Append scheme / host / path / query / registered_domain columns."""
     arr = t[col]
     scheme = pc.ascii_lower(_extract_str(arr, _SCHEME_PAT))
-    host_raw = pc.ascii_lower(_extract_str(arr, _HOST_PAT))
-    # strip userinfo then port
-    host = pc.replace_substring_regex(host_raw, pattern=r"^[^@]*@", replacement="")
-    host = pc.replace_substring_regex(host, pattern=r":[0-9]*$", replacement="")
+    host = host_array(arr)
     path = _extract_str(arr, _PATH_PAT)
     query = _extract_str(arr, _QUERY_PAT)
     dom = registered_domain_array(host)
@@ -84,13 +91,19 @@ def registered_domain_array(host):
 
 
 def normalize_url_array(arr):
-    """Canonical URL form (see module docstring for the exact rules)."""
+    """Canonical URL form (see module docstring for the exact rules).
+    Default ports are scheme-specific: ``:80`` only under http, ``:443``
+    only under https — ``http://h:443`` is a distinct origin and stays."""
     scheme = pc.ascii_lower(_extract_str(arr, _SCHEME_PAT))
     host_raw = pc.ascii_lower(_extract_str(arr, _HOST_PAT))
     host = pc.replace_substring_regex(host_raw, pattern=r"^[^@]*@", replacement="")
     host = pc.replace_substring_regex(host, pattern=r"^www\.", replacement="")
-    host = pc.replace_substring_regex(host, pattern=":80$", replacement="")
-    host = pc.replace_substring_regex(host, pattern=":443$", replacement="")
+    host = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(host, pattern=":80$", replacement=""), host)
+    host = pc.if_else(
+        pc.equal(scheme, "https"),
+        pc.replace_substring_regex(host, pattern=":443$", replacement=""), host)
     path = _extract_str(arr, _PATH_PAT)
     # strip one trailing slash from a non-root path
     path = pc.replace_substring_regex(path, pattern="^(.+?)/$", replacement=r"\1")
@@ -129,10 +142,7 @@ def blocklist_filter(ds, blocked_domains, col: str = "url", keep_blocked=False):
     blocked = pa.array(sorted(set(blocked_domains)), type=pa.string())
 
     def _f(t: pa.Table) -> pa.Table:
-        host = pc.ascii_lower(_extract_str(t[col], _HOST_PAT))
-        host = pc.replace_substring_regex(host, pattern=r"^[^@]*@", replacement="")
-        host = pc.replace_substring_regex(host, pattern=r":[0-9]*$", replacement="")
-        dom = registered_domain_array(host)
+        dom = registered_domain_array(host_array(t[col]))
         mask = pc.is_in(dom, value_set=blocked)
         if not keep_blocked:
             mask = pc.invert(mask)
@@ -177,15 +187,21 @@ def domain_quota(ds, id_col: str = "doc_id", url_col: str = "url",
     import numpy as np
 
     def _with_domain(t: pa.Table) -> pa.Table:
-        host = pc.ascii_lower(_extract_str(t[url_col], _HOST_PAT))
-        host = pc.replace_substring_regex(host, pattern=r"^[^@]*@", replacement="")
-        host = pc.replace_substring_regex(host, pattern=r":[0-9]*$", replacement="")
-        return t.append_column("registered_domain", registered_domain_array(host))
+        return t.append_column(
+            "registered_domain",
+            registered_domain_array(host_array(t[url_col])))
 
     tagged = ds.map_batches(_with_domain, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=None)
 
     if mode == "narrow":
+        sch = ds.schema()  # ray.data Schema: parallel names/types lists
+        id_type = dict(zip(sch.names, sch.types)).get(id_col)
+        if id_type is None or not pa.types.is_integer(id_type):
+            raise ValueError(
+                f"domain_quota narrow plan requires an integer id column "
+                f"(got {id_col}: {id_type}); use mode='full' or map "
+                "string ids to int64 first (functions.dedup string-id chain)")
         narrow = tagged.map_batches(
             lambda t: t.select([id_col, "registered_domain"]),
             batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
@@ -216,18 +232,29 @@ def domain_quota(ds, id_col: str = "doc_id", url_col: str = "url",
                 "__thr": pa.array(sids[keep].tolist(), pa.int64()),
             })
 
-        thr_tbl = grouped_apply(narrow, "registered_domain", _thresholds,
-                                num_buckets=num_buckets,
-                                batch_format="pyarrow").to_pandas()
-        if len(thr_tbl) > max_domains:
-            raise ValueError(
-                f"domain_quota narrow plan: {len(thr_tbl)} over-quota "
-                f"domains exceed max_domains={max_domains}; raise the cap "
-                "or shard the threshold map via a bucketed join")
-        if thr_tbl.empty:       # no over-quota domain anywhere
+        thr_ds = grouped_apply(narrow, "registered_domain", _thresholds,
+                               num_buckets=num_buckets,
+                               batch_format="pyarrow")
+        # stream the threshold fold so the cap bounds driver memory —
+        # stop pulling as soon as max_domains is exceeded, never
+        # materialize an unbounded table first
+        pieces, total = [], 0
+        for chunk in thr_ds.iter_batches(batch_size=None,
+                                         batch_format="pyarrow"):
+            total += chunk.num_rows
+            if total > max_domains:
+                raise ValueError(
+                    f"domain_quota narrow plan: over-quota domains exceed "
+                    f"max_domains={max_domains}; raise the cap or shard "
+                    "the threshold map via a bucketed join")
+            pieces.append(chunk)
+        if total == 0:          # no over-quota domain anywhere
             return tagged
-        thr_doms = pa.array(thr_tbl["registered_domain"].tolist(), pa.string())
-        thr_vals = np.asarray(thr_tbl["__thr"], dtype=np.int64)
+        thr_tbl = pa.concat_tables(pieces)
+        thr_doms = pa.array(thr_tbl["registered_domain"].to_pylist(),
+                            pa.string())
+        thr_vals = thr_tbl["__thr"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
 
         def _filter(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
@@ -297,7 +324,7 @@ def parse_url_sql(url: str) -> dict[str, str]:
         "scheme": f"lower(regexp_extract({url}, '{_SCHEME_PAT}', 1))",
         "host": _host_sql(url),
         "path": f"regexp_extract({url}, '{_PATH_PAT}', 1)",
-        "query": f"regexp_extract({url}, '\\?([^#]*)', 1)",
+        "query": f"regexp_extract({url}, '{_QUERY_PAT}', 1)",
         "registered_domain": registered_domain_sql(url),
     }
 
@@ -307,8 +334,10 @@ def normalize_url_sql(url: str) -> str:
     h = f"lower(regexp_extract({url}, '{_HOST_PAT}', 1))"
     h = f"regexp_replace({h}, '^[^@]*@', '')"
     h = f"regexp_replace({h}, '^www\\.', '')"
-    h = f"regexp_replace({h}, ':80$', '')"
-    h = f"regexp_replace({h}, ':443$', '')"
+    # scheme-specific default ports (http://h:443 is a distinct origin)
+    h = (f"CASE WHEN {scheme} = 'http' THEN regexp_replace({h}, ':80$', '') "
+         f"WHEN {scheme} = 'https' THEN regexp_replace({h}, ':443$', '') "
+         f"ELSE {h} END")
     p = f"regexp_extract({url}, '{_PATH_PAT}', 1)"
     p = f"regexp_replace({p}, '^(.+?)/$', '\\1')"
     return f"({scheme} || '://' || {h} || {p})"

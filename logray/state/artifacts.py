@@ -34,6 +34,8 @@ __all__ = [
     "save_bag", "load_bag",
     "save_centroids", "load_centroids",
     "save_bpe", "load_bpe",
+    "save_logreg", "load_logreg",
+    "save_pca", "load_pca",
 ]
 
 _VERSION = 1

@@ -62,6 +62,26 @@ def test_logreg_binary_features_length_invariant_margin(ray_session):
     assert (scored["quality_pred"] == scored["label"]).all()
 
 
+def test_logreg_null_label_raises(ray_session):
+    import ray.data as rd
+
+    rows = _docs(n=20)
+    rows[3]["label"] = None
+    with pytest.raises(Exception, match="null labels"):
+        fit_logreg(rd.from_items(rows), "label", dim=64, epochs=1,
+                   id_col="doc_id")
+
+
+def test_score_defaults_to_fitted_feature_mode(labeled_docs):
+    model = fit_logreg(labeled_docs, "label", dim=256, epochs=5,
+                       id_col="doc_id", features="binary")
+    assert model.features == "binary"
+    a = score_logreg(labeled_docs, model).to_pandas()  # no features arg
+    b = score_logreg(labeled_docs, model, features="binary").to_pandas()
+    assert (a.sort_values("doc_id")["quality_prob"].to_numpy()
+            == b.sort_values("doc_id")["quality_prob"].to_numpy()).all()
+
+
 def test_logreg_gradient_partition_invariant(ray_session):
     """The fitted model is identical (bitwise) whether the corpus is in
     1 block or 8 — the canonical sorted driver fold removes scheduling

@@ -31,7 +31,28 @@ EDGE_URLS = [
     "not a url at all",
     "",
     "https:///odd//path/",
+    "https://x.com/p#sec?a=1",    # '?' inside fragment is NOT a query
+    "http://h.com:443/x",          # 443 is not http's default port
+    "https://h.com:80/x",          # 80 is not https's default port
+    "https://a.com/p?first=1?second=2#f",  # query starts at FIRST '?'
 ]
+
+
+def test_fragment_question_mark_is_not_query():
+    t = pa.table({"url": pa.array(["https://x.com/p#sec?a=1",
+                                   "https://a.com/p?first=1?second=2#f"])})
+    got = parse_url_table(t).to_pandas()
+    assert got["query"][0] == ""
+    assert got["query"][1] == "first=1?second=2"
+
+
+def test_default_port_strip_is_scheme_specific():
+    norm = normalize_url_array(pa.array([
+        "http://h.com:443/x", "https://h.com:80/x",
+        "http://h.com:80/x", "https://h.com:443/x",
+    ])).to_pylist()
+    assert norm == ["http://h.com:443/x", "https://h.com:80/x",
+                    "http://h.com/x", "https://h.com/x"]
 
 
 def _oracle(urls):
