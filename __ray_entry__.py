@@ -1595,6 +1595,33 @@ def _q_temperature_mix(sf_dir: str):
                                seed=4).to_pandas()
 
 
+_BANNED_WORDS = ["spark", "window", "merge"]
+
+
+def _q_wordlist_flag(sf_dir: str):
+    """C4-style banned-wordlist audit: per-doc whole-word hit counts
+    (one vectorized RE2 scan; exact DuckDB twin)."""
+    import ray.data as rd
+
+    from logray.functions.quality import wordlist_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return wordlist_filter(ds, _BANNED_WORDS, mode="flag")         .select_columns(["doc_id", "n_banned"]).to_pandas()
+
+
+def _q_wordlist_drop(sf_dir: str):
+    """The drop side of the gate: documents containing any banned word
+    are removed."""
+    import ray.data as rd
+
+    from logray.functions.quality import wordlist_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return wordlist_filter(ds, _BANNED_WORDS, mode="drop")         .select_columns(["doc_id"]).to_pandas()
+
+
 def _url_parse_docs_sql() -> str:
     from logray.functions.urlops import normalize_url_sql, parse_url_sql
 
@@ -2918,6 +2945,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_counts_events": _q_cm_counts,
         "domain_quota_narrow": _q_domain_quota_narrow,
         "temperature_mix_docs": _q_temperature_mix,
+        "wordlist_flag_docs": _q_wordlist_flag,
+        "wordlist_drop_docs": _q_wordlist_drop,
     }
 
 
@@ -2940,6 +2969,7 @@ _MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 
 
 def oracle_sql() -> dict[str, str]:
+    from logray.functions.quality import wordlist_filter_sql
     from logray.functions.sample import (
         deterministic_shuffle_sql,
         group_split_sql,
@@ -3578,6 +3608,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY event_type"
         ),
         "domain_quota_narrow": _domain_quota_docs_sql(),
+        "wordlist_flag_docs": wordlist_filter_sql(
+            "documents", _BANNED_WORDS, mode="flag", cols="doc_id"),
+        "wordlist_drop_docs": wordlist_filter_sql(
+            "documents", _BANNED_WORDS, mode="drop", cols="doc_id"),
         "temperature_mix_docs": temperature_mixture_sql(
             "documents", "source", "doc_id", alpha=0.5, seed=4,
             cols="doc_id, source"),

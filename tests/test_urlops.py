@@ -4,6 +4,7 @@ adversarial URLs, domain quota vs a brute-force oracle, blocklist filter."""
 from __future__ import annotations
 
 import duckdb
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -174,6 +175,32 @@ def test_blocklist_filter_drops_only_blocked(url_docs):
     blocked_ids = {i for i in range(200)
                    if (i % 7 == 0 and i % 2 == 0) or (i % 7 == 3 and i % 2 == 1)}
     assert set(out["doc_id"]) == set(range(200)) - blocked_ids
+
+
+def test_wordlist_filter_word_boundaries(ray_session):
+    """Whole-word hits only: 'badly' is not 'bad'; CI matching; both
+    modes vs the DuckDB twin."""
+    import ray.data as rd
+
+    from logray.functions.quality import wordlist_filter, wordlist_filter_sql
+
+    texts = ["the Bad word", "clean text", "BAD, bad and badly",
+             "embedded badword", "bad", ""]
+    rows = [{"i": i, "text": s} for i, s in enumerate(texts)]
+    ds = rd.from_items(rows)
+    flag = wordlist_filter(ds, ["bad", "evil"], mode="flag").to_pandas() \
+        .sort_values("i", ignore_index=True)
+    assert list(flag["n_banned"]) == [1, 0, 2, 0, 1, 0]
+    drop = wordlist_filter(ds, ["bad", "evil"], mode="drop").to_pandas()
+    assert sorted(drop["i"]) == [1, 3, 5]
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(rows))
+    want = con.execute(wordlist_filter_sql("d", ["bad", "evil"], mode="flag",
+                                           cols="i")).fetchdf()
+    assert list(flag["n_banned"]) == list(
+        want.sort_values("i")["n_banned"])
+    with pytest.raises(ValueError, match="empty word list"):
+        wordlist_filter(ds, ["  "], mode="drop")
 
 
 def test_blocklist_audit_mode(url_docs):
