@@ -3607,6 +3607,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS approx_count FROM events "
             "GROUP BY event_type"
         ),
+        "local_global_map": f"""
+            {_FIELDS_CTE},
+            e AS (
+              SELECT conv_id, turn_idx,
+                     row_number() OVER (ORDER BY conv_id, turn_idx) - 1
+                       AS ordinal
+              FROM t WHERE ({_WELL}) AND {_LEVEL} = 'ERROR')
+            SELECT CAST(ordinal AS BIGINT) AS ordinal, conv_id,
+                   CAST(turn_idx AS INTEGER) AS turn_idx,
+                   CAST(ordinal AS BIGINT) AS roundtrip
+            FROM e WHERE ordinal IN (0, 5, 25)
+        """,
         "domain_quota_narrow": _domain_quota_docs_sql(),
         "wordlist_flag_docs": wordlist_filter_sql(
             "documents", _BANNED_WORDS, mode="flag", cols="doc_id"),
