@@ -105,6 +105,40 @@ def test_registered_domain_fallback_short_host():
     assert doms.to_pylist() == ["single", "a.b", "x.co.uk"]
 
 
+def test_parse_normalize_fuzz_vs_duckdb():
+    """2000 randomized component-composed URLs (plus junk): every parsed
+    field and the normalized form must match the DuckDB twin exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    schemes = ["http", "https", "ftp", "HTTPS", "s3+x"]
+    users = ["", "u@", "a:b@", "%40@"]
+    hosts = ["example.com", "WWW.Site.ORG", "a.b.co.uk", "single", "x.y.z.ac.jp",
+             "127.0.0.1", "host-", ".lead", "trail."]
+    ports = ["", ":80", ":443", ":8080", ":"]
+    paths = ["", "/", "/a", "/a/b/", "//", "/%20x", "/?."]
+    queries = ["", "?a=1", "?a=1&b=2", "??", "?#", "?a=1?b=2"]
+    frags = ["", "#f", "#a?b", "##"]
+    urls = []
+    for _ in range(2000):
+        urls.append(
+            str(rng.choice(schemes)) + "://" + str(rng.choice(users))
+            + str(rng.choice(hosts)) + str(rng.choice(ports))
+            + str(rng.choice(paths)) + str(rng.choice(queries))
+            + str(rng.choice(frags)))
+    urls += ["", "no scheme", "://", "http:/one-slash", "a://", "http://"]
+    t = pa.table({"url": pa.array(urls, type=pa.string())})
+    got = parse_url_table(t).to_pandas()
+    got["url_norm"] = normalize_url_array(t["url"]).to_pandas()
+    want = _oracle(urls)
+    for col in ["scheme", "host", "path", "query", "registered_domain",
+                "url_norm"]:
+        mism = [i for i in range(len(urls))
+                if got[col][i] != want[col][i]]
+        assert not mism, (col, [(urls[i], got[col][i], want[col][i])
+                                for i in mism[:3]])
+
+
 @pytest.fixture()
 def url_docs(ray_session):
     import ray.data as rd
