@@ -113,7 +113,8 @@ def _forward(parent, bucket, val, n_rows, w, b):
 def fit_logreg(ds, label_col: str, text_col: str = "text", dim: int = 4096,
                epochs: int = 30, lr: float = 2.0, l2: float = 1e-6,
                id_col: str | None = None, tree_fold: bool = False,
-               features: str = "mean", momentum: float = 0.9) -> LogRegModel:
+               features: str = "mean", momentum: float = 0.9,
+               checkpoint_path: str | None = None) -> LogRegModel:
     """Full-batch distributed logistic regression.
 
     ``label_col`` must be boolean/0-1.  ``id_col`` (any orderable column,
@@ -127,14 +128,29 @@ def fit_logreg(ds, label_col: str, text_col: str = "text", dim: int = 4096,
     64x per level at the cost of bit-determinism (float association
     then depends on which partials co-batch; results agree to ~1e-12,
     asserted in tests).
+
+    ``checkpoint_path``: persist (weights, velocity, losses) after every
+    epoch (atomic rename).  A re-run with the same path resumes from the
+    last completed epoch and produces THE SAME final model, bitwise, as
+    an uninterrupted fit — each epoch over 100 TB is a full corpus pass,
+    so a fit that dies at epoch 28/30 must not restart from zero.  The
+    checkpoint stores the fit config and refuses to resume under a
+    different one.
     """
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
     vw = np.zeros(dim, dtype=np.float64)  # heavy-ball velocity
     vb = 0.0
     losses: list[float] = []
+    start_epoch = 0
+    cfg = dict(dim=dim, lr=lr, l2=l2, features=features, momentum=momentum,
+               tree_fold=tree_fold)
+    if checkpoint_path is not None:
+        state = _load_fit_checkpoint(checkpoint_path, cfg)
+        if state is not None:
+            w, b, vw, vb, losses, start_epoch = state
 
-    for _ in range(epochs):
+    for _epoch in range(start_epoch, epochs):
         cur_w, cur_b = w, b  # broadcast via closure, read-only per task
 
         def grad_part(t: pa.Table) -> pd.DataFrame:
@@ -190,9 +206,42 @@ def fit_logreg(ds, label_col: str, text_col: str = "text", dim: int = 4096,
         w = w + vw
         b = b + vb
         losses.append(loss / n_total)
+        if checkpoint_path is not None:
+            _save_fit_checkpoint(checkpoint_path, cfg, w, b, vw, vb,
+                                 losses, _epoch + 1)
 
     return LogRegModel(weights=w, bias=b, dim=dim, losses=losses,
                        features=features)
+
+
+def _save_fit_checkpoint(path, cfg, w, b, vw, vb, losses, epoch) -> None:
+    import json
+    import os
+
+    tmp = f"{path}.tmp.npz"
+    np.savez(tmp.removesuffix(".npz"), __kind="logreg_fit_ckpt",
+             cfg=json.dumps(cfg, sort_keys=True), epoch=epoch,
+             w=w, b=b, vw=vw, vb=vb, losses=np.asarray(losses))
+    os.replace(tmp, path)  # atomic publish
+
+
+def _load_fit_checkpoint(path, cfg):
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as d:
+        if str(d["__kind"]) != "logreg_fit_ckpt":
+            raise ValueError(f"{path} is not a fit checkpoint")
+        saved = str(d["cfg"])
+        if saved != json.dumps(cfg, sort_keys=True):
+            raise ValueError(
+                "fit_logreg: checkpoint was written under a different fit "
+                f"config ({saved}) — refusing to resume; delete it or match "
+                "the parameters")
+        return (d["w"], float(d["b"]), d["vw"], float(d["vb"]),
+                [float(x) for x in d["losses"]], int(d["epoch"]))
 
 
 def score_logreg(ds, model: LogRegModel, text_col: str = "text",

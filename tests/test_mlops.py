@@ -62,6 +62,30 @@ def test_logreg_binary_features_length_invariant_margin(ray_session):
     assert (scored["quality_pred"] == scored["label"]).all()
 
 
+def test_logreg_checkpoint_resume_bitwise(ray_session, tmp_path):
+    """A fit killed mid-way resumes from its epoch checkpoint and ends
+    bitwise-equal to an uninterrupted fit; config mismatch refuses."""
+    import ray.data as rd
+
+    rows = _docs(n=100)
+    ds = rd.from_items(rows, override_num_blocks=3)
+    kw = dict(dim=128, epochs=6, lr=3.0, id_col="doc_id",
+              features="binary")
+    full = fit_logreg(ds, "label", **kw)
+
+    ckpt = str(tmp_path / "fit.npz")
+    fit_logreg(ds, "label", dim=128, epochs=4, lr=3.0, id_col="doc_id",
+               features="binary", checkpoint_path=ckpt)  # "crash" after 4
+    resumed = fit_logreg(ds, "label", **kw, checkpoint_path=ckpt)
+    np.testing.assert_array_equal(full.weights, resumed.weights)
+    assert full.bias == resumed.bias
+    assert full.losses == resumed.losses
+
+    with pytest.raises(ValueError, match="different fit config"):
+        fit_logreg(ds, "label", dim=128, epochs=6, lr=9.9, id_col="doc_id",
+                   features="binary", checkpoint_path=ckpt)
+
+
 def test_logreg_null_label_raises(ray_session):
     import ray.data as rd
 
