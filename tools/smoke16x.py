@@ -258,9 +258,51 @@ def main() -> int:
     timed("dedup_lines", line_dedup)
     timed("lm_score", lm_score)
     timed("semdedup_2m", semdedup_scale)
+    # --- the composed curation stack: pii -> wordlist -> LM ppl -> clf ----
+    # every stage is row-local, so the whole chain fuses into ONE operator
+    def curation_stack():
+        import pyarrow as pa
+
+        from bench import SF_DIR
+        from logray.functions.classifier import fit_logreg, score_logreg
+        from logray.functions.lm import fit_ngram_lm, lm_perplexity
+        from logray.functions.pii import redact_pii
+        from logray.functions.quality import wordlist_filter
+
+        ref = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"])
+        lm = fit_ngram_lm(ref.select_columns(["text"]), n=3, dim=1 << 16)
+
+        def seed(t):
+            did = t["doc_id"]
+            lab = pc.equal(
+                pc.subtract(did, pc.multiply(pc.divide(did, 3), 3)), 0)
+            marked = pc.if_else(
+                lab,
+                pc.binary_join_element_wise(t["text"], " qgooda qgoodb", ""),
+                t["text"])
+            return pa.table({"doc_id": did, "text": marked, "label": lab})
+
+        clf = fit_logreg(ref.map_batches(seed, batch_format="pyarrow",
+                                         zero_copy_batch=True,
+                                         batch_size=None),
+                         "label", dim=4096, epochs=6, lr=5.0,
+                         id_col="doc_id", features="binary")
+
+        ds = read(["turn_idx", "text"])
+        ds = redact_pii(ds)
+        ds = wordlist_filter(ds, ["spark", "window", "merge"], mode="flag")
+        ds = score_logreg(ds, clf)
+        # lm_perplexity projects to (id, ppl, n_tokens) — keep it last
+        ds = lm_perplexity(ds, lm, id_col="turn_idx")
+        return int(ds.map_batches(
+            lambda t: t.select(["n_tokens"]), batch_format="pyarrow"
+        ).sum("n_tokens"))
+
     timed("classifier_fit_score", classifier_fit_score)
     timed("domain_quota", domain_quota_52m)
     timed("domain_quota_narrow", domain_quota_narrow_52m)
+    timed("curation_stack", curation_stack)
 
     print(json.dumps({"rows": rows, "num_cpus": ncpu, "families": results}))
     ray.shutdown()
