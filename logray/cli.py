@@ -307,6 +307,42 @@ def cmd_textstats(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the composed curation stack over a document parquet: PII
+    redaction -> banned-wordlist gate -> optional trained-classifier
+    scoring -> optional LM perplexity, streamed straight to the sink
+    (every stage is row-local, so the whole chain fuses with the read)."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.functions.pii import redact_pii
+    from logray.functions.quality import wordlist_filter
+
+    ds = rd.read_parquet(args.input)
+    ds = redact_pii(ds, col=args.text_col)
+    if args.badwords:
+        words = [w for w in open(args.badwords).read().split() if w]
+        ds = wordlist_filter(ds, words, col=args.text_col, mode=args.badwords_mode)
+    if args.classifier:
+        from logray.functions.classifier import score_logreg
+        from logray.state.artifacts import load_logreg
+
+        ds = score_logreg(ds, load_logreg(args.classifier),
+                          text_col=args.text_col)
+    if args.lm:
+        from logray.functions.lm import lm_perplexity
+        from logray.state.artifacts import load_ngram_lm
+
+        keep = tuple(c for c in ds.schema().names
+                     if c not in (args.id_col, args.text_col))
+        ds = lm_perplexity(ds, load_ngram_lm(args.lm), id_col=args.id_col,
+                           text_col=args.text_col, keep_cols=keep)
+    ds.write_parquet(args.out)
+    n = rd.read_parquet(args.out, columns=[args.id_col]).count()
+    print(json.dumps({"rows": int(n), "written": args.out}))
+    return 0
+
+
 def cmd_run(args) -> int:
     _init_ray(args.num_cpus)
     from logray.formats import GOLDEN_FORMAT
@@ -419,6 +455,18 @@ def main(argv=None) -> int:
     sp.add_argument("--out")
     sp.add_argument("--text-col", default="text")
     sp.set_defaults(fn=cmd_textstats)
+
+    sp = sub.add_parser(
+        "curate", help="PII + badwords + classifier + LM curation stack")
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--badwords", help="file of banned words (whitespace-separated)")
+    sp.add_argument("--badwords-mode", choices=["drop", "flag"], default="drop")
+    sp.add_argument("--classifier", help="fitted logreg artifact (.npz)")
+    sp.add_argument("--lm", help="fitted n-gram LM artifact (.npz)")
+    sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("run", help="run the flagship pipeline")
     sp.add_argument("input")

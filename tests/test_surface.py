@@ -348,3 +348,48 @@ def test_cli_span_dedup_and_funnel(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out == {"stage_1": 1, "stage_3": 1}
+
+
+def test_cli_curate(tmp_path):
+    """The composed curation verb: PII + badwords flag + classifier +
+    LM perplexity stream to the sink with all columns present."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logray.functions.classifier import LogRegModel
+    from logray.state.artifacts import save_logreg, save_ngram_lm
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": list(range(20)),
+        "text": [f"doc {i} contact a@b.co " + ("spark " * (i % 3))
+                 for i in range(20)],
+    }), src)
+    bw = str(tmp_path / "bw.txt")
+    open(bw, "w").write("spark\n")
+    clf = str(tmp_path / "clf.npz")
+    save_logreg(LogRegModel(weights=np.zeros(64), bias=0.0, dim=64,
+                            losses=[0.7], features="binary"), clf)
+    lm = str(tmp_path / "lm.npz")
+    save_ngram_lm(([np.ones(256, np.int64)], 256), lm)
+
+    out = str(tmp_path / "out")
+    r = _cli("curate", src, "--out", out, "--badwords", bw,
+             "--badwords-mode", "flag", "--classifier", clf, "--lm", lm)
+    assert r.returncode == 0, r.stderr
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["rows"] == 20
+    got = pq.read_table(out)
+    cols = set(got.column_names)
+    assert {"doc_id", "n_banned", "quality_prob", "quality_pred",
+            "ppl"} <= cols
+    n_banned = dict(zip(got["doc_id"].to_pylist(),
+                        got["n_banned"].to_pylist()))
+    assert n_banned[0] == 0 and n_banned[2] == 2
+
+    # drop mode removes the flagged docs
+    out2 = str(tmp_path / "out2")
+    r = _cli("curate", src, "--out", out2, "--badwords", bw)
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == 7
