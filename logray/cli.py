@@ -319,26 +319,39 @@ def cmd_curate(args) -> int:
     from logray.functions.quality import wordlist_filter
 
     ds = rd.read_parquet(args.input)
+    # input column names from parquet metadata — NOT ds.schema() on the
+    # built-up pipeline, which would execute part of it just for names
+    in_cols = list(ds.schema().names)
+    appended = []
     ds = redact_pii(ds, col=args.text_col)
     if args.badwords:
-        words = [w for w in open(args.badwords).read().split() if w]
-        ds = wordlist_filter(ds, words, col=args.text_col, mode=args.badwords_mode)
+        with open(args.badwords) as f:
+            words = [w for w in f.read().split() if w]
+        if not words:
+            print(f"note: badwords file {args.badwords} is empty; "
+                  "skipping the wordlist stage", file=sys.stderr)
+        else:
+            ds = wordlist_filter(ds, words, col=args.text_col,
+                                 mode=args.badwords_mode)
+            if args.badwords_mode == "flag":
+                appended.append("n_banned")
     if args.classifier:
         from logray.functions.classifier import score_logreg
         from logray.state.artifacts import load_logreg
 
         ds = score_logreg(ds, load_logreg(args.classifier),
                           text_col=args.text_col)
+        appended += ["quality_prob", "quality_pred"]
     if args.lm:
         from logray.functions.lm import lm_perplexity
         from logray.state.artifacts import load_ngram_lm
 
-        keep = tuple(c for c in ds.schema().names
+        keep = tuple(c for c in in_cols + appended
                      if c not in (args.id_col, args.text_col))
         ds = lm_perplexity(ds, load_ngram_lm(args.lm), id_col=args.id_col,
                            text_col=args.text_col, keep_cols=keep)
     ds.write_parquet(args.out)
-    n = rd.read_parquet(args.out, columns=[args.id_col]).count()
+    n = rd.read_parquet(args.out).count()  # metadata-only row count
     print(json.dumps({"rows": int(n), "written": args.out}))
     return 0
 

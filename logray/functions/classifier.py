@@ -134,8 +134,11 @@ def fit_logreg(ds, label_col: str, text_col: str = "text", dim: int = 4096,
     last completed epoch and produces THE SAME final model, bitwise, as
     an uninterrupted fit — each epoch over 100 TB is a full corpus pass,
     so a fit that dies at epoch 28/30 must not restart from zero.  The
-    checkpoint stores the fit config and refuses to resume under a
-    different one.
+    checkpoint stores the fit config (hyperparameters + column names)
+    and refuses to resume under a different one.  It CANNOT tell two
+    corpora apart: the path identifies the (dataset, fit) pair — use a
+    distinct path per corpus, or a completed checkpoint from the old
+    corpus is returned as-is with zero passes over the new one.
     """
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
@@ -144,7 +147,8 @@ def fit_logreg(ds, label_col: str, text_col: str = "text", dim: int = 4096,
     losses: list[float] = []
     start_epoch = 0
     cfg = dict(dim=dim, lr=lr, l2=l2, features=features, momentum=momentum,
-               tree_fold=tree_fold)
+               tree_fold=tree_fold, label_col=label_col, text_col=text_col,
+               id_col=id_col)
     if checkpoint_path is not None:
         state = _load_fit_checkpoint(checkpoint_path, cfg)
         if state is not None:
@@ -154,11 +158,13 @@ def fit_logreg(ds, label_col: str, text_col: str = "text", dim: int = 4096,
         cur_w, cur_b = w, b  # broadcast via closure, read-only per task
 
         def grad_part(t: pa.Table) -> pd.DataFrame:
+            t = t.filter(pc.is_valid(t[text_col]))
+            # null-text rows are dropped above; a null label on a row
+            # that WOULD train poisons every gradient bucket with NaN
             if t[label_col].null_count:
                 raise ValueError(
                     "fit_logreg: null labels poison the gradient — filter "
                     f"rows where {label_col!r} is null before fitting")
-            t = t.filter(pc.is_valid(t[text_col]))
             n = t.num_rows
             key_col = id_col or t.column_names[0]
             key = str(t[key_col][0].as_py()) if n else ""

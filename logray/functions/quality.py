@@ -384,15 +384,27 @@ def source_quality_gate_sql(table: str, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def _wordlist_pattern(words) -> str:
-    """One RE2 alternation with word boundaries, case-insensitive via
-    (?i) — identical semantics in Arrow and DuckDB (both RE2)."""
+    """One RE2 alternation, case-insensitive via (?i) — identical
+    semantics in Arrow and DuckDB (both RE2).
+
+    Word boundaries are EDGE-AWARE: ``\\b`` is only attached next to a
+    word character (``\\b`` beside a non-word char like '+' would
+    invert the match — 'c++' would hit 'c++x' but never a standalone
+    'c++').  A token ending in non-word chars therefore matches as a
+    prefix ('c++' also hits 'c++x'); that asymmetry is inherent to
+    regex word boundaries and documented rather than hidden."""
     import re as _re
 
     toks = sorted({w.strip().lower() for w in words if w.strip()})
     if not toks:
         raise ValueError("wordlist_filter: empty word list")
-    alts = "|".join(_re.escape(t) for t in toks)
-    return rf"(?i)\b({alts})\b"
+
+    def one(t: str) -> str:
+        lead = r"\b" if (t[0].isalnum() or t[0] == "_") else ""
+        trail = r"\b" if (t[-1].isalnum() or t[-1] == "_") else ""
+        return lead + _re.escape(t) + trail
+
+    return "(?i)(" + "|".join(one(t) for t in toks) + ")"
 
 
 def wordlist_hits_table(t, words_or_pattern, col: str = "text",

@@ -41,6 +41,19 @@ __all__ = [
 _VERSION = 1
 
 
+def _savez(path: str, **arrays) -> None:
+    """np.savez that writes EXACTLY ``path`` (numpy silently appends
+    .npz when the suffix is missing, which strands the artifact at a
+    path the later load_* call will not find)."""
+    import os
+
+    if path.endswith(".npz"):
+        np.savez(path, **arrays)
+        return
+    np.savez(path + ".npz", **arrays)
+    os.replace(path + ".npz", path)
+
+
 def _check(d, kind: str) -> None:
     got = str(d["__kind"]) if "__kind" in d else None
     if got != kind:
@@ -54,7 +67,7 @@ def save_ngram_lm(fitted, path: str) -> None:
     """Persist :func:`~logray.functions.lm.fit_ngram_lm`'s return value
     (per-order int64 count vectors + token total)."""
     counts, total = fitted
-    np.savez(path, __kind="ngram_lm", __version=_VERSION,
+    _savez(path, __kind="ngram_lm", __version=_VERSION,
              total=np.int64(total), n=np.int64(len(counts)),
              **{f"c{k + 1}": counts[k] for k in range(len(counts))})
 
@@ -70,7 +83,7 @@ def save_bag(bag, path: str) -> None:
     """Persist :func:`~logray.functions.dsir.fit_hashed_bag`'s return
     value (count vector + total)."""
     counts, total = bag
-    np.savez(path, __kind="hashed_bag", __version=_VERSION,
+    _savez(path, __kind="hashed_bag", __version=_VERSION,
              counts=counts, total=np.int64(total))
 
 
@@ -83,7 +96,7 @@ def load_bag(path: str):
 def save_centroids(centroids: np.ndarray, path: str) -> None:
     """Persist a k-means centroid matrix
     (:func:`~logray.functions.cluster.kmeans_fit` / SemDeDup reuse)."""
-    np.savez(path, __kind="centroids", __version=_VERSION,
+    _savez(path, __kind="centroids", __version=_VERSION,
              centroids=np.asarray(centroids))
 
 
@@ -112,7 +125,7 @@ def save_logreg(model, path: str) -> None:
     feature mode and the fit loss curve — a reloaded model scores
     bit-identically (train once on the labeled reference set, score
     every crawl snapshot)."""
-    np.savez(path, __kind="logreg", __version=_VERSION,
+    _savez(path, __kind="logreg", __version=_VERSION,
              weights=model.weights, bias=float(model.bias),
              dim=int(model.dim), losses=np.asarray(model.losses),
              features=model.features)
@@ -132,7 +145,7 @@ def load_logreg(path: str):
 def save_pca(model, path: str) -> None:
     """Persist a fitted PCA basis
     (:func:`~logray.functions.pca.fit_pca`)."""
-    np.savez(path, __kind="pca", __version=_VERSION,
+    _savez(path, __kind="pca", __version=_VERSION,
              mean=model.mean, components=model.components,
              explained_variance=model.explained_variance,
              explained_variance_ratio=model.explained_variance_ratio,
