@@ -554,6 +554,16 @@ def _q_tumbling_window(sf_dir: str):
     return tumbling_window(ds, key_cols="event_type", width="day")
 
 
+def _q_resample_ohlc(sf_dir: str):
+    import ray.data as rd
+
+    from logray.stages.window import resample_ohlc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value", "event_id"])
+    return resample_ohlc(ds, "event_type", width_s=86400.0)
+
+
 def _q_salted_histogram(sf_dir: str):
     import ray.data as rd
 
@@ -2803,6 +2813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": _q_conv_stats,
         "sessionize": _q_sessionize,
         "tumbling_window": _q_tumbling_window,
+        "resample_ohlc": _q_resample_ohlc,
         "salted_histogram": _q_salted_histogram,
         "kth_price": _q_kth_price,
         "top_users": _q_top_users,
@@ -3013,6 +3024,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.decontam import decontaminate_sql
     from logray.functions.heavyhitters import heavy_hitters_sql
     from logray.stages.stats import standardize_sql, stats_agg_sql, winsorize_sql
+    from logray.stages.window import resample_ohlc_sql
     from logray.functions.linededup import dedup_lines_sql
     from logray.functions.spandedup import dedup_spans_bytes_sql, dedup_spans_sql
     from logray.functions.dedup import edit_distance_pairs_sql
@@ -3320,6 +3332,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_histogram": """
             SELECT event_type, count(*) AS n FROM events GROUP BY event_type
         """,
+        "resample_ohlc": resample_ohlc_sql(
+            "events", "event_type", "ts", "value", "event_id", 86400.0),
         "asof_last_purchase": """
             WITH p AS (
               SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS purchase_cents

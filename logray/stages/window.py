@@ -175,6 +175,128 @@ def sessions_per_key(ds, key_col: str, ts_col: str = "ts", gap_s: float = 1800.0
     )
 
 
+_OHLC_COLS = ["window_start", "o_ts", "o_tb", "open", "c_ts", "c_tb",
+              "close", "low", "high", "n", "sum_cents"]
+
+
+def _ohlc_merge(df: pd.DataFrame, key_col: str) -> pd.DataFrame:
+    """Associative OHLC partial merge: rows carry the per-(key, window)
+    candidate open/close (with their (ts, tiebreak) provenance) plus
+    low/high/n/sum — re-applying this rule over any grouping of partials
+    yields the same result, so batch combiner and bucket fold share it."""
+    grp = [key_col, "window_start"]
+    asc = df.sort_values(grp + ["o_ts", "o_tb"], kind="mergesort")
+    opens = asc.drop_duplicates(grp, keep="first")[grp + ["o_ts", "o_tb", "open"]]
+    desc = df.sort_values(grp + ["c_ts", "c_tb"], kind="mergesort")
+    closes = desc.drop_duplicates(grp, keep="last")[grp + ["c_ts", "c_tb", "close"]]
+    agg = (df.groupby(grp, sort=False, dropna=False)
+           .agg(low=("low", "min"), high=("high", "max"),
+                n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+           .reset_index())
+    out = agg.merge(opens, on=grp).merge(closes, on=grp)
+    return out[[key_col] + _OHLC_COLS]
+
+
+def resample_ohlc(ds, key_col: str, ts_col: str = "ts", val_col: str = "value",
+                  tiebreak_col: str = "event_id", width_s: float = 3600.0,
+                  num_buckets: int = 32, as_pandas: bool = True):
+    """Time-series resample to fixed bars: per (key, tumbling window of
+    ``width_s``) emit open / high / low / close of ``val_col`` plus row
+    count and an exact integer-cents sum — the OHLC downsample every
+    metrics/trading log pipeline runs.  Open/close are the values on the
+    first/last row by (ts, tiebreak); ties are impossible when the
+    tiebreak is unique, so the SQL twin pins the identical rule.  Rows
+    with a null value, timestamp, or key are ignored (bars are per
+    entity; the twin filters identically — and pandas merge would drop
+    NaN keys silently otherwise).
+
+    ``window_start`` is int64 epoch microseconds (``floor(epoch_us / W) *
+    W``), exactly reproducible in SQL.
+
+    Scale shape: each batch reduces to ONE partial row per (key, window)
+    present (the combiner), then one ``hash(key) % num_buckets`` shuffle
+    of those tiny partials and a vectorized per-bucket fold — raw rows
+    never shuffle, state per bucket is O(windows in bucket)."""
+    width_us = int(width_s * 1_000_000)
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        t = t.select([key_col, ts_col, val_col, tiebreak_col])
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[val_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[key_col])))
+        ts_us = np.asarray(t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()))
+        w = np.floor_divide(ts_us, width_us) * width_us
+        val = np.asarray(t[val_col].cast(pa.float64()))
+        cents = np.asarray(
+            pc.round(pc.multiply(t[val_col].cast(pa.float64()), 100.0))
+            .cast(pa.int64()))
+        df = pd.DataFrame({
+            key_col: t[key_col].to_pandas(),
+            "window_start": w,
+            "o_ts": ts_us, "o_tb": np.asarray(t[tiebreak_col]), "open": val,
+            "c_ts": ts_us, "c_tb": np.asarray(t[tiebreak_col]), "close": val,
+            "low": val, "high": val,
+            "n": np.ones(len(w), np.int64), "sum_cents": cents,
+        })
+        return _ohlc_merge(df, key_col)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        if not len(g):
+            return pd.DataFrame({key_col: [], "window_start": pd.array([], dtype="int64"),
+                                 "open": pd.array([], dtype="float64"),
+                                 "high": pd.array([], dtype="float64"),
+                                 "low": pd.array([], dtype="float64"),
+                                 "close": pd.array([], dtype="float64"),
+                                 "n": pd.array([], dtype="int64"),
+                                 "sum_cents": pd.array([], dtype="int64")})
+        out = _ohlc_merge(g, key_col)
+        out = out[[key_col, "window_start", "open", "high", "low", "close",
+                   "n", "sum_cents"]]
+        out["n"] = out["n"].astype("int64")
+        out["sum_cents"] = out["sum_cents"].astype("int64")
+        return out
+
+    out = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .map_batches(_bucket_tagger(key_col, num_buckets),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return out.to_pandas() if as_pandas else out
+
+
+def resample_ohlc_sql(table: str, key_col: str, ts_col: str, val_col: str,
+                      tiebreak_col: str, width_s: float) -> str:
+    """DuckDB twin of :func:`resample_ohlc` (identical window arithmetic,
+    deterministic open/close via (ts, tiebreak) row_number)."""
+    width_us = int(width_s * 1_000_000)
+    return (
+        f"WITH w AS (SELECT {key_col}, CAST(floor(epoch_us({ts_col}) / {width_us}) "
+        f"AS BIGINT) * {width_us} AS window_start, {ts_col} AS ts, "
+        f"{tiebreak_col} AS tb, CAST({val_col} AS DOUBLE) AS v, "
+        f"CAST(round({val_col} * 100) AS BIGINT) AS cents "
+        f"FROM {table} WHERE {val_col} IS NOT NULL AND {ts_col} IS NOT NULL "
+        f"AND {key_col} IS NOT NULL), "
+        f"o AS (SELECT {key_col}, window_start, v AS open FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {key_col}, window_start "
+        f"ORDER BY ts ASC, tb ASC) AS rn FROM w) WHERE rn = 1), "
+        f"c AS (SELECT {key_col}, window_start, v AS close FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {key_col}, window_start "
+        f"ORDER BY ts DESC, tb DESC) AS rn FROM w) WHERE rn = 1), "
+        f"a AS (SELECT {key_col}, window_start, min(v) AS low, max(v) AS high, "
+        f"count(*) AS n, CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents "
+        f"FROM w GROUP BY {key_col}, window_start) "
+        f"SELECT a.{key_col}, a.window_start, o.open, a.high, a.low, c.close, "
+        f"a.n, a.sum_cents FROM a "
+        f"JOIN o ON a.{key_col} = o.{key_col} AND a.window_start = o.window_start "
+        f"JOIN c ON a.{key_col} = c.{key_col} AND a.window_start = c.window_start"
+    )
+
+
 def salted_histogram(ds, cols, salt_buckets: int = 16, as_pandas: bool = True):
     """Two-phase salted exact counts for HOT keys whose raw rows would
     overwhelm a single reducer even after per-batch partials: phase 1

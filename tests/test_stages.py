@@ -1349,3 +1349,61 @@ def test_table_profile_matches_duckdb(ray_session):
 
     with pytest.raises(ValueError, match="unknown distinct"):
         table_profile(rd.from_arrow(t), distinct="bogus")
+
+
+def test_resample_ohlc_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from logray.stages.window import resample_ohlc, resample_ohlc_sql
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 6 * 3600, n), unit="s")
+    val = np.round(rng.normal(50, 20, n), 2)
+    val[rng.random(n) < 0.03] = np.nan
+    t = pa.table({
+        "k": pa.array([f"s{i}" for i in rng.integers(0, 7, n)]),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "v": pa.array(val, pa.float64(), from_pandas=True),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = (con.sql(resample_ohlc_sql("t", "k", "ts", "v", "id", 900.0))
+            .df().sort_values(["k", "window_start"]).reset_index(drop=True))
+
+    import ray.data as rd
+    for parts in (1, 5):
+        got = (resample_ohlc(rd.from_arrow(t).repartition(parts), "k",
+                             ts_col="ts", val_col="v", tiebreak_col="id",
+                             width_s=900.0)
+               .sort_values(["k", "window_start"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_resample_ohlc_null_key_and_single_row_windows(ray_session):
+    import ray.data as rd
+
+    from logray.stages.window import resample_ohlc
+
+    ts = pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:02",
+                         "2024-01-01 02:00:00"])
+    t = pa.table({
+        "k": pa.array(["a", None, "a"]),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "v": pa.array([1.5, 9.0, 2.5], pa.float64()),
+        "id": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = resample_ohlc(rd.from_arrow(t).repartition(2), "k", ts_col="ts",
+                        val_col="v", tiebreak_col="id", width_s=3600.0)
+    out = out.sort_values("window_start").reset_index(drop=True)
+    # null key dropped; two single-row windows for 'a'
+    assert len(out) == 2
+    assert out["open"].tolist() == [1.5, 2.5]
+    assert out["close"].tolist() == [1.5, 2.5]
+    assert out["n"].tolist() == [1, 1]
+    assert out["sum_cents"].tolist() == [150, 250]
