@@ -483,6 +483,35 @@ def _q_range_join_bands(sf_dir: str):
     return histogram(joined, "band")
 
 
+def _q_overlap_join_windows(sf_dir: str):
+    """Interval-overlap join: event spans [ts, ts + value minutes) vs four
+    broadcast maintenance windows (disjoint -> searchsorted run fast path);
+    counts per window."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.stages.aggregate import histogram
+    from logray.stages.join import interval_overlap_join
+
+    sec = np.array([[1704420000, 1704434400], [1705017600, 1705060800],
+                    [1705773600, 1705780800], [1706400000, 1706486400]],
+                   dtype="int64")
+    wins = pd.DataFrame({"win": ["m0", "m1", "m2", "m3"],
+                         "lo": sec[:, 0] * 1_000_000,
+                         "hi": sec[:, 1] * 1_000_000})
+
+    def spans(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        dur = pc.cast(pc.round(pc.multiply(t["value"], 60_000_000.0)),
+                      pa.int64())
+        return pa.table({"s": ts_us, "e": pc.add(ts_us, dur)})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    sp = ds.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True)
+    return histogram(interval_overlap_join(sp, wins, "s", "e"), "win")
+
+
 def _q_turn_context(sf_dir: str):
     """Rolling 3-turn context per transcript turn (training context-window
     assembly), exact vs a SQL window list aggregate."""
@@ -2820,6 +2849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": _q_token_topk,
         "asof_last_purchase": _q_asof_last_purchase,
         "range_join_bands": _q_range_join_bands,
+        "overlap_join_windows": _q_overlap_join_windows,
         "turn_context": _q_turn_context,
         "local_global_map": _q_local_global,
         # general operators
@@ -3352,6 +3382,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT band, count(*) AS n
             FROM events JOIN bands ON value >= lo AND value < hi
             GROUP BY band
+        """,
+        "overlap_join_windows": """
+            WITH w(win, lo, hi) AS (VALUES
+              ('m0', 1704420000000000, 1704434400000000),
+              ('m1', 1705017600000000, 1705060800000000),
+              ('m2', 1705773600000000, 1705780800000000),
+              ('m3', 1706400000000000, 1706486400000000)),
+            ev AS (SELECT epoch_us(ts) AS s,
+                          epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e
+                   FROM events)
+            SELECT win, count(*) AS n
+            FROM ev JOIN w ON s < hi AND e > lo
+            GROUP BY win
         """,
         "turn_context": f"""
             {_FIELDS_CTE}

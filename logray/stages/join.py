@@ -459,3 +459,98 @@ def range_join(left, right_intervals, value_col: str, lo_col: str = "lo",
     return left.map_batches(Assign, fn_constructor_kwargs=dict(r=ref),
                             batch_format="pyarrow", batch_size=batch_size,
                             concurrency=(1, 8))
+
+
+def interval_overlap_join(left, right_intervals, start_col: str, end_col: str,
+                          lo_col: str = "lo", hi_col: str = "hi",
+                          how: str = "inner", batch_size: int = 65536):
+    """Interval-overlap join: match each left row's span ``[start, end)``
+    to every broadcast interval ``[lo, hi)`` that overlaps it
+    (``start < hi AND end > lo`` — both sides half-open, so touching
+    spans do not match).  The downtime/session/maintenance-window overlap
+    every ops pipeline runs; generalizes :func:`range_join` from points
+    to spans (a left row can match SEVERAL intervals).
+
+    Columns must be numeric (convert timestamps to epoch integers first);
+    rows with a null bound match nothing, like the SQL comparison.
+
+    Scale shape: the interval table is broadcast once (``ray.put``) and
+    resolved per batch.  Disjoint sorted intervals take the fast path —
+    the match set per row is a CONTIGUOUS interval run (both bounds
+    monotone), found with two ``np.searchsorted`` calls and emitted with
+    one repeat/arange gather, no per-interval pass; overlapping interval
+    tables fall back to one vectorized mask per interval.
+
+    ``how='left'`` keeps span rows that overlap nothing, null-extended."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"interval_overlap_join: unsupported how={how!r} (inner|left)")
+    df = (right_intervals if isinstance(right_intervals, pd.DataFrame)
+          else right_intervals.to_pandas())
+    df = df.sort_values(lo_col, kind="mergesort").reset_index(drop=True)
+    disjoint = (bool((df[hi_col].iloc[:-1].to_numpy()
+                      <= df[lo_col].iloc[1:].to_numpy()).all())
+                if len(df) > 1 else True)
+    ref = ray.put(df)
+
+    class Assign:
+        def __init__(self, r):
+            self.iv = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            self.iv_types = {
+                f.name: f.type for f in pa.Table.from_pandas(self.iv).schema
+            }
+
+        def _append_iv(self, t: pa.Table, jidx: np.ndarray) -> pa.Table:
+            ivrows = self.iv.iloc[jidx].reset_index(drop=True)
+            for c in self.iv.columns:
+                t = t.append_column(c, pa.array(ivrows[c]))
+            return t
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            s = t[start_col].to_numpy(zero_copy_only=False).astype("float64")
+            e = t[end_col].to_numpy(zero_copy_only=False).astype("float64")
+            lo = self.iv[lo_col].to_numpy().astype("float64")
+            hi = self.iv[hi_col].to_numpy().astype("float64")
+            n = len(s)
+            out, matched = [], np.zeros(n, bool)
+            if disjoint:
+                # interval j overlaps iff hi[j] > s (j >= jmin, hi asc)
+                # and lo[j] < e (j <= jmax, lo asc): a contiguous run.
+                jmin = np.searchsorted(hi, s, side="right")
+                jmax = np.searchsorted(lo, e, side="left") - 1
+                valid = ~(np.isnan(s) | np.isnan(e))
+                cnt = np.where(valid, np.maximum(jmax - jmin + 1, 0), 0)
+                matched = cnt > 0
+                total = int(cnt.sum())
+                if total:
+                    row_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+                    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+                    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+                    jidx = np.repeat(jmin, cnt) + pos
+                    out.append(self._append_iv(t.take(pa.array(row_idx)), jidx))
+            else:
+                for i in range(len(lo)):
+                    ok = (s < hi[i]) & (e > lo[i])
+                    matched |= ok
+                    if ok.any():
+                        sel = t.filter(pa.array(ok))
+                        out.append(self._append_iv(
+                            sel, np.full(sel.num_rows, i, dtype=np.int64)))
+            if how == "left" and not matched.all():
+                un = t.filter(pa.array(~matched))
+                for c in self.iv.columns:
+                    un = un.append_column(c, pa.nulls(un.num_rows,
+                                                      self.iv_types[c]))
+                out.append(un)
+            if not out:
+                empty = t.slice(0, 0)
+                for c in self.iv.columns:
+                    empty = empty.append_column(c, pa.nulls(0, self.iv_types[c]))
+                return empty
+            return pa.concat_tables(out, promote_options="permissive")
+
+    return left.map_batches(Assign, fn_constructor_kwargs=dict(r=ref),
+                            batch_format="pyarrow", batch_size=batch_size,
+                            concurrency=(1, 8))

@@ -1667,3 +1667,58 @@ def test_funnel_all_noise_batch_keeps_schema(ray_session):
     assert out.loc[2, "stage_reached"] == 1
     assert out.loc[0, "stage_reached"] == 0
     assert len(out) == 13
+
+
+def test_interval_overlap_join_fast_path_and_fallback(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.join import interval_overlap_join
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    s = rng.integers(0, 10_000, n).astype("float64")
+    e = s + rng.integers(0, 500, n)
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "s": pa.array(s), "e": pa.array(e)})
+
+    # disjoint (fast path, rows can span several intervals) AND
+    # overlapping (per-interval mask fallback) vs the same SQL twin
+    disjoint = pd.DataFrame({"win": ["a", "b", "c"],
+                             "lo": [100.0, 600.0, 5_000.0],
+                             "hi": [400.0, 900.0, 9_000.0]})
+    overlapping = pd.DataFrame({"win": ["x", "y"],
+                                "lo": [0.0, 200.0],
+                                "hi": [600.0, 8_000.0]})
+    con = duckdb.connect()
+    con.register("t", t)
+    for iv in (disjoint, overlapping):
+        con.register("w", iv)
+        want = (con.sql("SELECT id, win FROM t JOIN w ON s < hi AND e > lo")
+                .df().sort_values(["id", "win"]).reset_index(drop=True))
+        got = (interval_overlap_join(rd.from_arrow(t).repartition(3), iv,
+                                     "s", "e")
+               .to_pandas()[["id", "win"]]
+               .sort_values(["id", "win"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_interval_overlap_join_left_and_nulls(ray_session):
+    import ray.data as rd
+
+    from logray.stages.join import interval_overlap_join
+
+    t = pa.table({
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "s": pa.array([0.0, 500.0, None], pa.float64()),
+        "e": pa.array([50.0, 600.0, 700.0], pa.float64()),
+    })
+    iv = pd.DataFrame({"win": ["a"], "lo": [100.0], "hi": [550.0]})
+    out = (interval_overlap_join(rd.from_arrow(t), iv, "s", "e", how="left")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # id 0 ends before the window, id 2 has a null start: both unmatched
+    assert out["win"].tolist() == [None, "a", None]
+    import pytest
+
+    with pytest.raises(ValueError, match="inner|left"):
+        interval_overlap_join(rd.from_arrow(t), iv, "s", "e", how="outer")
