@@ -240,6 +240,97 @@ def _q_pushdown_read(sf_dir: str):
     return histogram(ds, "user_id")
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped multi-way join: revenue per nation for one region
+    and one order year, customer and supplier in the same nation.
+
+    Scale shape: region/nation/supplier fold into ONE broadcast
+    suppkey -> (nationkey, name) lookup applied inside map_batches
+    (pre-filtering lineitem to the region's suppliers before anything
+    shuffles); orders are date-pruned AT THE READ (row-group predicate
+    pushdown); the only all-to-all exchanges are the two unavoidable
+    large-large hash joins (orders x customer, lineitem x that), both on
+    pruned narrow projections.  The second join runs on the explicit
+    bucketed task path: two builtin JoinOperator actor pools in one
+    pipeline starve each other under small CPU budgets (each pool wants
+    its own aggregator actors).  Revenue is exact integer arithmetic:
+    cents * (100 - discount_bp), summed as int64."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from logray.stages.join import _bucketed_join, hash_join
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    supplier = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_nationkey"])
+    asia = nation.merge(region[region["r_name"] == "ASIA"],
+                        left_on="n_regionkey", right_on="r_regionkey")
+    sup = supplier.merge(asia[["n_nationkey", "n_name"]],
+                         left_on="s_nationkey", right_on="n_nationkey")
+    sup_ref = ray.put({
+        "s_suppkey": pa.array(sup["s_suppkey"].to_numpy(), pa.int64()),
+        "s_nationkey": sup["s_nationkey"].to_numpy(),
+        "n_name": sup["n_name"].to_numpy(),
+    })
+
+    lo = pd.Timestamp("1996-01-01").to_datetime64()
+    hi = pd.Timestamp("1997-01-01").to_datetime64()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
+    )
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+    ord_cust = hash_join(orders, customer, on="o_custkey",
+                         right_on="c_custkey").drop_columns(["o_custkey"])
+
+    class SupplierSide:
+        def __init__(self, ref):
+            m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.keys, self.nat, self.name = (m["s_suppkey"],
+                                              m["s_nationkey"], m["n_name"])
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["l_suppkey"], value_set=self.keys)
+            keep = pc.is_valid(idx)
+            t, idx = t.filter(keep), idx.filter(keep)
+            ii = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                            pa.int64())
+            bp = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                         pa.int64())
+            rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), bp))
+            return pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "s_nationkey": pa.array(self.nat[ii]),
+                "n_name": pa.array(self.name[ii]),
+                "rev_c4": rev,
+            })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(SupplierSide, fn_constructor_kwargs=dict(ref=sup_ref),
+                  batch_format="pyarrow", zero_copy_batch=True,
+                  concurrency=(1, 8))
+
+    joined = _bucketed_join(line, ord_cust, ("l_orderkey",), ("o_orderkey",),
+                            "inner", 16)
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nationkey"], t["c_nationkey"]))
+        g = t.group_by("n_name").aggregate([("rev_c4", "sum")])
+        return g.rename_columns(["n_name", "p_rev"])
+
+    out = (joined.map_batches(part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("n_name")
+           .aggregate(Sum("p_rev", alias_name="revenue_c4")))
+    return out.to_pandas()
+
+
 def _q_topk_orders(sf_dir: str):
     import ray.data as rd
 
@@ -2857,6 +2948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": _q_topk_orders,
         "region_customer_counts": _q_region_customer_counts,
         "lineitem_agg": _q_lineitem_agg,
+        "revenue_by_nation": _q_revenue_by_nation,
         "events_window": _q_events_window,
         "join_orders_customers": _q_join_orders_customers,
         "bucketed_join": _q_bucketed_join,
@@ -3431,6 +3523,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS HUGEINT)) AS BIGINT) AS revenue_c4
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
