@@ -2295,6 +2295,19 @@ def _q_ppl_buckets(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_curriculum_docs(sf_dir: str):
+    """Training-curriculum ordering: NTILE score bins (here n_chars as
+    the quality proxy) + seeded deterministic in-bin shuffle; two narrow
+    global sorts, never a full-width corpus sort."""
+    import ray.data as rd
+
+    from logray.functions.curriculum import curriculum_order
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return curriculum_order(ds, "n_chars", "doc_id", n_bins=7, seed=11)
+
+
 def _q_shuffle_deterministic(sf_dir: str):
     """Reproducible global training-order shuffle: sort by the seeded
     id hash — byte-identical order on any topology (exact SQL twin on
@@ -3048,6 +3061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "ppl_buckets": _q_ppl_buckets,
         "shuffle_deterministic": _q_shuffle_deterministic,
+        "curriculum_docs": _q_curriculum_docs,
         "source_quality_gate": _q_source_quality_gate,
         "edit_distance_dups": _q_edit_distance_dups,
         "transition_matrix": _q_transition_matrix,
@@ -3102,6 +3116,7 @@ _MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 
 
 def oracle_sql() -> dict[str, str]:
+    from logray.functions.curriculum import curriculum_order_sql
     from logray.functions.quality import wordlist_filter_sql
     from logray.functions.sample import (
         deterministic_shuffle_sql,
@@ -3630,6 +3645,8 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_deterministic": deterministic_shuffle_sql(
             "documents", "doc_id", seed=42, cols="doc_id, source, n_chars",
         ),
+        "curriculum_docs": curriculum_order_sql(
+            "documents", "n_chars", "doc_id", n_bins=7, seed=11),
         "source_quality_gate": source_quality_gate_sql(
             "documents", min_alpha_num=8210, min_alpha_den=10000,
         ),
