@@ -57,6 +57,7 @@ from logray.functions.sketch import approx_distinct_per_key
 from logray.functions.bloom import bloom_prefilter, build_bloom
 from logray.functions.semdedup import semdedup_keep, semdedup_verdicts
 from logray.functions.dsir import dsir_sample, dsir_weights, fit_hashed_bag
+from logray.functions.curriculum import curriculum_order, curriculum_order_sql
 from logray.functions.sample import deterministic_shuffle
 from logray.functions.quality import source_quality_gate
 from logray.functions.lm import fit_ngram_lm, lm_perplexity, perplexity_buckets
@@ -130,6 +131,8 @@ __all__ = [
     "ann_lsh_topk",
     "FingerprintBatch",
     "reservoir_per_key",
+    "curriculum_order",
+    "curriculum_order_sql",
     "sample_uniform",
     "stratified_split",
     "approx_distinct",

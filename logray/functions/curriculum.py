@@ -70,8 +70,12 @@ def curriculum_order(ds, score_col: str, id_col: str, n_bins: int = 10,
         return pa.table({id_col: t[id_col], "bin": pa.array(b),
                          "__ckey": pa.array(key.to_numpy(), pa.string())})
 
+    # materialize: binned feeds BOTH the second rank sort and the final
+    # join's left side — unmaterialized, Ray would re-run the hash/key
+    # map (and the upstream rank apply) once per consumer.  The pin is
+    # the narrow (id, bin, key) projection, same class as the rank table.
     binned = rank_ds.map_batches(keyed, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+                                 zero_copy_batch=True).materialize()
     rank2, _total2 = _rank_table(
         binned.select_columns(["__ckey", id_col]), "__ckey", id_col,
         pct=False)

@@ -473,12 +473,17 @@ def interval_overlap_join(left, right_intervals, start_col: str, end_col: str,
 
     Columns must be numeric (convert timestamps to epoch integers first);
     rows with a null bound match nothing, like the SQL comparison.
+    Integer bounds compare exactly in int64; mixing an integer side with
+    a float side compares in float64, which rounds above 2**53 — keep
+    both sides integral for epoch-nanosecond data.
 
     Scale shape: the interval table is broadcast once (``ray.put``) and
-    resolved per batch.  Disjoint sorted intervals take the fast path —
-    the match set per row is a CONTIGUOUS interval run (both bounds
-    monotone), found with two ``np.searchsorted`` calls and emitted with
-    one repeat/arange gather, no per-interval pass; overlapping interval
+    resolved per batch.  When both interval bounds are null-free and
+    ascending after the lo-sort (true for disjoint windows, also for
+    staggered overlaps), the fast path applies: the match set per row is
+    a CONTIGUOUS interval run (both bounds monotone), found with two
+    ``np.searchsorted`` calls and emitted with one repeat/arange gather,
+    no per-interval pass.  Nested/unsorted-hi or null-bound interval
     tables fall back to one vectorized mask per interval.
 
     ``how='left'`` keeps span rows that overlap nothing, null-extended."""
@@ -490,9 +495,17 @@ def interval_overlap_join(left, right_intervals, start_col: str, end_col: str,
     df = (right_intervals if isinstance(right_intervals, pd.DataFrame)
           else right_intervals.to_pandas())
     df = df.sort_values(lo_col, kind="mergesort").reset_index(drop=True)
-    disjoint = (bool((df[hi_col].iloc[:-1].to_numpy()
-                      <= df[lo_col].iloc[1:].to_numpy()).all())
-                if len(df) > 1 else True)
+    # null-carrying bounds (object None / nullable dtypes) become float
+    # NaN so comparisons are plain-numpy and null == no-match like SQL
+    for _c in (lo_col, hi_col):
+        if df[_c].isna().any():
+            df[_c] = pd.to_numeric(df[_c]).astype("float64")
+    # fast path needs BOTH bound arrays monotone non-decreasing (lo is,
+    # post-sort) and null-free: searchsorted over an unsorted or NaN hi
+    # returns garbage run bounds (inverted/nested intervals, null bounds)
+    _hi = df[hi_col].to_numpy()
+    fast = (not df[lo_col].isna().any() and not df[hi_col].isna().any()
+            and bool((_hi[:-1] <= _hi[1:]).all()))
     ref = ray.put(df)
 
     class Assign:
@@ -503,24 +516,35 @@ def interval_overlap_join(left, right_intervals, start_col: str, end_col: str,
             }
 
         def _append_iv(self, t: pa.Table, jidx: np.ndarray) -> pa.Table:
+            dup = set(self.iv.columns) & set(t.column_names)
+            if dup:
+                raise ValueError(
+                    f"interval_overlap_join: interval columns {sorted(dup)} "
+                    f"collide with left columns — rename one side")
             ivrows = self.iv.iloc[jidx].reset_index(drop=True)
             for c in self.iv.columns:
                 t = t.append_column(c, pa.array(ivrows[c]))
             return t
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            s = t[start_col].to_numpy(zero_copy_only=False).astype("float64")
-            e = t[end_col].to_numpy(zero_copy_only=False).astype("float64")
-            lo = self.iv[lo_col].to_numpy().astype("float64")
-            hi = self.iv[hi_col].to_numpy().astype("float64")
+            # keep native dtypes: int-vs-int comparisons stay exact;
+            # nulls surface as NaN (pyarrow promotes to float) and a
+            # float dtype is the only case that can carry them
+            s = t[start_col].to_numpy(zero_copy_only=False)
+            e = t[end_col].to_numpy(zero_copy_only=False)
+            lo = self.iv[lo_col].to_numpy()
+            hi = self.iv[hi_col].to_numpy()
             n = len(s)
             out, matched = [], np.zeros(n, bool)
-            if disjoint:
+            if fast:
                 # interval j overlaps iff hi[j] > s (j >= jmin, hi asc)
                 # and lo[j] < e (j <= jmax, lo asc): a contiguous run.
                 jmin = np.searchsorted(hi, s, side="right")
                 jmax = np.searchsorted(lo, e, side="left") - 1
-                valid = ~(np.isnan(s) | np.isnan(e))
+                valid = np.ones(n, bool)
+                for arr in (s, e):
+                    if np.issubdtype(arr.dtype, np.floating):
+                        valid &= ~np.isnan(arr)
                 cnt = np.where(valid, np.maximum(jmax - jmin + 1, 0), 0)
                 matched = cnt > 0
                 total = int(cnt.sum())

@@ -206,9 +206,10 @@ def resample_ohlc(ds, key_col: str, ts_col: str = "ts", val_col: str = "value",
     metrics/trading log pipeline runs.  Open/close are the values on the
     first/last row by (ts, tiebreak); ties are impossible when the
     tiebreak is unique, so the SQL twin pins the identical rule.  Rows
-    with a null value, timestamp, or key are ignored (bars are per
-    entity; the twin filters identically — and pandas merge would drop
-    NaN keys silently otherwise).
+    with a null value, timestamp, key, or tiebreak are ignored (bars are
+    per entity; the twin filters identically — pandas merge would drop
+    NaN keys silently, and a null tiebreak would sort last in pandas ASC
+    but NULLS LAST in SQL's DESC close pick, diverging on ties).
 
     ``window_start`` is int64 epoch microseconds (``floor(epoch_us / W) *
     W``), exactly reproducible in SQL.
@@ -223,7 +224,8 @@ def resample_ohlc(ds, key_col: str, ts_col: str = "ts", val_col: str = "value",
         t = t.select([key_col, ts_col, val_col, tiebreak_col])
         t = t.filter(pc.and_(pc.and_(pc.is_valid(t[val_col]),
                                      pc.is_valid(t[ts_col])),
-                             pc.is_valid(t[key_col])))
+                             pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[tiebreak_col]))))
         ts_us = np.asarray(t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()))
         w = np.floor_divide(ts_us, width_us) * width_us
         val = np.asarray(t[val_col].cast(pa.float64()))
@@ -280,7 +282,7 @@ def resample_ohlc_sql(table: str, key_col: str, ts_col: str, val_col: str,
         f"{tiebreak_col} AS tb, CAST({val_col} AS DOUBLE) AS v, "
         f"CAST(round({val_col} * 100) AS BIGINT) AS cents "
         f"FROM {table} WHERE {val_col} IS NOT NULL AND {ts_col} IS NOT NULL "
-        f"AND {key_col} IS NOT NULL), "
+        f"AND {key_col} IS NOT NULL AND {tiebreak_col} IS NOT NULL), "
         f"o AS (SELECT {key_col}, window_start, v AS open FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY {key_col}, window_start "
         f"ORDER BY ts ASC, tb ASC) AS rn FROM w) WHERE rn = 1), "

@@ -1722,3 +1722,90 @@ def test_interval_overlap_join_left_and_nulls(ray_session):
 
     with pytest.raises(ValueError, match="inner|left"):
         interval_overlap_join(rd.from_arrow(t), iv, "s", "e", how="outer")
+
+
+def test_interval_overlap_join_nested_and_inverted_and_null_bounds(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.join import interval_overlap_join
+
+    t = pa.table({"id": pa.array([0, 1, 2], pa.int64()),
+                  "s": pa.array([7.0, 0.0, 25.0]),
+                  "e": pa.array([8.0, 30.0, 26.0])})
+    con = duckdb.connect()
+    con.register("t", t)
+    # nested (hi not ascending), inverted (hi <= lo), and a null bound:
+    # all must fall back to the mask path and match the SQL twin
+    cases = [
+        pd.DataFrame({"win": ["outer", "inner"],
+                      "lo": [0.0, 5.0], "hi": [100.0, 9.0]}),
+        pd.DataFrame({"win": ["a", "inv"],
+                      "lo": [0.0, 20.0], "hi": [10.0, 5.0]}),
+        pd.DataFrame({"win": ["n"], "lo": [0.0], "hi": [None]}),
+    ]
+    for iv in cases:
+        con.register("w", iv)
+        want = (con.sql("SELECT id, win FROM t JOIN w ON s < hi AND e > lo")
+                .df().sort_values(["id", "win"]).reset_index(drop=True))
+        got = interval_overlap_join(rd.from_arrow(t), iv, "s", "e").to_pandas()
+        if want.empty:
+            # Ray's to_pandas drops column names when every block is empty
+            assert len(got) == 0
+            continue
+        got = (got[["id", "win"]]
+               .sort_values(["id", "win"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_interval_overlap_join_int_exact_and_collision(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from logray.stages.join import interval_overlap_join
+
+    # int64 bounds above 2**53: must compare exactly (no float rounding)
+    base = (1 << 53) + 0
+    t = pa.table({"id": pa.array([0, 1], pa.int64()),
+                  "s": pa.array([base, base + 2], pa.int64()),
+                  "e": pa.array([base + 1, base + 3], pa.int64())})
+    iv = pd.DataFrame({"win": ["w"], "lo": np.array([base + 1], "int64"),
+                       "hi": np.array([base + 2], "int64")})
+    out = interval_overlap_join(rd.from_arrow(t), iv, "s", "e").to_pandas()
+    # [base, base+1) misses [base+1, base+2); float64 would round base+1
+    # onto base and spuriously match (Ray's to_pandas drops column names
+    # when every block is empty, so assert by length)
+    assert len(out) == 0
+
+    clash = pd.DataFrame({"win": ["w"], "lo": [0.0], "hi": [1.0],
+                          "s": [9.9]})
+    with pytest.raises(Exception, match="collide"):
+        interval_overlap_join(
+            rd.from_arrow(pa.table({"s": pa.array([0.5]),
+                                    "e": pa.array([0.7])})),
+            clash, "s", "e").to_pandas()
+
+
+def test_resample_ohlc_null_tiebreak_ignored(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.window import resample_ohlc, resample_ohlc_sql
+
+    ts = pd.to_datetime(["2024-01-01 00:00:01"] * 3)
+    t = pa.table({
+        "k": pa.array(["a", "a", "a"]),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "id": pa.array([5, None, 1], pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(resample_ohlc_sql("t", "k", "ts", "v", "id", 3600.0)).df()
+    got = resample_ohlc(rd.from_arrow(t), "k", ts_col="ts", val_col="v",
+                        tiebreak_col="id", width_s=3600.0)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()].reset_index(drop=True), want,
+        check_dtype=False)
+    assert got["n"].tolist() == [2]          # null-tiebreak row dropped
+    assert got["close"].tolist() == [1.0]    # max (ts, id) = id 5
