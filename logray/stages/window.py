@@ -221,7 +221,11 @@ def resample_ohlc(ds, key_col: str, ts_col: str = "ts", val_col: str = "value",
     width_us = int(width_s * 1_000_000)
 
     def part(t: pa.Table) -> pd.DataFrame:
-        t = t.select([key_col, ts_col, val_col, tiebreak_col])
+        # dict.fromkeys: the same column may serve two roles (e.g. a
+        # sequence number as both value and tiebreak) — a plain select
+        # would build a duplicate-name schema
+        t = t.select(list(dict.fromkeys([key_col, ts_col, val_col,
+                                         tiebreak_col])))
         t = t.filter(pc.and_(pc.and_(pc.is_valid(t[val_col]),
                                      pc.is_valid(t[ts_col])),
                              pc.and_(pc.is_valid(t[key_col]),

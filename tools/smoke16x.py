@@ -134,9 +134,64 @@ def main() -> int:
                               zero_copy_batch=True, batch_size=None)
         return dedup_lines(docs, min_len=8).count()
 
+    # --- OHLC resample: per-batch combiner + partial-only shuffle, 52M ---
+    def ohlc():
+        from logray.stages.window import resample_ohlc
+
+        ds = read(["role", "ts", "turn_idx"])
+        return len(resample_ohlc(ds, "role", ts_col="ts",
+                                 val_col="turn_idx", tiebreak_col="turn_idx",
+                                 width_s=3600.0))
+
+    # --- interval-overlap join: broadcast fast path over 52M spans -------
+    def overlap():
+        import pyarrow as pa
+
+        from logray.stages.join import interval_overlap_join
+
+        ds = read(["ts", "turn_idx"])
+
+        def spans(t):
+            ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+            dur = pc.cast(pc.multiply(pc.cast(t["turn_idx"], pa.int64()),
+                                      60_000_000), pa.int64())
+            return pa.table({"s": ts_us, "e": pc.add(ts_us, dur)})
+
+        sp = ds.map_batches(spans, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        tmin = pq.read_table(files[0], columns=["ts"])["ts"][0].value
+        base = (tmin // 3_600_000_000) * 3_600_000_000
+        day = 86_400_000_000
+        iv = pd.DataFrame({"win": [f"m{i}" for i in range(4)],
+                           "lo": [base + i * 7 * day for i in range(4)],
+                           "hi": [base + i * 7 * day + day for i in range(4)]})
+        return interval_overlap_join(sp, iv, "s", "e").count()
+
+    # --- curriculum ordering: two 52M-row narrow sorts + bucketed join ---
+    def curriculum():
+        import pyarrow as pa
+
+        from logray.functions.curriculum import curriculum_order
+
+        def gen(t):
+            ids = t["id"].to_numpy()
+            return pa.table({"doc_id": pa.array(ids),
+                             "score": pa.array(ids % 1000)})
+
+        ds = rd.range(rows, override_num_blocks=256).map_batches(
+            gen, batch_format="pyarrow", batch_size=None)
+        return curriculum_order(ds, "score", "doc_id", n_bins=10,
+                                seed=3).count()
+
     timed("windowfn_lag_lead", windowfn_lag)
     timed("windowfn_rolling", windowfn_rolling)
     timed("transition_counts_bucket", seq_transitions_bucket)
+    timed("resample_ohlc", ohlc)
+    timed("overlap_join", overlap)
+    timed("curriculum_order", curriculum)
     # --- LM perplexity scoring: row-local, 52M turns -----------------------
     def lm_score():
         from bench import SF_DIR
