@@ -263,6 +263,40 @@ def cmd_funnel(args) -> int:
     return 0
 
 
+def cmd_resample(args) -> int:
+    """OHLC time-series resample of an event parquet to fixed bars."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.stages.window import resample_ohlc
+
+    ds = rd.read_parquet(args.input)
+    out = resample_ohlc(ds, args.key_col, ts_col=args.ts_col,
+                        val_col=args.val_col, tiebreak_col=args.id_col,
+                        width_s=args.width_s, as_pandas=False)
+    out.write_parquet(args.out)
+    print(json.dumps({"bars": rd.read_parquet(args.out).count(),
+                      "width_s": args.width_s, "key": args.key_col}))
+    return 0
+
+
+def cmd_curriculum(args) -> int:
+    """Training-curriculum order for a document parquet: NTILE score bins
+    + seeded deterministic in-bin shuffle; writes (id, bin, rank)."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.functions.curriculum import curriculum_order
+
+    ds = rd.read_parquet(args.input)
+    out = curriculum_order(ds, args.score_col, args.id_col,
+                           n_bins=args.bins, seed=args.seed)
+    out.write_parquet(args.out)
+    print(json.dumps({"rows": rd.read_parquet(args.out).count(),
+                      "bins": args.bins, "seed": args.seed}))
+    return 0
+
+
 def cmd_score(args) -> int:
     """Model-score a document parquet (load-once actor pool)."""
     _init_ray(args.num_cpus)
@@ -456,6 +490,28 @@ def main(argv=None) -> int:
     sp.add_argument("--val-col", required=True)
     sp.add_argument("--stages", required=True, help="comma-separated stage values")
     sp.set_defaults(fn=cmd_funnel)
+
+    sp = sub.add_parser("resample", help="OHLC time-series resample to fixed bars")
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--key-col", default="event_type")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--val-col", default="value")
+    sp.add_argument("--id-col", default="event_id")
+    sp.add_argument("--width-s", type=float, default=3600.0)
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_resample)
+
+    sp = sub.add_parser("curriculum",
+                        help="curriculum order: score bins + seeded in-bin shuffle")
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--score-col", default="n_chars")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--bins", type=int, default=10)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_curriculum)
 
     sp = sub.add_parser("score", help="model-score documents (load-once actor pool)")
     sp.add_argument("input")

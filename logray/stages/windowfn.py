@@ -419,6 +419,11 @@ def _rank_table(narrow, col: str, id_col: str, pct: bool = True):
 
     def apply(t, row_off: int, head_off: int, total: int):
         t = _to_table(t)
+        if col not in t.column_names:
+            # schema-less empty block (only reachable on the all-empty
+            # fallback path; non-empty blocks always carry the schema)
+            t = pa.table({col: pa.nulls(0, pa.null()),
+                          id_col: pa.nulls(0, pa.null())})
         n = t.num_rows
         vals = t[col].to_numpy(zero_copy_only=False)
         starts = run_starts(vals)
@@ -465,10 +470,17 @@ def _rank_table(narrow, col: str, id_col: str, pct: bool = True):
             run_len = tail
         run_val = last
         row_off += nrows
+    # a sort over many CPUs emits empty (often SCHEMA-LESS) blocks for a
+    # small input; apply would KeyError on them, and they contribute no
+    # rows — build apply tasks for the non-empty blocks only
     out_refs = [
         apply_task.remote(r, ro, ho, total)
-        for r, ro, ho in zip(refs, row_offs, head_offs)
+        for (r, ro, ho, s) in zip(refs, row_offs, head_offs, summaries)
+        if s[2] > 0
     ]
+    if not out_refs:
+        return sorted_ds.map_batches(
+            lambda t: apply(t, 0, 0, 0), batch_format="pyarrow"), 0
     return rd.from_arrow_refs(out_refs), total
 
 

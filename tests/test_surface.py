@@ -393,3 +393,41 @@ def test_cli_curate(tmp_path):
     r = _cli("curate", src, "--out", out2, "--badwords", bw)
     assert r.returncode == 0, r.stderr
     assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == 7
+
+
+def test_cli_resample_and_curriculum(tmp_path):
+    """The resample and curriculum verbs run end-to-end from the shell."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "ev.parquet")
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(range(40), unit="min")
+    pq.write_table(pa.table({
+        "event_id": list(range(40)),
+        "event_type": ["a", "b"] * 20,
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": [float(i) for i in range(40)],
+    }), src)
+    out = str(tmp_path / "bars")
+    r = _cli("resample", src, "--out", out, "--width-s", "600")
+    assert r.returncode == 0, r.stderr
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["bars"] == 8  # 40 min / 10-min bars x 2 keys
+    bars = pq.read_table(out)
+    assert {"event_type", "window_start", "open", "high", "low", "close",
+            "n", "sum_cents"} <= set(bars.column_names)
+
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": list(range(30)),
+        "n_chars": [i % 7 for i in range(30)],
+    }), docs)
+    out2 = str(tmp_path / "order")
+    r = _cli("curriculum", docs, "--out", out2, "--bins", "3", "--seed", "5")
+    assert r.returncode == 0, r.stderr
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["rows"] == 30
+    got = pq.read_table(out2).to_pandas()
+    assert sorted(got["curriculum_rank"]) == list(range(1, 31))
+    assert got["bin"].nunique() == 3
