@@ -312,6 +312,17 @@ def run_bench() -> dict:
 
     timed("classifier_score", classifier_score_corpus)
 
+    # --- OHLC resample: combiner partials + partial-only shuffle ----------
+    def resample_corpus():
+        from logray.stages.window import resample_ohlc
+
+        ds = rd.read_parquet(corpus, columns=["role", "ts", "turn_idx"])
+        return len(resample_ohlc(ds, "role", ts_col="ts",
+                                 val_col="turn_idx",
+                                 tiebreak_col="turn_idx", width_s=86400.0))
+
+    timed("resample_ohlc", resample_corpus)
+
     ray.shutdown()
 
     headline_sec = timings["pipeline"]
