@@ -763,6 +763,19 @@ def _q_ngram_jaccard_dups(sf_dir: str):
     return _pairs_out(pairs)
 
 
+def _q_containment_docs(sf_dir: str):
+    """Word-set containment pairs (doc-in-doc duplication) within each
+    lang partition; exact float twin (identical integer divisions)."""
+    import ray.data as rd
+
+    from logray.functions.dedup import containment_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    out = containment_pairs(ds, "lang", threshold=0.9).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_embedding_dups(sf_dir: str):
     import ray.data as rd
 
@@ -2970,6 +2983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data operators
         "exact_dedup_docs": _q_exact_dedup_docs,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "containment_docs": _q_containment_docs,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "minhash_pairs": _q_minhash_pairs,
@@ -3117,6 +3131,7 @@ _MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 
 def oracle_sql() -> dict[str, str]:
     from logray.functions.curriculum import curriculum_order_sql
+    from logray.functions.dedup import containment_pairs_sql
     from logray.functions.quality import wordlist_filter_sql
     from logray.functions.sample import (
         deterministic_shuffle_sql,
@@ -3610,6 +3625,8 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
             WHERE jaccard(a.text, b.text) >= 0.9
         """,
+        "containment_docs": containment_pairs_sql(
+            "documents", "lang", threshold=0.9),
         "embedding_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

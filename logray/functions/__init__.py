@@ -5,6 +5,7 @@ from logray.functions.dedup import (
     connected_components,
     connected_components_distributed,
     dedup_keep_min,
+    containment_pairs,
     exact_dedup,
     hash_pairs_to_int64,
     minhash_lsh_dedup,
@@ -124,6 +125,7 @@ __all__ = [
     "exact_dedup",
     "hash_pairs_to_int64",
     "minhash_lsh_dedup",
+    "containment_pairs",
     "ngram_jaccard_pairs",
     "simhash_dedup",
     "embedding_dedup",

@@ -543,6 +543,101 @@ def ngram_jaccard_pairs(ds, group_cols, text_col: str = "text", id_col: str = "d
     return ds.groupby(group_cols).map_groups(pairs, batch_format="pandas")
 
 
+def containment_pairs(ds, group_cols, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.8,
+                      max_bucket: int = DEFAULT_MAX_BUCKET, chunk: int = 128):
+    """Exact word-set CONTAINMENT for all pairs within each group_cols
+    partition: cont_a = |words(A) ∩ words(B)| / |words(A)| (how much of A
+    lives inside B) and symmetrically cont_b.  Jaccard misses the
+    doc-in-doc case — a short doc fully quoted inside a long one has low
+    Jaccard but containment 1.0; this is the miner for quote/subset
+    duplication (drop the contained side, keep the superset).
+
+    A pair is emitted when max(cont_a, cont_b) >= threshold, ordered
+    id_a < id_b.  Tokens are ``text.split(" ")`` distinct sets (DuckDB
+    ``string_split`` semantics, empty tokens included) so the SQL twin is
+    bit-exact: identical integer operands divide to identical float64 on
+    both sides.
+
+    Scale shape: same as :func:`ngram_jaccard_pairs` — co-partitioned
+    candidate groups, per-group docs x distinct-words presence matrix,
+    chunked matmul intersections, the hot-group cap with logged drops;
+    a verification op for co-partitioned groups, not a corpus miner."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        sel = _cap_bucket(ids, max_bucket, "containment")
+        g = g.iloc[sel]
+        ids = ids[sel]
+        d = len(ids)
+        empty = pd.DataFrame({"id_a": [], "id_b": [],
+                              "cont_a": [], "cont_b": []})
+        if d < 2:
+            res = empty
+        else:
+            vocab: dict = {}
+            ri, ci = [], []
+            for i, s in enumerate(g[text_col]):
+                for w in set(s.split(" ")):
+                    ci.append(vocab.setdefault(w, len(vocab)))
+                    ri.append(i)
+            A = np.zeros((d, max(len(vocab), 1)), np.uint8)
+            if ri:
+                A[ri, ci] = 1
+            sizes = A.sum(axis=1).astype(np.int64)
+            At = A.astype(np.uint32)
+            out_a, out_b, out_ca, out_cb = [], [], [], []
+            col_idx = np.arange(d)
+            for s0 in range(0, d - 1, chunk):
+                e0 = min(s0 + chunk, d - 1)
+                inter = (At[s0:e0] @ At.T).astype(np.int64)  # (c, d)
+                ca = inter / np.maximum(sizes[s0:e0, None], 1)
+                cb = inter / np.maximum(sizes[None, :], 1)
+                upper = col_idx[None, :] > col_idx[s0:e0, None]
+                keep = (np.maximum(ca, cb) >= threshold) & upper
+                ii, jj = np.nonzero(keep)
+                if len(ii):
+                    out_a.append(ids[ii + s0])
+                    out_b.append(ids[jj])
+                    out_ca.append(ca[ii, jj])
+                    out_cb.append(cb[ii, jj])
+            res = (pd.DataFrame({
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cont_a": np.concatenate(out_ca),
+                "cont_b": np.concatenate(out_cb),
+            }) if out_a else empty)
+        for c in group_cols:
+            res[c] = g[c].iloc[0] if len(g) else None
+        return res
+
+    return ds.groupby(group_cols).map_groups(pairs, batch_format="pandas")
+
+
+def containment_pairs_sql(table: str, group_col: str, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          threshold: float = 0.8) -> str:
+    """DuckDB twin of :func:`containment_pairs` (single group column)."""
+    return (
+        f"WITH d AS (SELECT DISTINCT {id_col}, {group_col}, "
+        f"unnest(string_split({text_col}, ' ')) AS w FROM {table}), "
+        f"s AS (SELECT {id_col}, count(*) AS n FROM d GROUP BY {id_col}), "
+        f"i AS (SELECT a.{id_col} AS ia, b.{id_col} AS ib, "
+        f"a.{group_col} AS g, count(*) AS inter "
+        f"FROM d a JOIN d b ON a.w = b.w AND a.{group_col} = b.{group_col} "
+        f"AND a.{id_col} < b.{id_col} GROUP BY 1, 2, 3) "
+        f"SELECT ia AS id_a, ib AS id_b, "
+        f"inter * 1.0 / sa.n AS cont_a, inter * 1.0 / sb.n AS cont_b, "
+        f"g AS {group_col} FROM i "
+        f"JOIN s sa ON sa.{id_col} = ia JOIN s sb ON sb.{id_col} = ib "
+        f"WHERE greatest(inter * 1.0 / sa.n, inter * 1.0 / sb.n) "
+        f">= {threshold}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dedup
 # ---------------------------------------------------------------------------

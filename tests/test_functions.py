@@ -3382,3 +3382,51 @@ def test_artifact_persistence_roundtrips(ray_session, tmp_path):
         load_bag(str(tmp_path / "lm.npz"))
     with pytest.raises(ValueError, match="expected"):
         load_ngram_lm(str(tmp_path / "cent.npz"))
+
+
+def test_containment_pairs_doc_in_doc(ray_session):
+    import ray.data as rd
+
+    from logray.functions.dedup import containment_pairs
+
+    # doc 1 fully quoted inside doc 2: Jaccard is low (2/7) but
+    # containment of 1 in 2 is 1.0 — the case the miner exists for
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "grp": ["g", "g", "g"],
+        "text": ["alpha beta",
+                 "alpha beta gamma delta epsilon zeta eta",
+                 "omega psi chi"],
+    }))
+    out = containment_pairs(ds, "grp", threshold=0.99).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.id_a), int(r.id_b)) == (1, 2)
+    assert r.cont_a == 1.0
+    assert r.cont_b == pytest.approx(2 / 7)
+
+
+def test_containment_pairs_fuzz_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.dedup import containment_pairs, containment_pairs_sql
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(1, 15)))
+             for _ in range(60)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "lang": pa.array([["en", "fr"][i % 2] for i in range(60)]),
+        "text": pa.array(texts),
+    })
+    con = duckdb.connect()
+    con.register("docs", t)
+    want = (con.sql(containment_pairs_sql("docs", "lang", threshold=0.5))
+            .df().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    got = (containment_pairs(rd.from_arrow(t).repartition(4), "lang",
+                             threshold=0.5)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False)
