@@ -776,6 +776,48 @@ def _q_containment_docs(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_collocations_docs(sf_dir: str):
+    """Top adjacent-bigram collocations with integer PMI ingredients
+    (word2vec phrase-detection census); exact int64 twin."""
+    import ray.data as rd
+
+    from logray.functions.collocations import collocation_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return collocation_counts(ds, "text", min_count=3, n_top=50)
+
+
+def _q_lexical_diversity_docs(sf_dir: str):
+    """Per-source type/token/hapax counts + type-token ratio; the ttr
+    float is a single IEEE division of exact int64 counts (bit-identical
+    to the SQL twin)."""
+    import ray.data as rd
+
+    from logray.functions.collocations import lexical_diversity
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    return lexical_diversity(ds, "text", key_col="source")
+
+
+def _q_rebalance_docs(sf_dir: str):
+    """Byte-balanced hive-sharded rewrite of the documents table
+    (~64 KiB payload per shard at this scale), then a full read-back:
+    the oracle checks the rewrite is lossless."""
+    import tempfile
+
+    import ray.data as rd
+
+    from logray.functions.shards import rebalance_shards
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out_dir = tempfile.mkdtemp(prefix="logray_shards_")
+    rebalance_shards(ds, out_dir, target_bytes=64 * 1024, id_col="doc_id")
+    back = rd.read_parquet(out_dir)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    return back.select_columns(cols).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_embedding_dups(sf_dir: str):
     import ray.data as rd
 
@@ -2984,6 +3026,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "containment_docs": _q_containment_docs,
+        "collocations_docs": _q_collocations_docs,
+        "lexical_diversity_docs": _q_lexical_diversity_docs,
+        "rebalance_docs": _q_rebalance_docs,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "minhash_pairs": _q_minhash_pairs,
@@ -3132,6 +3177,10 @@ _MESG = f"'val=' || CAST({_CENTS} AS VARCHAR)"
 def oracle_sql() -> dict[str, str]:
     from logray.functions.curriculum import curriculum_order_sql
     from logray.functions.dedup import containment_pairs_sql
+    from logray.functions.collocations import (
+        collocation_counts_sql,
+        lexical_diversity_sql,
+    )
     from logray.functions.quality import wordlist_filter_sql
     from logray.functions.sample import (
         deterministic_shuffle_sql,
@@ -3627,6 +3676,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "containment_docs": containment_pairs_sql(
             "documents", "lang", threshold=0.9),
+        "collocations_docs": collocation_counts_sql(
+            "documents", "text", min_count=3, n_top=50),
+        "lexical_diversity_docs": lexical_diversity_sql(
+            "documents", "text", "source"),
+        "rebalance_docs": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            ORDER BY doc_id
+        """,
         "embedding_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

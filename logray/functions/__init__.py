@@ -70,6 +70,12 @@ from logray.functions.urlops import (
 )
 from logray.functions.classifier import LogRegModel, fit_logreg, score_logreg
 from logray.functions.pca import PCAModel, fit_pca, project_pca
+from logray.functions.collocations import (
+    collocation_counts,
+    pmi_collocations,
+    lexical_diversity,
+)
+from logray.functions.shards import payload_bytes, rebalance_shards
 from logray.functions.dedup_incremental import (
     build_hash_index,
     dedup_against_index,
@@ -176,4 +182,9 @@ __all__ = [
     "PCAModel",
     "fit_pca",
     "project_pca",
+    "collocation_counts",
+    "pmi_collocations",
+    "lexical_diversity",
+    "payload_bytes",
+    "rebalance_shards",
 ]
