@@ -323,6 +323,15 @@ def run_bench() -> dict:
 
     timed("resample_ohlc", resample_corpus)
 
+    # --- collocation census: the canonical word-count exchange ------------
+    def collocations_corpus():
+        from logray.functions.collocations import collocation_counts
+
+        ds = rd.read_parquet(corpus, columns=["text"])
+        return collocation_counts(ds, "text", min_count=50, n_top=50).num_rows
+
+    timed("collocations", collocations_corpus)
+
     ray.shutdown()
 
     headline_sec = timings["pipeline"]

@@ -297,6 +297,38 @@ def cmd_curriculum(args) -> int:
     return 0
 
 
+def cmd_collocations(args) -> int:
+    """PMI phrase mining over a document parquet: top adjacent bigrams
+    with counts + PMI, written as one small parquet."""
+    _init_ray(args.num_cpus)
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logray.functions.collocations import pmi_collocations
+
+    ds = rd.read_parquet(args.input, columns=[args.text_col])
+    out = pmi_collocations(ds, args.text_col, min_count=args.min_count,
+                           n_top=args.top)
+    pq.write_table(out, args.out)
+    print(json.dumps({"pairs": out.num_rows, "min_count": args.min_count}))
+    return 0
+
+
+def cmd_rebalance(args) -> int:
+    """Rewrite a parquet table as byte-balanced hive shards
+    (shard=K/ directories of ~target bytes of payload each)."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.functions.shards import rebalance_shards
+
+    ds = rd.read_parquet(args.input)
+    n = rebalance_shards(ds, args.out, target_bytes=args.target_bytes,
+                         id_col=args.id_col, seed=args.seed)
+    print(json.dumps({"shards": n, "target_bytes": args.target_bytes}))
+    return 0
+
+
 def cmd_score(args) -> int:
     """Model-score a document parquet (load-once actor pool)."""
     _init_ray(args.num_cpus)
@@ -512,6 +544,26 @@ def main(argv=None) -> int:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--num-cpus", type=int, default=None)
     sp.set_defaults(fn=cmd_curriculum)
+
+    sp = sub.add_parser("collocations",
+                        help="PMI phrase mining: top adjacent bigrams")
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--min-count", type=int, default=10)
+    sp.add_argument("--top", type=int, default=1000)
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_collocations)
+
+    sp = sub.add_parser("rebalance",
+                        help="rewrite as byte-balanced hive shards")
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--target-bytes", type=int, default=1 << 30)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_rebalance)
 
     sp = sub.add_parser("score", help="model-score documents (load-once actor pool)")
     sp.add_argument("input")

@@ -16,10 +16,11 @@ Tokenization matches SQL ``string_split(text, ' ')`` exactly (single-space
 split, empty tokens kept) so every integer column has a DuckDB twin.
 
 Scale shape: per-batch Arrow ``group_by`` census partials (Zipf makes the
-partial tiny relative to the token stream), ONE ``groupby(key)`` shuffle of
-the narrow (key, n) census — the canonical word-count exchange — then
-driver-side assembly bounded by ``n_top`` (collocations) or the source
-cardinality (diversity).  The token stream itself never shuffles.
+partial tiny relative to the token stream), ONE ``hash % B`` bucket shuffle
+of the narrow (key, n) census — the canonical word-count exchange, on int
+bucket keys so the exchange never sorts strings — then driver-side assembly
+bounded by ``n_top`` (collocations) or the source cardinality (diversity).
+The token stream itself never shuffles.
 
 Reference anchor: the per-field histogram bookkeeping the viewer keeps for
 filtered columns (`/root/reference/src/file_parsing/log_parser_interface.cpp`
@@ -83,21 +84,38 @@ def collocation_counts(ds, text_col: str = "text", min_count: int = 2,
     result is bit-comparable to the DuckDB twin; PMI itself (a
     transcendental) is layered on in :func:`pmi_collocations`.
 
-    Plan: census partials -> ONE ``groupby('key')`` shuffle -> per-block
-    local top-n prune + driver merge for the survivors -> broadcast the
-    <= 2*n_top needed unigram keys and fetch their counts with a pruned
-    ``is_in`` pass.  Nothing wider than the vocabulary census ever moves.
+    Plan: census partials -> ONE ``hash(key) % B`` bucket shuffle with a
+    vectorized Arrow group-sum per bucket (int bucket keys; a string-key
+    ``groupby`` sorts the whole vocabulary and measured ~6x slower) ->
+    per-block local top-n prune + driver merge for the survivors ->
+    broadcast the <= 2*n_top needed unigram keys and fetch their counts
+    with a pruned ``is_in`` pass.  Nothing wider than the vocabulary
+    census ever moves.
     """
+    from logray.stages.bucketing import key_hashes
+
+    num_buckets = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = key_hashes(t["key"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "__b", pa.array((h % num_buckets).astype(np.int64)))
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by("key").aggregate([("n", "sum")])
+        return pa.table({"key": g["key"], "n": g["n_sum"]})
+
+    # census fold: ONE hash%B int-key shuffle (a string-key groupby sorts
+    # the whole vocab and measured ~6x slower) + a vectorized Arrow
+    # group-sum per bucket
     census = (
         ds.map_batches(_census_partial(text_col, lower),
                        batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("key")
-        .sum("n")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pyarrow")
+        .materialize()
     )
-    census = census.map_batches(
-        lambda t: pa.table({"key": t["key"], "n": t["sum(n)"]}),
-        batch_format="pyarrow",
-    ).materialize()
 
     is_bigram = lambda t: pc.match_substring(t["key"], " ")  # noqa: E731
 
@@ -203,10 +221,12 @@ def lexical_diversity(ds, text_col: str = "text", key_col: str = "source"):
     the type-token ratio.
 
     Plan: per-batch (key, token, n) Arrow census partials -> ONE
-    ``groupby([key, token])`` shuffle of the narrow census -> per-block
-    (key, tokens, types, hapax) partials -> tiny driver fold (rows bounded
-    by key cardinality x blocks).  ``ttr`` is a single IEEE-754 division
-    of two exact int64 counts, so it is bit-identical to the SQL twin.
+    ``hash(token) % B`` bucket shuffle of the narrow census (every
+    (key, token) group is whole within its bucket, so each bucket folds
+    straight to exact (key, tokens, types, hapax) partials) -> tiny
+    driver fold (rows bounded by key cardinality x buckets).  ``ttr`` is
+    a single IEEE-754 division of two exact int64 counts, so it is
+    bit-identical to the SQL twin.
 
     Returns a pandas DataFrame ordered by key.
     """
@@ -230,17 +250,25 @@ def lexical_diversity(ds, text_col: str = "text", key_col: str = "source"):
             "n": pc.cast(census["token_count"], pa.int64()),
         })
 
-    census = (
-        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key_col, "token"])
-        .sum("n")
-    )
+    from logray.stages.bucketing import key_hashes
 
-    def fold(t: pa.Table) -> pa.Table:
-        n = t["sum(n)"]
+    num_buckets = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = key_hashes(t["token"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "__b", pa.array((h % num_buckets).astype(np.int64)))
+
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        # bucket = hash(token): every (key, token) group is whole within
+        # one bucket, so the counts — and therefore types/hapax — are
+        # exact; the per-key partials then fold additively across buckets
+        # (disjoint token sets)
+        tc = t.group_by([key_col, "token"]).aggregate([("n", "sum")])
+        n = tc["n_sum"]
         g = (
             pa.table({
-                key_col: t[key_col],
+                key_col: tc[key_col],
                 "n": n,
                 "one": pa.array(np.ones(len(n), np.int64)),
                 "hap": pc.cast(pc.equal(n, 1), pa.int64()),
@@ -255,7 +283,13 @@ def lexical_diversity(ds, text_col: str = "text", key_col: str = "source"):
             "n_hapax": g["hap_sum"],
         })
 
-    parts = census.map_batches(fold, batch_format="pyarrow").take_all()
+    parts = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .take_all()
+    )
     import pandas as pd
 
     df = pd.DataFrame(parts, columns=[key_col, "n_tokens", "n_types", "n_hapax"])

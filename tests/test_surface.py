@@ -431,3 +431,41 @@ def test_cli_resample_and_curriculum(tmp_path):
     got = pq.read_table(out2).to_pandas()
     assert sorted(got["curriculum_rank"]) == list(range(1, 31))
     assert got["bin"].nunique() == 3
+
+
+def test_cli_collocations_and_rebalance(tmp_path):
+    """Session-7 CLI verbs: PMI collocation mining and the byte-balanced
+    shard rewrite."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": [f"doc {i} loves new york a lot" for i in range(30)],
+        }),
+        str(docs),
+    )
+    out_pq = tmp_path / "colloc.parquet"
+    r = _cli("--num-cpus", "2", "collocations", str(docs),
+             "--out", str(out_pq), "--min-count", "10", "--top", "5")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    # 4 bigrams are shared by every doc ("loves new", "new york",
+    # "york a", "a lot"); the per-doc ones fall under min_count
+    assert out["pairs"] == 4
+    got = pq.read_table(str(out_pq))
+    pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    assert ("new", "york") in pairs and "pmi" in got.column_names
+
+    shard_dir = tmp_path / "shards"
+    r = _cli("--num-cpus", "2", "rebalance", str(docs),
+             "--out", str(shard_dir), "--target-bytes", "200")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["shards"] >= 2
+    import ray.data as rd
+
+    back = rd.read_parquet(str(shard_dir)).to_pandas()
+    assert sorted(back["doc_id"]) == list(range(30))
