@@ -92,14 +92,7 @@ def collocation_counts(ds, text_col: str = "text", min_count: int = 2,
     with a pruned ``is_in`` pass.  Nothing wider than the vocabulary
     census ever moves.
     """
-    from logray.stages.bucketing import key_hashes
-
-    num_buckets = 32
-
-    def tag(t: pa.Table) -> pa.Table:
-        h = key_hashes(t["key"].to_numpy(zero_copy_only=False))
-        return t.append_column(
-            "__b", pa.array((h % num_buckets).astype(np.int64)))
+    from logray.stages.bucketing import bucket_tagger
 
     def fold(t: pa.Table) -> pa.Table:
         g = t.group_by("key").aggregate([("n", "sum")])
@@ -107,11 +100,12 @@ def collocation_counts(ds, text_col: str = "text", min_count: int = 2,
 
     # census fold: ONE hash%B int-key shuffle (a string-key groupby sorts
     # the whole vocab and measured ~6x slower) + a vectorized Arrow
-    # group-sum per bucket
+    # group-sum per bucket; bucket_tagger is the shared assignment every
+    # bucketed operator uses
     census = (
         ds.map_batches(_census_partial(text_col, lower),
                        batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(tag, batch_format="pyarrow")
+        .map_batches(bucket_tagger("key", 32), batch_format="pyarrow")
         .groupby("__b")
         .map_groups(fold, batch_format="pyarrow")
         .materialize()
@@ -119,19 +113,31 @@ def collocation_counts(ds, text_col: str = "text", min_count: int = 2,
 
     is_bigram = lambda t: pc.match_substring(t["key"], " ")  # noqa: E731
 
+    def _split_ab(t: pa.Table) -> pa.Table:
+        # the (n DESC, a, b) order must compare a and b SEPARATELY: the
+        # concatenated "a b" key orders tabs/newlines before the joining
+        # space and would diverge from SQL's ORDER BY a, b on ties
+        parts = pc.split_pattern(t["key"], pattern=" ", max_splits=1)
+        return pa.table({
+            "a": pc.list_element(parts, 0),
+            "b": pc.list_element(parts, 1),
+            "n": t["n"],
+        })
+
+    _ORDER = [("n", "descending"), ("a", "ascending"), ("b", "ascending")]
+
     def local_top(t: pa.Table) -> pa.Table:
         t = t.filter(is_bigram(t))
         t = t.filter(pc.greater_equal(t["n"], min_count))
-        order = [("n", "descending"), ("key", "ascending")]
-        return t.sort_by(order).slice(0, n_top)
+        return _split_ab(t).sort_by(_ORDER).slice(0, n_top)
 
     blocks = census.map_batches(local_top, batch_format="pyarrow").take_all()
     if blocks:
         merged = pa.Table.from_pylist(blocks)
-        merged = merged.sort_by([("n", "descending"), ("key", "ascending")])
-        merged = merged.slice(0, n_top)
+        merged = merged.sort_by(_ORDER).slice(0, n_top)
     else:
-        merged = pa.table({"key": pa.array([], pa.string()),
+        merged = pa.table({"a": pa.array([], pa.string()),
+                           "b": pa.array([], pa.string()),
                            "n": pa.array([], pa.int64())})
 
     n_bigrams = census.map_batches(
@@ -142,8 +148,7 @@ def collocation_counts(ds, text_col: str = "text", min_count: int = 2,
         batch_format="pyarrow",
     ).sum("s")
 
-    pairs = merged["key"].to_pylist()
-    ab = [k.split(" ", 1) for k in pairs]
+    ab = list(zip(merged["a"].to_pylist(), merged["b"].to_pylist()))
     needed = sorted({tok for pair in ab for tok in pair})
     if needed:
         need_set = pa.array(needed, pa.string())
@@ -164,7 +169,7 @@ def collocation_counts(ds, text_col: str = "text", min_count: int = 2,
         "c_ab": pa.array(c_ab, pa.int64()),
         "c_a": pa.array([ucount[p[0]] for p in ab], pa.int64()),
         "c_b": pa.array([ucount[p[1]] for p in ab], pa.int64()),
-        "n_bigrams": pa.array([int(n_bigrams)] * len(ab), pa.int64()),
+        "n_bigrams": pa.array([int(n_bigrams or 0)] * len(ab), pa.int64()),
     })
 
 
@@ -250,14 +255,7 @@ def lexical_diversity(ds, text_col: str = "text", key_col: str = "source"):
             "n": pc.cast(census["token_count"], pa.int64()),
         })
 
-    from logray.stages.bucketing import key_hashes
-
-    num_buckets = 32
-
-    def tag(t: pa.Table) -> pa.Table:
-        h = key_hashes(t["token"].to_numpy(zero_copy_only=False))
-        return t.append_column(
-            "__b", pa.array((h % num_buckets).astype(np.int64)))
+    from logray.stages.bucketing import bucket_tagger
 
     def bucket_fold(t: pa.Table) -> pa.Table:
         # bucket = hash(token): every (key, token) group is whole within
@@ -285,7 +283,7 @@ def lexical_diversity(ds, text_col: str = "text", key_col: str = "source"):
 
     parts = (
         ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(tag, batch_format="pyarrow")
+        .map_batches(bucket_tagger("token", 32), batch_format="pyarrow")
         .groupby("__b")
         .map_groups(bucket_fold, batch_format="pyarrow")
         .take_all()
@@ -293,7 +291,8 @@ def lexical_diversity(ds, text_col: str = "text", key_col: str = "source"):
     import pandas as pd
 
     df = pd.DataFrame(parts, columns=[key_col, "n_tokens", "n_types", "n_hapax"])
-    out = df.groupby(key_col, sort=True, as_index=False).sum()
+    # dropna=False: a null key is a real GROUP BY group in the SQL twin
+    out = df.groupby(key_col, sort=True, as_index=False, dropna=False).sum()
     out["ttr"] = out["n_types"].to_numpy(np.float64) / out["n_tokens"].to_numpy(np.float64)
     return out
 

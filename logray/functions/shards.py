@@ -9,17 +9,23 @@ targets ``target_bytes`` of *payload* per output shard:
    columns) — tiny int64 partials, no shuffle;
 2. ``n_shards = ceil(total / target_bytes)``; each row lands in shard
    ``knuth_hash(id) % n_shards`` — the same deterministic id hash the
-   sampling family uses, so shard membership is a pure function of
-   (id, seed, n_shards): balanced in expectation with O(1/sqrt(rows/shard))
-   relative deviation (at the design point every shard holds millions of
-   rows, so byte balance is tight), stable under any input partitioning,
-   and replayable;
+   sampling family uses (string / negative ids go through the FNV-1a
+   content hash first, like :func:`~logray.functions.sample.group_split`),
+   so shard membership is a pure function of (id, seed, n_shards):
+   balanced in expectation with O(1/sqrt(rows/shard)) relative deviation
+   (at the design point every shard holds millions of rows, so byte
+   balance is tight), stable under any input partitioning, and replayable;
 3. ``write_parquet(partition_cols=["shard"])`` — a hive layout
-   (``shard=K/``) so a failed run resumes per-shard and downstream readers
-   path-prune.
+   (``shard=K/``) so downstream readers path-prune and consume/resume
+   per shard.  The write itself is all-or-nothing: ``out_dir`` must not
+   already hold data (a rerun into a half-written directory would
+   DUPLICATE rows, so it is refused loudly — delete and rerun, the
+   deterministic assignment replays identically).
 
 No sort, no shuffle: the write is the only wide-ish step and Ray fans it
-out per block into each partition directory.
+out per block into each partition directory.  NOTE the input executes
+TWICE (byte census, then write) — hand this a re-readable source (a
+parquet read) or a materialized dataset, not an expensive lazy pipeline.
 
 Reference anchor: the reference viewer's single-file mmap model
 (`/root/reference/src/file_parsing/file_parser.cpp` open/parse of one log
@@ -29,11 +35,13 @@ file) is exactly what this replaces at scale.
 from __future__ import annotations
 
 import math
+import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from logray.functions.sample import _det_hash
+from logray.functions.sample import _M31, _det_hash
 
 # conservative fixed per-row cost of the non-payload scalar columns
 ROW_OVERHEAD_BYTES = 16
@@ -68,6 +76,10 @@ def rebalance_shards(ds, out_dir: str, target_bytes: int,
     """
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise FileExistsError(
+            f"{out_dir} is not empty: rerunning into a half-written shard "
+            "tree would duplicate rows; delete it and rerun")
     schema = ds.schema()
     if byte_cols is None:
         byte_cols = [
@@ -79,7 +91,16 @@ def rebalance_shards(ds, out_dir: str, target_bytes: int,
     n_shards = max(min_shards, math.ceil(total / target_bytes))
 
     def tag(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
+        col = t[id_col]
+        if pa.types.is_integer(col.type):
+            # numpy % is non-negative, so negative ids stay in range
+            ids = col.to_numpy(zero_copy_only=False).astype(np.int64) % _M31
+        else:
+            from logray.functions.fingerprint import content_hash
+
+            # string/binary ids: content hash to a non-negative int64
+            # (the group_split path)
+            ids = (content_hash(col) >> np.uint64(1)).astype(np.int64)
         shard = (_det_hash(ids, seed) % n_shards).astype("int64")
         if "shard" in t.column_names:
             t = t.drop_columns(["shard"])

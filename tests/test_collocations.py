@@ -138,3 +138,122 @@ def test_rebalance_shards_rejects_bad_target(ray_session):
                                  "text": pa.array(["a"])}))
     with pytest.raises(ValueError):
         rebalance_shards(ds, "/tmp/unused", target_bytes=0)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_collocations_fuzz_vs_duckdb(ray_session, seed):
+    """Random corpora (tiny vocab => heavy collisions, empty docs,
+    multi-space runs => empty tokens): both operators must match their
+    DuckDB twins exactly, including the ttr float."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.functions.collocations import (
+        collocation_counts_sql,
+        lexical_diversity_sql,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "cc", "dd", "", "zz"]
+    docs = []
+    for _ in range(300):
+        n = int(rng.integers(0, 12))
+        docs.append(" ".join(str(rng.choice(vocab)) for _ in range(n)))
+    docs += [None, None]  # null text: no tokens on either side
+    tbl = pa.table({
+        "source": pa.array(
+            [None if i % 41 == 0 else f"s{i % 3}" for i in range(len(docs))]),
+        "text": pa.array(docs, pa.string()),
+    })
+    con = duckdb.connect()
+    con.register("documents", tbl)
+
+    ds = rd.from_arrow(tbl).repartition(5)
+    got = collocation_counts(ds, "text", min_count=4, n_top=25).to_pandas()
+    want = con.execute(
+        collocation_counts_sql("documents", "text", min_count=4, n_top=25)
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
+
+    got_ld = lexical_diversity(rd.from_arrow(tbl).repartition(5),
+                               "text", "source").reset_index(drop=True)
+    want_ld = con.execute(
+        lexical_diversity_sql("documents", "text", "source")).df()
+    pd.testing.assert_frame_equal(got_ld, want_ld, check_dtype=False)
+    assert (got_ld["ttr"].to_numpy() == want_ld["ttr"].to_numpy()).all()
+
+
+def test_collocation_tiebreak_compares_tokens_not_joined_key(ray_session):
+    """A tab inside a token sorts BEFORE the joining space in the
+    concatenated key but AFTER in per-column ORDER BY a, b — the cut at
+    n_top must use the per-column order (the SQL twin's)."""
+    import ray.data as rd
+
+    texts = ["x zz"] * 3 + ["x\ty q"] * 3
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+    got = collocation_counts(ds, "text", min_count=2, n_top=1)
+    assert got.num_rows == 1
+    assert (got["a"][0].as_py(), got["b"][0].as_py()) == ("x", "zz")
+
+
+def test_collocation_counts_empty_input(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    got = collocation_counts(ds, "text", min_count=1, n_top=5)
+    assert got.num_rows == 0
+    assert got.column_names == ["a", "b", "c_ab", "c_a", "c_b", "n_bigrams"]
+
+
+def test_lexical_diversity_null_key_group(ray_session):
+    """A null source is a real GROUP BY group, not droppable."""
+    import ray.data as rd
+
+    tbl = pa.table({
+        "source": pa.array(["w", None, None]),
+        "text": pa.array(["a b", "c c", "d"]),
+    })
+    out = lexical_diversity(rd.from_arrow(tbl), "text", "source")
+    assert len(out) == 2
+    null_row = out[out["source"].isna()].iloc[0]
+    assert (null_row["n_tokens"], null_row["n_types"], null_row["n_hapax"]) == (3, 2, 1)
+
+
+def test_rebalance_shards_string_and_negative_ids(ray_session, tmp_path):
+    import ray.data as rd
+
+    tbl = pa.table({
+        "doc_id": pa.array(["u-1", "u-2", "u-3", "u-4"]),
+        "text": pa.array(["aa", "bb", "cc", "dd"]),
+    })
+    # string ids count as payload too: 8 text + 12 id bytes + 4*16 overhead
+    total = payload_bytes(rd.from_arrow(tbl), ["doc_id", "text"])
+    n = rebalance_shards(rd.from_arrow(tbl), str(tmp_path / "s1"),
+                         target_bytes=4, id_col="doc_id")
+    back = rd.read_parquet(str(tmp_path / "s1")).to_pandas()
+    assert sorted(back["doc_id"]) == ["u-1", "u-2", "u-3", "u-4"]
+    assert n == math.ceil(total / 4) and total == 8 + 12 + 4 * 16
+
+    tbl2 = pa.table({
+        "doc_id": pa.array([-5, -1, 0, 7], pa.int64()),
+        "text": pa.array(["aa", "bb", "cc", "dd"]),
+    })
+    rebalance_shards(rd.from_arrow(tbl2), str(tmp_path / "s2"),
+                     target_bytes=4, id_col="doc_id")
+    back2 = rd.read_parquet(str(tmp_path / "s2")).to_pandas()
+    assert sorted(back2["doc_id"]) == [-5, -1, 0, 7]
+
+
+def test_rebalance_shards_refuses_nonempty_out_dir(ray_session, tmp_path):
+    import ray.data as rd
+
+    out = tmp_path / "shards"
+    out.mkdir()
+    (out / "stale.parquet").write_text("x")
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": pa.array(["a"])}))
+    with pytest.raises(FileExistsError):
+        rebalance_shards(ds, str(out), target_bytes=10)

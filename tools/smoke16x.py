@@ -359,6 +359,19 @@ def main() -> int:
     timed("domain_quota_narrow", domain_quota_narrow_52m)
     timed("curation_stack", curation_stack)
 
+    # --- collocation census: the word-count exchange at 52M turns --------
+    # the synthetic text carries semi-unique tokens, so the (key, n)
+    # census approaches the token stream in cardinality — the worst case
+    # for the bucket shuffle, which is exactly what this smokes
+    def collocations_52m():
+        from logray.functions.collocations import collocation_counts
+
+        ds = read(["text"])
+        return collocation_counts(ds, "text", min_count=500,
+                                  n_top=50).num_rows
+
+    timed("collocations", collocations_52m)
+
     print(json.dumps({"rows": rows, "num_cpus": ncpu, "families": results}))
     ray.shutdown()
     return 0
