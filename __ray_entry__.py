@@ -800,6 +800,19 @@ def _q_lexical_diversity_docs(sf_dir: str):
     return lexical_diversity(ds, "text", key_col="source")
 
 
+def _q_sentence_split_docs(sf_dir: str):
+    """Regex sentence segmentation into (doc_id, sent_idx, sentence)
+    rows; both sides run the SAME RE2 boundary pattern, so the split is
+    byte-exact."""
+    import ray.data as rd
+
+    from logray.functions.textclean import sentence_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return sentence_split(ds, "text", id_col="doc_id")
+
+
 def _q_rebalance_docs(sf_dir: str):
     """Byte-balanced hive-sharded rewrite of the documents table
     (~64 KiB payload per shard at this scale), then a full read-back:
@@ -3028,6 +3041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_docs": _q_containment_docs,
         "collocations_docs": _q_collocations_docs,
         "lexical_diversity_docs": _q_lexical_diversity_docs,
+        "sentence_split_docs": _q_sentence_split_docs,
         "rebalance_docs": _q_rebalance_docs,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
@@ -3181,6 +3195,7 @@ def oracle_sql() -> dict[str, str]:
         collocation_counts_sql,
         lexical_diversity_sql,
     )
+    from logray.functions.textclean import sentence_split_sql
     from logray.functions.quality import wordlist_filter_sql
     from logray.functions.sample import (
         deterministic_shuffle_sql,
@@ -3680,6 +3695,8 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", min_count=3, n_top=50),
         "lexical_diversity_docs": lexical_diversity_sql(
             "documents", "text", "source"),
+        "sentence_split_docs": sentence_split_sql(
+            "documents", "text", "doc_id"),
         "rebalance_docs": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             ORDER BY doc_id

@@ -39,7 +39,12 @@ from logray.functions.tokenize import (
 from logray.functions.decontam import build_contamination_index, flag_contaminated
 from logray.functions.pii import redact_pii
 from logray.functions.quality import compression_ratio, gopher_quality
-from logray.functions.textclean import clean_text, json_extract_field, normalize_nfc
+from logray.functions.textclean import (
+    clean_text,
+    json_extract_field,
+    normalize_nfc,
+    sentence_split,
+)
 from logray.functions.png import decode_png, encode_png
 from logray.functions.multimodal import (
     DecodeImageBatch,
@@ -149,6 +154,7 @@ __all__ = [
     "ModelScoreBatch",
     "model_score_stage",
     "clean_text",
+    "sentence_split",
     "normalize_nfc",
     "json_extract_field",
     "compression_ratio",

@@ -278,3 +278,62 @@ def json_extract_field_sql(table: str, col: str, key: str,
     elif value_type == "float64":
         expr = f"TRY_CAST({expr} AS DOUBLE)"
     return f"SELECT {cols}, {expr} AS {out} FROM {table}"
+
+
+DEFAULT_SENTENCE_RE = r"[.!?]+\s+"
+
+
+def sentence_split(ds, text_col: str = "text", id_col: str = "doc_id",
+                   pattern: str = DEFAULT_SENTENCE_RE):
+    """Explode documents into (id, sent_idx, sentence) rows by an RE2
+    boundary pattern — the segmentation pass before sentence-level dedup
+    or per-sentence sampling.
+
+    Both sides of the oracle run the SAME RE2 pattern (Arrow
+    ``split_pattern_regex`` here, DuckDB ``regexp_split_to_array`` in
+    :func:`sentence_split_sql`), so splits agree byte-for-byte; RE2 has
+    no lookbehind, so the boundary match is CONSUMED (sentences carry no
+    terminal punctuation except at document end — document this to
+    downstream users).  ``sent_idx`` is 1-based, matching the SQL twin's
+    ``generate_series``.
+
+    Row-local: split -> flatten -> parent-index take per batch, no
+    shuffle; null text emits no rows (SQL unnest-of-null semantics)."""
+    import numpy as np
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(col, pattern=pattern)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        # freshly-built list array: offsets start at 0, so position
+        # within the doc = global position - the doc's start offset
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = parent.to_numpy(zero_copy_only=False)
+        idx = np.arange(len(flat), dtype=np.int64) - off[pr] + 1
+        return pa.table({
+            id_col: pc.take(t[id_col], parent),
+            "sent_idx": pa.array(idx),
+            "sentence": flat,
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def sentence_split_sql(table: str, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       pattern: str = DEFAULT_SENTENCE_RE) -> str:
+    """DuckDB oracle for :func:`sentence_split` (1-indexed list algebra)."""
+    return f"""
+        SELECT {id_col}, g AS sent_idx, ss[g] AS sentence
+        FROM (
+            SELECT {id_col}, ss, unnest(generate_series(1, len(ss))) AS g
+            FROM (SELECT {id_col},
+                         regexp_split_to_array({text_col}, '{pattern}') AS ss
+                  FROM {table})
+        )
+        ORDER BY {id_col}, sent_idx
+    """

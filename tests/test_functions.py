@@ -3430,3 +3430,49 @@ def test_containment_pairs_fuzz_matches_duckdb(ray_session):
            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_sentence_split_matches_duckdb_and_bruteforce(ray_session):
+    """Regex sentence segmentation: exact vs the DuckDB twin on the same
+    RE2 pattern, including empty docs, null text, trailing boundaries
+    and multi-punctuation runs."""
+    import re
+
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.functions.textclean import (
+        DEFAULT_SENTENCE_RE,
+        sentence_split,
+        sentence_split_sql,
+    )
+
+    texts = [
+        "One sentence. Two sentences! Three?? Four",
+        "No boundary here",
+        "",
+        None,
+        "Trailing boundary. ",
+        "A.  B",  # double space after the period
+        "Multi!?! runs...   collapse",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = (
+        sentence_split(rd.from_arrow(tbl).repartition(3), "text", "doc_id")
+        .to_pandas().sort_values(["doc_id", "sent_idx"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(sentence_split_sql("documents", "text", "doc_id")).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # brute force: python re.split on the same pattern
+    for i, txt in enumerate(texts):
+        sub = got[got["doc_id"] == i]
+        exp = re.split(DEFAULT_SENTENCE_RE, txt) if txt is not None else []
+        assert list(sub["sentence"]) == exp
+        assert list(sub["sent_idx"]) == list(range(1, len(exp) + 1))
