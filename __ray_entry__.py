@@ -79,6 +79,22 @@ def _q_transcript_build(sf_dir: str):
     return transcripts_from_events(sf_dir).to_pandas()
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    """Transcript view written to CSV part files and read back through
+    the canonical cast: the full wire-format round-trip must reproduce
+    the same table the direct build does (oracle: the transcript SQL)."""
+    import tempfile
+
+    from logray.sources.csvsrc import (
+        read_transcripts_csv,
+        write_transcripts_csv,
+    )
+
+    out = tempfile.mkdtemp(prefix="logray_csv_")
+    write_transcripts_csv(transcripts_from_events(sf_dir), out)
+    return read_transcripts_csv(out).to_pandas()
+
+
 def _q_parse_fields(sf_dir: str):
     ds = _parse_transcripts(sf_dir, GOLDEN_FORMAT)
     out = ds.select_columns(
@@ -2999,6 +3015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # transcript / log-pipeline core
         "transcript_build": _q_transcript_build,
+        "csv_roundtrip": _q_csv_roundtrip,
         "parse_fields": _q_parse_fields,
         "route_counts": _q_route_counts,
         "role_histogram": _q_role_histogram,
@@ -3263,6 +3280,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "transcript_build": _TSQL,
+        "csv_roundtrip": _TSQL,
         "sample_uniform": sample_uniform_sql(
             "orders", 0.1, "o_orderkey", seed=12345,
             cols="o_orderkey, o_custkey, o_orderpriority",

@@ -1,3 +1,4 @@
+from logray.sources.csvsrc import read_transcripts_csv, write_transcripts_csv
 from logray.sources.jsonl import read_transcripts_jsonl, write_transcripts_jsonl
 from logray.sources.transcripts import (
     TRANSCRIPT_SCHEMA,
@@ -9,6 +10,8 @@ from logray.sources.transcripts import (
 
 __all__ = [
     "TRANSCRIPT_SCHEMA",
+    "read_transcripts_csv",
+    "write_transcripts_csv",
     "read_transcripts_jsonl",
     "write_transcripts_jsonl",
     "read_transcripts",

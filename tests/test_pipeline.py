@@ -285,3 +285,57 @@ def test_assign_turn_idx_bucketed_matches_sorted(ray_session):
     assert got.sort_index().equals(want_map.sort_index())
     # payload survives the shuffle untouched
     assert set(out["payload"]) == set(f"txt-{i}" for i in range(n))
+
+
+def test_csv_transcripts_round_trip(ray_session, tmp_path):
+    """CSV wire format: embedded commas/quotes/newlines in text and a
+    null tool column all round-trip through standard CSV quoting."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logray.sources.csvsrc import (
+        read_transcripts_csv,
+        write_transcripts_csv,
+    )
+    from logray.sources.transcripts import transcripts_from_events
+
+    ds = transcripts_from_events("/root/testdata/sf0.001")
+    orig = ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    out = str(tmp_path / "csv")
+    write_transcripts_csv(ds, out)
+    back = (
+        read_transcripts_csv(out).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back[orig.columns.tolist()], orig)
+
+    # adversarial payloads: comma, quote, newline, CRLF inside text
+    import datetime
+
+    nasty = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2", "c2"]),
+        "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+        "role": pa.array(["user", "assistant", "user", "assistant"]),
+        "text": pa.array(['a,b "quoted"', "line1\nline2", "crlf\r\nhere", "plain"]),
+        # "" is the canonical no-tool encoding (CSV conflates null -> "")
+        "tool": pa.array(["", "search", "", ""], pa.string()),
+        "ts": pa.array([datetime.datetime(2026, 1, 1, 12, 0, i) for i in range(4)],
+                       pa.timestamp("us")),
+    })
+    out2 = str(tmp_path / "csv2")
+    write_transcripts_csv(rd.from_arrow(nasty), out2)
+    back2 = (
+        read_transcripts_csv(out2).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back2, nasty.to_pandas())
+
+    # missing-column input fails loudly
+    import pytest
+
+    bad = str(tmp_path / "bad")
+    rd.from_pandas(pd.DataFrame({"conv_id": ["a"]})).write_csv(bad)
+    with pytest.raises(Exception):
+        read_transcripts_csv(bad).to_pandas()
