@@ -847,6 +847,25 @@ def _q_rebalance_docs(sf_dir: str):
     return back.select_columns(cols).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_rebalance_resumable_docs(sf_dir: str):
+    """Checkpointed byte-balanced rewrite (census + shard phases, one
+    checkpoint per input file) read back whole via the path-pruned
+    reader; oracle checks losslessness."""
+    import tempfile
+
+    from logray.functions.shards import (
+        read_rebalanced,
+        rebalance_shards_resumable,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="logray_shards_rz_")
+    rebalance_shards_resumable(f"{sf_dir}/documents.parquet", out_dir,
+                               target_bytes=64 * 1024, id_col="doc_id")
+    back = read_rebalanced(out_dir)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    return back.select_columns(cols).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_embedding_dups(sf_dir: str):
     import ray.data as rd
 
@@ -3060,6 +3079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity_docs": _q_lexical_diversity_docs,
         "sentence_split_docs": _q_sentence_split_docs,
         "rebalance_docs": _q_rebalance_docs,
+        "rebalance_resumable_docs": _q_rebalance_resumable_docs,
         "embedding_dups": _q_embedding_dups,
         "embedding_dups_lsh": _q_embedding_dups_lsh,
         "minhash_pairs": _q_minhash_pairs,
@@ -3716,6 +3736,10 @@ def oracle_sql() -> dict[str, str]:
         "sentence_split_docs": sentence_split_sql(
             "documents", "text", "doc_id"),
         "rebalance_docs": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            ORDER BY doc_id
+        """,
+        "rebalance_resumable_docs": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             ORDER BY doc_id
         """,

@@ -80,7 +80,12 @@ from logray.functions.collocations import (
     pmi_collocations,
     lexical_diversity,
 )
-from logray.functions.shards import payload_bytes, rebalance_shards
+from logray.functions.shards import (
+    payload_bytes,
+    read_rebalanced,
+    rebalance_shards,
+    rebalance_shards_resumable,
+)
 from logray.functions.dedup_incremental import (
     build_hash_index,
     dedup_against_index,
@@ -193,4 +198,6 @@ __all__ = [
     "lexical_diversity",
     "payload_bytes",
     "rebalance_shards",
+    "rebalance_shards_resumable",
+    "read_rebalanced",
 ]

@@ -109,3 +109,149 @@ def rebalance_shards(ds, out_dir: str, target_bytes: int,
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     tagged.write_parquet(out_dir, partition_cols=["shard"])
     return n_shards
+
+
+def read_rebalanced(out_dir: str, shard: int | None = None):
+    """Read a :func:`rebalance_shards_resumable` output tree.  Pass
+    ``shard`` to read ONE shard (path-level pruning: only that shard's
+    files are listed); default reads everything.  The ``shard`` column is
+    restored from the path."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    base = os.path.join(out_dir, "shards", "parts")
+    if shard is not None:
+        files = sorted(_glob.glob(
+            os.path.join(base, "*", f"shard={shard}", "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no files for shard={shard} under {base}")
+        def _add(t: pa.Table, s=shard) -> pa.Table:
+            # the reader may or may not hive-infer `shard` from the path
+            # depending on how the paths were listed — normalize either way
+            if "shard" in t.column_names:
+                t = t.drop_columns(["shard"])
+            return t.append_column(
+                "shard", pa.array(np.full(t.num_rows, s, np.int64)))
+        return rd.read_parquet(files).map_batches(
+            _add, batch_format="pyarrow", zero_copy_batch=True)
+    shard_ids = sorted({
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in _glob.glob(os.path.join(base, "*", "shard=*"))
+    })
+    parts = [read_rebalanced(out_dir, s) for s in shard_ids]
+    if not parts:
+        raise FileNotFoundError(f"no shard outputs under {base}")
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+def rebalance_shards_resumable(input_path: str, out_dir: str,
+                               target_bytes: int, id_col: str = "doc_id",
+                               byte_cols: list[str] | None = None,
+                               seed: int = 0, min_shards: int = 1,
+                               row_overhead: int = ROW_OVERHEAD_BYTES,
+                               _fault=None) -> dict:
+    """Checkpointed :func:`rebalance_shards`: every phase partition is an
+    atomically-published checkpoint, so a 100 TB rewrite that dies at 90%
+    resumes instead of restarting (and re-running after new input files
+    arrive processes only the new files' census — note the shard COUNT is
+    fixed by the first completed plan via run_config, so growing the
+    input only adds rows to existing shards).
+
+    1. **census** — per INPUT FILE: exact payload bytes (tiny manifest
+       metric, no data written);
+    2. **shards** — per INPUT FILE: tag ``knuth_hash(id) % n_shards`` and
+       write ``shard=K/`` hive partitions under the file's own partition
+       dir.
+
+    Shard assignment is a pure function of (id, seed, n_shards), so the
+    union of per-file outputs is row-identical to the single-shot
+    :func:`rebalance_shards` at the same ``n_shards``.  Read back with
+    :func:`read_rebalanced` (whole tree or one shard, path-pruned).
+    ``_fault(phase, part_id)`` is a test-only crash-injection hook.
+    """
+    import ray.data as rd
+
+    from logray.state.manifest import (RunManifest, check_run_config,
+                                       run_resumable)
+
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+
+    if byte_cols is None:
+        probe = rd.read_parquet(input_path)
+        schema = probe.schema()
+        byte_cols = [
+            n for n, t in zip(schema.names, schema.types)
+            if pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)
+        ]
+    check_run_config(out_dir, {
+        "op": "rebalance_shards", "target_bytes": int(target_bytes),
+        "id_col": id_col, "byte_cols": sorted(byte_cols),
+        "seed": int(seed), "min_shards": int(min_shards),
+        "row_overhead": int(row_overhead),
+    })
+
+    def fault(phase, part_id):
+        if _fault is not None:
+            _fault(phase, part_id)
+
+    # --- phase 1: exact byte census per input file -----------------------
+    census_dir = os.path.join(out_dir, "census")
+
+    def run_census(files, tmp, part_id=None):
+        fault("census", part_id)
+        b = payload_bytes(rd.read_parquet(files), byte_cols,
+                          row_overhead=row_overhead)
+        return {"bytes": int(b)}
+
+    run_resumable(input_path, census_dir, run_census)
+    total = sum(int(e.get("bytes", 0))
+                for e in RunManifest(census_dir).entries().values())
+    # the shard count is part of the PLAN: once any phase-2 partition may
+    # exist it must never change (a grown input would otherwise recompute
+    # a larger n_shards and assign new files inconsistently) — persist it
+    # next to run_config on first computation, reuse forever after
+    import json
+
+    plan_path = os.path.join(out_dir, "shard_plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            n_shards = int(json.load(f)["n_shards"])
+    else:
+        n_shards = max(min_shards, math.ceil(total / target_bytes))
+        tmp_plan = plan_path + ".tmp"
+        with open(tmp_plan, "w") as f:
+            json.dump({"n_shards": n_shards, "census_bytes": total}, f)
+        os.replace(tmp_plan, plan_path)
+
+    # --- phase 2: tag + hive write per input file -------------------------
+    def run_write(files, tmp, part_id=None):
+        fault("shards", part_id)
+        ds = rd.read_parquet(files)
+
+        def tag(t: pa.Table) -> pa.Table:
+            col = t[id_col]
+            if pa.types.is_integer(col.type):
+                ids = col.to_numpy(zero_copy_only=False).astype(np.int64) % _M31
+            else:
+                from logray.functions.fingerprint import content_hash
+
+                ids = (content_hash(col) >> np.uint64(1)).astype(np.int64)
+            shard = (_det_hash(ids, seed) % n_shards).astype("int64")
+            if "shard" in t.column_names:
+                t = t.drop_columns(["shard"])
+            return t.append_column("shard", pa.array(shard))
+
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True
+                       ).write_parquet(tmp, partition_cols=["shard"])
+        return {}
+
+    shards_dir = os.path.join(out_dir, "shards")
+    m = run_resumable(input_path, shards_dir, run_write)
+    return {"n_shards": int(n_shards), "total_bytes": int(total),
+            "partitions": m.get("partitions", 0), "output_dir": shards_dir}

@@ -257,3 +257,78 @@ def test_rebalance_shards_refuses_nonempty_out_dir(ray_session, tmp_path):
                                  "text": pa.array(["a"])}))
     with pytest.raises(FileExistsError):
         rebalance_shards(ds, str(out), target_bytes=10)
+
+
+def _write_doc_files(dirpath, n=120, files=3):
+    import pyarrow.parquet as pq
+
+    os.makedirs(dirpath, exist_ok=True)
+    per = n // files
+    for f in range(files):
+        ids = np.arange(f * per, (f + 1) * per, dtype=np.int64)
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids),
+                "text": pa.array([f"doc {i} " + "x" * (i % 37) for i in ids]),
+            }),
+            os.path.join(dirpath, f"part-{f}.parquet"),
+        )
+    return n
+
+
+def test_rebalance_resumable_crash_and_resume(ray_session, tmp_path):
+    """Crash in EVERY phase, resume, and the union of per-file outputs is
+    row-identical (including shard assignment) to the single-shot sink."""
+    import ray.data as rd
+
+    from logray.functions.shards import (
+        read_rebalanced,
+        rebalance_shards,
+        rebalance_shards_resumable,
+    )
+
+    src = str(tmp_path / "input")
+    _write_doc_files(src)
+    target = 600
+
+    # single-shot ground truth (same target/seed): hive read restores shard
+    single_dir = str(tmp_path / "single")
+    rebalance_shards(rd.read_parquet(src), single_dir, target_bytes=target)
+    want = (rd.read_parquet(single_dir).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    want["shard"] = want["shard"].astype("int64")
+
+    out = str(tmp_path / "resumable")
+    for crash_phase in ("census", "shards"):
+        crashed = {"hit": False}
+
+        def fault(phase, part_id, cp=crash_phase):
+            # crash once, on the SECOND input file of the target phase
+            # (ids are name-stable: p-part-1.parquet-<sha8>)
+            if phase == cp and "part-1" in part_id and not crashed["hit"]:
+                crashed["hit"] = True
+                raise RuntimeError("injected crash")
+
+        with pytest.raises(RuntimeError, match="injected crash"):
+            rebalance_shards_resumable(src, out, target_bytes=target,
+                                       _fault=fault)
+        assert crashed["hit"]
+
+    # clean resume finishes the remaining partitions
+    m = rebalance_shards_resumable(src, out, target_bytes=target)
+    got = (read_rebalanced(out).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got["shard"] = got["shard"].astype("int64")
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    assert m["n_shards"] == want["shard"].nunique() or m["n_shards"] >= 1
+
+    # single-shard read is path-pruned and correct
+    one = read_rebalanced(out, shard=int(want["shard"].iloc[0])).to_pandas()
+    sub = want[want["shard"] == want["shard"].iloc[0]]
+    assert sorted(one["doc_id"]) == sorted(sub["doc_id"])
+
+    # a different plan refuses to reuse the checkpoints
+    with pytest.raises(ValueError, match="different parameters"):
+        rebalance_shards_resumable(src, out, target_bytes=target * 2)
