@@ -65,6 +65,28 @@ def payload_bytes(ds, byte_cols: list[str],
     return int(got or 0)
 
 
+def _shard_tagger(id_col: str, seed: int, n_shards: int):
+    """The ONE shard-assignment definition (single-shot and resumable
+    sinks must stay bit-identical): integer ids through the Knuth hash
+    (numpy ``%`` keeps negatives in range), string/binary ids through the
+    FNV-1a content hash first — the :func:`group_split` path."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t[id_col]
+        if pa.types.is_integer(col.type):
+            ids = col.to_numpy(zero_copy_only=False).astype(np.int64) % _M31
+        else:
+            from logray.functions.fingerprint import content_hash
+
+            ids = (content_hash(col) >> np.uint64(1)).astype(np.int64)
+        shard = (_det_hash(ids, seed) % n_shards).astype("int64")
+        if "shard" in t.column_names:
+            t = t.drop_columns(["shard"])
+        return t.append_column("shard", pa.array(shard))
+
+    return tag
+
+
 def rebalance_shards(ds, out_dir: str, target_bytes: int,
                      id_col: str = "doc_id",
                      byte_cols: list[str] | None = None,
@@ -90,62 +112,56 @@ def rebalance_shards(ds, out_dir: str, target_bytes: int,
     total = payload_bytes(ds, byte_cols)
     n_shards = max(min_shards, math.ceil(total / target_bytes))
 
-    def tag(t: pa.Table) -> pa.Table:
-        col = t[id_col]
-        if pa.types.is_integer(col.type):
-            # numpy % is non-negative, so negative ids stay in range
-            ids = col.to_numpy(zero_copy_only=False).astype(np.int64) % _M31
-        else:
-            from logray.functions.fingerprint import content_hash
-
-            # string/binary ids: content hash to a non-negative int64
-            # (the group_split path)
-            ids = (content_hash(col) >> np.uint64(1)).astype(np.int64)
-        shard = (_det_hash(ids, seed) % n_shards).astype("int64")
-        if "shard" in t.column_names:
-            t = t.drop_columns(["shard"])
-        return t.append_column("shard", pa.array(shard))
-
-    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = ds.map_batches(_shard_tagger(id_col, seed, n_shards),
+                            batch_format="pyarrow", zero_copy_batch=True)
     tagged.write_parquet(out_dir, partition_cols=["shard"])
     return n_shards
 
 
-def read_rebalanced(out_dir: str, shard: int | None = None):
-    """Read a :func:`rebalance_shards_resumable` output tree.  Pass
-    ``shard`` to read ONE shard (path-level pruning: only that shard's
-    files are listed); default reads everything.  The ``shard`` column is
-    restored from the path."""
+def _committed_shard_files(out_dir: str, shard: int | None) -> list[str]:
+    """Parquet files under COMMITTED partitions only (manifest present):
+    the ``*`` glob would also match leftover ``.inprogress`` dirs from a
+    crashed attempt — reading those returns partial/duplicate rows."""
     import glob as _glob
 
+    from logray.state.manifest import RunManifest
+
+    mf = RunManifest(os.path.join(out_dir, "shards"))
+    pattern = f"shard={shard}" if shard is not None else "shard=*"
+    files: list[str] = []
+    for part_id in mf.entries():
+        files.extend(_glob.glob(
+            os.path.join(mf.partition_dir(part_id), pattern, "*.parquet")))
+    return sorted(files)
+
+
+def read_rebalanced(out_dir: str, shard: int | None = None):
+    """Read a :func:`rebalance_shards_resumable` output tree — whole tree
+    by default, ONE shard with ``shard=`` (path-level pruning: only that
+    shard's files are listed).  Only manifest-COMMITTED partitions are
+    read (a crashed run's ``.inprogress`` leftovers are excluded), and
+    the ``shard`` column is restored from the file path — one dataset,
+    one pass, no per-shard plan blowup."""
     import ray.data as rd
 
-    base = os.path.join(out_dir, "shards", "parts")
-    if shard is not None:
-        files = sorted(_glob.glob(
-            os.path.join(base, "*", f"shard={shard}", "*.parquet")))
-        if not files:
-            raise FileNotFoundError(f"no files for shard={shard} under {base}")
-        def _add(t: pa.Table, s=shard) -> pa.Table:
-            # the reader may or may not hive-infer `shard` from the path
-            # depending on how the paths were listed — normalize either way
-            if "shard" in t.column_names:
-                t = t.drop_columns(["shard"])
-            return t.append_column(
-                "shard", pa.array(np.full(t.num_rows, s, np.int64)))
-        return rd.read_parquet(files).map_batches(
-            _add, batch_format="pyarrow", zero_copy_batch=True)
-    shard_ids = sorted({
-        int(os.path.basename(d).split("=", 1)[1])
-        for d in _glob.glob(os.path.join(base, "*", "shard=*"))
-    })
-    parts = [read_rebalanced(out_dir, s) for s in shard_ids]
-    if not parts:
-        raise FileNotFoundError(f"no shard outputs under {base}")
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
-    return ds
+    files = _committed_shard_files(out_dir, shard)
+    if not files:
+        raise FileNotFoundError(
+            f"no committed files for shard={shard} under {out_dir}/shards")
+    # shard from the path, vectorized; O(1) datasets however many shards
+    shard_of = {f: int(f.rsplit("shard=", 1)[1].split(os.sep, 1)[0])
+                for f in files}
+    shard_arr = pa.array([shard_of[f] for f in files], pa.int64())
+    path_arr = pa.array(list(shard_of), pa.string())
+
+    def restore(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["path"], value_set=path_arr)
+        out = t.drop_columns(
+            ["path"] + (["shard"] if "shard" in t.column_names else []))
+        return out.append_column("shard", pc.take(shard_arr, idx))
+
+    return rd.read_parquet(files, include_paths=True).map_batches(
+        restore, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def rebalance_shards_resumable(input_path: str, out_dir: str,
@@ -232,23 +248,10 @@ def rebalance_shards_resumable(input_path: str, out_dir: str,
     # --- phase 2: tag + hive write per input file -------------------------
     def run_write(files, tmp, part_id=None):
         fault("shards", part_id)
-        ds = rd.read_parquet(files)
-
-        def tag(t: pa.Table) -> pa.Table:
-            col = t[id_col]
-            if pa.types.is_integer(col.type):
-                ids = col.to_numpy(zero_copy_only=False).astype(np.int64) % _M31
-            else:
-                from logray.functions.fingerprint import content_hash
-
-                ids = (content_hash(col) >> np.uint64(1)).astype(np.int64)
-            shard = (_det_hash(ids, seed) % n_shards).astype("int64")
-            if "shard" in t.column_names:
-                t = t.drop_columns(["shard"])
-            return t.append_column("shard", pa.array(shard))
-
-        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True
-                       ).write_parquet(tmp, partition_cols=["shard"])
+        rd.read_parquet(files).map_batches(
+            _shard_tagger(id_col, seed, n_shards),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).write_parquet(tmp, partition_cols=["shard"])
         return {}
 
     shards_dir = os.path.join(out_dir, "shards")

@@ -24,12 +24,21 @@ structured-line shapes.
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 from pyarrow import csv as pacsv
 
-from logray.sources.jsonl import _normalize
+from logray.sources.jsonl import _CANON, _normalize, _stringify_ts
 
 __all__ = ["read_transcripts_csv", "write_transcripts_csv"]
+
+# pin string columns (and ts as string, cast later by _normalize): CSV
+# type INFERENCE is per-file and value-dependent — an all-empty tool
+# block infers null type (reads back NULL, not ""), conv_id "0012"
+# infers int64 (leading zeros destroyed) — pinning makes the round-trip
+# value-independent
+_PINNED_TYPES = {
+    name: pa.string() for name, typ in _CANON.items()
+    if pa.types.is_string(typ) or pa.types.is_timestamp(typ)
+}
 
 
 def read_transcripts_csv(paths, **read_kwargs):
@@ -39,8 +48,8 @@ def read_transcripts_csv(paths, **read_kwargs):
 
     read_kwargs.setdefault(
         "parse_options", pacsv.ParseOptions(newlines_in_values=True))
-    # default ConvertOptions: empty fields stay "" (the canonical
-    # transcripts' no-tool encoding), never silently nulled
+    read_kwargs.setdefault(
+        "convert_options", pacsv.ConvertOptions(column_types=_PINNED_TYPES))
     ds = rd.read_csv(paths, **read_kwargs)
     return ds.map_batches(_normalize, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)
@@ -52,13 +61,6 @@ def write_transcripts_csv(ds, path: str, **write_kwargs):
     Timestamps serialize as ISO-8601 so the files round-trip through
     :func:`read_transcripts_csv`."""
 
-    def stringify_ts(t: pa.Table) -> pa.Table:
-        if "ts" in t.column_names and pa.types.is_timestamp(t["ts"].type):
-            # Arrow strftime prints subseconds INSIDE %S (it has no %f)
-            iso = pc.strftime(t["ts"], format="%Y-%m-%dT%H:%M:%S")
-            t = t.drop_columns(["ts"]).append_column("ts", iso)
-        return t
-
-    ds.map_batches(stringify_ts, batch_format="pyarrow",
+    ds.map_batches(_stringify_ts, batch_format="pyarrow",
                    zero_copy_batch=True, batch_size=None
                    ).write_csv(path, **write_kwargs)

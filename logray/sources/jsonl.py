@@ -28,11 +28,21 @@ _CANON = {
 }
 
 
+def _stringify_ts(t: pa.Table) -> pa.Table:
+    """ISO-8601 ts serialization shared by the JSONL and CSV sinks —
+    ONE definition so the wire formats can never diverge."""
+    if "ts" in t.column_names and pa.types.is_timestamp(t["ts"].type):
+        # Arrow strftime prints subseconds INSIDE %S (and has no %f)
+        iso = pc.strftime(t["ts"], format="%Y-%m-%dT%H:%M:%S")
+        t = t.drop_columns(["ts"]).append_column("ts", iso)
+    return t
+
+
 def _normalize(t: pa.Table) -> pa.Table:
     cols = {}
     for name, typ in _CANON.items():
         if name not in t.column_names:
-            raise ValueError(f"JSONL transcript missing column {name!r} "
+            raise ValueError(f"transcript input missing column {name!r} "
                              f"(have {t.column_names})")
         c = t[name]
         # one generic cast covers everything, including ISO-8601 string
@@ -57,13 +67,6 @@ def write_transcripts_jsonl(ds, path: str, **write_kwargs):
     serialize as ISO-8601 strings so the files round-trip through
     :func:`read_transcripts_jsonl`."""
 
-    def stringify_ts(t: pa.Table) -> pa.Table:
-        if "ts" in t.column_names and pa.types.is_timestamp(t["ts"].type):
-            # Arrow strftime prints subseconds INSIDE %S (and has no %f)
-            iso = pc.strftime(t["ts"], format="%Y-%m-%dT%H:%M:%S")
-            t = t.drop_columns(["ts"]).append_column("ts", iso)
-        return t
-
-    ds.map_batches(stringify_ts, batch_format="pyarrow",
+    ds.map_batches(_stringify_ts, batch_format="pyarrow",
                    zero_copy_batch=True, batch_size=None
                    ).write_json(path, **write_kwargs)

@@ -322,7 +322,8 @@ def test_rebalance_resumable_crash_and_resume(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
-    assert m["n_shards"] == want["shard"].nunique() or m["n_shards"] >= 1
+    total = payload_bytes(rd.read_parquet(src), ["text"])
+    assert m["n_shards"] == math.ceil(total / target)
 
     # single-shard read is path-pruned and correct
     one = read_rebalanced(out, shard=int(want["shard"].iloc[0])).to_pandas()

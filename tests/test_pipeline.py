@@ -332,6 +332,23 @@ def test_csv_transcripts_round_trip(ray_session, tmp_path):
     )
     pd.testing.assert_frame_equal(back2, nasty.to_pandas())
 
+    # type-inference traps: a block whose tool column is ALL empty must
+    # read back "" (not NULL), and a digit-looking conv_id must stay a
+    # string with its leading zeros (column types are pinned, not inferred)
+    tricky = pa.table({
+        "conv_id": pa.array(["0012", "0034"]),
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "role": pa.array(["user", "user"]),
+        "text": pa.array(["a", "b"]),
+        "tool": pa.array(["", ""], pa.string()),
+        "ts": pa.array([datetime.datetime(2026, 1, 1)] * 2, pa.timestamp("us")),
+    })
+    out3 = str(tmp_path / "csv3")
+    write_transcripts_csv(rd.from_arrow(tricky), out3)
+    back3 = (read_transcripts_csv(out3).to_pandas()
+             .sort_values("conv_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back3, tricky.to_pandas())
+
     # missing-column input fails loudly
     import pytest
 
