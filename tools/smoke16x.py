@@ -372,6 +372,28 @@ def main() -> int:
 
     timed("collocations", collocations_52m)
 
+    # --- byte-balanced shard rewrite: 52M rows through the sink ----------
+    def rebalance_52m():
+        import shutil
+        import tempfile
+
+        from logray.functions.shards import rebalance_shards
+
+        out = tempfile.mkdtemp(prefix="logray_smoke_shards_",
+                               dir="/tmp/logray_bench")
+        shutil.rmtree(out)
+        # Shard on conv_id (the string-id content-hash path): conversations
+        # co-shard, and ~1.7M distinct convs balance the byte budget.  A
+        # low-cardinality synthetic int id (e.g. turn_idx-derived) would
+        # lump millions of rows onto single knuth-hash values.
+        ds = read(["conv_id", "turn_idx", "text"])
+        n = rebalance_shards(ds, out, target_bytes=256 << 20,
+                             id_col="conv_id")
+        shutil.rmtree(out, ignore_errors=True)
+        return n
+
+    timed("rebalance", rebalance_52m)
+
     print(json.dumps({"rows": rows, "num_cpus": ncpu, "families": results}))
     ray.shutdown()
     return 0
