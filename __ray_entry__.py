@@ -829,6 +829,49 @@ def _q_sentence_split_docs(sf_dir: str):
     return sentence_split(ds, "text", id_col="doc_id")
 
 
+# HTML wrapper pieces shared by _q_html_extract_docs and its SQL twin:
+# the documents table is plain text, so both sides compose the SAME
+# synthetic markup around it (script/style/comment blocks, entities,
+# block tags), then run the extraction chain.
+_HTML_WRAP = (
+    "<html><head><script>var x = 1 < 2;</script><style>p { }</style>"
+    "</head><body><!-- hdr --><h1>Doc ",
+    "</h1><p>",
+    "</p><br/><div>footer &amp;lt; &nbsp;end</div></body></html>",
+)
+
+
+def _q_html_extract_docs(sf_dir: str):
+    """HTML -> text extraction (web-crawl stage 0): wrap each document
+    in deterministic markup, then run the RE2 extraction chain; the
+    twin is generated from the SAME step table
+    (logray/functions/textclean.py::_HTML_STEPS), so clean_text and the
+    n_tags markup-density signal are byte-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.functions.textclean import html_to_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            pa.scalar(_HTML_WRAP[0]),
+            pc.cast(t["doc_id"], pa.string()),
+            pa.scalar(_HTML_WRAP[1]),
+            t["text"],
+            pa.scalar(_HTML_WRAP[2]),
+            pa.scalar(""),
+        )
+        return t.drop_columns(["text"]).append_column("html", html)
+
+    out = html_to_text(ds.map_batches(wrap, batch_format="pyarrow",
+                                      zero_copy_batch=True), col="html")
+    return out.select_columns(["doc_id", "n_tags", "clean_text"])
+
+
 def _q_rebalance_docs(sf_dir: str):
     """Byte-balanced hive-sharded rewrite of the documents table
     (~64 KiB payload per shard at this scale), then a full read-back:
@@ -3078,6 +3121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations_docs": _q_collocations_docs,
         "lexical_diversity_docs": _q_lexical_diversity_docs,
         "sentence_split_docs": _q_sentence_split_docs,
+        "html_extract_docs": _q_html_extract_docs,
         "rebalance_docs": _q_rebalance_docs,
         "rebalance_resumable_docs": _q_rebalance_resumable_docs,
         "embedding_dups": _q_embedding_dups,
@@ -3232,7 +3276,11 @@ def oracle_sql() -> dict[str, str]:
         collocation_counts_sql,
         lexical_diversity_sql,
     )
-    from logray.functions.textclean import sentence_split_sql
+    from logray.functions.textclean import (
+        html_tag_count_expr,
+        html_to_text_expr,
+        sentence_split_sql,
+    )
     from logray.functions.quality import wordlist_filter_sql
     from logray.functions.sample import (
         deterministic_shuffle_sql,
@@ -3735,6 +3783,20 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", "source"),
         "sentence_split_docs": sentence_split_sql(
             "documents", "text", "doc_id"),
+        "html_extract_docs": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       '{_HTML_WRAP[0].replace("'", "''")}'
+                       || doc_id::VARCHAR
+                       || '{_HTML_WRAP[1].replace("'", "''")}'
+                       || text
+                       || '{_HTML_WRAP[2].replace("'", "''")}' AS html
+                FROM documents)
+            SELECT doc_id,
+                   {html_tag_count_expr('html')} AS n_tags,
+                   {html_to_text_expr('html')} AS clean_text
+            FROM h ORDER BY doc_id
+        """,
         "rebalance_docs": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             ORDER BY doc_id

@@ -337,3 +337,96 @@ def sentence_split_sql(table: str, text_col: str = "text",
         )
         ORDER BY {id_col}, sent_idx
     """
+
+
+# --- HTML -> text extraction (web-crawl ingestion, C4/CCNet stage 0) ----
+#
+# The transform IS this step table: both the Arrow kernel chain and the
+# DuckDB oracle are generated from the SAME list, so the twin agrees
+# byte-for-byte by construction (both engines are RE2).  Reference
+# analog: the viewer consumes pre-extracted text lines
+# (/root/reference/src/file_parsing/file_reader.hpp raw-line contract);
+# a web-scale corpus needs the HTML->text stage in the engine itself.
+#
+# Semantics (definitional, in order): drop comments, drop script/style
+# blocks whole, turn block-closing / break tags into newlines, strip
+# every remaining tag, decode the 6 ubiquitous entities (&amp; LAST so
+# "&amp;lt;" -> "&lt;", not "<"), collapse horizontal whitespace, then
+# newline runs, then trim.  A <br> carrying attributes falls through to
+# the strip step (no newline) — documented, matched by the twin.
+_HTML_STEPS: list[tuple[str, str, str]] = [
+    ("re", r"(?s)<!--.*?-->", ""),
+    ("re", r"(?is)<script\b[^>]*>.*?</script\s*>", ""),
+    ("re", r"(?is)<style\b[^>]*>.*?</style\s*>", ""),
+    ("re", r"(?i)(?:<(?:br|hr)\s*/?>"
+           r"|</(?:p|div|li|tr|h[1-6]|ul|ol|table|blockquote)\s*>)", "\n"),
+    ("re", r"(?s)<[^>]*>", ""),
+    ("lit", "&nbsp;", " "),
+    ("lit", "&lt;", "<"),
+    ("lit", "&gt;", ">"),
+    ("lit", "&quot;", "\""),
+    ("lit", "&#39;", "'"),
+    ("lit", "&apos;", "'"),
+    ("lit", "&amp;", "&"),
+    ("re", r"[ \t\r\f\v]+", " "),
+    ("re", r"\s*\n\s*", "\n"),
+    ("re", r"^\s+|\s+$", ""),
+]
+
+_TAG_RE = r"(?s)<[^>]*>"
+
+
+def html_to_text_table(t: pa.Table, col: str = "text",
+                       out_col: str = "clean_text",
+                       count_tags: bool = True) -> pa.Table:
+    """One batch of HTML extraction: the `_HTML_STEPS` chain, RE2 all
+    the way down, zero Python per row.  ``n_tags`` (markup density — a
+    standard crawl-quality signal) is counted on the RAW input before
+    any removal."""
+    arr = t[col]
+    if count_tags:
+        n_tags = pc.cast(pc.count_substring_regex(arr, pattern=_TAG_RE),
+                         pa.int64())
+    for kind, pat, rep in _HTML_STEPS:
+        if kind == "re":
+            arr = pc.replace_substring_regex(arr, pattern=pat,
+                                             replacement=rep)
+        else:
+            arr = pc.replace_substring(arr, pattern=pat, replacement=rep)
+    for name in ([out_col, "n_tags"] if count_tags else [out_col]):
+        if name in t.column_names:
+            t = t.drop_columns([name])
+    if count_tags:
+        t = t.append_column("n_tags", n_tags)
+    return t.append_column(out_col, arr)
+
+
+def html_to_text(ds, col: str = "text", out_col: str = "clean_text",
+                 count_tags: bool = True):
+    """HTML -> text extraction stage (row-local, fuses into the read)."""
+    return ds.map_batches(
+        lambda t: html_to_text_table(t, col, out_col, count_tags),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+def html_to_text_expr(col: str) -> str:
+    """The DuckDB expression computing EXACTLY `_HTML_STEPS` over
+    ``col`` — generated from the same step table as the Arrow kernel."""
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = col
+    for kind, pat, rep in _HTML_STEPS:
+        if kind == "re":
+            rep_sql = "chr(10)" if rep == "\n" else q(rep)
+            expr = f"regexp_replace({expr}, {q(pat)}, {rep_sql}, 'g')"
+        else:
+            expr = f"replace({expr}, {q(pat)}, {q(rep)})"
+    return expr
+
+
+def html_tag_count_expr(col: str) -> str:
+    """DuckDB twin of the ``n_tags`` column (raw-input tag count)."""
+    pat = _TAG_RE.replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{pat}'))::BIGINT"

@@ -3476,3 +3476,60 @@ def test_sentence_split_matches_duckdb_and_bruteforce(ray_session):
         exp = re.split(DEFAULT_SENTENCE_RE, txt) if txt is not None else []
         assert list(sub["sentence"]) == exp
         assert list(sub["sent_idx"]) == list(range(1, len(exp) + 1))
+
+
+def test_html_to_text_matches_duckdb_twin(ray_session):
+    """HTML -> text extraction: byte-exact vs the DuckDB expression
+    generated from the SAME step table, on adversarial markup (script
+    bodies containing tags, comments, uppercase tags, attribute '>',
+    entity double-escapes, nulls, no-markup docs)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.functions.textclean import (
+        html_tag_count_expr,
+        html_to_text,
+        html_to_text_expr,
+    )
+
+    docs = [
+        '<html><head><script type="a">if (1<2) { x = "</div>"; }</script>'
+        '<style>p { color: red }</style></head><body><!-- c <b> -->'
+        '<h1>Title</h1><p>Hello &amp;lt; &nbsp;world</p><br/>'
+        '<div>A  B</div>tail</body></html>',
+        "no markup at all",
+        "<P>Upper</P><BR><LI>item</LI>",
+        '<a href="x>y">link</a> &quot;q&quot; &#39;s&#39; &apos;t&apos;',
+        '<br class="x">attrful-br<hr/><h3>hdr</h3>',
+        "",
+        None,
+        "multi\n\n\n  lines\t\ttabs",
+        "<ul><li>a</li><li>b</li></ul><table><tr><td>c</td></tr></table>",
+        "<SCRIPT>evil()</SCRIPT>before<blockquote>q</blockquote>after",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    got = (
+        html_to_text(rd.from_arrow(tbl).repartition(3), "text")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        [["doc_id", "n_tags", "clean_text"]]
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(
+        f"SELECT doc_id, {html_tag_count_expr('text')} AS n_tags, "
+        f"{html_to_text_expr('text')} AS clean_text "
+        f"FROM documents ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # semantic pins (definitional chain, not just twin agreement)
+    by_id = dict(zip(got["doc_id"], got["clean_text"]))
+    assert by_id[0] == "Title\nHello &lt; world\nA B\ntail"
+    assert by_id[2] == "Upper\nitem"
+    assert by_id[8] == "a\nb\nc"
+    # opening block tags strip silently; only CLOSING ones break
+    assert by_id[9] == "beforeq\nafter"
+    assert by_id[1] == "no markup at all"
