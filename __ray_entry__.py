@@ -872,6 +872,52 @@ def _q_html_extract_docs(sf_dir: str):
     return out.select_columns(["doc_id", "n_tags", "clean_text"])
 
 
+def _q_snapshot_diff_docs(sf_dir: str):
+    """Corpus snapshot diff: old = documents; new = the deterministic
+    mutation (drop doc_id%7==0, append ' v2' where doc_id%11==0, add
+    fresh ids doc_id+10^7 where doc_id%13==0) — built identically in
+    SQL.  The engine compares narrow 128-bit fingerprints (one ~25
+    byte/doc bucket shuffle, text never moves); the oracle compares the
+    text itself, proving the hash path collision-free."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.functions.snapshot import snapshot_diff
+
+    old = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 7 != 0
+        kept_ids = ids[keep]
+        kept_txt = t["text"].filter(pa.array(keep))
+        if isinstance(kept_txt, pa.ChunkedArray):
+            kept_txt = kept_txt.combine_chunks()
+        v2 = pc.binary_join_element_wise(kept_txt, pa.scalar(" v2"),
+                                         pa.scalar(""))
+        merged = pc.if_else(pa.array(kept_ids % 11 == 0), v2, kept_txt)
+        add = ids % 13 == 0
+        add_txt = pc.binary_join_element_wise(
+            pa.scalar("new doc "),
+            pc.cast(pa.array(ids[add]), pa.string()), pa.scalar(""))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([kept_ids,
+                                               ids[add] + 10_000_000])),
+            "text": pa.concat_arrays([merged.combine_chunks()
+                                      if isinstance(merged, pa.ChunkedArray)
+                                      else merged, add_txt]),
+        })
+
+    new = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"]) \
+            .map_batches(mk_new, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return snapshot_diff(old, new, "doc_id", "text")
+
+
 def _q_rebalance_docs(sf_dir: str):
     """Byte-balanced hive-sharded rewrite of the documents table
     (~64 KiB payload per shard at this scale), then a full read-back:
@@ -3122,6 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity_docs": _q_lexical_diversity_docs,
         "sentence_split_docs": _q_sentence_split_docs,
         "html_extract_docs": _q_html_extract_docs,
+        "snapshot_diff_docs": _q_snapshot_diff_docs,
         "rebalance_docs": _q_rebalance_docs,
         "rebalance_resumable_docs": _q_rebalance_resumable_docs,
         "embedding_dups": _q_embedding_dups,
@@ -3281,6 +3328,7 @@ def oracle_sql() -> dict[str, str]:
         html_to_text_expr,
         sentence_split_sql,
     )
+    from logray.functions.snapshot import snapshot_diff_sql
     from logray.functions.quality import wordlist_filter_sql
     from logray.functions.sample import (
         deterministic_shuffle_sql,
@@ -3797,6 +3845,18 @@ def oracle_sql() -> dict[str, str]:
                    {html_to_text_expr('html')} AS clean_text
             FROM h ORDER BY doc_id
         """,
+        "snapshot_diff_docs": """
+            WITH old_snap AS (SELECT doc_id, text FROM documents),
+                 new_snap AS (
+                     SELECT doc_id,
+                            CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                                 ELSE text END AS text
+                     FROM documents WHERE doc_id % 7 <> 0
+                     UNION ALL
+                     SELECT doc_id + 10000000 AS doc_id,
+                            'new doc ' || doc_id::VARCHAR AS text
+                     FROM documents WHERE doc_id % 13 = 0)
+        """ + snapshot_diff_sql("old_snap", "new_snap"),
         "rebalance_docs": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             ORDER BY doc_id

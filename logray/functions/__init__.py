@@ -41,10 +41,12 @@ from logray.functions.pii import redact_pii
 from logray.functions.quality import compression_ratio, gopher_quality
 from logray.functions.textclean import (
     clean_text,
+    html_to_text,
     json_extract_field,
     normalize_nfc,
     sentence_split,
 )
+from logray.functions.snapshot import snapshot_diff
 from logray.functions.png import decode_png, encode_png
 from logray.functions.multimodal import (
     DecodeImageBatch,
@@ -159,6 +161,8 @@ __all__ = [
     "ModelScoreBatch",
     "model_score_stage",
     "clean_text",
+    "html_to_text",
+    "snapshot_diff",
     "sentence_split",
     "normalize_nfc",
     "json_extract_field",

@@ -3533,3 +3533,59 @@ def test_html_to_text_matches_duckdb_twin(ray_session):
     # opening block tags strip silently; only CLOSING ones break
     assert by_id[9] == "beforeq\nafter"
     assert by_id[1] == "no markup at all"
+
+
+def test_snapshot_diff_matches_duckdb(ray_session):
+    """Snapshot diff over narrow fingerprints: exact vs the FULL OUTER
+    JOIN text-comparison twin (which also proves the 128-bit hash path
+    collision-free here), including null-text transitions, string ids,
+    the include_unchanged flag and the duplicate-id guard."""
+    import duckdb
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from logray.functions.snapshot import snapshot_diff, snapshot_diff_sql
+
+    old = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "text": pa.array(["a", "b", None, "", "same", "x", None]),
+    })
+    # 1 removed; 2 changed; 3 null->text; 4 ""->null (null vs "" must
+    # differ); 5 unchanged; 6 unchanged; 7 null->null (unchanged); 8 added
+    new = pa.table({
+        "doc_id": pa.array([2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "text": pa.array(["B", "now", None, "same", "x", None, "fresh"]),
+    })
+    con = duckdb.connect()
+    con.register("old_t", old)
+    con.register("new_t", new)
+    for inc in (False, True):
+        got = (snapshot_diff(rd.from_arrow(old).repartition(3),
+                             rd.from_arrow(new).repartition(2),
+                             num_buckets=4, include_unchanged=inc)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        want = con.execute(snapshot_diff_sql(
+            "old_t", "new_t", include_unchanged=inc)).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got[got["status"] == "unchanged"]["doc_id"]) == {5, 6, 7}
+
+    # string ids route through the content-hash bucket path
+    olds = pa.table({"doc_id": pa.array(["u1", "u2"]),
+                     "text": pa.array(["a", "b"])})
+    news = pa.table({"doc_id": pa.array(["u2", "u3"]),
+                     "text": pa.array(["b2", "c"])})
+    con.register("old_s", olds)
+    con.register("new_s", news)
+    got = (snapshot_diff(rd.from_arrow(olds), rd.from_arrow(news),
+                         num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = con.execute(snapshot_diff_sql("old_s", "new_s")).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # duplicate id within one snapshot -> loud refusal
+    dup = pa.table({"doc_id": pa.array([1, 1], pa.int64()),
+                    "text": pa.array(["a", "b"])})
+    with pytest.raises(Exception, match="snapshot-unique"):
+        snapshot_diff(rd.from_arrow(dup), rd.from_arrow(new),
+                      num_buckets=2).to_pandas()
