@@ -2040,6 +2040,31 @@ def _q_bm25_search(sf_dir: str):
     )
 
 
+def _q_bm25_index_search(sf_dir: str):
+    """Persistent inverted index path: build the hive-sharded postings
+    index once (one corpus pass), then answer the same three queries
+    from it with path-pruned shard reads — the frozen-corpus search
+    service plan.  Unit tests pin score equality with the scan-based
+    bm25_topk; float ordering has no bit-exact SQL twin."""
+    import tempfile
+
+    import ray.data as rd
+
+    from logray.functions.search_text import (bm25_search_index,
+                                              build_text_index)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="logray_bm25_idx_")
+    build_text_index(ds, idx, num_shards=8)
+    return bm25_search_index(
+        idx,
+        [(0, "hash join strategy"), (1, "window aggregate"),
+         (2, "vector scan")],
+        k=10,
+    )
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag documents sharing any 6-word-gram
     with the held-out eval slice (doc_id % 37 == 0) — broadcast n-gram
@@ -3220,6 +3245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "pivot_events": _q_pivot_events,
         "bm25_search": _q_bm25_search,
+        "bm25_index_search": _q_bm25_index_search,
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
         "semi_join_customers": _q_semi_join_customers,

@@ -206,3 +206,206 @@ def bm25_topk(ds, queries, k: int = 10, col: str = "text",
                                  batch_size=coalesce_rows)
     parts = [pd.DataFrame(b) for b in reduced.iter_batches(batch_format="pandas")]
     return _merge(parts, k)
+
+
+# --- persistent inverted index (build once, query many) -----------------
+#
+# bm25_topk re-scans the corpus per query batch — right for ad-hoc
+# queries, wrong for a search service over a frozen 100 TB corpus.  The
+# index is the postings list (term, doc_id, tf, dl) hive-sharded by
+# ``__s = content_hash(term) % num_shards``, so EVERY posting of a term
+# lives in exactly one shard directory and a query touches only its own
+# terms' shards (path-level pruning, same scheme as the dedup /
+# band / IVF indexes).  dl is denormalized onto each posting so scoring
+# needs no doc-length join; corpus stats (N docs, total tokens) ride as
+# one tiny ``term=""`` row per BUILD BATCH in the "" shard ("" can never
+# be a real token — terms are maximal [a-z0-9]+ runs).  Appending new
+# docs into the same directory is additive (same contract as the dedup
+# index: appending the SAME doc twice is the caller's dedup problem and
+# would double-count its tf).
+#
+# Scoring from the index is exact BM25: postings are unique per
+# (term, doc), so per-doc scores are plain SUMS of per-posting
+# contributions — a narrow 3-column groupby over the query terms'
+# postings only, never the corpus.
+
+_STATS_TERM = ""
+
+
+def _bm25_index_params(num_shards: int, col: str, id_col: str) -> dict:
+    return {"kind": "bm25_inverted_index", "num_shards": num_shards,
+            "col": col, "id_col": id_col, "tokenizer": TOKEN_SPLIT}
+
+
+def _term_shards(terms, num_shards: int) -> np.ndarray:
+    from logray.functions.fingerprint import content_hash
+
+    arr = terms if isinstance(terms, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(terms), pa.string())
+    return (content_hash(arr) % np.uint64(num_shards)).astype(np.int64)
+
+
+def build_text_index(ds, out_dir: str, col: str = "text",
+                     id_col: str = "doc_id", num_shards: int = 64) -> None:
+    """ONE streaming pass: per-batch unique (term, doc_id, tf, dl)
+    postings written hive-partitioned by ``__s``; then the driver folds
+    the tiny per-batch stats rows into the metadata sidecar.  Appending
+    with identical parameters is additive; mismatches refuse."""
+    import os
+
+    from logray.functions.indexbase import (META_NAME, read_meta,
+                                            shard_files, write_meta)
+
+    params = _bm25_index_params(num_shards, col, id_col)
+    if os.path.exists(os.path.join(out_dir, META_NAME)):
+        existing = read_meta(out_dir, "bm25 inverted index")
+        if {k: existing.get(k) for k in params} != params:
+            raise ValueError(
+                f"bm25 index {out_dir!r} was built with {existing}; "
+                f"appending with {params} would mix incomparable postings")
+
+    def part(t: pa.Table) -> pa.Table:
+        nd = t.num_rows
+        parent, flat = _doc_tokens(t, col)
+        dl_doc = np.bincount(parent, minlength=nd).astype(np.int64)
+        d = flat.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        nu = len(d.dictionary)
+        if nu:
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            key = parent * nu + codes
+            uk, tf = np.unique(key, return_counts=True)
+            terms = d.dictionary.take(pa.array(uk % nu))
+            pdoc = uk // nu
+            ids = t[id_col].to_numpy(zero_copy_only=False)[pdoc].astype(np.int64)
+            dl = dl_doc[pdoc]
+        else:
+            terms = pa.array([], pa.string())
+            ids = tf = dl = np.zeros(0, np.int64)
+        # one stats row per batch: tf = docs in batch, dl = tokens
+        terms = pa.concat_arrays([terms.cast(pa.string()),
+                                  pa.array([_STATS_TERM], pa.string())])
+        ids = np.concatenate([ids, [-1]])
+        tf = np.concatenate([tf.astype(np.int64), [nd]])
+        dl = np.concatenate([dl, [len(parent)]])
+        return pa.table({
+            "term": terms, "doc_id": pa.array(ids),
+            "tf": pa.array(tf), "dl": pa.array(dl),
+            "__s": pa.array(_term_shards(terms, num_shards)),
+        })
+
+    (ds.select_columns([col, id_col])
+       .map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None)
+       .write_parquet(out_dir, partition_cols=["__s"]))
+
+    # fold stats (reads ONLY the "" shard's term/tf/dl columns; on
+    # append this recount naturally includes prior builds' rows)
+    import pyarrow.parquet as pq
+
+    s0 = int(_term_shards([_STATS_TERM], num_shards)[0])
+    n_docs = n_tokens = 0
+    for f in shard_files(out_dir, "__s", s0):
+        t = pq.read_table(f, columns=["term", "tf", "dl"])
+        m = pc.equal(t["term"], _STATS_TERM)
+        n_docs += pc.sum(pc.filter(t["tf"], m)).as_py() or 0
+        n_tokens += pc.sum(pc.filter(t["dl"], m)).as_py() or 0
+    write_meta(out_dir, {**params, "n_docs": int(n_docs),
+                         "n_tokens": int(n_tokens)})
+
+
+def bm25_search_index(index_dir: str, queries, k: int = 10,
+                      k1: float = 1.5, b: float = 0.75) -> pd.DataFrame:
+    """Top-k per query from a persistent index: path-prune to the query
+    terms' shards, one pruned-column pass for df, one pruned pass
+    emitting (query_id, doc_id, contrib) partials, a narrow groupby-sum,
+    local top-k, driver merge.  Only docs containing >= 1 query term can
+    appear (docs scoring 0 are not fabricated).  Same ranking contract
+    as :func:`bm25_topk`: score desc, doc_id asc."""
+    import ray.data as rd
+
+    from logray.functions.indexbase import read_meta, shard_files
+    from logray.stages.bucketing import stream_fold
+
+    meta = read_meta(index_dir, "bm25 inverted index")
+    ns, n_corpus = meta["num_shards"], meta["n_docs"]
+    avgdl = (meta["n_tokens"] / n_corpus) if n_corpus else 0.0
+
+    q_terms = [tokenize_terms(q) for _, q in queries]
+    vocab = sorted({t for ts in q_terms for t in ts})
+    files = sorted({f for s in set(_term_shards(vocab, ns).tolist())
+                    for f in shard_files(index_dir, "__s", s)}) if vocab else []
+    if not files:
+        return _merge([], k)
+    vocab_arr = pa.array(vocab, pa.string())
+    nt = len(vocab)
+
+    def df_part(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["term"], value_set=vocab_arr)
+        idx = idx.to_numpy(zero_copy_only=False)
+        hit = ~pd.isna(idx)
+        return pa.table({"c": pa.array(np.bincount(
+            idx[hit].astype(np.int64), minlength=nt).astype(np.int64))})
+
+    def df_fold(ts: list[pa.Table]) -> pa.Table:
+        tot = np.zeros(nt, np.int64)
+        for x in ts:
+            tot += x["c"].to_numpy(zero_copy_only=False) \
+                         .reshape(-1, nt).sum(axis=0)
+        return pa.table({"c": pa.array(tot)})
+
+    folded = stream_fold(
+        rd.read_parquet(files, columns=["term"])
+          .map_batches(df_part, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        df_fold)
+    df = folded["c"].to_numpy(zero_copy_only=False) if folded is not None \
+        else np.zeros(nt, np.int64)
+    idf = np.log((n_corpus - df + 0.5) / (df + 0.5) + 1.0)
+    qsets = [{t for t in ts} for ts in q_terms]
+    qids = [int(qid) for qid, _ in queries]
+    qmask = np.zeros((len(queries), nt), bool)
+    order = {t: i for i, t in enumerate(vocab)}
+    for qi, ts in enumerate(qsets):
+        for t in ts:
+            qmask[qi, order[t]] = True
+
+    def contrib(t: pa.Table) -> pd.DataFrame:
+        idx = pc.index_in(t["term"], value_set=vocab_arr) \
+                .to_numpy(zero_copy_only=False)
+        hit = ~pd.isna(idx)
+        idx = idx[hit].astype(np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False)[hit].astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False)[hit].astype(np.float64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[hit]
+        kk = k1 * (1.0 - b + b * dl / avgdl) if avgdl else \
+            np.full(len(dl), k1)
+        s = idf[idx] * (tf * (k1 + 1.0)) / (tf + kk)
+        out = []
+        for qi in range(len(qids)):
+            m = qmask[qi, idx]
+            out.append(pd.DataFrame({
+                "query_id": np.full(int(m.sum()), qids[qi], np.int64),
+                "doc_id": ids[m].astype(np.int64), "s": s[m]}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "s": pd.Series([], dtype="float64")})
+
+    agg = (rd.read_parquet(files, columns=["term", "doc_id", "tf", "dl"])
+             .map_batches(contrib, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+             .groupby(["query_id", "doc_id"]).sum("s"))
+
+    def localtop(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.rename(columns={"sum(s)": "score"})
+        d = d.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        return d.groupby("query_id", sort=True).head(k)
+
+    reduced = agg.map_batches(localtop, batch_format="pandas",
+                              batch_size=1 << 20)
+    parts = [pd.DataFrame(x)
+             for x in reduced.iter_batches(batch_format="pandas")]
+    return _merge(parts, k)

@@ -89,3 +89,59 @@ def test_bm25_corpus_stats_df_counts(ray_session):
     assert stats["df"][order["cat"]] == 3   # docs 0, 1, 3 ('cats' != 'cat')
     assert stats["df"][order["dog"]] == 2   # docs 1, 3 ('dogs' != 'dog')
     assert stats["df"][order["zzz"]] == 0
+
+
+def test_bm25_index_build_and_search(ray_session, tmp_path):
+    """Persistent inverted index: scores match the scan-based bm25_topk
+    (and the naive twin) exactly up to float summation order; shard
+    pruning, append additivity, param-mismatch refusal, empty/missing
+    index refusal all pinned."""
+    import ray.data as rd
+
+    from logray.functions.search_text import (
+        bm25_search_index,
+        bm25_topk,
+        build_text_index,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(len(DOCS), dtype=np.int64),
+                       "text": DOCS})
+    idx = str(tmp_path / "bm25_idx")
+    build_text_index(rd.from_pandas(df).repartition(3), idx, num_shards=4)
+
+    queries = [(0, "cat mat"), (1, "dog"), (2, "quantum qubits")]
+    got = bm25_search_index(idx, queries, k=3)
+    scan = bm25_topk(rd.from_pandas(df).repartition(3), queries, k=3)
+    for qid, qtext in queries:
+        g = got[got["query_id"] == qid].sort_values("rank")
+        s = scan[scan["query_id"] == qid].sort_values("rank")
+        naive = _naive_bm25(DOCS, qtext)
+        # index search never fabricates zero-score docs; compare the
+        # matching-doc prefix
+        n_match = sum(1 for x in naive if x > 0)
+        kk = min(3, n_match)
+        assert g["doc_id"].tolist()[:kk] == s["doc_id"].tolist()[:kk]
+        for d, sc in zip(g["doc_id"], g["score"]):
+            assert sc == pytest.approx(naive[d], rel=1e-12)
+
+    # query for a term absent from the corpus -> empty, no crash
+    miss = bm25_search_index(idx, [(9, "zzznope")], k=3)
+    assert miss.empty
+
+    # append a new doc: its postings land additively, stats update
+    extra = pd.DataFrame({"doc_id": np.array([100], dtype=np.int64),
+                          "text": ["cat cat cat mat"]})
+    build_text_index(rd.from_pandas(extra), idx, num_shards=4)
+    all_docs = DOCS + ["cat cat cat mat"]
+    got2 = bm25_search_index(idx, [(0, "cat mat")], k=4)
+    naive2 = _naive_bm25(all_docs, "cat mat")
+    ids = list(range(len(DOCS))) + [100]
+    want = sorted(range(len(all_docs)),
+                  key=lambda i: (-naive2[i], ids[i]))[:4]
+    assert got2.sort_values("rank")["doc_id"].tolist() == [ids[i] for i in want]
+
+    # param mismatch refuses; a bare directory refuses as an index
+    with pytest.raises(ValueError, match="built with"):
+        build_text_index(rd.from_pandas(extra), idx, num_shards=8)
+    with pytest.raises(ValueError, match="refusing"):
+        bm25_search_index(str(tmp_path), [(0, "cat")], k=1)
