@@ -329,6 +329,70 @@ def cmd_rebalance(args) -> int:
     return 0
 
 
+def cmd_extract_html(args) -> int:
+    """HTML -> text extraction (web-crawl stage 0): strip markup via
+    the RE2 step chain, add the n_tags markup-density signal."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.functions.textclean import html_to_text
+
+    ds = rd.read_parquet(args.input)
+    html_to_text(ds, col=args.text_col, out_col=args.out_col) \
+        .write_parquet(args.out)
+    print(json.dumps({"rows": ds.count(), "out": args.out}))
+    return 0
+
+
+def cmd_snapshot_diff(args) -> int:
+    """added/removed/changed doc ids between two corpus snapshots
+    (narrow 128-bit fingerprint compare; text never shuffles)."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.functions.snapshot import snapshot_diff
+
+    out = snapshot_diff(rd.read_parquet(args.old),
+                        rd.read_parquet(args.new),
+                        id_col=args.id_col, text_col=args.text_col)
+    out.write_parquet(args.out)
+    counts = {}
+    for b in rd.read_parquet(args.out, columns=["status"]) \
+               .iter_batches(batch_format="pandas"):
+        for s, n in b["status"].value_counts().items():
+            counts[s] = counts.get(s, 0) + int(n)
+    print(json.dumps(counts, sort_keys=True))
+    return 0
+
+
+def cmd_bm25_build(args) -> int:
+    """Build (or append to) the persistent BM25 inverted index."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from logray.functions.indexbase import read_meta
+    from logray.functions.search_text import build_text_index
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    build_text_index(ds, args.index, col=args.text_col,
+                     id_col=args.id_col, num_shards=args.shards)
+    meta = read_meta(args.index, "bm25 inverted index")
+    print(json.dumps({"n_docs": meta["n_docs"],
+                      "n_tokens": meta["n_tokens"],
+                      "num_shards": meta["num_shards"]}))
+    return 0
+
+
+def cmd_bm25_search(args) -> int:
+    """Top-k docs for a query from the persistent index (path-pruned)."""
+    _init_ray(args.num_cpus)
+    from logray.functions.search_text import bm25_search_index
+
+    out = bm25_search_index(args.index, [(0, args.query)], k=args.k)
+    print(out[["doc_id", "score", "rank"]].to_json(orient="records"))
+    return 0
+
+
 def cmd_score(args) -> int:
     """Model-score a document parquet (load-once actor pool)."""
     _init_ray(args.num_cpus)
@@ -564,6 +628,39 @@ def main(argv=None) -> int:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--num-cpus", type=int, default=None)
     sp.set_defaults(fn=cmd_rebalance)
+
+    sp = sub.add_parser("extract-html",
+                        help="HTML -> text extraction + tag-density signal")
+    sp.add_argument("input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--out-col", default="clean_text")
+    sp.set_defaults(fn=cmd_extract_html)
+
+    sp = sub.add_parser("snapshot-diff",
+                        help="added/removed/changed docs between snapshots")
+    sp.add_argument("old")
+    sp.add_argument("new")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.set_defaults(fn=cmd_snapshot_diff)
+
+    sp = sub.add_parser("bm25-build",
+                        help="build/append the persistent BM25 index")
+    sp.add_argument("input")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--shards", type=int, default=64)
+    sp.set_defaults(fn=cmd_bm25_build)
+
+    sp = sub.add_parser("bm25-search",
+                        help="top-k docs for a query from the BM25 index")
+    sp.add_argument("query")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("-k", type=int, default=10)
+    sp.set_defaults(fn=cmd_bm25_search)
 
     sp = sub.add_parser("score", help="model-score documents (load-once actor pool)")
     sp.add_argument("input")

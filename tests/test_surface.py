@@ -469,3 +469,57 @@ def test_cli_collocations_and_rebalance(tmp_path):
 
     back = rd.read_parquet(str(shard_dir)).to_pandas()
     assert sorted(back["doc_id"]) == list(range(30))
+
+
+def test_cli_html_snapshot_bm25(tmp_path):
+    """Session-8 CLI verbs: extract-html, snapshot-diff, bm25-build +
+    bm25-search (subprocess, real CLI)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": [f"<p>doc {i} the cat</p><br><b>sat</b>" for i in range(6)],
+        }),
+        str(docs),
+    )
+    out_dir = tmp_path / "clean"
+    r = _cli("--num-cpus", "2", "extract-html", str(docs),
+             "--out", str(out_dir))
+    assert r.returncode == 0, r.stderr[-2000:]
+    import ray.data as rd
+
+    back = rd.read_parquet(str(out_dir)).to_pandas().sort_values("doc_id")
+    assert back.iloc[0]["clean_text"] == "doc 0 the cat\nsat"
+    assert back.iloc[0]["n_tags"] == 5
+
+    new = tmp_path / "docs2.parquet"
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4, 9], pa.int64()),
+            "text": ["<p>doc 0 the cat</p><br><b>sat</b>", "CHANGED"]
+                    + [f"<p>doc {i} the cat</p><br><b>sat</b>"
+                       for i in (2, 3, 4)] + ["fresh"],
+        }),
+        str(new),
+    )
+    diff_dir = tmp_path / "diff"
+    r = _cli("--num-cpus", "2", "snapshot-diff", str(docs), str(new),
+             "--out", str(diff_dir))
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out == {"added": 1, "changed": 1, "removed": 1}
+
+    idx = tmp_path / "bm25"
+    r = _cli("--num-cpus", "2", "bm25-build", str(docs),
+             "--index", str(idx), "--shards", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_docs"] == 6 and out["num_shards"] == 4
+    r = _cli("--num-cpus", "2", "bm25-search", "doc 3 cat",
+             "--index", str(idx), "-k", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    hits = json.loads(r.stdout.strip().splitlines()[-1])
+    assert hits[0]["doc_id"] == 3 and len(hits) == 2
