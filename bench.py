@@ -332,6 +332,59 @@ def run_bench() -> dict:
 
     timed("collocations", collocations_corpus)
 
+    # --- HTML extraction chain: 15 RE2 passes, row-local -------------------
+    # markup-free text is the WORST case for the chain (every pass scans
+    # the full payload and replaces nothing)
+    def html_extract_corpus():
+        from logray.functions.textclean import html_to_text
+
+        ds = rd.read_parquet(corpus, columns=["text"])
+        return html_to_text(ds, col="text").map_batches(
+            lambda t: t.select(["n_tags"]), batch_format="pyarrow"
+        ).sum("n_tags")
+
+    timed("html_extract", html_extract_corpus)
+
+    # --- snapshot diff: two corpus versions through the narrow
+    # fingerprint compare (string ids -> content-hash bucket path) --------
+    def snapshot_diff_corpus():
+        import numpy as _np
+        import pyarrow as _pa2
+        import pyarrow.compute as _pc2
+
+        from logray.functions.snapshot import snapshot_diff
+
+        def add_id(t):
+            rid = _pc2.binary_join_element_wise(
+                t["conv_id"], _pc2.cast(t["turn_idx"], _pa2.string()), "#")
+            return _pa2.table({"doc_id": rid, "turn_idx": t["turn_idx"],
+                               "text": t["text"]})
+
+        def read_old():
+            return rd.read_parquet(
+                corpus, columns=["conv_id", "turn_idx", "text"]
+            ).map_batches(add_id, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+        def mutate(t):
+            ti = t["turn_idx"].to_numpy(zero_copy_only=False)
+            kt = t.filter(_pa2.array(ti % 97 != 0))
+            ch = kt["turn_idx"].to_numpy(zero_copy_only=False) % 89 == 0
+            txt = kt["text"]
+            if isinstance(txt, _pa2.ChunkedArray):
+                txt = txt.combine_chunks()
+            v2 = _pc2.binary_join_element_wise(txt, " v2", "")
+            return _pa2.table({
+                "doc_id": kt["doc_id"],
+                "text": _pc2.if_else(_pa2.array(ch), v2, txt)})
+
+        new = read_old().map_batches(mutate, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        return snapshot_diff(read_old(), new, "doc_id", "text",
+                             num_buckets=64).count()
+
+    timed("snapshot_diff", snapshot_diff_corpus)
+
     ray.shutdown()
 
     headline_sec = timings["pipeline"]

@@ -3561,14 +3561,23 @@ def test_snapshot_diff_matches_duckdb(ray_session):
     con.register("old_t", old)
     con.register("new_t", new)
     for inc in (False, True):
-        got = (snapshot_diff(rd.from_arrow(old).repartition(3),
-                             rd.from_arrow(new).repartition(2),
-                             num_buckets=4, include_unchanged=inc)
-               .to_pandas().sort_values("doc_id").reset_index(drop=True))
-        want = con.execute(snapshot_diff_sql(
-            "old_t", "new_t", include_unchanged=inc)).df()
-        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        for mode in ("narrow", "wide"):
+            got = (snapshot_diff(rd.from_arrow(old).repartition(3),
+                                 rd.from_arrow(new).repartition(2),
+                                 num_buckets=4, include_unchanged=inc,
+                                 mode=mode)
+                   .to_pandas().sort_values("doc_id")
+                   .reset_index(drop=True))
+            want = con.execute(snapshot_diff_sql(
+                "old_t", "new_t", include_unchanged=inc)).df()
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert set(got[got["status"] == "unchanged"]["doc_id"]) == {5, 6, 7}
+
+    # a wholesale-different delta trips the narrow broadcast cap
+    with pytest.raises(Exception, match="max_broadcast"):
+        snapshot_diff(rd.from_arrow(old), rd.from_arrow(new),
+                      num_buckets=2, mode="narrow",
+                      max_broadcast=2).to_pandas()
 
     # string ids route through the content-hash bucket path
     olds = pa.table({"doc_id": pa.array(["u1", "u2"]),
