@@ -394,6 +394,84 @@ def main() -> int:
 
     timed("rebalance", rebalance_52m)
 
+    # --- HTML extraction chain: 15 RE2 passes, row-local -----------------
+    def html_extract_52m():
+        from logray.functions.textclean import html_to_text
+
+        ds = read(["text"])
+        return html_to_text(ds, col="text").map_batches(
+            lambda t: t.select(["n_tags"]), batch_format="pyarrow"
+        ).count()
+
+    timed("html_extract", html_extract_52m)
+
+    # --- snapshot diff: two 52M-doc corpus versions, one exchange --------
+    def snapshot_diff_52m():
+        import pyarrow as pa
+
+        from logray.functions.snapshot import snapshot_diff
+
+        def add_id(t):
+            rid = pc.binary_join_element_wise(
+                t["conv_id"], pc.cast(t["turn_idx"], pa.string()), "#")
+            return pa.table({"doc_id": rid, "turn_idx": t["turn_idx"],
+                             "text": t["text"]})
+
+        def read_old():
+            return read(["conv_id", "turn_idx", "text"]).map_batches(
+                add_id, batch_format="pyarrow", zero_copy_batch=True)
+
+        def mutate(t):
+            ti = t["turn_idx"].to_numpy(zero_copy_only=False)
+            kt = t.filter(pa.array(ti % 97 != 0))
+            ch = kt["turn_idx"].to_numpy(zero_copy_only=False) % 89 == 0
+            txt = kt["text"]
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            v2 = pc.binary_join_element_wise(txt, " v2", "")
+            return pa.table({"doc_id": kt["doc_id"],
+                             "text": pc.if_else(pa.array(ch), v2, txt)})
+
+        new = read_old().map_batches(mutate, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        return snapshot_diff(read_old(), new, "doc_id", "text",
+                             num_buckets=64).count()
+
+    timed("snapshot_diff", snapshot_diff_52m)
+
+    # --- BM25 inverted-index build (4x slice: the postings table is
+    # ~15 rows/turn, a 52M build writes ~27 GB — 12.8M is the honest
+    # bounded-disk rehearsal; throughput is the figure of merit) ---------
+    def bm25_build_12m():
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+
+        from logray.functions.search_text import build_text_index
+
+        sub = files[:max(1, len(files) // 4)]
+        out = tempfile.mkdtemp(prefix="logray_smoke_bm25_",
+                               dir="/tmp/logray_bench")
+        shutil.rmtree(out)
+
+        def add_id(t):
+            rid = pc.add(pc.multiply(pc.cast(t["turn_idx"], "int64"),
+                                     1 << 32),
+                         pc.cast(pc.utf8_length(t["conv_id"]), "int64"))
+            return pa.table({"doc_id": rid, "text": t["text"]})
+
+        ds = rd.read_parquet(sub, columns=["conv_id", "turn_idx", "text"],
+                             override_num_blocks=len(sub)) \
+               .map_batches(add_id, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        n = ds.count()
+        build_text_index(ds, out, num_shards=64)
+        shutil.rmtree(out, ignore_errors=True)
+        return n
+
+    timed("bm25_build", bm25_build_12m)
+
     print(json.dumps({"rows": rows, "num_cpus": ncpu, "families": results}))
     ray.shutdown()
     return 0
