@@ -872,6 +872,37 @@ def _q_html_extract_docs(sf_dir: str):
     return out.select_columns(["doc_id", "n_tags", "clean_text"])
 
 
+# link-wrap pieces shared by _q_extract_links_docs and its SQL twin
+_LINK_WRAP = ('<a href="https://ex.com/', '">t</a><p>',
+              '</p><img src="/img/', '.png">')
+
+
+def _q_extract_links_docs(sf_dir: str):
+    """Crawl-frontier link harvesting: wrap each document in markup
+    carrying two deterministic links (an absolute href and a relative
+    src), then run the split-algebra extractor; the SQL twin computes
+    the SAME algebra, so (doc_id, link_idx, url) is byte-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.functions.urlops import extract_links
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        html = pc.binary_join_element_wise(
+            pa.scalar(_LINK_WRAP[0]), ids, pa.scalar(_LINK_WRAP[1]),
+            t["text"], pa.scalar(_LINK_WRAP[2]), ids,
+            pa.scalar(_LINK_WRAP[3]), pa.scalar(""))
+        return pa.table({"doc_id": t["doc_id"], "text": html})
+
+    return extract_links(ds.map_batches(wrap, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+
+
 def _q_snapshot_diff_docs(sf_dir: str):
     """Corpus snapshot diff: old = documents; new = the deterministic
     mutation (drop doc_id%7==0, append ' v2' where doc_id%11==0, add
@@ -3194,6 +3225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_split_docs": _q_sentence_split_docs,
         "html_extract_docs": _q_html_extract_docs,
         "snapshot_diff_docs": _q_snapshot_diff_docs,
+        "extract_links_docs": _q_extract_links_docs,
         "rebalance_docs": _q_rebalance_docs,
         "rebalance_resumable_docs": _q_rebalance_resumable_docs,
         "embedding_dups": _q_embedding_dups,
@@ -3355,6 +3387,7 @@ def oracle_sql() -> dict[str, str]:
         sentence_split_sql,
     )
     from logray.functions.snapshot import snapshot_diff_sql
+    from logray.functions.urlops import extract_links_sql
     from logray.functions.quality import wordlist_filter_sql
     from logray.functions.sample import (
         deterministic_shuffle_sql,
@@ -3883,6 +3916,15 @@ def oracle_sql() -> dict[str, str]:
                             'new doc ' || doc_id::VARCHAR AS text
                      FROM documents WHERE doc_id % 13 = 0)
         """ + snapshot_diff_sql("old_snap", "new_snap"),
+        "extract_links_docs": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       '{_LINK_WRAP[0]}' || doc_id::VARCHAR
+                       || '{_LINK_WRAP[1]}' || text
+                       || '{_LINK_WRAP[2]}' || doc_id::VARCHAR
+                       || '{_LINK_WRAP[3]}' AS text
+                FROM documents)
+        """ + extract_links_sql("h"),
         "rebalance_docs": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             ORDER BY doc_id

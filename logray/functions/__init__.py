@@ -70,6 +70,7 @@ from logray.functions.sample import deterministic_shuffle
 from logray.functions.quality import source_quality_gate
 from logray.functions.lm import fit_ngram_lm, lm_perplexity, perplexity_buckets
 from logray.functions.urlops import (
+    extract_links,
     blocklist_filter,
     domain_quota,
     normalize_urls,
@@ -188,6 +189,7 @@ __all__ = [
     "decode_png",
     "encode_png",
     "parse_urls",
+    "extract_links",
     "normalize_urls",
     "domain_quota",
     "blocklist_filter",

@@ -341,3 +341,85 @@ def normalize_url_sql(url: str) -> str:
     p = f"regexp_extract({url}, '{_PATH_PAT}', 1)"
     p = f"regexp_replace({p}, '^(.+?)/$', '\\1')"
     return f"({scheme} || '://' || {h} || {p})"
+
+
+# --- link harvesting (crawl-frontier extraction) ------------------------
+
+LINK_ATTR_RE = r'(?i)(?:href|src)\s*=\s*"'
+
+
+def extract_links(ds, text_col: str = "text", id_col: str = "doc_id",
+                  pattern: str = LINK_ATTR_RE):
+    """Explode documents into ``(id, link_idx, url)`` rows — the
+    crawl-frontier pass that feeds :func:`normalize_urls` /
+    :func:`domain_quota`.  The algebra is DEFINITIONAL and shared
+    byte-for-byte with the SQL twin (same RE2 pattern on both sides,
+    sentence_split-style): split on the attribute prefix, keep the
+    pieces that still contain a closing quote, take the prefix before
+    it.  On pathological nested-quote soup (``href="x src="y"``) this
+    picks the LAST-started attribute — regexp_extract_all would pick
+    the first; the split algebra is what both sides compute.
+
+    Row-local: split -> flatten -> mask -> segmented cumcount per
+    batch; no shuffle; null text emits no rows."""
+    import numpy as np
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(col, pattern=pattern)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        not_prefix = (np.arange(len(flat), dtype=np.int64)
+                      - off[parent]) > 0
+        ex = pc.extract_regex(flat, pattern=r'^(?P<u>[^"]*)"')
+        urls = pc.struct_field(ex, "u")
+        closed = ~np.asarray(
+            pc.is_null(urls).to_numpy(zero_copy_only=False), np.bool_)
+        keep = not_prefix & closed
+        kp = parent[keep]
+        # 1-based rank among KEPT links of the same doc (parents are
+        # block-sorted, so a segmented cumcount is one subtract)
+        if len(kp):
+            starts = np.flatnonzero(np.r_[True, kp[1:] != kp[:-1]])
+            idx = np.arange(len(kp), dtype=np.int64)
+            link_idx = idx - np.repeat(idx[starts], np.diff(
+                np.r_[starts, len(kp)])) + 1
+        else:
+            link_idx = np.zeros(0, np.int64)
+        m = pa.array(keep)
+        return pa.table({
+            id_col: pc.take(t[id_col], pa.array(kp)),
+            "link_idx": pa.array(link_idx),
+            "url": urls.filter(m),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def extract_links_sql(table: str, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      pattern: str = LINK_ATTR_RE) -> str:
+    """DuckDB oracle for :func:`extract_links` — the SAME split algebra
+    (pieces 2.. of regexp_split_to_array, closing-quote filter, prefix
+    capture, rank among kept)."""
+    pat = pattern.replace("'", "''")
+    return f"""
+        SELECT {id_col},
+               CAST(row_number() OVER (PARTITION BY {id_col} ORDER BY g)
+                    AS BIGINT) AS link_idx,
+               regexp_extract(piece, '^([^"]*)"', 1) AS url
+        FROM (
+            SELECT {id_col}, g, ss[g] AS piece
+            FROM (
+                SELECT {id_col}, ss,
+                       unnest(generate_series(2, len(ss))) AS g
+                FROM (SELECT {id_col},
+                             regexp_split_to_array({text_col}, '{pat}') AS ss
+                      FROM {table}))
+            WHERE regexp_matches(ss[g], '^[^"]*"'))
+        ORDER BY {id_col}, link_idx
+    """

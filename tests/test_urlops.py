@@ -241,3 +241,37 @@ def test_blocklist_audit_mode(url_docs):
     kept = blocklist_filter(url_docs, ["site0.com"], keep_blocked=True).to_pandas()
     assert set(kept["doc_id"]) == {i for i in range(200)
                                    if i % 7 == 0 and i % 2 == 0}
+
+
+def test_extract_links_matches_duckdb(ray_session):
+    """Link harvesting: byte-exact vs the SQL twin running the SAME
+    split algebra, including the nested-quote case where
+    regexp_extract_all would answer differently, unclosed attrs,
+    empty urls, src attributes, nulls and link-free docs."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logray.functions.urlops import extract_links, extract_links_sql
+
+    texts = [
+        '<a href="http://a.com/x">x</a> <a HREF="https://b.org">b</a>',
+        "no links", None,
+        '<a href = "spaced">s</a> href="notattr',
+        '<img src="i.png"> <a href="">e</a> <a href="q?a=1&b=2#f">q</a>',
+        'href="unclosed',
+        'href="x src="y"',   # split algebra picks the LAST-started attr
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = (extract_links(rd.from_arrow(t).repartition(3))
+           .to_pandas().sort_values(["doc_id", "link_idx"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(extract_links_sql("documents")).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got[got["doc_id"] == 6]["url"].tolist() == ["y"]
+    assert got[got["doc_id"] == 4]["url"].tolist() == ["i.png", "", "q?a=1&b=2#f"]
