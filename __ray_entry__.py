@@ -3175,6 +3175,76 @@ def _q_stats_events(sf_dir: str):
     return stats_agg(ds, "event_type", "cents", "user_id")
 
 
+# shared-algebra web-graph edge derivation: every event contributes one
+# directed edge over a fixed 997-node id space.  The arithmetic is
+# row-local int64 on both the Ray and SQL sides, so the edge multiset is
+# definitionally identical — the graph operators themselves are what the
+# oracle then checks.
+_GRAPH_MOD = 997
+_GRAPH_EDGES_SQL = f"""(
+    SELECT user_id % {_GRAPH_MOD} AS src,
+           (user_id * 31 + event_id) % {_GRAPH_MOD} AS dst
+    FROM events)"""
+
+
+def _graph_edges(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = pc.cast(t["user_id"].combine_chunks() if isinstance(
+            t["user_id"], pa.ChunkedArray) else t["user_id"],
+            pa.int64()).to_numpy(zero_copy_only=False)
+        e = pc.cast(t["event_id"].combine_chunks() if isinstance(
+            t["event_id"], pa.ChunkedArray) else t["event_id"],
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(u % _GRAPH_MOD),
+                         "dst": pa.array((u * 31 + e) % _GRAPH_MOD)})
+
+    return ds.map_batches(derive, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _q_graph_degrees(sf_dir: str):
+    """Per-node in/out/total degree of the derived event web-graph —
+    per-batch Arrow group_by partials, one narrow bucket fold."""
+    from logray.functions.graph import degree_table
+
+    return degree_table(_graph_edges(sf_dir))
+
+
+def _q_graph_components(sf_dir: str):
+    """Connected components (min reachable id) of the undirected closure
+    of the event web-graph, via the sharded pointer-doubling engine."""
+    from logray.functions.graph import connected_components_graph
+
+    return connected_components_graph(_graph_edges(sf_dir))
+
+
+def _q_graph_triangles(sf_dir: str):
+    """Exact triangle count of the event web-graph, degree-oriented
+    node-iterator (bounded O(sqrt(E)) per-node wedge work)."""
+    from logray.functions.graph import triangle_count
+
+    return triangle_count(_graph_edges(sf_dir))
+
+
+def _q_graph_pagerank(sf_dir: str):
+    """PageRank over the event web-graph — edges pushed once into
+    per-shard actor CSRs, then 20 iterations of narrow rank messages.
+    Float-iterative, so rows-only at the gate; exactness vs a dense
+    numpy reference is pinned in tests/test_graph.py."""
+    from logray.functions.graph import pagerank
+
+    return pagerank(_graph_edges(sf_dir), n_iter=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # transcript / log-pipeline core
@@ -3226,6 +3296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract_docs": _q_html_extract_docs,
         "snapshot_diff_docs": _q_snapshot_diff_docs,
         "extract_links_docs": _q_extract_links_docs,
+        "graph_degrees": _q_graph_degrees,
+        "graph_components": _q_graph_components,
+        "graph_triangles": _q_graph_triangles,
+        "graph_pagerank": _q_graph_pagerank,
         "rebalance_docs": _q_rebalance_docs,
         "rebalance_resumable_docs": _q_rebalance_resumable_docs,
         "embedding_dups": _q_embedding_dups,
@@ -3388,6 +3462,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from logray.functions.snapshot import snapshot_diff_sql
     from logray.functions.urlops import extract_links_sql
+    from logray.functions.graph import (
+        connected_components_sql,
+        degree_table_sql,
+        triangle_count_sql,
+    )
     from logray.functions.quality import wordlist_filter_sql
     from logray.functions.sample import (
         deterministic_shuffle_sql,
@@ -3925,6 +4004,9 @@ def oracle_sql() -> dict[str, str]:
                        || '{_LINK_WRAP[3]}' AS text
                 FROM documents)
         """ + extract_links_sql("h"),
+        "graph_degrees": degree_table_sql(_GRAPH_EDGES_SQL),
+        "graph_components": connected_components_sql(_GRAPH_EDGES_SQL),
+        "graph_triangles": triangle_count_sql(_GRAPH_EDGES_SQL),
         "rebalance_docs": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             ORDER BY doc_id

@@ -385,6 +385,43 @@ def run_bench() -> dict:
 
     timed("snapshot_diff", snapshot_diff_corpus)
 
+    # --- web-graph analytics: edges derived row-locally from the corpus
+    # (hash(conv_id) and turn_idx over a fixed node space), then the two
+    # representative shapes — iterative actor-exchange PageRank and the
+    # multi-join degree-oriented triangle count --------------------------
+    _GRAPH_M = 200_003
+
+    def _graph_edges_corpus():
+        import numpy as _np
+        import pyarrow as _pa3
+
+        from logray.functions.fingerprint import content_hash
+
+        def derive(t):
+            h = content_hash(t["conv_id"]).astype(_np.int64) & 0x7FFFFFFFFFFFFFFF
+            ti = t["turn_idx"].to_numpy(zero_copy_only=False).astype(_np.int64)
+            return _pa3.table({"src": _pa3.array(h % _GRAPH_M),
+                               "dst": _pa3.array((h * 31 + ti) % _GRAPH_M)})
+
+        return rd.read_parquet(corpus, columns=["conv_id", "turn_idx"]) \
+            .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    def graph_pagerank_corpus():
+        from logray.functions.graph import pagerank
+
+        return pagerank(_graph_edges_corpus(), n_iter=5,
+                        num_shards=8).count()
+
+    timed("graph_pagerank", graph_pagerank_corpus)
+
+    def graph_triangles_corpus():
+        from logray.functions.graph import triangle_count
+
+        return triangle_count(_graph_edges_corpus(),
+                              num_buckets=64).take_all()[0]["triangles"]
+
+    timed("graph_triangles", graph_triangles_corpus)
+
     ray.shutdown()
 
     headline_sec = timings["pipeline"]

@@ -280,6 +280,45 @@ def cmd_resample(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Web-graph analytics over an edge parquet (src, dst int64 columns):
+    degrees / components / pagerank / triangles."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.input, columns=[args.src_col, args.dst_col])
+    if args.op == "degrees":
+        from logray.functions.graph import degree_table
+
+        out = degree_table(ds, src=args.src_col, dst=args.dst_col)
+        out.write_parquet(args.out)
+        print(json.dumps({"nodes": rd.read_parquet(args.out).count()}))
+    elif args.op == "components":
+        from logray.functions.graph import connected_components_graph
+
+        out = connected_components_graph(ds, src=args.src_col,
+                                         dst=args.dst_col)
+        out.write_parquet(args.out)
+        lab = rd.read_parquet(args.out)
+        print(json.dumps({"nodes": lab.count(),
+                          "components": len(lab.unique("component"))}))
+    elif args.op == "pagerank":
+        from logray.functions.graph import pagerank
+
+        out = pagerank(ds, src=args.src_col, dst=args.dst_col,
+                       damping=args.damping, n_iter=args.n_iter)
+        out.write_parquet(args.out)
+        print(json.dumps({"nodes": rd.read_parquet(args.out).count(),
+                          "n_iter": args.n_iter, "damping": args.damping}))
+    else:  # triangles
+        from logray.functions.graph import triangle_count
+
+        n = triangle_count(ds, src=args.src_col,
+                           dst=args.dst_col).take_all()[0]["triangles"]
+        print(json.dumps({"triangles": int(n)}))
+    return 0
+
+
 def cmd_curriculum(args) -> int:
     """Training-curriculum order for a document parquet: NTILE score bins
     + seeded deterministic in-bin shuffle; writes (id, bin, rank)."""
@@ -597,6 +636,18 @@ def main(argv=None) -> int:
     sp.add_argument("--width-s", type=float, default=3600.0)
     sp.add_argument("--num-cpus", type=int, default=None)
     sp.set_defaults(fn=cmd_resample)
+
+    sp = sub.add_parser("graph", help="web-graph analytics over an edge parquet")
+    sp.add_argument("op", choices=["degrees", "components", "pagerank",
+                                   "triangles"])
+    sp.add_argument("input")
+    sp.add_argument("--out", default="/tmp/logray_graph_out")
+    sp.add_argument("--src-col", default="src")
+    sp.add_argument("--dst-col", default="dst")
+    sp.add_argument("--damping", type=float, default=0.85)
+    sp.add_argument("--n-iter", type=int, default=20)
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_graph)
 
     sp = sub.add_parser("curriculum",
                         help="curriculum order: score bins + seeded in-bin shuffle")

@@ -46,6 +46,12 @@ from logray.functions.textclean import (
     normalize_nfc,
     sentence_split,
 )
+from logray.functions.graph import (
+    connected_components_graph,
+    degree_table,
+    pagerank,
+    triangle_count,
+)
 from logray.functions.snapshot import snapshot_diff
 from logray.functions.png import decode_png, encode_png
 from logray.functions.multimodal import (
@@ -164,6 +170,10 @@ __all__ = [
     "clean_text",
     "html_to_text",
     "snapshot_diff",
+    "degree_table",
+    "connected_components_graph",
+    "pagerank",
+    "triangle_count",
     "sentence_split",
     "normalize_nfc",
     "json_extract_field",

@@ -1,0 +1,524 @@
+"""Web-graph analytics over edge tables ``(src, dst)``.
+
+The crawl loop that :func:`logray.functions.urlops.extract_links` feeds
+needs graph signals to curate with: PageRank for quality-weighted sampling
+and frontier prioritization (Page et al. 1999, the form CommonCrawl-style
+curation uses for host ranking), connected components to collapse mirror
+clusters, degree tables for hub/spam heuristics, and triangle counts as
+the standard clustering-coefficient ingredient (node-iterator++ with
+degree orientation, Schank & Wagner 2005 — the variant whose per-node
+work is bounded by O(sqrt(E)) regardless of hot nodes).
+
+Scale shape shared by the family: the edge list is the only large input
+and it moves AT MOST ONCE — either one narrow ``hash % B`` bucket
+exchange (degrees, triangles) or one push into per-shard actor memory
+(PageRank, which then iterates over small rank/contribution messages
+without ever re-shuffling edges; same shared-mutable-index justification
+as ``dedup._CCShard``).  Nothing here materializes a full-width dataset:
+every exchange carries only int64 node ids plus one count/float column.
+
+Reference anchor: the reference viewer has no graph surface (its closest
+analog is the per-field occurrence bookkeeping in
+`/root/reference/src/file_parsing/log_parser_interface.cpp` min/max
+tracking); this family is part of the beyond-the-reference training-data
+toolkit, like dedup/ANN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from logray.stages.bucketing import grouped_apply
+
+__all__ = [
+    "degree_table",
+    "connected_components_graph",
+    "pagerank",
+    "triangle_count",
+]
+
+
+def _to_int64(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------------------
+# degree table
+# ---------------------------------------------------------------------------
+
+def degree_table(edges, src: str = "src", dst: str = "dst",
+                 node_col: str = "node", num_buckets: int = 32):
+    """Exact per-node out/in/total degree over a directed edge table.
+
+    One pass of per-batch Arrow ``group_by`` partials (each batch collapses
+    to at most 2x its distinct-node count of (node, out, in) rows), then
+    ONE narrow ``hash(node) % B`` bucket exchange folding the partials —
+    the degree stream is 24 bytes/row regardless of edge payload.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = _to_int64(t[src])
+        d = _to_int64(t[dst])
+        both = pa.table({
+            node_col: pa.array(np.concatenate([s, d])),
+            "out_deg": pa.array(np.concatenate(
+                [np.ones(len(s), np.int64), np.zeros(len(d), np.int64)])),
+            "in_deg": pa.array(np.concatenate(
+                [np.zeros(len(s), np.int64), np.ones(len(d), np.int64)])),
+        })
+        g = both.group_by([node_col]).aggregate(
+            [("out_deg", "sum"), ("in_deg", "sum")])
+        return g.rename_columns([node_col, "out_deg", "in_deg"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        agg = g.group_by([node_col]).aggregate(
+            [("out_deg", "sum"), ("in_deg", "sum")])
+        agg = agg.rename_columns([node_col, "out_deg", "in_deg"])
+        deg = pc.add(agg["out_deg"], agg["in_deg"])
+        return agg.append_column("deg", deg)
+
+    partials = edges.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return grouped_apply(partials, node_col, fold, num_buckets=num_buckets,
+                         batch_format="pyarrow")
+
+
+def degree_table_sql(table: str, src: str = "src", dst: str = "dst",
+                     node_col: str = "node") -> str:
+    """DuckDB twin of :func:`degree_table` (exact int64)."""
+    return f"""
+        SELECT COALESCE(o.{node_col}, i.{node_col}) AS {node_col},
+               COALESCE(o.out_deg, 0) AS out_deg,
+               COALESCE(i.in_deg, 0) AS in_deg,
+               COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS deg
+        FROM (SELECT {src} AS {node_col}, COUNT(*) AS out_deg
+              FROM {table} GROUP BY 1) o
+        FULL OUTER JOIN
+             (SELECT {dst} AS {node_col}, COUNT(*) AS in_deg
+              FROM {table} GROUP BY 1) i
+        USING ({node_col})
+        ORDER BY {node_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# connected components (public graph surface over the dedup CC machinery)
+# ---------------------------------------------------------------------------
+
+def connected_components_graph(edges, src: str = "src", dst: str = "dst",
+                               node_col: str = "node",
+                               max_rounds: int = 16, num_shards: int = 8):
+    """Connected components of the UNDIRECTED closure of ``edges`` —
+    (node, component) where component is the minimum node id reachable.
+
+    Thin public wrapper over the sharded pointer-doubling engine built for
+    near-dedup closures (``dedup.connected_components_distributed``):
+    per-shard label index held in actor memory across O(log diameter)
+    rounds, only small relax/pointer messages exchanged.
+    """
+    from logray.functions.dedup import connected_components_distributed
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": pa.array(_to_int64(t[src])),
+                         "id_b": pa.array(_to_int64(t[dst]))})
+
+    pairs = edges.map_batches(narrow, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    labels = connected_components_distributed(
+        pairs, max_rounds=max_rounds, num_shards=num_shards)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([node_col, "component"])
+
+    return labels.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def connected_components_sql(table: str, src: str = "src", dst: str = "dst",
+                             node_col: str = "node") -> str:
+    """DuckDB twin: recursive min-label propagation.  The working set is
+    bounded because a label only joins the closure when it is SMALLER than
+    the node it reaches (larger labels can never be the component min)."""
+    return f"""
+        WITH RECURSIVE
+        e AS (SELECT {src} AS a, {dst} AS b FROM {table}
+              UNION
+              SELECT {dst}, {src} FROM {table}),
+        lbl({node_col}, comp) AS (
+            SELECT a, a FROM e
+            UNION
+            SELECT e.b, lbl.comp
+            FROM lbl JOIN e ON e.a = lbl.{node_col}
+            WHERE lbl.comp < e.b
+        )
+        SELECT {node_col}, MIN(comp) AS component
+        FROM lbl GROUP BY {node_col} ORDER BY {node_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# PageRank — per-shard actor exchange (edges loaded once, then only
+# rank/contribution messages move)
+# ---------------------------------------------------------------------------
+
+def _pr_owner(v: np.ndarray, num_shards: int) -> np.ndarray:
+    """Shard owner of a vertex id (same multiplicative hash as the CC
+    shards, so the two engines partition identically)."""
+    return (((v.astype(np.uint64) * np.uint64(2654435761))
+             & np.uint64(0xFFFFFFFF))
+            % np.uint64(num_shards)).astype(np.int64)
+
+
+@ray.remote(num_cpus=0)
+class _PRShard:
+    """One hash partition of the PageRank state.
+
+    The out-edge CSR and the rank vector LIVE here across iterations —
+    the shared mutable state the Dataset API cannot express without
+    re-shuffling the full edge list every iteration (10 iterations of a
+    Dataset join would pay the all-to-all edge exchange 10x; this pays it
+    once at load).  ``num_cpus=0`` for the same reason as ``_CCShard``:
+    B index-holder actors must not starve the Dataset tasks feeding them.
+
+    Bit-determinism contract: every reduction folds in a fixed order —
+    edges are lexsorted (src, dst) at build, per-destination-shard
+    message slices preserve that order, receivers fold sender shards
+    0..B-1 with ``np.add.at`` (sequential scatter-add), and the dangling
+    sum reduces over the sorted vertex order.  The result is therefore a
+    pure function of (edge multiset, damping, n_iter, num_shards) — how
+    the input was partitioned cannot change a single bit.
+    """
+
+    def __init__(self, shard_id: int, num_shards: int):
+        self.id = shard_id
+        self.B = num_shards
+        self._src_parts: list[np.ndarray] = []
+        self._dst_parts: list[np.ndarray] = []
+        self._node_parts: list[np.ndarray] = []
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+        self._src_parts.append(np.asarray(src, np.int64))
+        self._dst_parts.append(np.asarray(dst, np.int64))
+        return len(src)
+
+    def add_nodes(self, v: np.ndarray) -> int:
+        self._node_parts.append(np.asarray(v, np.int64))
+        return len(v)
+
+    def build(self) -> int:
+        src = (np.concatenate(self._src_parts) if self._src_parts
+               else np.zeros(0, np.int64))
+        dst = (np.concatenate(self._dst_parts) if self._dst_parts
+               else np.zeros(0, np.int64))
+        reg = (np.concatenate(self._node_parts) if self._node_parts
+               else np.zeros(0, np.int64))
+        self._src_parts = self._dst_parts = self._node_parts = []  # type: ignore[assignment]
+        order = np.lexsort((dst, src))
+        self.src, self.dst = src[order], dst[order]
+        self.verts = np.unique(np.concatenate([src, reg]))
+        self.outdeg = np.zeros(len(self.verts), np.int64)
+        if len(self.src):
+            np.add.at(self.outdeg,
+                      np.searchsorted(self.verts, self.src), 1)
+        self._src_pos = np.searchsorted(self.verts, self.src)
+        own = _pr_owner(self.dst, self.B)
+        self._dest_idx = [np.flatnonzero(own == j) for j in range(self.B)]
+        return len(self.verts)
+
+    def init_ranks(self, n_total: int) -> None:
+        self.N = n_total
+        self.rank = np.full(len(self.verts), 1.0 / n_total, np.float64)
+
+    def dangling_sum(self) -> float:
+        if not len(self.verts):
+            return 0.0
+        return float(self.rank[self.outdeg == 0].sum())
+
+    def emit(self):
+        """Per-destination-shard (dst ids, contributions) in the fixed
+        build order."""
+        if len(self.src):
+            contrib = self.rank[self._src_pos] / self.outdeg[self._src_pos]
+        else:
+            contrib = np.zeros(0, np.float64)
+        out = [(self.dst[idx], contrib[idx]) for idx in self._dest_idx]
+        return out if self.B > 1 else out[0]
+
+    def apply(self, damping: float, dangling_total: float, *msgs) -> int:
+        recv = np.zeros(len(self.verts), np.float64)
+        for v, c in msgs:
+            if len(v):
+                np.add.at(recv, np.searchsorted(self.verts, v), c)
+        base = (1.0 - damping) / self.N + damping * dangling_total / self.N
+        self.rank = base + damping * recv
+        return 0
+
+    def ranks_table(self, node_col: str) -> pa.Table:
+        if not len(self.verts):
+            return pa.schema([(node_col, pa.int64()),
+                              ("rank", pa.float64())]).empty_table()
+        return pa.table({node_col: pa.array(self.verts),
+                         "rank": pa.array(self.rank)})
+
+
+def pagerank(edges, src: str = "src", dst: str = "dst",
+             node_col: str = "node", damping: float = 0.85,
+             n_iter: int = 20, num_shards: int = 8):
+    """PageRank over a directed edge table, returning (node, rank).
+
+    Update rule (Page et al. 1999, with uniform dangling redistribution —
+    ranks sum to 1 every iteration)::
+
+        rank'(v) = (1-d)/N + d * (dangling/N + sum_{u->v} rank(u)/outdeg(u))
+
+    Shape: edges push ONCE into per-shard actor CSRs (one narrow exchange
+    of 16 bytes/edge); each of the ``n_iter`` iterations then moves only
+    per-edge float contributions between shards and B dangling scalars to
+    the driver — the edge list itself never moves again.  Bit-deterministic
+    under any input partitioning (see ``_PRShard``).  Fixed ``n_iter``
+    rather than a tolerance so the output is a pure function of the
+    arguments.
+    """
+    B = num_shards
+    shards = [_PRShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
+
+    def push(t: pa.Table) -> pa.Table:
+        s = _to_int64(t[src])
+        d = _to_int64(t[dst])
+        own_s = _pr_owner(s, B)
+        own_d = _pr_owner(d, B)
+        acks = []
+        for j in range(B):
+            m = own_s == j
+            if m.any():
+                acks.append(shards[j].add_edges.remote(s[m], d[m]))
+            md = own_d == j
+            if md.any():
+                acks.append(shards[j].add_nodes.remote(np.unique(d[md])))
+        ray.get(acks)
+        return pa.table({"n": pa.array([len(s)], pa.int64())})
+
+    edges.map_batches(push, batch_format="pyarrow").materialize()
+    counts = ray.get([s.build.remote() for s in shards])
+    n_total = int(sum(counts))
+    if n_total == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.schema(
+            [(node_col, pa.int64()), ("rank", pa.float64())]).empty_table())
+    ray.get([s.init_ranks.remote(n_total) for s in shards])
+
+    for _ in range(n_iter):
+        dang = sum(ray.get([s.dangling_sum.remote() for s in shards]))
+        outs = [s.emit.options(num_returns=B).remote() if B > 1
+                else [s.emit.remote()] for s in shards]
+        ray.get([shards[j].apply.remote(
+            damping, dang, *[outs[i][j] for i in range(B)])
+            for j in range(B)])
+
+    import ray.data as rd
+
+    out = rd.from_arrow_refs(
+        [s.ranks_table.remote(node_col) for s in shards])
+    return out.materialize()
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-oriented node-iterator)
+# ---------------------------------------------------------------------------
+
+def _canon_edges(edges, src: str, dst: str, num_buckets: int):
+    """Distinct undirected edges as (a, b) with a < b, self-loops dropped:
+    per-batch local dedup then one (a, b) bucket exchange."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = _to_int64(t[src])
+        d = _to_int64(t[dst])
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        tb = pa.table({"a": pa.array(a), "b": pa.array(b)})
+        return tb.group_by(["a", "b"]).aggregate([])
+
+    def fold(g: pa.Table) -> pa.Table:
+        return g.group_by(["a", "b"]).aggregate([])
+
+    local = edges.map_batches(canon, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_apply(local, "a", fold, num_buckets=num_buckets,
+                         batch_format="pyarrow")
+
+
+def triangle_count(edges, src: str = "src", dst: str = "dst",
+                   num_buckets: int = 32, max_broadcast: int = 20_000_000):
+    """Exact triangle count of the undirected simple graph underlying
+    ``edges`` — one row ``{"triangles": n}``.
+
+    Degree-oriented node-iterator (Schank & Wagner 2005): orient each
+    undirected edge from its lower-(deg, id) endpoint to the higher, so
+    every vertex's oriented out-degree is O(sqrt(E)) EVEN AT a hot hub —
+    the wedge stage is bounded at E^1.5 total regardless of skew (the
+    naive id-orientation explodes quadratically on high-degree nodes).
+    Each triangle is counted exactly once, at its minimum-(deg, id)
+    corner.
+
+    Exchanges, all narrow int64 pairs/triples: canon dedup (1), degree
+    census (1), wedge co-location (1), wedge/edge match join (1).  The
+    per-edge degree lookup broadcasts the (node, deg) table when it has
+    at most ``max_broadcast`` nodes (16 bytes/node — 20 M nodes = 320 MB,
+    host-graph scale; ``ray.put`` once, zero-copy read per task) and only
+    falls back to two more bucketed join exchanges past that (URL-graph
+    scale).  Joins use the explicit bucketed TASK path
+    (``_bucketed_join``), not the builtin JoinOperator: multiple builtin
+    join actor pools in one lazy topology starve/cross-wire each other
+    (same pathology the Q5 multi-way pipeline documents in
+    ``stages/join.py``).  No stage materializes more than the oriented
+    adjacency (16-32 bytes/edge).
+    """
+    from logray.stages.join import _bucketed_join
+
+    def bjoin(left, right, on, right_on=None):
+        on = (on,) if isinstance(on, str) else tuple(on)
+        right_on = on if right_on is None else (
+            (right_on,) if isinstance(right_on, str) else tuple(right_on))
+        return _bucketed_join(left, right, on, right_on, "inner",
+                              num_buckets)
+
+    canon = _canon_edges(edges, src, dst, num_buckets).materialize()
+    deg = degree_table(canon, src="a", dst="b", node_col="node",
+                       num_buckets=num_buckets)
+
+    def just_deg(t: pa.Table) -> pa.Table:
+        return t.select(["node", "deg"])
+
+    deg = deg.map_batches(just_deg, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    if deg.count() <= max_broadcast:
+        # broadcast path: ship the sorted (node, deg) arrays once,
+        # searchsorted lookup per batch — no join exchanges at all.
+        # empty buckets can surface as zero-column blocks — drop them
+        parts = [t for t in ray.get(deg.to_arrow_refs())
+                 if t.num_columns and t.num_rows]
+        allc = (pa.concat_tables(parts) if parts
+                else pa.schema([("node", pa.int64()),
+                                ("deg", pa.int64())]).empty_table())
+        if allc.num_rows == 0:
+            import ray.data as rd
+            return rd.from_arrow(
+                pa.table({"triangles": pa.array([0], pa.int64())}))
+        allc = allc.combine_chunks()
+        nodes = pc.cast(allc["node"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        degs = pc.cast(allc["deg"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        o = np.argsort(nodes, kind="stable")
+        lookup_ref = ray.put((nodes[o], degs[o]))
+
+        def orient_bc(t: pa.Table) -> pa.Table:
+            ln, ld = ray.get(lookup_ref)
+            a = _to_int64(t["a"])
+            b = _to_int64(t["b"])
+            da = ld[np.searchsorted(ln, a)]
+            db = ld[np.searchsorted(ln, b)]
+            a_first = (da < db) | ((da == db) & (a < b))
+            u = np.where(a_first, a, b)
+            v = np.where(a_first, b, a)
+            kv = np.where(a_first, db, da)
+            return pa.table({"u": pa.array(u), "v": pa.array(v),
+                             "kv": pa.array(kv)})
+
+        oriented = canon.map_batches(orient_bc, batch_format="pyarrow",
+                                     zero_copy_batch=True).materialize()
+    else:
+        with_da = bjoin(canon, deg, on="a", right_on="node")
+
+        def rename_da(t: pa.Table) -> pa.Table:
+            cols = {"a": t["a"], "b": t["b"], "deg_a": t["deg"]}
+            return pa.table(cols)
+
+        with_da = with_da.map_batches(rename_da, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        with_db = bjoin(with_da, deg, on="b", right_on="node")
+
+        def orient(t: pa.Table) -> pa.Table:
+            a = _to_int64(t["a"])
+            b = _to_int64(t["b"])
+            da = _to_int64(t["deg_a"])
+            db = _to_int64(t["deg"])
+            # lower (deg, id) endpoint first
+            a_first = (da < db) | ((da == db) & (a < b))
+            u = np.where(a_first, a, b)
+            v = np.where(a_first, b, a)
+            kv = np.where(a_first, db, da)
+            return pa.table({"u": pa.array(u), "v": pa.array(v),
+                             "kv": pa.array(kv)})
+
+        oriented = with_db.map_batches(orient, batch_format="pyarrow",
+                                       zero_copy_batch=True).materialize()
+
+    def wedges(g: pa.Table) -> pa.Table:
+        u = _to_int64(g["u"])
+        v = _to_int64(g["v"])
+        kv = _to_int64(g["kv"])
+        n = len(u)
+        if n == 0:
+            return pa.schema([("u", pa.int64()),
+                              ("v", pa.int64())]).empty_table()
+        # per center u: all neighbor pairs ordered by (deg, id) — fully
+        # vectorized segmented all-pairs (no per-center Python loop):
+        # row r at position p of an L-long segment pairs with the L-1-p
+        # rows after it.
+        order = np.lexsort((v, kv, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        seg_end = np.repeat(starts + lens, lens)
+        rows = np.arange(n, dtype=np.int64)
+        reps = seg_end - rows - 1
+        total = int(reps.sum())
+        if total == 0:
+            return pa.schema([("u", pa.int64()),
+                              ("v", pa.int64())]).empty_table()
+        first = np.repeat(rows, reps)
+        cum = np.concatenate([[0], np.cumsum(reps)])
+        second = first + 1 + (np.arange(total, dtype=np.int64) - cum[first])
+        return pa.table({"u": pa.array(v[first]),
+                         "v": pa.array(v[second])})
+
+    wedge_ds = grouped_apply(oriented, "u", wedges,
+                             num_buckets=num_buckets,
+                             batch_format="pyarrow")
+
+    def narrow_edge(t: pa.Table) -> pa.Table:
+        return t.select(["u", "v"])
+
+    closing = oriented.map_batches(narrow_edge, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    matched = bjoin(wedge_ds, closing, on=("u", "v"))
+    n = matched.count()
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"triangles": pa.array([n], pa.int64())}))
+
+
+def triangle_count_sql(table: str, src: str = "src",
+                       dst: str = "dst") -> str:
+    """DuckDB twin: 3-way self-join over canonical a<b edges (each
+    triangle counted once at its minimum-id corner — orientation choice
+    cannot change the count)."""
+    return f"""
+        WITH c AS (
+            SELECT DISTINCT least({src}, {dst}) AS a,
+                            greatest({src}, {dst}) AS b
+            FROM {table} WHERE {src} <> {dst})
+        SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM c e1
+        JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b
+    """

@@ -1,0 +1,238 @@
+"""Web-graph analytics: degrees, connected components, PageRank,
+triangle counting (logray/functions/graph.py).
+
+Every operator is checked against an independent dense/driver-side
+reference on seeded random multigraphs — including self-loops, parallel
+edges, isolated-ish dangling nodes and hot hubs — plus the gate's
+shared-algebra event graph twins in __ray_entry__.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _edges_ds(src, dst):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(src, np.int64)),
+        "dst": pa.array(np.asarray(dst, np.int64)),
+    }))
+
+
+def _rand_graph(seed: int, n_nodes: int, n_edges: int):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    # a hot hub: 10% of edges point at node 0
+    hot = rng.random(n_edges) < 0.1
+    dst[hot] = 0
+    return src, dst
+
+
+# ---------------------------------------------------------------------------
+# degree_table
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed,n,m", [(1, 50, 400), (2, 7, 30)])
+def test_degree_table_matches_numpy(ray_session, seed, n, m):
+    from logray.functions.graph import degree_table
+
+    src, dst = _rand_graph(seed, n, m)
+    got = degree_table(_edges_ds(src, dst), num_buckets=4).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    out = np.array([(src == v).sum() for v in nodes], np.int64)
+    inn = np.array([(dst == v).sum() for v in nodes], np.int64)
+    assert got["node"].to_numpy().tolist() == nodes.tolist()
+    assert got["out_deg"].to_numpy().tolist() == out.tolist()
+    assert got["in_deg"].to_numpy().tolist() == inn.tolist()
+    assert (got["deg"].to_numpy() == out + inn).all()
+
+
+def test_degree_table_dangling_only_in(ray_session):
+    from logray.functions.graph import degree_table
+
+    got = degree_table(_edges_ds([1, 1], [2, 2]), num_buckets=2).to_pandas()
+    got = got.set_index("node")
+    assert got.loc[2, "out_deg"] == 0 and got.loc[2, "in_deg"] == 2
+    assert got.loc[1, "out_deg"] == 2 and got.loc[1, "deg"] == 2
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def _cc_reference(src, dst):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src, dst):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-relabel
+    return {v: find(v) for v in parent}
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_connected_components_matches_union_find(ray_session, seed):
+    from logray.functions.graph import connected_components_graph
+
+    src, dst = _rand_graph(seed, 60, 80)
+    got = connected_components_graph(
+        _edges_ds(src, dst), num_shards=3).to_pandas()
+    want = _cc_reference(src, dst)
+    got_map = dict(zip(got["node"], got["component"]))
+    assert got_map == want
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def _pagerank_dense(src, dst, damping=0.85, n_iter=20):
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    si = np.array([idx[int(v)] for v in src])
+    di = np.array([idx[int(v)] for v in dst])
+    outdeg = np.zeros(n, np.int64)
+    np.add.at(outdeg, si, 1)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = rank[outdeg == 0].sum()
+        recv = np.zeros(n)
+        np.add.at(recv, di, rank[si] / outdeg[si])
+        rank = (1 - damping) / n + damping * (dangling / n + recv)
+    return nodes, rank
+
+
+@pytest.mark.parametrize("seed,n,m", [(5, 40, 300), (6, 9, 20)])
+def test_pagerank_matches_dense_reference(ray_session, seed, n, m):
+    from logray.functions.graph import pagerank
+
+    src, dst = _rand_graph(seed, n, m)
+    got = pagerank(_edges_ds(src, dst), n_iter=20,
+                   num_shards=3).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    nodes, want = _pagerank_dense(src, dst)
+    assert got["node"].to_numpy().tolist() == nodes.tolist()
+    np.testing.assert_allclose(got["rank"].to_numpy(), want,
+                               rtol=0, atol=1e-12)
+    # ranks form a distribution
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_bit_deterministic_across_partitioning(ray_session):
+    """At fixed num_shards the result is a pure function of the edge
+    MULTISET — how the input was partitioned (and in what order batches
+    arrive) must not change a single bit.  Across different shard counts
+    only near-equality holds (float reduction grouping changes)."""
+    import ray.data as rd
+
+    from logray.functions.graph import pagerank
+
+    src, dst = _rand_graph(7, 30, 200)
+    a = pagerank(_edges_ds(src, dst), num_shards=3).to_pandas()
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    # shuffled row order AND different block boundaries
+    perm = np.random.default_rng(0).permutation(len(src))
+    t2 = t.take(pa.array(perm))
+    parts = rd.from_arrow([t2.slice(0, 57), t2.slice(57, 90), t2.slice(147)])
+    b = pagerank(parts, num_shards=3).to_pandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    assert a["node"].tolist() == b["node"].tolist()
+    assert (a["rank"].to_numpy() == b["rank"].to_numpy()).all()
+
+    c = pagerank(_edges_ds(src, dst), num_shards=5).to_pandas()
+    c = c.sort_values("node").reset_index(drop=True)
+    np.testing.assert_allclose(c["rank"].to_numpy(), a["rank"].to_numpy(),
+                               rtol=0, atol=1e-12)
+
+
+def test_pagerank_star_hub_ranks_highest(ray_session):
+    from logray.functions.graph import pagerank
+
+    # 1..5 all point at 0
+    got = pagerank(_edges_ds([1, 2, 3, 4, 5], [0, 0, 0, 0, 0]),
+                   num_shards=2).to_pandas().set_index("node")
+    assert got.loc[0, "rank"] == got["rank"].max()
+
+
+def test_pagerank_empty(ray_session):
+    from logray.functions.graph import pagerank
+
+    out = pagerank(_edges_ds([], []), num_shards=2)
+    assert out.schema().names == ["node", "rank"]
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+def _triangles_brute(src, dst):
+    es = {(min(int(a), int(b)), max(int(a), int(b)))
+          for a, b in zip(src, dst) if a != b}
+    nodes = sorted({v for e in es for v in e})
+    n = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes[nodes.index(b) + 1:]:
+                if (a, c) in es and (b, c) in es:
+                    n += 1
+    return n
+
+
+@pytest.mark.parametrize("seed,n,m", [(8, 12, 60), (9, 8, 40), (10, 25, 90)])
+def test_triangle_count_matches_brute_force(ray_session, seed, n, m):
+    from logray.functions.graph import triangle_count
+
+    src, dst = _rand_graph(seed, n, m)
+    got = triangle_count(_edges_ds(src, dst), num_buckets=4).to_pandas()
+    assert got["triangles"][0] == _triangles_brute(src, dst)
+
+
+def test_triangle_count_ignores_loops_and_parallel(ray_session):
+    from logray.functions.graph import triangle_count
+
+    # one triangle, duplicated edges both directions, plus self-loops
+    src = [1, 2, 3, 2, 1, 1, 4]
+    dst = [2, 3, 1, 1, 3, 1, 4]
+    got = triangle_count(_edges_ds(src, dst), num_buckets=2).to_pandas()
+    assert got["triangles"][0] == 1
+
+
+def test_triangle_count_join_fallback_matches(ray_session):
+    """max_broadcast=0 forces the bucketed-join degree path (the
+    URL-graph-scale fallback); result must equal the broadcast path."""
+    from logray.functions.graph import triangle_count
+
+    src, dst = _rand_graph(11, 15, 70)
+    bc = triangle_count(_edges_ds(src, dst), num_buckets=4).to_pandas()
+    jn = triangle_count(_edges_ds(src, dst), num_buckets=4,
+                        max_broadcast=0).to_pandas()
+    assert bc["triangles"][0] == jn["triangles"][0] == \
+        _triangles_brute(src, dst)
+
+
+def test_triangle_count_triangle_free(ray_session):
+    from logray.functions.graph import triangle_count
+
+    # star graphs are triangle-free
+    got = triangle_count(_edges_ds([0, 0, 0], [1, 2, 3]),
+                         num_buckets=2).to_pandas()
+    assert got["triangles"][0] == 0

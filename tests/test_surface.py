@@ -350,6 +350,31 @@ def test_cli_span_dedup_and_funnel(tmp_path):
     assert out == {"stage_1": 1, "stage_3": 1}
 
 
+def test_cli_graph(tmp_path):
+    """Session-9 CLI verb: graph triangles + pagerank over an edge parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    edges = tmp_path / "edges.parquet"
+    pq.write_table(
+        pa.table({
+            "src": pa.array([1, 2, 3, 1, 4], pa.int64()),
+            "dst": pa.array([2, 3, 1, 3, 5], pa.int64()),
+        }),
+        str(edges),
+    )
+    r = _cli("--num-cpus", "2", "graph", "triangles", str(edges))
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out == {"triangles": 1}
+
+    r = _cli("--num-cpus", "2", "graph", "pagerank", str(edges),
+             "--out", str(tmp_path / "pr"), "--n-iter", "5")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["nodes"] == 5 and out["n_iter"] == 5
+
+
 def test_cli_curate(tmp_path):
     """The composed curation verb: PII + badwords flag + classifier +
     LM perplexity stream to the sink with all columns present."""
