@@ -3235,6 +3235,80 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_count(_graph_edges(sf_dir))
 
 
+def _q_anchor_text(sf_dir: str):
+    """Top-3 anchor strings per link target: the event web-graph's dst
+    with event_type as the anchor text — census partials + one bucket
+    fold + segmented top-k; SQL twin is the row_number window."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.functions.graph import anchor_text_table
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = pc.cast(t["user_id"].combine_chunks() if isinstance(
+            t["user_id"], pa.ChunkedArray) else t["user_id"],
+            pa.int64()).to_numpy(zero_copy_only=False)
+        e = pc.cast(t["event_id"].combine_chunks() if isinstance(
+            t["event_id"], pa.ChunkedArray) else t["event_id"],
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"dst": pa.array((u * 31 + e) % _GRAPH_MOD),
+                         "anchor": t["event_type"]})
+
+    edges = ds.map_batches(derive, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return anchor_text_table(edges, n_top=3)
+
+
+def _q_warc_roundtrip(sf_dir: str):
+    """Documents -> WARC (per-record gzip members) -> read back: the
+    web-crawl container format round-trips losslessly through the
+    Ray sink/source pair.  doc_id rides in the URL path; the oracle is
+    the documents table itself."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.sources.warc import read_warc, write_warc
+
+    out = f"/tmp/logray_warc_gate_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_records(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://corpus.example/doc/"), ids, pa.scalar(""))
+        payload = pc.cast(t["text"], pa.binary())
+        return pa.table({"url": url, "payload": payload})
+
+    write_warc(ds.map_batches(to_records, batch_format="pyarrow",
+                              zero_copy_batch=True),
+               out, ts_col="ts", mime_col="mime", compress=True)
+
+    back = read_warc(out)
+
+    def decode(t: pa.Table) -> pa.Table:
+        prefix = len("https://corpus.example/doc/")
+        doc_id = pc.cast(pc.utf8_slice_codeunits(t["url"], prefix),
+                         pa.int64())
+        return pa.table({"doc_id": doc_id,
+                         "text": pc.cast(t["payload"], pa.string())})
+
+    return back.map_batches(decode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def _q_graph_pagerank(sf_dir: str):
     """PageRank over the event web-graph — edges pushed once into
     per-shard actor CSRs, then 20 iterations of narrow rank messages.
@@ -3300,6 +3374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
+        "anchor_text_links": _q_anchor_text,
+        "warc_roundtrip_docs": _q_warc_roundtrip,
         "rebalance_docs": _q_rebalance_docs,
         "rebalance_resumable_docs": _q_rebalance_resumable_docs,
         "embedding_dups": _q_embedding_dups,
@@ -3463,6 +3539,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.snapshot import snapshot_diff_sql
     from logray.functions.urlops import extract_links_sql
     from logray.functions.graph import (
+        anchor_text_sql,
         connected_components_sql,
         degree_table_sql,
         triangle_count_sql,
@@ -4007,6 +4084,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_degrees": degree_table_sql(_GRAPH_EDGES_SQL),
         "graph_components": connected_components_sql(_GRAPH_EDGES_SQL),
         "graph_triangles": triangle_count_sql(_GRAPH_EDGES_SQL),
+        "anchor_text_links": anchor_text_sql(
+            f"""(SELECT (user_id * 31 + event_id) % {_GRAPH_MOD} AS dst,
+                        event_type AS anchor
+                 FROM events)"""),
+        "warc_roundtrip_docs": "SELECT doc_id, text FROM documents",
         "rebalance_docs": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             ORDER BY doc_id

@@ -47,6 +47,7 @@ from logray.functions.textclean import (
     sentence_split,
 )
 from logray.functions.graph import (
+    anchor_text_table,
     connected_components_graph,
     degree_table,
     pagerank,
@@ -174,6 +175,7 @@ __all__ = [
     "connected_components_graph",
     "pagerank",
     "triangle_count",
+    "anchor_text_table",
     "sentence_split",
     "normalize_nfc",
     "json_extract_field",

@@ -38,6 +38,7 @@ __all__ = [
     "connected_components_graph",
     "pagerank",
     "triangle_count",
+    "anchor_text_table",
 ]
 
 
@@ -521,4 +522,77 @@ def triangle_count_sql(table: str, src: str = "src",
         FROM c e1
         JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
         JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b
+    """
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation — what the web calls each target page
+# ---------------------------------------------------------------------------
+
+def anchor_text_table(edges, dst: str = "dst", anchor: str = "anchor",
+                      n_top: int = 3, num_buckets: int = 32):
+    """Top-``n_top`` anchor strings per link TARGET with their counts —
+    ``(dst, anchor, n, rank)``, rank 1.. by (count DESC, anchor ASC).
+
+    The classic link-text relevance signal (anchor text describes the
+    TARGET better than the target describes itself — the observation
+    behind anchor-text indexing in Brin & Page 1998 §2.2): aggregated
+    per destination it feeds retrieval indexes and quality scoring.
+
+    Scale shape: per-batch Arrow ``group_by(dst, anchor)`` census
+    partials collapse the edge payload immediately (the full anchor
+    string set per batch, counts as int64), then ONE ``hash(dst) % B``
+    bucket exchange folds partials and takes the per-dst top-k with a
+    segmented vectorized pass — the anchor text crosses the wire once,
+    already deduplicated per batch.  Hot targets (every page links
+    "home") stay bounded: the census keys are (dst, anchor) DISTINCT
+    pairs, not raw edges.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({dst: pc.cast(t[dst], pa.int64()),
+                       anchor: pc.cast(t[anchor], pa.string()),
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        g = tb.group_by([dst, anchor]).aggregate([("n", "sum")])
+        return g.rename_columns([dst, anchor, "n"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        agg = g.group_by([dst, anchor]).aggregate([("n", "sum")])
+        agg = agg.rename_columns([dst, anchor, "n"])
+        order = pc.sort_indices(agg, sort_keys=[
+            (dst, "ascending"), ("n", "descending"),
+            (anchor, "ascending")])
+        s = agg.take(order)
+        d = s[dst].to_numpy(zero_copy_only=False)
+        m = len(d)
+        if m == 0:
+            return pa.schema([(dst, pa.int64()), (anchor, pa.string()),
+                              ("n", pa.int64()),
+                              ("rank", pa.int64())]).empty_table()
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        rank = (np.arange(m, dtype=np.int64)
+                - np.repeat(starts, np.diff(np.r_[starts, m])) + 1)
+        keep = rank <= n_top
+        out = s.filter(pa.array(keep))
+        return out.append_column("rank", pa.array(rank[keep]))
+
+    partials = edges.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return grouped_apply(partials, dst, fold, num_buckets=num_buckets,
+                         batch_format="pyarrow")
+
+
+def anchor_text_sql(table: str, dst: str = "dst", anchor: str = "anchor",
+                    n_top: int = 3) -> str:
+    """DuckDB twin of :func:`anchor_text_table`."""
+    return f"""
+        SELECT {dst}, {anchor}, n, rank FROM (
+            SELECT {dst}, {anchor}, COUNT(*) AS n,
+                   CAST(row_number() OVER (
+                        PARTITION BY {dst}
+                        ORDER BY COUNT(*) DESC, {anchor}) AS BIGINT)
+                       AS rank
+            FROM {table} GROUP BY {dst}, {anchor})
+        WHERE rank <= {n_top}
+        ORDER BY {dst}, rank
     """

@@ -1,5 +1,6 @@
 from logray.sources.csvsrc import read_transcripts_csv, write_transcripts_csv
 from logray.sources.jsonl import read_transcripts_jsonl, write_transcripts_jsonl
+from logray.sources.warc import WARC_SCHEMA, read_warc, write_warc
 from logray.sources.transcripts import (
     TRANSCRIPT_SCHEMA,
     read_transcripts,
@@ -18,4 +19,7 @@ __all__ = [
     "synth_transcripts_table",
     "transcripts_from_events",
     "write_synth_transcripts",
+    "WARC_SCHEMA",
+    "read_warc",
+    "write_warc",
 ]

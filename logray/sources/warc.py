@@ -1,0 +1,202 @@
+"""WARC (ISO 28500) web-crawl container source/sink.
+
+The wire format a crawl actually arrives in: a WARC file is a
+concatenation of records, each a header block (``WARC/1.0`` version
+line + ``Name: value`` headers, CRLF line ends, blank-line terminated)
+followed by exactly ``Content-Length`` payload bytes and a CRLF CRLF
+record separator.  The CommonCrawl convention compresses each record as
+its own gzip MEMBER so readers can split files at member boundaries;
+a multi-member gzip file is itself a valid gzip stream, which is what
+the reader decompresses.
+
+Ray shape: the sink writes one ``part-NNNNN.warc[.gz]`` per input
+block via ``Dataset.map_batches`` over a shared serializer (the
+resumable many-files layout, never one giant file); the reader is
+``read_binary_files`` (one block per file — WARC shards are sized ~1 GB
+by convention, so file == block is the right granularity) followed by a
+vectorizable record-splitting map.  Payloads stay ``binary``; text
+decoding is the caller's transform, like the multimodal columns.
+
+Reference parity: the reference ingests raw log files and splits them
+into line records (`/root/reference/src/file_parsing/log_parser_interface.hpp`
+LineBlock paging); this module is the same ingest stage for the
+web-crawl container format instead of newline-delimited text.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["read_warc", "write_warc", "WARC_SCHEMA"]
+
+WARC_SCHEMA = pa.schema([
+    ("warc_file", pa.string()),
+    ("rec_idx", pa.int64()),
+    ("warc_type", pa.string()),
+    ("record_id", pa.string()),
+    ("url", pa.string()),
+    ("ts", pa.timestamp("us")),
+    ("mime", pa.string()),
+    ("payload", pa.binary()),
+])
+
+_CRLF = b"\r\n"
+
+
+def _serialize_records(urls, tss, mimes, payloads, warc_types,
+                       record_ids, compress: bool) -> bytes:
+    """One WARC file's bytes for a batch of records."""
+    out = io.BytesIO()
+    for i in range(len(urls)):
+        body = payloads[i] if payloads[i] is not None else b""
+        ts = tss[i]
+        iso = (np.datetime_as_string(ts, unit="s") + "Z") \
+            if ts is not None else "1970-01-01T00:00:00Z"
+        hdr = (
+            b"WARC/1.0\r\n"
+            + b"WARC-Type: " + warc_types[i].encode() + _CRLF
+            + b"WARC-Record-ID: " + record_ids[i].encode() + _CRLF
+            + b"WARC-Date: " + iso.encode() + _CRLF
+            + b"WARC-Target-URI: " + urls[i].encode() + _CRLF
+            + b"Content-Type: " + mimes[i].encode() + _CRLF
+            + b"Content-Length: " + str(len(body)).encode() + _CRLF
+            + _CRLF
+        )
+        rec = hdr + body + _CRLF + _CRLF
+        out.write(gzip.compress(rec, mtime=0) if compress else rec)
+    return out.getvalue()
+
+
+def _parse_warc_bytes(raw: bytes, fname: str) -> pa.Table:
+    """Split one (already-decompressed) WARC byte stream into records.
+
+    Header parsing is per-record but each header block is tiny and
+    bounded (the payload — the actual data volume — is sliced, never
+    scanned); the per-file loop is the same shape as the rawlog line
+    splitter."""
+    cols = {k: [] for k in ("warc_type", "record_id", "url",
+                            "ts", "mime")}
+    payloads: list[bytes] = []
+    pos, n, idx = 0, len(raw), 0
+    while pos < n:
+        # tolerate separator slack, then expect a version line
+        while pos < n and raw[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        end_hdr = raw.find(b"\r\n\r\n", pos)
+        if end_hdr < 0:
+            raise ValueError(f"{fname}: truncated WARC header at {pos}")
+        lines = raw[pos:end_hdr].split(_CRLF)
+        if not lines[0].startswith(b"WARC/"):
+            raise ValueError(
+                f"{fname}: expected WARC version line at {pos}, "
+                f"got {lines[0][:40]!r}")
+        hdrs = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b":")
+            hdrs[k.strip().lower()] = v.strip()
+        clen = int(hdrs[b"content-length"])
+        body_start = end_hdr + 4
+        payloads.append(raw[body_start:body_start + clen])
+        cols["warc_type"].append(hdrs.get(b"warc-type", b"").decode())
+        cols["record_id"].append(hdrs.get(b"warc-record-id", b"").decode())
+        cols["url"].append(hdrs.get(b"warc-target-uri", b"").decode())
+        cols["ts"].append(hdrs.get(b"warc-date", b"").decode() or None)
+        cols["mime"].append(hdrs.get(b"content-type", b"").decode())
+        pos = body_start + clen + 4  # CRLF CRLF record separator
+        idx += 1
+    ts = pc.cast(
+        pc.strptime(pa.array(cols["ts"], pa.string()),
+                    format="%Y-%m-%dT%H:%M:%SZ", unit="s"),
+        pa.timestamp("us"))
+    return pa.table({
+        "warc_file": pa.array([fname] * idx, pa.string()),
+        "rec_idx": pa.array(np.arange(idx, dtype=np.int64)),
+        "warc_type": pa.array(cols["warc_type"], pa.string()),
+        "record_id": pa.array(cols["record_id"], pa.string()),
+        "url": pa.array(cols["url"], pa.string()),
+        "ts": ts,
+        "mime": pa.array(cols["mime"], pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+def read_warc(paths, **read_kwargs):
+    """Read ``.warc`` / ``.warc.gz`` files into the WARC record schema —
+    one row per record, payload as ``binary``.
+
+    ``read_binary_files(include_paths=True)`` gives one (path, bytes)
+    row per file; gzip members decompress as one stream (multi-member
+    gzip is self-delimiting).  Each file parses independently — the
+    stage fuses into downstream maps and scales with file count.
+    """
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True, **read_kwargs)
+
+    def parse(t: pa.Table) -> pa.Table:
+        outs = []
+        paths_col = t["path"].to_pylist()
+        bytes_col = t["bytes"].to_pylist()
+        for fname, raw in zip(paths_col, bytes_col):
+            if raw[:2] == b"\x1f\x8b":
+                raw = gzip.decompress(raw)
+            outs.append(_parse_warc_bytes(raw, fname))
+        return (pa.concat_tables(outs) if outs
+                else WARC_SCHEMA.empty_table())
+
+    return ds.map_batches(parse, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def write_warc(ds, path: str, url_col: str = "url", ts_col: str = "ts",
+               mime_col: str = "mime", payload_col: str = "payload",
+               warc_type: str = "response", compress: bool = True):
+    """Write a Dataset as a directory of WARC part files (one per input
+    block — the resumable many-files layout).  ``compress=True`` emits
+    the CommonCrawl per-record gzip-member convention.
+
+    Record ids are deterministic ``urn:logray:<part>:<idx>`` (a pure
+    function of position, so a re-run writes identical bytes)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def emit(t: pa.Table, ctx=None) -> pa.Table:
+        urls = t[url_col].to_pylist()
+        tss = t[ts_col].to_pylist() if ts_col in t.column_names \
+            else [None] * len(urls)
+        tss = [np.datetime64(v, "s") if v is not None else None
+               for v in tss]
+        mimes = (t[mime_col].to_pylist() if mime_col in t.column_names
+                 else ["application/octet-stream"] * len(urls))
+        pays = t[payload_col].to_pylist()
+        # part name = crc32 over the block's url sequence: deterministic
+        # across reruns, distinct across blocks (same-name same-content)
+        import zlib
+        tag = zlib.crc32("\x00".join(urls).encode()) & 0xFFFFFFFF
+        part = f"part-{tag:08x}-{len(urls)}"
+        rec_ids = [f"urn:logray:{part}:{i}" for i in range(len(urls))]
+        blob = _serialize_records(urls, tss, mimes, pays,
+                                  [warc_type] * len(urls), rec_ids,
+                                  compress)
+        fn = os.path.join(path, part + ext)
+        tmp = fn + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, fn)  # atomic: a crashed write never half-exists
+        return pa.table({"file": pa.array([fn]),
+                         "records": pa.array([len(urls)], pa.int64()),
+                         "bytes": pa.array([len(blob)], pa.int64())})
+
+    stats = ds.map_batches(emit, batch_format="pyarrow").take_all()
+    return {"files": len(stats),
+            "records": int(sum(r["records"] for r in stats)),
+            "bytes": int(sum(r["bytes"] for r in stats))}

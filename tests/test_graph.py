@@ -236,3 +236,44 @@ def test_triangle_count_triangle_free(ray_session):
     got = triangle_count(_edges_ds([0, 0, 0], [1, 2, 3]),
                          num_buckets=2).to_pandas()
     assert got["triangles"][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation
+# ---------------------------------------------------------------------------
+
+def test_anchor_text_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.functions.graph import anchor_text_sql, anchor_text_table
+
+    rng = np.random.default_rng(12)
+    n = 500
+    dst = rng.integers(0, 20, n).astype(np.int64)
+    anchors = np.array(["home", "click here", "download", "about", "next"])
+    anchor = anchors[rng.integers(0, len(anchors), n)]
+    edges = rd.from_arrow(pa.table({
+        "dst": pa.array(dst), "anchor": pa.array(anchor)}))
+    got = anchor_text_table(edges, n_top=3, num_buckets=4).to_pandas()
+    got = got.sort_values(["dst", "rank"]).reset_index(drop=True)
+
+    df = pd.DataFrame({"dst": dst, "anchor": anchor})
+    want = duckdb.connect().execute(
+        anchor_text_sql("df", n_top=3)).fetch_df()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_anchor_text_tie_break_and_top1(ray_session):
+    import ray.data as rd
+
+    from logray.functions.graph import anchor_text_table
+
+    edges = rd.from_arrow(pa.table({
+        "dst": pa.array([1, 1, 1, 1], pa.int64()),
+        "anchor": pa.array(["b", "a", "b", "a"], pa.string())}))
+    got = anchor_text_table(edges, n_top=1, num_buckets=2).to_pandas()
+    # tie on count=2 -> lexicographically first anchor wins
+    assert got.to_dict("records") == [
+        {"dst": 1, "anchor": "a", "n": 2, "rank": 1}]

@@ -1,0 +1,110 @@
+"""WARC source/sink (logray/sources/warc.py): round-trips, the
+per-record-gzip-member convention, adversarial payloads, hand-written
+fixture bytes, and loud failure on truncation."""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(payloads, urls=None):
+    import ray.data as rd
+
+    n = len(payloads)
+    urls = urls or [f"https://ex.com/{i}" for i in range(n)]
+    return rd.from_arrow(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "ts": pa.array([datetime.datetime(2026, 8, 19, 1, 2, i % 60)
+                        for i in range(n)], pa.timestamp("us")),
+        "mime": pa.array(["text/html"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    }))
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_warc_roundtrip(ray_session, tmp_path, compress):
+    from logray.sources.warc import read_warc, write_warc
+
+    payloads = [
+        b"<html>hi</html>",
+        b"",                                   # empty body
+        b"bytes\r\n\r\nWARC/1.0\r\nfake",      # separator + header INSIDE body
+        bytes(range(256)),                     # full byte range
+    ]
+    stats = write_warc(_docs_ds(payloads), str(tmp_path / "w"),
+                       compress=compress)
+    assert stats["records"] == 4
+    back = read_warc(str(tmp_path / "w")).to_pandas()
+    back = back.sort_values("url").reset_index(drop=True)
+    assert len(back) == 4
+    got = {u: bytes(p) for u, p in zip(back["url"], back["payload"])}
+    for i, p in enumerate(payloads):
+        assert got[f"https://ex.com/{i}"] == p
+    assert (back["mime"] == "text/html").all()
+    assert (back["warc_type"] == "response").all()
+    assert back["ts"].iloc[0] == datetime.datetime(2026, 8, 19, 1, 2, 0)
+
+
+def test_warc_gzip_members_are_standard(ray_session, tmp_path):
+    """compress=True writes per-record gzip MEMBERS: stdlib gzip must
+    decompress the file, and the stream must contain one member per
+    record (CommonCrawl splittability convention)."""
+    import glob
+
+    from logray.sources.warc import write_warc
+
+    write_warc(_docs_ds([b"a", b"b", b"c"]), str(tmp_path / "w"))
+    [fn] = glob.glob(str(tmp_path / "w" / "*.warc.gz"))
+    raw = open(fn, "rb").read()
+    assert raw.count(b"\x1f\x8b\x08") >= 3  # one member header per record
+    blob = gzip.decompress(raw)
+    assert blob.count(b"WARC/1.0\r\n") == 3
+
+
+def test_warc_reads_foreign_fixture(ray_session, tmp_path):
+    """A hand-written (non-logray) WARC parses: proves the reader
+    follows the spec, not just our own sink."""
+    from logray.sources.warc import read_warc
+
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: request\r\n"
+           b"WARC-Record-ID: <urn:uuid:x>\r\n"
+           b"WARC-Date: 2020-01-02T03:04:05Z\r\n"
+           b"WARC-Target-URI: https://foreign.example/\r\n"
+           b"Content-Type: application/http\r\n"
+           b"Content-Length: 5\r\n"
+           b"\r\n"
+           b"hello\r\n\r\n")
+    (tmp_path / "f.warc").write_bytes(rec * 2)
+    got = read_warc(str(tmp_path / "f.warc")).to_pandas()
+    assert len(got) == 2
+    assert got["warc_type"].tolist() == ["request", "request"]
+    assert bytes(got["payload"][0]) == b"hello"
+    assert got["rec_idx"].tolist() == [0, 1]
+    assert got["ts"][0] == datetime.datetime(2020, 1, 2, 3, 4, 5)
+
+
+def test_warc_truncated_header_raises(ray_session, tmp_path):
+    from logray.sources.warc import read_warc
+
+    (tmp_path / "bad.warc").write_bytes(b"WARC/1.0\r\nWARC-Type: resp")
+    with pytest.raises(Exception, match="truncated WARC header"):
+        read_warc(str(tmp_path / "bad.warc")).take_all()
+
+
+def test_warc_rerun_writes_identical_files(ray_session, tmp_path):
+    """The sink is deterministic: same input -> byte-identical part
+    files (the resumability contract)."""
+    import glob
+
+    from logray.sources.warc import write_warc
+
+    for d in ("w1", "w2"):
+        write_warc(_docs_ds([b"x", b"y"]), str(tmp_path / d))
+    [f1] = glob.glob(str(tmp_path / "w1" / "*"))
+    [f2] = glob.glob(str(tmp_path / "w2" / "*"))
+    assert open(f1, "rb").read() == open(f2, "rb").read()
