@@ -1,6 +1,12 @@
 from logray.sources.csvsrc import read_transcripts_csv, write_transcripts_csv
 from logray.sources.jsonl import read_transcripts_jsonl, write_transcripts_jsonl
-from logray.sources.warc import WARC_SCHEMA, read_warc, write_warc
+from logray.sources.warc import (
+    WARC_SCHEMA,
+    fetch_warc_record,
+    read_warc,
+    read_warc_cdx,
+    write_warc,
+)
 from logray.sources.transcripts import (
     TRANSCRIPT_SCHEMA,
     read_transcripts,
@@ -21,5 +27,7 @@ __all__ = [
     "write_synth_transcripts",
     "WARC_SCHEMA",
     "read_warc",
+    "read_warc_cdx",
+    "fetch_warc_record",
     "write_warc",
 ]

@@ -32,7 +32,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["read_warc", "write_warc", "WARC_SCHEMA"]
+__all__ = ["read_warc", "write_warc", "read_warc_cdx",
+           "fetch_warc_record", "WARC_SCHEMA"]
 
 WARC_SCHEMA = pa.schema([
     ("warc_file", pa.string()),
@@ -49,9 +50,13 @@ _CRLF = b"\r\n"
 
 
 def _serialize_records(urls, tss, mimes, payloads, warc_types,
-                       record_ids, compress: bool) -> bytes:
-    """One WARC file's bytes for a batch of records."""
+                       record_ids, compress: bool):
+    """One WARC file's bytes for a batch of records, plus the byte
+    (offset, length) of each record within the file — the CDX
+    ingredients (with per-record gzip members each record IS its own
+    member, so a range read decompresses standalone)."""
     out = io.BytesIO()
+    offsets, lengths = [], []
     for i in range(len(urls)):
         body = payloads[i] if payloads[i] is not None else b""
         ts = tss[i]
@@ -68,8 +73,12 @@ def _serialize_records(urls, tss, mimes, payloads, warc_types,
             + _CRLF
         )
         rec = hdr + body + _CRLF + _CRLF
-        out.write(gzip.compress(rec, mtime=0) if compress else rec)
-    return out.getvalue()
+        if compress:
+            rec = gzip.compress(rec, mtime=0)
+        offsets.append(out.tell())
+        lengths.append(len(rec))
+        out.write(rec)
+    return out.getvalue(), offsets, lengths
 
 
 def _parse_warc_bytes(raw: bytes, fname: str) -> pa.Table:
@@ -157,16 +166,26 @@ def read_warc(paths, **read_kwargs):
 
 def write_warc(ds, path: str, url_col: str = "url", ts_col: str = "ts",
                mime_col: str = "mime", payload_col: str = "payload",
-               warc_type: str = "response", compress: bool = True):
+               warc_type: str = "response", compress: bool = True,
+               cdx: bool = False):
     """Write a Dataset as a directory of WARC part files (one per input
     block — the resumable many-files layout).  ``compress=True`` emits
     the CommonCrawl per-record gzip-member convention.
+
+    ``cdx=True`` also writes a ``cdx/`` parquet sidecar mapping
+    ``url -> (warc_file, offset, length)`` — the CommonCrawl CDX index
+    pattern: a consumer fetches ONE record with a byte-range read
+    (:func:`fetch_warc_record`) instead of scanning the archive, which
+    is the difference between a point lookup and a 1 GB stream at
+    crawl scale.
 
     Record ids are deterministic ``urn:logray:<part>:<idx>`` (a pure
     function of position, so a re-run writes identical bytes)."""
     import os
 
     os.makedirs(path, exist_ok=True)
+    if cdx:
+        os.makedirs(os.path.join(path, "cdx"), exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
 
     def emit(t: pa.Table, ctx=None) -> pa.Table:
@@ -184,14 +203,27 @@ def write_warc(ds, path: str, url_col: str = "url", ts_col: str = "ts",
         tag = zlib.crc32("\x00".join(urls).encode()) & 0xFFFFFFFF
         part = f"part-{tag:08x}-{len(urls)}"
         rec_ids = [f"urn:logray:{part}:{i}" for i in range(len(urls))]
-        blob = _serialize_records(urls, tss, mimes, pays,
-                                  [warc_type] * len(urls), rec_ids,
-                                  compress)
+        blob, offs, lens = _serialize_records(
+            urls, tss, mimes, pays, [warc_type] * len(urls), rec_ids,
+            compress)
         fn = os.path.join(path, part + ext)
         tmp = fn + ".tmp"
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, fn)  # atomic: a crashed write never half-exists
+        if cdx:
+            import pyarrow.parquet as pq
+
+            idx = pa.table({
+                "url": pa.array(urls, pa.string()),
+                "mime": pa.array(mimes, pa.string()),
+                "warc_file": pa.array([fn] * len(urls), pa.string()),
+                "offset": pa.array(offs, pa.int64()),
+                "length": pa.array(lens, pa.int64()),
+            })
+            cfn = os.path.join(path, "cdx", part + ".parquet")
+            pq.write_table(idx, cfn + ".tmp")
+            os.replace(cfn + ".tmp", cfn)
         return pa.table({"file": pa.array([fn]),
                          "records": pa.array([len(urls)], pa.int64()),
                          "bytes": pa.array([len(blob)], pa.int64())})
@@ -200,3 +232,32 @@ def write_warc(ds, path: str, url_col: str = "url", ts_col: str = "ts",
     return {"files": len(stats),
             "records": int(sum(r["records"] for r in stats)),
             "bytes": int(sum(r["bytes"] for r in stats))}
+
+
+def read_warc_cdx(path, **read_kwargs):
+    """The CDX sidecar as a Dataset: (url, mime, warc_file, offset,
+    length).  Narrow (no payload) — join/filter it, then point-fetch."""
+    import os
+
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(path, "cdx"), **read_kwargs)
+
+
+def fetch_warc_record(warc_file: str, offset: int, length: int) -> dict:
+    """Byte-range point lookup: read ``length`` bytes at ``offset``,
+    decompress the standalone gzip member if present, parse the single
+    record.  O(record), never O(file)."""
+    with open(warc_file, "rb") as f:
+        f.seek(offset)
+        raw = f.read(length)
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    t = _parse_warc_bytes(raw, warc_file)
+    if t.num_rows != 1:
+        raise ValueError(
+            f"{warc_file}@{offset}+{length}: expected 1 record, "
+            f"got {t.num_rows}")
+    row = {k: t[k][0].as_py() for k in t.column_names}
+    row["rec_idx"] = None  # positional index is file-scoped, not known here
+    return row

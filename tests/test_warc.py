@@ -108,3 +108,41 @@ def test_warc_rerun_writes_identical_files(ray_session, tmp_path):
     [f1] = glob.glob(str(tmp_path / "w1" / "*"))
     [f2] = glob.glob(str(tmp_path / "w2" / "*"))
     assert open(f1, "rb").read() == open(f2, "rb").read()
+
+
+def test_warc_cdx_point_lookup(ray_session, tmp_path):
+    """cdx=True writes the (url -> file/offset/length) sidecar; a
+    byte-range fetch returns exactly one record without scanning."""
+    from logray.sources.warc import (fetch_warc_record, read_warc_cdx,
+                                     write_warc)
+
+    payloads = [f"body {i}".encode() for i in range(10)]
+    write_warc(_docs_ds(payloads), str(tmp_path / "w"), cdx=True)
+    idx = read_warc_cdx(str(tmp_path / "w")).to_pandas()
+    assert len(idx) == 10
+    assert set(idx.columns) == {"url", "mime", "warc_file", "offset",
+                                "length"}
+    row = idx[idx["url"] == "https://ex.com/7"].iloc[0]
+    rec = fetch_warc_record(row["warc_file"], int(row["offset"]),
+                            int(row["length"]))
+    assert rec["url"] == "https://ex.com/7"
+    assert bytes(rec["payload"]) == b"body 7"
+    assert rec["mime"] == "text/html"
+    # every entry fetches its own payload (full index validity)
+    for _, r in idx.iterrows():
+        got = fetch_warc_record(r["warc_file"], int(r["offset"]),
+                                int(r["length"]))
+        i = int(r["url"].rsplit("/", 1)[1])
+        assert bytes(got["payload"]) == payloads[i]
+
+
+def test_warc_cdx_uncompressed(ray_session, tmp_path):
+    from logray.sources.warc import fetch_warc_record, read_warc_cdx, write_warc
+
+    write_warc(_docs_ds([b"aa", b"bb"]), str(tmp_path / "w"),
+               compress=False, cdx=True)
+    idx = read_warc_cdx(str(tmp_path / "w")).to_pandas()
+    r = idx[idx["url"] == "https://ex.com/1"].iloc[0]
+    rec = fetch_warc_record(r["warc_file"], int(r["offset"]),
+                            int(r["length"]))
+    assert bytes(rec["payload"]) == b"bb"
