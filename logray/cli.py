@@ -310,6 +310,14 @@ def cmd_graph(args) -> int:
         out.write_parquet(args.out)
         print(json.dumps({"nodes": rd.read_parquet(args.out).count(),
                           "n_iter": args.n_iter, "damping": args.damping}))
+    elif args.op == "hits":
+        from logray.functions.graph import hits
+
+        out = hits(ds, src=args.src_col, dst=args.dst_col,
+                   n_iter=args.n_iter)
+        out.write_parquet(args.out)
+        print(json.dumps({"nodes": rd.read_parquet(args.out).count(),
+                          "n_iter": args.n_iter}))
     else:  # triangles
         from logray.functions.graph import triangle_count
 
@@ -639,7 +647,7 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("graph", help="web-graph analytics over an edge parquet")
     sp.add_argument("op", choices=["degrees", "components", "pagerank",
-                                   "triangles"])
+                                   "triangles", "hits"])
     sp.add_argument("input")
     sp.add_argument("--out", default="/tmp/logray_graph_out")
     sp.add_argument("--src-col", default="src")

@@ -48,6 +48,7 @@ from logray.functions.textclean import (
 )
 from logray.functions.graph import (
     anchor_text_table,
+    hits,
     connected_components_graph,
     degree_table,
     pagerank,
@@ -176,6 +177,7 @@ __all__ = [
     "pagerank",
     "triangle_count",
     "anchor_text_table",
+    "hits",
     "sentence_split",
     "normalize_nfc",
     "json_extract_field",

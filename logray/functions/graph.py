@@ -39,6 +39,7 @@ __all__ = [
     "pagerank",
     "triangle_count",
     "anchor_text_table",
+    "hits",
 ]
 
 
@@ -200,11 +201,16 @@ class _PRShard:
         self.B = num_shards
         self._src_parts: list[np.ndarray] = []
         self._dst_parts: list[np.ndarray] = []
+        self._w_parts: list[np.ndarray] = []
         self._node_parts: list[np.ndarray] = []
 
-    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+    def add_edges(self, src: np.ndarray, dst: np.ndarray,
+                  w: np.ndarray | None = None) -> int:
         self._src_parts.append(np.asarray(src, np.int64))
         self._dst_parts.append(np.asarray(dst, np.int64))
+        self._w_parts.append(
+            np.asarray(w, np.float64) if w is not None
+            else np.ones(len(src), np.float64))
         return len(src)
 
     def add_nodes(self, v: np.ndarray) -> int:
@@ -216,35 +222,66 @@ class _PRShard:
                else np.zeros(0, np.int64))
         dst = (np.concatenate(self._dst_parts) if self._dst_parts
                else np.zeros(0, np.int64))
+        w = (np.concatenate(self._w_parts) if self._w_parts
+             else np.zeros(0, np.float64))
         reg = (np.concatenate(self._node_parts) if self._node_parts
                else np.zeros(0, np.int64))
         self._src_parts = self._dst_parts = self._node_parts = []  # type: ignore[assignment]
-        order = np.lexsort((dst, src))
-        self.src, self.dst = src[order], dst[order]
+        self._w_parts = []
+        if (w < 0).any():
+            raise ValueError("pagerank: negative edge weight")
         self.verts = np.unique(np.concatenate([src, reg]))
-        self.outdeg = np.zeros(len(self.verts), np.int64)
+        keep = w > 0  # zero-weight edges contribute nothing and would
+        src, dst, w = src[keep], dst[keep], w[keep]  # 0/0 in emit
+        # (their src stays a vertex — it just becomes dangling)
+        # weight joins the sort key so parallel edges with distinct
+        # weights fold in ONE order regardless of arrival order —
+        # the bit-determinism contract extends to the weighted path
+        order = np.lexsort((w, dst, src))
+        self.src, self.dst, self.w = src[order], dst[order], w[order]
+        self.wout = np.zeros(len(self.verts), np.float64)
         if len(self.src):
-            np.add.at(self.outdeg,
-                      np.searchsorted(self.verts, self.src), 1)
+            np.add.at(self.wout,
+                      np.searchsorted(self.verts, self.src), self.w)
         self._src_pos = np.searchsorted(self.verts, self.src)
         own = _pr_owner(self.dst, self.B)
         self._dest_idx = [np.flatnonzero(own == j) for j in range(self.B)]
         return len(self.verts)
 
-    def init_ranks(self, n_total: int) -> None:
+    def init_ranks(self, n_total: int, p_ref=None) -> float:
+        """Set the teleport vector (uniform, or the personalization
+        masses restricted to this shard's verts) and start rank = p.
+        Returns this shard's share of the p mass actually present so
+        the driver can renormalize."""
         self.N = n_total
-        self.rank = np.full(len(self.verts), 1.0 / n_total, np.float64)
+        if p_ref is None:
+            self.p = np.full(len(self.verts), 1.0 / n_total, np.float64)
+            self.rank = self.p.copy()
+            return float(len(self.verts)) / n_total
+        nodes, masses = ray.get(p_ref) if isinstance(
+            p_ref, ray.ObjectRef) else p_ref
+        self.p = np.zeros(len(self.verts), np.float64)
+        pos = np.searchsorted(self.verts, nodes)
+        hit = (pos < len(self.verts))
+        hit[hit] &= self.verts[pos[hit]] == nodes[hit]
+        np.add.at(self.p, pos[hit], masses[hit])
+        return float(self.p.sum())
+
+    def scale_p(self, inv_total: float) -> None:
+        self.p = self.p * inv_total
+        self.rank = self.p.copy()
 
     def dangling_sum(self) -> float:
         if not len(self.verts):
             return 0.0
-        return float(self.rank[self.outdeg == 0].sum())
+        return float(self.rank[self.wout == 0.0].sum())
 
     def emit(self):
         """Per-destination-shard (dst ids, contributions) in the fixed
         build order."""
         if len(self.src):
-            contrib = self.rank[self._src_pos] / self.outdeg[self._src_pos]
+            contrib = (self.rank[self._src_pos] * self.w
+                       / self.wout[self._src_pos])
         else:
             contrib = np.zeros(0, np.float64)
         out = [(self.dst[idx], contrib[idx]) for idx in self._dest_idx]
@@ -255,8 +292,9 @@ class _PRShard:
         for v, c in msgs:
             if len(v):
                 np.add.at(recv, np.searchsorted(self.verts, v), c)
-        base = (1.0 - damping) / self.N + damping * dangling_total / self.N
-        self.rank = base + damping * recv
+        self.rank = ((1.0 - damping) * self.p
+                     + damping * dangling_total * self.p
+                     + damping * recv)
         return 0
 
     def ranks_table(self, node_col: str) -> pa.Table:
@@ -269,21 +307,33 @@ class _PRShard:
 
 def pagerank(edges, src: str = "src", dst: str = "dst",
              node_col: str = "node", damping: float = 0.85,
-             n_iter: int = 20, num_shards: int = 8):
+             n_iter: int = 20, num_shards: int = 8,
+             weight_col: str | None = None,
+             personalization=None):
     """PageRank over a directed edge table, returning (node, rank).
 
-    Update rule (Page et al. 1999, with uniform dangling redistribution —
-    ranks sum to 1 every iteration)::
+    Update rule (Page et al. 1999, dangling mass redistributed along the
+    teleport vector ``p`` — ranks sum to 1 every iteration)::
 
-        rank'(v) = (1-d)/N + d * (dangling/N + sum_{u->v} rank(u)/outdeg(u))
+        rank'(v) = (1-d)*p(v) + d * (dangling*p(v)
+                                     + sum_{u->v} rank(u)*w(u,v)/W(u))
+
+    ``weight_col`` names a non-negative edge-weight column (``W(u)`` =
+    sum of u's out-weights; zero-weight edges drop, their src stays a
+    dangling vertex); unweighted, every w = 1 and W = outdeg.
+    ``personalization`` seeds the teleport vector (the TrustRank /
+    topic-sensitive form, Haveliwala 2002): a dict ``{node: mass}`` or
+    an iterable of seed nodes (uniform over seeds); masses restrict to
+    nodes present in the graph and renormalize to 1 (all-absent seeds
+    raise).  ``None`` = classic uniform teleport.
 
     Shape: edges push ONCE into per-shard actor CSRs (one narrow exchange
-    of 16 bytes/edge); each of the ``n_iter`` iterations then moves only
-    per-edge float contributions between shards and B dangling scalars to
-    the driver — the edge list itself never moves again.  Bit-deterministic
-    under any input partitioning (see ``_PRShard``).  Fixed ``n_iter``
-    rather than a tolerance so the output is a pure function of the
-    arguments.
+    of 16-24 bytes/edge); each of the ``n_iter`` iterations then moves
+    only per-edge float contributions between shards and B dangling
+    scalars to the driver — the edge list itself never moves again.
+    Bit-deterministic under any input partitioning (see ``_PRShard``;
+    weights join the edge sort key).  Fixed ``n_iter`` rather than a
+    tolerance so the output is a pure function of the arguments.
     """
     B = num_shards
     shards = [_PRShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
@@ -291,13 +341,20 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     def push(t: pa.Table) -> pa.Table:
         s = _to_int64(t[src])
         d = _to_int64(t[dst])
+        w = None
+        if weight_col is not None:
+            wc = t[weight_col]
+            if isinstance(wc, pa.ChunkedArray):
+                wc = wc.combine_chunks()
+            w = pc.cast(wc, pa.float64()).to_numpy(zero_copy_only=False)
         own_s = _pr_owner(s, B)
         own_d = _pr_owner(d, B)
         acks = []
         for j in range(B):
             m = own_s == j
             if m.any():
-                acks.append(shards[j].add_edges.remote(s[m], d[m]))
+                acks.append(shards[j].add_edges.remote(
+                    s[m], d[m], w[m] if w is not None else None))
             md = own_d == j
             if md.any():
                 acks.append(shards[j].add_nodes.remote(np.unique(d[md])))
@@ -311,7 +368,25 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
         import ray.data as rd
         return rd.from_arrow(pa.schema(
             [(node_col, pa.int64()), ("rank", pa.float64())]).empty_table())
-    ray.get([s.init_ranks.remote(n_total) for s in shards])
+    if personalization is None:
+        ray.get([s.init_ranks.remote(n_total) for s in shards])
+    else:
+        if isinstance(personalization, dict):
+            items = sorted(personalization.items())
+            nodes = np.array([k for k, _ in items], np.int64)
+            masses = np.array([v for _, v in items], np.float64)
+            if (masses < 0).any():
+                raise ValueError("pagerank: negative personalization mass")
+        else:
+            nodes = np.unique(np.asarray(list(personalization), np.int64))
+            masses = np.ones(len(nodes), np.float64)
+        p_ref = ray.put((nodes, masses))
+        present = sum(ray.get(
+            [s.init_ranks.remote(n_total, p_ref) for s in shards]))
+        if present <= 0.0:
+            raise ValueError(
+                "pagerank: no personalization seed is present in the graph")
+        ray.get([s.scale_p.remote(1.0 / present) for s in shards])
 
     for _ in range(n_iter):
         dang = sum(ray.get([s.dangling_sum.remote() for s in shards]))
@@ -596,3 +671,169 @@ def anchor_text_sql(table: str, dst: str = "dst", anchor: str = "anchor",
         WHERE rank <= {n_top}
         ORDER BY {dst}, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999)
+# ---------------------------------------------------------------------------
+
+@ray.remote(num_cpus=0)
+class _HitsShard:
+    """One hash partition of the HITS state.  Each edge (u, v) is stored
+    TWICE — as an out-edge at owner(u) and an in-edge at owner(v) — so
+    both half-steps read local edges and exchange only float messages:
+
+        authority: a(v) = sum_{u->v} h(u)   (out-copies emit to owner(v))
+        hub:       h(u) = sum_{u->v} a(v)   (in-copies  emit to owner(u))
+
+    Same bit-determinism scheme as ``_PRShard``: edges lexsorted at
+    build, message slices preserve that order, receivers fold sender
+    shards 0..B-1 sequentially, and the L2 normalizer sums shard
+    partials in shard order on the driver.
+    """
+
+    def __init__(self, shard_id: int, num_shards: int):
+        self.B = num_shards
+        self._out: list[tuple[np.ndarray, np.ndarray]] = []
+        self._in: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def add_out(self, src, dst) -> int:
+        self._out.append((np.asarray(src, np.int64),
+                          np.asarray(dst, np.int64)))
+        return len(src)
+
+    def add_in(self, src, dst) -> int:
+        self._in.append((np.asarray(src, np.int64),
+                         np.asarray(dst, np.int64)))
+        return len(src)
+
+    def build(self) -> int:
+        def cat(parts, j):
+            return (np.concatenate([p[j] for p in parts]) if parts
+                    else np.zeros(0, np.int64))
+
+        osrc, odst = cat(self._out, 0), cat(self._out, 1)
+        isrc, idst = cat(self._in, 0), cat(self._in, 1)
+        self._out = self._in = []  # type: ignore[assignment]
+        oo = np.lexsort((odst, osrc))
+        self.osrc, self.odst = osrc[oo], odst[oo]
+        io = np.lexsort((isrc, idst))
+        self.isrc, self.idst = isrc[io], idst[io]
+        # this shard OWNS the union of its out-srcs and in-dsts
+        self.verts = np.unique(np.concatenate([osrc, idst]))
+        self._osrc_pos = np.searchsorted(self.verts, self.osrc)
+        self._idst_pos = np.searchsorted(self.verts, self.idst)
+        own_od = _pr_owner(self.odst, self.B)
+        self._od_idx = [np.flatnonzero(own_od == j) for j in range(self.B)]
+        own_is = _pr_owner(self.isrc, self.B)
+        self._is_idx = [np.flatnonzero(own_is == j) for j in range(self.B)]
+        return len(self.verts)
+
+    def init_scores(self) -> None:
+        n = len(self.verts)
+        self.hub = np.ones(n, np.float64)
+        self.auth = np.ones(n, np.float64)
+
+    def emit_auth(self):
+        """(dst, h(src)) messages for the authority half-step."""
+        c = (self.hub[self._osrc_pos] if len(self.osrc)
+             else np.zeros(0, np.float64))
+        out = [(self.odst[i], c[i]) for i in self._od_idx]
+        return out if self.B > 1 else out[0]
+
+    def apply_auth(self, *msgs) -> float:
+        a = np.zeros(len(self.verts), np.float64)
+        for v, c in msgs:
+            if len(v):
+                np.add.at(a, np.searchsorted(self.verts, v), c)
+        self.auth = a
+        return float(np.square(a).sum())
+
+    def emit_hub(self):
+        """(src, a(dst)) messages for the hub half-step."""
+        c = (self.auth[self._idst_pos] if len(self.idst)
+             else np.zeros(0, np.float64))
+        out = [(self.isrc[i], c[i]) for i in self._is_idx]
+        return out if self.B > 1 else out[0]
+
+    def apply_hub(self, *msgs) -> float:
+        h = np.zeros(len(self.verts), np.float64)
+        for v, c in msgs:
+            if len(v):
+                np.add.at(h, np.searchsorted(self.verts, v), c)
+        self.hub = h
+        return float(np.square(h).sum())
+
+    def scale(self, inv_a: float, inv_h: float) -> None:
+        self.auth = self.auth * inv_a
+        self.hub = self.hub * inv_h
+
+    def scores_table(self, node_col: str) -> pa.Table:
+        if not len(self.verts):
+            return pa.schema([(node_col, pa.int64()),
+                              ("hub", pa.float64()),
+                              ("authority", pa.float64())]).empty_table()
+        return pa.table({node_col: pa.array(self.verts),
+                         "hub": pa.array(self.hub),
+                         "authority": pa.array(self.auth)})
+
+
+def hits(edges, src: str = "src", dst: str = "dst",
+         node_col: str = "node", n_iter: int = 20, num_shards: int = 8):
+    """HITS hubs & authorities over a directed edge table —
+    (node, hub, authority), both vectors L2-normalized per iteration
+    (Kleinberg 1999; the directory-page vs content-page decomposition a
+    crawl frontier uses alongside PageRank).
+
+    Shape: the edge list pushes ONCE, duplicated across its two
+    endpoint owners (2 x 16 bytes/edge); each iteration then exchanges
+    one float per edge per half-step plus B normalizer scalars.
+    Bit-deterministic under input partitioning at fixed num_shards.
+    """
+    B = num_shards
+    shards = [_HitsShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
+
+    def push(t: pa.Table) -> pa.Table:
+        s = _to_int64(t[src])
+        d = _to_int64(t[dst])
+        own_s = _pr_owner(s, B)
+        own_d = _pr_owner(d, B)
+        acks = []
+        for j in range(B):
+            m = own_s == j
+            if m.any():
+                acks.append(shards[j].add_out.remote(s[m], d[m]))
+            md = own_d == j
+            if md.any():
+                acks.append(shards[j].add_in.remote(s[md], d[md]))
+        ray.get(acks)
+        return pa.table({"n": pa.array([len(s)], pa.int64())})
+
+    edges.map_batches(push, batch_format="pyarrow").materialize()
+    counts = ray.get([s.build.remote() for s in shards])
+    if sum(counts) == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.schema(
+            [(node_col, pa.int64()), ("hub", pa.float64()),
+             ("authority", pa.float64())]).empty_table())
+    ray.get([s.init_scores.remote() for s in shards])
+
+    for _ in range(n_iter):
+        outs = [s.emit_auth.options(num_returns=B).remote() if B > 1
+                else [s.emit_auth.remote()] for s in shards]
+        a_sq = ray.get([shards[j].apply_auth.remote(
+            *[outs[i][j] for i in range(B)]) for j in range(B)])
+        outs = [s.emit_hub.options(num_returns=B).remote() if B > 1
+                else [s.emit_hub.remote()] for s in shards]
+        h_sq = ray.get([shards[j].apply_hub.remote(
+            *[outs[i][j] for i in range(B)]) for j in range(B)])
+        na, nh = float(np.sqrt(sum(a_sq))), float(np.sqrt(sum(h_sq)))
+        ray.get([s.scale.remote(1.0 / na if na else 0.0,
+                                1.0 / nh if nh else 0.0)
+                 for s in shards])
+
+    import ray.data as rd
+
+    out = rd.from_arrow_refs(
+        [s.scores_table.remote(node_col) for s in shards])
+    return out.materialize()

@@ -277,3 +277,168 @@ def test_anchor_text_tie_break_and_top1(ray_session):
     # tie on count=2 -> lexicographically first anchor wins
     assert got.to_dict("records") == [
         {"dst": 1, "anchor": "a", "n": 2, "rank": 1}]
+
+
+# ---------------------------------------------------------------------------
+# weighted / personalized pagerank
+# ---------------------------------------------------------------------------
+
+def _pagerank_dense_general(src, dst, w=None, p=None, damping=0.85,
+                            n_iter=20):
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    si = np.array([idx[int(v)] for v in src])
+    di = np.array([idx[int(v)] for v in dst])
+    w = np.ones(len(src)) if w is None else np.asarray(w, np.float64)
+    keep = w > 0
+    si, di, w = si[keep], di[keep], w[keep]
+    wout = np.zeros(n)
+    np.add.at(wout, si, w)
+    if p is None:
+        pv = np.full(n, 1.0 / n)
+    else:
+        pv = np.zeros(n)
+        for k, m in p.items():
+            if int(k) in idx:
+                pv[idx[int(k)]] = m
+        pv = pv / pv.sum()
+    rank = pv.copy()
+    for _ in range(n_iter):
+        dangling = rank[wout == 0].sum()
+        recv = np.zeros(n)
+        np.add.at(recv, di, rank[si] * w / wout[si])
+        rank = (1 - damping) * pv + damping * (dangling * pv + recv)
+    return nodes, rank
+
+
+def test_pagerank_weighted_matches_dense(ray_session):
+    import ray.data as rd
+
+    from logray.functions.graph import pagerank
+
+    rng = np.random.default_rng(20)
+    src = rng.integers(0, 25, 150).astype(np.int64)
+    dst = rng.integers(0, 25, 150).astype(np.int64)
+    w = rng.integers(0, 5, 150).astype(np.float64)  # includes zeros
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst),
+        "weight": pa.array(w)}))
+    got = pagerank(edges, weight_col="weight", n_iter=20,
+                   num_shards=3).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    nodes, want = _pagerank_dense_general(src, dst, w=w)
+    assert got["node"].tolist() == nodes.tolist()
+    np.testing.assert_allclose(got["rank"].to_numpy(), want,
+                               rtol=0, atol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_personalized_matches_dense(ray_session):
+    from logray.functions.graph import pagerank
+
+    src, dst = _rand_graph(21, 30, 200)
+    p = {0: 3.0, 5: 1.0, 99999: 7.0}  # absent seed mass renormalizes away
+    got = pagerank(_edges_ds(src, dst), personalization=p,
+                   n_iter=20, num_shards=3).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    nodes, want = _pagerank_dense_general(src, dst, p=p)
+    assert got["node"].tolist() == nodes.tolist()
+    np.testing.assert_allclose(got["rank"].to_numpy(), want,
+                               rtol=0, atol=1e-12)
+    # teleport concentrates on the seeds
+    gm = dict(zip(got["node"], got["rank"]))
+    assert gm[0] > 1.0 / len(nodes)
+
+
+def test_pagerank_personalized_seed_list_and_absent_raise(ray_session):
+    import pytest as _pytest
+
+    from logray.functions.graph import pagerank
+
+    src, dst = [1, 2], [2, 3]
+    got = pagerank(_edges_ds(src, dst), personalization=[1, 3],
+                   n_iter=10, num_shards=2).to_pandas()
+    nodes, want = _pagerank_dense_general(
+        np.array(src), np.array(dst), p={1: 1.0, 3: 1.0}, n_iter=10)
+    got = got.sort_values("node").reset_index(drop=True)
+    np.testing.assert_allclose(got["rank"].to_numpy(), want,
+                               rtol=0, atol=1e-14)
+    with _pytest.raises(Exception, match="no personalization seed"):
+        pagerank(_edges_ds(src, dst), personalization=[777],
+                 num_shards=2)
+
+
+def test_pagerank_weighted_bit_deterministic(ray_session):
+    """Weighted path keeps the partitioning bit-determinism contract
+    (weights join the shard-local edge sort key)."""
+    import ray.data as rd
+
+    from logray.functions.graph import pagerank
+
+    rng = np.random.default_rng(22)
+    src = rng.integers(0, 10, 80).astype(np.int64)
+    dst = rng.integers(0, 10, 80).astype(np.int64)
+    w = rng.random(80)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                  "weight": pa.array(w)})
+    a = pagerank(rd.from_arrow(t), weight_col="weight",
+                 num_shards=3).to_pandas()
+    perm = np.random.default_rng(1).permutation(80)
+    t2 = t.take(pa.array(perm))
+    parts = rd.from_arrow([t2.slice(0, 31), t2.slice(31)])
+    b = pagerank(parts, weight_col="weight", num_shards=3).to_pandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    assert (a["rank"].to_numpy() == b["rank"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+def _hits_dense(src, dst, n_iter=20):
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    si = np.array([idx[int(v)] for v in src])
+    di = np.array([idx[int(v)] for v in dst])
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        np.add.at(a, di, hub[si])
+        auth = a / (np.linalg.norm(a) or 1.0)
+        h = np.zeros(n)
+        np.add.at(h, si, auth[di])
+        # reference normalizes AFTER both steps like the engine:
+        hub = h
+        na = np.linalg.norm(a) or 1.0
+        nh = np.linalg.norm(h) or 1.0
+        auth, hub = a / na, h / nh
+    return nodes, hub, auth
+
+
+def test_hits_matches_dense(ray_session):
+    from logray.functions.graph import hits
+
+    src, dst = _rand_graph(30, 20, 120)
+    got = hits(_edges_ds(src, dst), n_iter=20, num_shards=3).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    nodes, hub, auth = _hits_dense(src, dst)
+    assert got["node"].tolist() == nodes.tolist()
+    np.testing.assert_allclose(got["hub"].to_numpy(), hub,
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(got["authority"].to_numpy(), auth,
+                               rtol=0, atol=1e-12)
+
+
+def test_hits_star_semantics(ray_session):
+    from logray.functions.graph import hits
+
+    # 1..4 -> 0: node 0 is the pure authority, the others pure hubs
+    got = hits(_edges_ds([1, 2, 3, 4], [0, 0, 0, 0]),
+               num_shards=2).to_pandas().set_index("node")
+    assert got.loc[0, "authority"] == got["authority"].max()
+    assert got.loc[0, "hub"] == 0.0
+    assert abs(got.loc[1, "hub"] - 0.5) < 1e-12  # 4 equal hubs, L2 norm

@@ -472,6 +472,45 @@ def main() -> int:
 
     timed("bm25_build", bm25_build_12m)
 
+    # --- web-graph family: 52M-edge derived graph over a 10M-node space
+    # (web-like sparsity, avg total degree ~10 — a 1M space makes avg
+    # degree ~100 and the exact wedge census quadratically explodes to
+    # ~1.3B rows, which is a property of dense graphs, not of the
+    # engine) — PageRank (per-shard actor CSRs + iterative narrow
+    # messages) and the degree-oriented triangle count ------------------
+    _GM = 10_000_019
+
+    def _graph_edges():
+        import numpy as np
+        import pyarrow as pa
+
+        from logray.functions.fingerprint import content_hash
+
+        def derive(t):
+            h = content_hash(t["conv_id"]).astype(np.int64) \
+                & 0x7FFFFFFFFFFFFFFF
+            ti = t["turn_idx"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({"src": pa.array(h % _GM),
+                             "dst": pa.array((h * 31 + ti) % _GM)})
+
+        return read(["conv_id", "turn_idx"]).map_batches(
+            derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    def graph_pagerank_52m():
+        from logray.functions.graph import pagerank
+
+        return pagerank(_graph_edges(), n_iter=5, num_shards=16).count()
+
+    def graph_triangles_52m():
+        from logray.functions.graph import triangle_count
+
+        return triangle_count(
+            _graph_edges(), num_buckets=128).take_all()[0]["triangles"]
+
+    timed("graph_pagerank", graph_pagerank_52m)
+    timed("graph_triangles", graph_triangles_52m)
+
     print(json.dumps({"rows": rows, "num_cpus": ncpu, "families": results}))
     ray.shutdown()
     return 0
