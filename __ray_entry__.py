@@ -3319,6 +3319,47 @@ def _q_graph_pagerank(sf_dir: str):
     return pagerank(_graph_edges(sf_dir), n_iter=20)
 
 
+def _q_graph_pagerank_weighted(sf_dir: str):
+    """Personalized + value-weighted PageRank (TrustRank shape): edge
+    weight = event value in cents, teleport seeded on nodes 0-9.
+    Rows-only; dense-reference exactness pinned in tests."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.functions.graph import pagerank
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = pc.cast(t["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        e = pc.cast(t["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        w = pc.cast(t["value"], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"src": pa.array(u % _GRAPH_MOD),
+                         "dst": pa.array((u * 31 + e) % _GRAPH_MOD),
+                         "weight": pa.array(np.abs(w))})
+
+    edges = ds.map_batches(derive, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pagerank(edges, weight_col="weight",
+                    personalization=list(range(10)), n_iter=20)
+
+
+def _q_graph_hits(sf_dir: str):
+    """HITS hubs & authorities over the event web-graph — per-endpoint
+    edge shards, two float exchanges per iteration, L2-normalized.
+    Rows-only; dense-reference exactness pinned in tests."""
+    from logray.functions.graph import hits
+
+    return hits(_graph_edges(sf_dir), n_iter=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # transcript / log-pipeline core
@@ -3374,6 +3415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_pagerank_weighted": _q_graph_pagerank_weighted,
+        "graph_hits": _q_graph_hits,
         "anchor_text_links": _q_anchor_text,
         "warc_roundtrip_docs": _q_warc_roundtrip,
         "rebalance_docs": _q_rebalance_docs,

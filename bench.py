@@ -386,10 +386,13 @@ def run_bench() -> dict:
     timed("snapshot_diff", snapshot_diff_corpus)
 
     # --- web-graph analytics: edges derived row-locally from the corpus
-    # (hash(conv_id) and turn_idx over a fixed node space), then the two
-    # representative shapes — iterative actor-exchange PageRank and the
-    # multi-join degree-oriented triangle count --------------------------
-    _GRAPH_M = 200_003
+    # (hash(conv_id) and turn_idx over a fixed node space sized for
+    # web-like sparsity — avg total degree ~3 at sf0.1; a dense space
+    # quadratically inflates the exact wedge census, which is a property
+    # of the input graph, not the engine), then the two representative
+    # shapes — iterative actor-exchange PageRank and the degree-oriented
+    # triangle count -----------------------------------------------------
+    _GRAPH_M = 2_000_003
 
     def _graph_edges_corpus():
         import numpy as _np

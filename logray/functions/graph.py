@@ -407,31 +407,8 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
 # triangle counting (degree-oriented node-iterator)
 # ---------------------------------------------------------------------------
 
-def _canon_edges(edges, src: str, dst: str, num_buckets: int):
-    """Distinct undirected edges as (a, b) with a < b, self-loops dropped:
-    per-batch local dedup then one (a, b) bucket exchange."""
-
-    def canon(t: pa.Table) -> pa.Table:
-        s = _to_int64(t[src])
-        d = _to_int64(t[dst])
-        a = np.minimum(s, d)
-        b = np.maximum(s, d)
-        keep = a != b
-        a, b = a[keep], b[keep]
-        tb = pa.table({"a": pa.array(a), "b": pa.array(b)})
-        return tb.group_by(["a", "b"]).aggregate([])
-
-    def fold(g: pa.Table) -> pa.Table:
-        return g.group_by(["a", "b"]).aggregate([])
-
-    local = edges.map_batches(canon, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    return grouped_apply(local, "a", fold, num_buckets=num_buckets,
-                         batch_format="pyarrow")
-
-
 def triangle_count(edges, src: str = "src", dst: str = "dst",
-                   num_buckets: int = 32, max_broadcast: int = 20_000_000):
+                   num_buckets: int = 32, max_broadcast: int = 100_000_000):
     """Exact triangle count of the undirected simple graph underlying
     ``edges`` — one row ``{"triangles": n}``.
 
@@ -443,18 +420,22 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
     Each triangle is counted exactly once, at its minimum-(deg, id)
     corner.
 
-    Exchanges, all narrow int64 pairs/triples: canon dedup (1), degree
-    census (1), wedge co-location (1), wedge/edge match join (1).  The
-    per-edge degree lookup broadcasts the (node, deg) table when it has
-    at most ``max_broadcast`` nodes (16 bytes/node — 20 M nodes = 320 MB,
-    host-graph scale; ``ray.put`` once, zero-copy read per task) and only
-    falls back to two more bucketed join exchanges past that (URL-graph
-    scale).  Joins use the explicit bucketed TASK path
-    (``_bucketed_join``), not the builtin JoinOperator: multiple builtin
-    join actor pools in one lazy topology starve/cross-wire each other
-    (same pathology the Q5 multi-way pipeline documents in
-    ``stages/join.py``).  No stage materializes more than the oriented
-    adjacency (16-32 bytes/edge).
+    Two regimes.  **Broadcast** (batch-deduped distinct-edge estimate
+    <= ``max_broadcast`` edges — 16 bytes/edge; the default 100 M
+    covers the web-HOST graph, ~50 M edges = 800 MB driver-resident): the distinct-edge set folds ON THE DRIVER
+    (global dedup, degree census, orientation, dense-rank key packing
+    — one numpy pass each), the sorted key array broadcasts via
+    ``ray.put``, and wedge generation runs as a plain task map over
+    edge blocks PRE-SPLIT at u-boundaries — ZERO distributed
+    exchanges after the per-batch dedup map; the wedge stream (often
+    10-100x the edge count) never leaves its task, only one count per
+    block does.  **Join fallback** (URL-graph scale): canon bucket
+    dedup, degree census fold, two bucketed degree joins, wedge bucket
+    exchange, wedge/edge match join — all narrow int64 exchanges.
+    Joins use the explicit bucketed TASK path (``_bucketed_join``),
+    not the builtin JoinOperator: multiple builtin join actor pools in
+    one lazy topology starve/cross-wire each other (same pathology the
+    Q5 multi-way pipeline documents in ``stages/join.py``).
     """
     from logray.stages.join import _bucketed_join
 
@@ -465,53 +446,108 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         return _bucketed_join(left, right, on, right_on, "inner",
                               num_buckets)
 
-    canon = _canon_edges(edges, src, dst, num_buckets).materialize()
-    deg = degree_table(canon, src="a", dst="b", node_col="node",
-                       num_buckets=num_buckets)
+    import ray.data as rd
 
-    def just_deg(t: pa.Table) -> pa.Table:
-        return t.select(["node", "deg"])
+    def canon_batch(t: pa.Table) -> pa.Table:
+        s = _to_int64(t[src])
+        d = _to_int64(t[dst])
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        keep = a != b
+        tb = pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+        return tb.group_by(["a", "b"]).aggregate([])
 
-    deg = deg.map_batches(just_deg, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize()
+    local = edges.map_batches(canon_batch, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
 
-    if deg.count() <= max_broadcast:
-        # broadcast path: ship the sorted (node, deg) arrays once,
-        # searchsorted lookup per batch — no join exchanges at all.
-        # empty buckets can surface as zero-column blocks — drop them
-        parts = [t for t in ray.get(deg.to_arrow_refs())
+    if local.count() <= max_broadcast:
+        parts = [t for t in ray.get(local.to_arrow_refs())
                  if t.num_columns and t.num_rows]
-        allc = (pa.concat_tables(parts) if parts
-                else pa.schema([("node", pa.int64()),
-                                ("deg", pa.int64())]).empty_table())
-        if allc.num_rows == 0:
-            import ray.data as rd
+        if not parts:
             return rd.from_arrow(
                 pa.table({"triangles": pa.array([0], pa.int64())}))
-        allc = allc.combine_chunks()
-        nodes = pc.cast(allc["node"], pa.int64()).to_numpy(
-            zero_copy_only=False)
-        degs = pc.cast(allc["deg"], pa.int64()).to_numpy(
-            zero_copy_only=False)
-        o = np.argsort(nodes, kind="stable")
-        lookup_ref = ray.put((nodes[o], degs[o]))
+        et = pa.concat_tables(parts).combine_chunks()
+        a = pc.cast(et["a"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(et["b"], pa.int64()).to_numpy(zero_copy_only=False)
+        # global dedup: first of each (a, b) run
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        a, b = a[first], b[first]
+        nodes = np.unique(np.concatenate([a, b]))
+        nn = len(nodes)
+        ra = np.searchsorted(nodes, a)
+        rb = np.searchsorted(nodes, b)
+        deg = np.zeros(nn, np.int64)
+        np.add.at(deg, ra, 1)
+        np.add.at(deg, rb, 1)
+        a_first = (deg[ra] < deg[rb]) | ((deg[ra] == deg[rb]) & (a < b))
+        ru = np.where(a_first, ra, rb)
+        rv = np.where(a_first, rb, ra)
+        kv = np.where(a_first, deg[rb], deg[ra])
+        keys = np.sort(ru * np.int64(nn) + rv)
+        keys_ref = ray.put(keys)
+        # sort by (u, kv, rv) and split into blocks AT u-boundaries so
+        # wedge generation is a plain task map — no exchange at all
+        o2 = np.lexsort((rv, kv, ru))
+        ru, rv = ru[o2], rv[o2]
+        m = len(ru)
+        cuts = [0]
+        for tgt in range(1, num_buckets):
+            p = tgt * m // num_buckets
+            p = int(np.searchsorted(ru, ru[min(p, m - 1)]))
+            if p > cuts[-1]:
+                cuts.append(p)
+        cuts.append(m)
+        blocks = [pa.table({"u": pa.array(ru[lo:hi]),
+                            "v": pa.array(rv[lo:hi])})
+                  for lo, hi in zip(cuts[:-1], cuts[1:]) if hi > lo]
 
-        def orient_bc(t: pa.Table) -> pa.Table:
-            ln, ld = ray.get(lookup_ref)
-            a = _to_int64(t["a"])
-            b = _to_int64(t["b"])
-            da = ld[np.searchsorted(ln, a)]
-            db = ld[np.searchsorted(ln, b)]
-            a_first = (da < db) | ((da == db) & (a < b))
-            u = np.where(a_first, a, b)
-            v = np.where(a_first, b, a)
-            kv = np.where(a_first, db, da)
-            return pa.table({"u": pa.array(u), "v": pa.array(v),
-                             "kv": pa.array(kv)})
+        def wedge_probe(g: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            u = _to_int64(g["u"])
+            v = _to_int64(g["v"])
+            w = len(u)
+            if w == 0:
+                return pa.table({"n": pa.array([0], pa.int64())})
+            starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            lens = np.diff(np.r_[starts, w])
+            seg_end = np.repeat(starts + lens, lens)
+            rows = np.arange(w, dtype=np.int64)
+            reps = seg_end - rows - 1
+            total = int(reps.sum())
+            if total == 0:
+                return pa.table({"n": pa.array([0], pa.int64())})
+            fst = np.repeat(rows, reps)
+            cum = np.concatenate([[0], np.cumsum(reps)])
+            snd = fst + 1 + (np.arange(total, dtype=np.int64) - cum[fst])
+            wk = v[fst] * np.int64(nn) + v[snd]
+            pos = np.searchsorted(ks, wk)
+            hit = pos < len(ks)
+            hit[hit] = ks[pos[hit]] == wk[hit]
+            return pa.table({"n": pa.array([int(hit.sum())], pa.int64())})
 
-        oriented = canon.map_batches(orient_bc, batch_format="pyarrow",
-                                     zero_copy_batch=True).materialize()
+        counted = rd.from_arrow(blocks).map_batches(
+            wedge_probe, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True)
+        n = sum(r["n"] for r in counted.take_all())
+        return rd.from_arrow(
+            pa.table({"triangles": pa.array([n], pa.int64())}))
     else:
+        def fold_canon(g: pa.Table) -> pa.Table:
+            return g.group_by(["a", "b"]).aggregate([])
+
+        canon = grouped_apply(local, "a", fold_canon,
+                              num_buckets=num_buckets,
+                              batch_format="pyarrow").materialize()
+        deg = degree_table(canon, src="a", dst="b", node_col="node",
+                           num_buckets=num_buckets)
+
+        def just_deg(t: pa.Table) -> pa.Table:
+            return t.select(["node", "deg"])
+
+        deg = deg.map_batches(just_deg, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
         with_da = bjoin(canon, deg, on="a", right_on="node")
 
         def rename_da(t: pa.Table) -> pa.Table:
@@ -578,8 +614,6 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
                                    zero_copy_batch=True)
     matched = bjoin(wedge_ds, closing, on=("u", "v"))
     n = matched.count()
-    import ray.data as rd
-
     return rd.from_arrow(pa.table({"triangles": pa.array([n], pa.int64())}))
 
 
