@@ -3235,6 +3235,15 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_count(_graph_edges(sf_dir))
 
 
+def _q_graph_clustering(sf_dir: str):
+    """Per-node triangle counts + local clustering coefficient of the
+    event web-graph (Watts-Strogatz local coefficient; exact int64
+    counts, one IEEE division — bit-identical to the SQL twin)."""
+    from logray.functions.graph import clustering_coefficients
+
+    return clustering_coefficients(_graph_edges(sf_dir))
+
+
 def _q_anchor_text(sf_dir: str):
     """Top-3 anchor strings per link target: the event web-graph's dst
     with event_type as the anchor text — census partials + one bucket
@@ -3417,6 +3426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "graph_pagerank_weighted": _q_graph_pagerank_weighted,
         "graph_hits": _q_graph_hits,
+        "graph_clustering": _q_graph_clustering,
         "anchor_text_links": _q_anchor_text,
         "warc_roundtrip_docs": _q_warc_roundtrip,
         "rebalance_docs": _q_rebalance_docs,
@@ -3583,6 +3593,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.urlops import extract_links_sql
     from logray.functions.graph import (
         anchor_text_sql,
+        clustering_coefficients_sql,
         connected_components_sql,
         degree_table_sql,
         triangle_count_sql,
@@ -4127,6 +4138,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degrees": degree_table_sql(_GRAPH_EDGES_SQL),
         "graph_components": connected_components_sql(_GRAPH_EDGES_SQL),
         "graph_triangles": triangle_count_sql(_GRAPH_EDGES_SQL),
+        "graph_clustering": clustering_coefficients_sql(_GRAPH_EDGES_SQL),
         "anchor_text_links": anchor_text_sql(
             f"""(SELECT (user_id * 31 + event_id) % {_GRAPH_MOD} AS dst,
                         event_type AS anchor

@@ -48,6 +48,7 @@ from logray.functions.textclean import (
 )
 from logray.functions.graph import (
     anchor_text_table,
+    clustering_coefficients,
     hits,
     connected_components_graph,
     degree_table,
@@ -178,6 +179,7 @@ __all__ = [
     "triangle_count",
     "anchor_text_table",
     "hits",
+    "clustering_coefficients",
     "sentence_split",
     "normalize_nfc",
     "json_extract_field",

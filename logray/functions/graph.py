@@ -40,6 +40,7 @@ __all__ = [
     "triangle_count",
     "anchor_text_table",
     "hits",
+    "clustering_coefficients",
 ]
 
 
@@ -871,3 +872,292 @@ def hits(edges, src: str = "src", dst: str = "dst",
     out = rd.from_arrow_refs(
         [s.scores_table.remote(node_col) for s in shards])
     return out.materialize()
+
+
+# ---------------------------------------------------------------------------
+# per-node clustering coefficients
+# ---------------------------------------------------------------------------
+
+def clustering_coefficients(edges, src: str = "src", dst: str = "dst",
+                            node_col: str = "node",
+                            num_buckets: int = 32,
+                            max_broadcast: int = 100_000_000):
+    """Exact per-node triangle counts and local clustering coefficient
+    over the undirected simple graph — ``(node, triangles, deg,
+    coeff)`` with ``coeff = 2*triangles / (deg*(deg-1))`` (0 when
+    deg < 2); ``deg`` is the simple-graph (distinct-neighbor) degree.
+    Watts & Strogatz 1998's local coefficient — the standard
+    spam-farm / community-density signal per page.
+
+    Same two regimes as :func:`triangle_count` (which see): in the
+    broadcast regime the wedge probe additionally scatter-adds each
+    CLOSED wedge to its three corners locally and ships only bounded
+    ``(rank, count)`` partials; the join fallback threads the wedge
+    CENTER through the closing-edge match and folds corner counts with
+    one more narrow bucket exchange.  The coefficient is ONE IEEE
+    division of exact int64 counts, bit-identical to the SQL twin.
+    """
+    from logray.stages.join import _bucketed_join
+
+    import ray.data as rd
+
+    def canon_batch(t: pa.Table) -> pa.Table:
+        s = _to_int64(t[src])
+        d = _to_int64(t[dst])
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        keep = a != b
+        tb = pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+        return tb.group_by(["a", "b"]).aggregate([])
+
+    local = edges.map_batches(canon_batch, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    empty = pa.schema([(node_col, pa.int64()),
+                       ("triangles", pa.int64()),
+                       ("deg", pa.int64()),
+                       ("coeff", pa.float64())]).empty_table()
+
+    if local.count() <= max_broadcast:
+        parts = [t for t in ray.get(local.to_arrow_refs())
+                 if t.num_columns and t.num_rows]
+        if not parts:
+            return rd.from_arrow(empty)
+        et = pa.concat_tables(parts).combine_chunks()
+        a = pc.cast(et["a"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(et["b"], pa.int64()).to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        a, b = a[first], b[first]
+        nodes = np.unique(np.concatenate([a, b]))
+        nn = len(nodes)
+        ra = np.searchsorted(nodes, a)
+        rb = np.searchsorted(nodes, b)
+        deg = np.zeros(nn, np.int64)
+        np.add.at(deg, ra, 1)
+        np.add.at(deg, rb, 1)
+        a_first = (deg[ra] < deg[rb]) | ((deg[ra] == deg[rb]) & (a < b))
+        ru = np.where(a_first, ra, rb)
+        rv = np.where(a_first, rb, ra)
+        kv = np.where(a_first, deg[rb], deg[ra])
+        keys = np.sort(ru * np.int64(nn) + rv)
+        keys_ref = ray.put(keys)
+        o2 = np.lexsort((rv, kv, ru))
+        ru, rv = ru[o2], rv[o2]
+        m = len(ru)
+        cuts = [0]
+        for tgt in range(1, num_buckets):
+            p = tgt * m // num_buckets
+            p = int(np.searchsorted(ru, ru[min(p, m - 1)]))
+            if p > cuts[-1]:
+                cuts.append(p)
+        cuts.append(m)
+        blocks = [pa.table({"u": pa.array(ru[lo:hi]),
+                            "v": pa.array(rv[lo:hi])})
+                  for lo, hi in zip(cuts[:-1], cuts[1:]) if hi > lo]
+
+        def wedge_corners(g: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            u = _to_int64(g["u"])
+            v = _to_int64(g["v"])
+            w = len(u)
+            out_empty = pa.table({"r": pa.array([], pa.int64()),
+                                  "n": pa.array([], pa.int64())})
+            if w == 0:
+                return out_empty
+            starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            lens = np.diff(np.r_[starts, w])
+            seg_end = np.repeat(starts + lens, lens)
+            rows = np.arange(w, dtype=np.int64)
+            reps = seg_end - rows - 1
+            total = int(reps.sum())
+            if total == 0:
+                return out_empty
+            fst = np.repeat(rows, reps)
+            cum = np.concatenate([[0], np.cumsum(reps)])
+            snd = fst + 1 + (np.arange(total, dtype=np.int64) - cum[fst])
+            wk = v[fst] * np.int64(nn) + v[snd]
+            pos = np.searchsorted(ks, wk)
+            hit = pos < len(ks)
+            hit[hit] = ks[pos[hit]] == wk[hit]
+            corners = np.concatenate(
+                [u[fst][hit], v[fst][hit], v[snd][hit]])
+            rr, cnt = np.unique(corners, return_counts=True)
+            return pa.table({"r": pa.array(rr),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        counted = rd.from_arrow(blocks).map_batches(
+            wedge_corners, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True)
+        tri = np.zeros(nn, np.int64)
+        for t in ray.get(counted.to_arrow_refs()):
+            if t.num_columns and t.num_rows:
+                np.add.at(tri,
+                          t["r"].to_numpy(zero_copy_only=False),
+                          t["n"].to_numpy(zero_copy_only=False))
+        denom = deg * (deg - 1)
+        coeff = np.where(denom > 0, (2.0 * tri) / denom, 0.0)
+        return rd.from_arrow(pa.table({
+            node_col: pa.array(nodes),
+            "triangles": pa.array(tri),
+            "deg": pa.array(deg),
+            "coeff": pa.array(coeff),
+        }))
+
+    # --- join fallback: same plan as triangle_count but the wedge rows
+    # carry their CENTER through the closing-edge match ----------------
+    def bjoin(left, right, on, right_on=None):
+        on = (on,) if isinstance(on, str) else tuple(on)
+        right_on = on if right_on is None else (
+            (right_on,) if isinstance(right_on, str) else tuple(right_on))
+        return _bucketed_join(left, right, on, right_on, "inner",
+                              num_buckets)
+
+    def fold_canon(g: pa.Table) -> pa.Table:
+        return g.group_by(["a", "b"]).aggregate([])
+
+    canon = grouped_apply(local, "a", fold_canon,
+                          num_buckets=num_buckets,
+                          batch_format="pyarrow").materialize()
+    degt = degree_table(canon, src="a", dst="b", node_col="node",
+                        num_buckets=num_buckets)
+    degt = degt.map_batches(lambda t: t.select(["node", "deg"]),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    with_da = bjoin(canon, degt, on="a", right_on="node")
+    with_da = with_da.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "deg_a": t["deg"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    with_db = bjoin(with_da, degt, on="b", right_on="node")
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = _to_int64(t["a"])
+        b = _to_int64(t["b"])
+        da = _to_int64(t["deg_a"])
+        db = _to_int64(t["deg"])
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        kv = np.where(a_first, db, da)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "kv": pa.array(kv)})
+
+    oriented = with_db.map_batches(orient, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+
+    def wedges_c(g: pa.Table) -> pa.Table:
+        u = _to_int64(g["u"])
+        v = _to_int64(g["v"])
+        kv = _to_int64(g["kv"])
+        n = len(u)
+        empty_w = pa.schema([("c", pa.int64()), ("u", pa.int64()),
+                             ("v", pa.int64())]).empty_table()
+        if n == 0:
+            return empty_w
+        order = np.lexsort((v, kv, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        seg_end = np.repeat(starts + lens, lens)
+        rows = np.arange(n, dtype=np.int64)
+        reps = seg_end - rows - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty_w
+        first = np.repeat(rows, reps)
+        cum = np.concatenate([[0], np.cumsum(reps)])
+        second = first + 1 + (np.arange(total, dtype=np.int64) - cum[first])
+        return pa.table({"c": pa.array(u[first]),
+                         "u": pa.array(v[first]),
+                         "v": pa.array(v[second])})
+
+    wedge_ds = grouped_apply(oriented, "u", wedges_c,
+                             num_buckets=num_buckets,
+                             batch_format="pyarrow")
+    closing = oriented.map_batches(lambda t: t.select(["u", "v"]),
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    matched = bjoin(wedge_ds, closing, on=("u", "v"))
+
+    def explode_corners(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        corners = np.concatenate([_to_int64(t["c"]), _to_int64(t["u"]),
+                                  _to_int64(t["v"])])
+        rr, cnt = np.unique(corners, return_counts=True)
+        return pa.table({"node": pa.array(rr),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    tri_part = matched.map_batches(explode_corners,
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    def fold_tri(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["node"]).aggregate([("n", "sum")])
+        return agg.rename_columns(["node", "triangles"])
+
+    tri_tbl = grouped_apply(tri_part, "node", fold_tri,
+                            num_buckets=num_buckets,
+                            batch_format="pyarrow")
+    joined = _bucketed_join(degt, tri_tbl, ("node",), ("node",),
+                            "left", num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        node = _to_int64(t["node"])
+        dg = _to_int64(t["deg"])
+        tr = t["triangles"]
+        if isinstance(tr, pa.ChunkedArray):
+            tr = tr.combine_chunks()
+        tr = pc.fill_null(pc.cast(tr, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        denom = dg * (dg - 1)
+        coeff = np.where(denom > 0, (2.0 * tr) / denom, 0.0)
+        return pa.table({node_col: pa.array(node),
+                         "triangles": pa.array(tr),
+                         "deg": pa.array(dg),
+                         "coeff": pa.array(coeff)})
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def clustering_coefficients_sql(table: str, src: str = "src",
+                                dst: str = "dst",
+                                node_col: str = "node") -> str:
+    """DuckDB twin of :func:`clustering_coefficients` — each triangle
+    (a<b<c) credits all three corners; coefficient is the same single
+    IEEE division of exact int64 counts."""
+    return f"""
+        WITH c AS (
+            SELECT DISTINCT least({src}, {dst}) AS a,
+                            greatest({src}, {dst}) AS b
+            FROM {table} WHERE {src} <> {dst}),
+        degs AS (
+            SELECT {node_col}, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT a AS {node_col} FROM c
+                UNION ALL SELECT b FROM c)
+            GROUP BY 1),
+        tris AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM c e1
+            JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b),
+        corner_counts AS (
+            SELECT {node_col}, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM (SELECT x AS {node_col} FROM tris
+                  UNION ALL SELECT y FROM tris
+                  UNION ALL SELECT z FROM tris)
+            GROUP BY 1)
+        SELECT d.{node_col},
+               COALESCE(t.triangles, 0) AS triangles,
+               d.deg,
+               CASE WHEN d.deg > 1
+                    THEN (2.0 * COALESCE(t.triangles, 0))
+                         / (d.deg * (d.deg - 1))
+                    ELSE 0.0 END AS coeff
+        FROM degs d LEFT JOIN corner_counts t USING ({node_col})
+        ORDER BY d.{node_col}
+    """

@@ -442,3 +442,62 @@ def test_hits_star_semantics(ray_session):
     assert got.loc[0, "authority"] == got["authority"].max()
     assert got.loc[0, "hub"] == 0.0
     assert abs(got.loc[1, "hub"] - 0.5) < 1e-12  # 4 equal hubs, L2 norm
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficients
+# ---------------------------------------------------------------------------
+
+def _clustering_brute(src, dst):
+    es = {(min(int(a), int(b)), max(int(a), int(b)))
+          for a, b in zip(src, dst) if a != b}
+    adj: dict[int, set[int]] = {}
+    for x, y in es:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    out = {}
+    for v, nb in adj.items():
+        nb_l = sorted(nb)
+        t = 0
+        for i, x in enumerate(nb_l):
+            for y in nb_l[i + 1:]:
+                if (min(x, y), max(x, y)) in es:
+                    t += 1
+        d = len(nb)
+        out[v] = (t, d, (2.0 * t) / (d * (d - 1)) if d > 1 else 0.0)
+    return out
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+@pytest.mark.parametrize("seed,n,m", [(40, 12, 60), (41, 25, 90)])
+def test_clustering_matches_brute(ray_session, mode, seed, n, m):
+    from logray.functions.graph import clustering_coefficients
+
+    src, dst = _rand_graph(seed, n, m)
+    kw = {"max_broadcast": 0} if mode == "join" else {}
+    got = clustering_coefficients(_edges_ds(src, dst), num_buckets=4,
+                                  **kw).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    want = _clustering_brute(src, dst)
+    assert got["node"].tolist() == sorted(want)
+    for _, r in got.iterrows():
+        t, d, c = want[r["node"]]
+        assert r["triangles"] == t and r["deg"] == d
+        assert r["coeff"] == c  # bit-exact: one IEEE division
+
+
+def test_clustering_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from logray.functions.graph import (clustering_coefficients,
+                                        clustering_coefficients_sql)
+
+    src, dst = _rand_graph(42, 15, 70)
+    got = clustering_coefficients(_edges_ds(src, dst),
+                                  num_buckets=4).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    df = pd.DataFrame({"src": src, "dst": dst})
+    want = duckdb.connect().execute(
+        clustering_coefficients_sql("df")).fetch_df()
+    assert got.equals(want.reset_index(drop=True))
