@@ -3235,6 +3235,50 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_count(_graph_edges(sf_dir))
 
 
+# robots gate pieces: 5 deterministic URL classes x a fixed RFC 9309
+# ruleset whose per-class verdicts are compile-time constants — the SQL
+# twin selects the allowed classes, the Ray side computes them through
+# the real parse -> compile -> vectorized filter path.
+_ROBOTS_TXT = """User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Disallow: /*.pdf$
+Disallow: /tmp
+"""
+_ROBOTS_PATHS = ["/", "/private/x", "/private/ok", "/docs/f.pdf", "/tmp/y"]
+_ROBOTS_ALLOWED = (0, 2)  # "/" and the longest-match Allow /private/ok
+
+
+def _q_robots_filter(sf_dir: str):
+    """Crawl-politeness gate: deterministic per-doc URLs through the
+    robots.txt filter (rules compiled once + broadcast, per-host
+    vectorized longest-match)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.functions.robots import robots_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def add_url(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        paths = np.array(_ROBOTS_PATHS)[ids % 5]
+        urls = np.char.add("https://crawl.example", paths)
+        return pa.table({"doc_id": pa.array(ids),
+                         "url": pa.array(urls)})
+
+    out = robots_filter(
+        ds.map_batches(add_url, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        {"crawl.example": _ROBOTS_TXT})
+    return out
+
+
 def _q_graph_clustering(sf_dir: str):
     """Per-node triangle counts + local clustering coefficient of the
     event web-graph (Watts-Strogatz local coefficient; exact int64
@@ -3427,6 +3471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank_weighted": _q_graph_pagerank_weighted,
         "graph_hits": _q_graph_hits,
         "graph_clustering": _q_graph_clustering,
+        "robots_filter_docs": _q_robots_filter,
         "anchor_text_links": _q_anchor_text,
         "warc_roundtrip_docs": _q_warc_roundtrip,
         "rebalance_docs": _q_rebalance_docs,
@@ -4139,6 +4184,19 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": connected_components_sql(_GRAPH_EDGES_SQL),
         "graph_triangles": triangle_count_sql(_GRAPH_EDGES_SQL),
         "graph_clustering": clustering_coefficients_sql(_GRAPH_EDGES_SQL),
+        "robots_filter_docs": f"""
+            SELECT doc_id,
+                   'https://crawl.example' ||
+                   CASE doc_id % 5
+                        WHEN 0 THEN '{_ROBOTS_PATHS[0]}'
+                        WHEN 1 THEN '{_ROBOTS_PATHS[1]}'
+                        WHEN 2 THEN '{_ROBOTS_PATHS[2]}'
+                        WHEN 3 THEN '{_ROBOTS_PATHS[3]}'
+                        ELSE '{_ROBOTS_PATHS[4]}' END AS url
+            FROM documents
+            WHERE doc_id % 5 IN {_ROBOTS_ALLOWED}
+            ORDER BY doc_id
+        """,
         "anchor_text_links": anchor_text_sql(
             f"""(SELECT (user_id * 31 + event_id) % {_GRAPH_MOD} AS dst,
                         event_type AS anchor

@@ -1,0 +1,149 @@
+"""robots.txt parsing + filtering (logray/functions/robots.py):
+RFC 9309 semantics, conformance vs the stdlib parser on the
+wildcard-free subset, and the vectorized Dataset filter."""
+
+from __future__ import annotations
+
+import urllib.robotparser
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logray.functions.robots import (compile_robots_map, parse_robots,
+                                     robots_allowed)
+
+SIMPLE = """
+# comment
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /private/ok
+"""
+
+GROUPED = """
+User-agent: googlebot
+User-agent: bingbot
+Disallow: /no-search/
+
+User-agent: *
+Disallow: /no-anyone/
+"""
+
+WILD = """
+User-agent: *
+Disallow: /*.pdf$
+Disallow: /a/*/secret
+Allow: /a/public/secret
+"""
+
+
+def _stdlib_allows(txt: str, agent: str, url: str) -> bool:
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(txt.splitlines())
+    return rp.can_fetch(agent, url)
+
+
+@pytest.mark.parametrize("path,want,stdlib_agrees", [
+    ("/", True, True),
+    ("/private/", False, True),
+    ("/private/x", False, True),
+    # RFC 9309 longest-match: the longer Allow /private/ok wins over
+    # Disallow /private/ — urllib.robotparser implements the legacy
+    # 1994 first-match rule and (non-conformantly) says False here
+    ("/private/ok", True, False),
+    ("/tmp", False, True),
+    ("/tmpfoo", False, True),     # prefix rule
+    ("/temp", True, True),
+])
+def test_simple_matches_stdlib(path, want, stdlib_agrees):
+    comp = compile_robots_map({"h": SIMPLE})
+    got = robots_allowed(comp, "h", path)
+    assert got == want
+    if stdlib_agrees:
+        assert got == _stdlib_allows(SIMPLE, "mybot", f"https://h{path}")
+
+
+def test_group_selection():
+    comp_g = compile_robots_map({"h": GROUPED}, agent="googlebot")
+    comp_o = compile_robots_map({"h": GROUPED}, agent="otherbot")
+    assert not robots_allowed(comp_g, "h", "/no-search/x")
+    assert robots_allowed(comp_g, "h", "/no-anyone/x")  # specific group wins
+    assert robots_allowed(comp_o, "h", "/no-search/x")
+    assert not robots_allowed(comp_o, "h", "/no-anyone/x")
+
+
+def test_wildcards_and_anchor():
+    comp = compile_robots_map({"h": WILD})
+    assert not robots_allowed(comp, "h", "/docs/file.pdf")
+    assert robots_allowed(comp, "h", "/docs/file.pdfx")  # $ anchored
+    assert not robots_allowed(comp, "h", "/a/x/secret")
+    assert not robots_allowed(comp, "h", "/a/x/y/secrets")
+    assert robots_allowed(comp, "h", "/a/public/secret")  # longer Allow
+
+
+def test_empty_disallow_and_unknown_host():
+    comp = compile_robots_map({"h": "User-agent: *\nDisallow:\n"})
+    assert robots_allowed(comp, "h", "/anything")
+    assert robots_allowed(comp, "unknown.example", "/x")
+
+
+def test_allow_wins_tie():
+    txt = "User-agent: *\nDisallow: /dir/\nAllow: /dir2/\n"
+    comp = compile_robots_map({"h": txt})
+    # equal-length tie is synthetic here; check deterministic allow-first
+    tie = "User-agent: *\nDisallow: /x\nAllow: /x\n"
+    comp2 = compile_robots_map({"h": tie})
+    assert robots_allowed(comp2, "h", "/x")
+
+
+def test_parse_robots_agent_substring():
+    txt = "User-agent: foo\nDisallow: /f/\n\nUser-agent: *\nDisallow: /g/\n"
+    assert parse_robots(txt, "foobot") == [(False, "/f/")]
+    assert parse_robots(txt, "barbot") == [(False, "/g/")]
+
+
+def test_robots_filter_dataset(ray_session):
+    import ray.data as rd
+
+    from logray.functions.robots import robots_filter
+
+    urls = [
+        "https://a.com/keep",
+        "https://a.com/private/x",
+        "https://a.com/private/ok",
+        "https://b.com/private/x",      # no robots for b.com -> pass
+        "https://A.COM:8080/private/y",  # case/port-insensitive host
+    ]
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(urls),
+        "doc_id": pa.array(np.arange(5, dtype=np.int64))}))
+    out = robots_filter(ds, {"a.com": SIMPLE}).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3]
+    blocked = robots_filter(ds, {"a.com": SIMPLE},
+                            keep_blocked=True).to_pandas()
+    assert sorted(blocked["doc_id"]) == [1, 4]
+
+
+def test_robots_filter_fuzz_vs_stdlib(ray_session):
+    """Random wildcard-free rule sets: the Dataset filter agrees with
+    urllib.robotparser URL-for-URL."""
+    import ray.data as rd
+
+    from logray.functions.robots import robots_filter
+
+    rng = np.random.default_rng(7)
+    segs = ["a", "b", "c", "dd", "e/f"]
+    rules = []
+    for s in rng.choice(segs, 4, replace=False):
+        rules.append(("Allow" if rng.random() < 0.4 else "Disallow",
+                      f"/{s}"))
+    txt = "User-agent: *\n" + "\n".join(f"{k}: {v}" for k, v in rules)
+    paths = [f"/{a}/{b}" for a in segs for b in segs] + \
+        [f"/{s}" for s in segs] + ["/", "/zz"]
+    urls = [f"https://h.example{p}" for p in paths]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls)}))
+    got = set(robots_filter(ds, {"h.example": txt})
+              .to_pandas()["url"])
+    for u in urls:
+        assert (u in got) == _stdlib_allows(txt, "x", u), (u, txt)
