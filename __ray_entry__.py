@@ -3235,6 +3235,54 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_count(_graph_edges(sf_dir))
 
 
+def _q_crawl_rank(sf_dir: str):
+    """END-TO-END crawl curation composition: wrap documents in markup
+    with two deterministic cross-document links each -> extract_links
+    (split-algebra RE2) -> parse link targets -> document link graph ->
+    PageRank -> top-20 documents by rank.  One streaming chain into the
+    iterative actor stage; rows-only (float ranks) — every constituent
+    has its own exact gate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.functions.graph import pagerank
+    from logray.functions.urlops import extract_links
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t1 = pc.cast(pa.array((ids * 31 + 7) % 499), pa.string())
+        t2 = pc.cast(pa.array((ids * 17 + 3) % 499), pa.string())
+        html = pc.binary_join_element_wise(
+            pa.scalar('<a href="https://corpus.example/doc/'), t1,
+            pa.scalar('">x</a><p>body</p>'
+                      '<a href="https://corpus.example/doc/'), t2,
+            pa.scalar('">y</a>'), pa.scalar(""))
+        return pa.table({"doc_id": pa.array(ids), "text": html})
+
+    links = extract_links(ds.map_batches(wrap, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        tgt = pc.cast(pc.utf8_slice_codeunits(
+            t["url"], len("https://corpus.example/doc/")), pa.int64())
+        return pa.table({"src": pc.cast(t["doc_id"], pa.int64()),
+                         "dst": tgt})
+
+    edges = links.map_batches(to_edges, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    ranks = pagerank(edges, n_iter=15, num_shards=4)
+    top = ranks.sort("rank", descending=True).limit(20).to_pandas()
+    return top.sort_values(["rank", "node"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
 # robots gate pieces: 5 deterministic URL classes x a fixed RFC 9309
 # ruleset whose per-class verdicts are compile-time constants — the SQL
 # twin selects the allowed classes, the Ray side computes them through
@@ -3472,6 +3520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits": _q_graph_hits,
         "graph_clustering": _q_graph_clustering,
         "robots_filter_docs": _q_robots_filter,
+        "crawl_rank_docs": _q_crawl_rank,
         "anchor_text_links": _q_anchor_text,
         "warc_roundtrip_docs": _q_warc_roundtrip,
         "rebalance_docs": _q_rebalance_docs,

@@ -501,3 +501,18 @@ def test_clustering_matches_duckdb(ray_session):
     want = duckdb.connect().execute(
         clustering_coefficients_sql("df")).fetch_df()
     assert got.equals(want.reset_index(drop=True))
+
+
+def test_crawl_rank_composition_deterministic(ray_session):
+    """End-to-end extract_links -> graph -> pagerank composition is
+    bit-deterministic across runs (gate entry crawl_rank_docs)."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    m = importlib.import_module("__ray_entry__")
+    a = m.queries()["crawl_rank_docs"]("/root/testdata/sf0.001")
+    b = m.queries()["crawl_rank_docs"]("/root/testdata/sf0.001")
+    assert len(a) == 20
+    assert (a["rank"].to_numpy()[:-1] >= a["rank"].to_numpy()[1:]).all()
+    assert a.equals(b)
