@@ -3278,9 +3278,11 @@ def _q_crawl_rank(sf_dir: str):
     edges = links.map_batches(to_edges, batch_format="pyarrow",
                               zero_copy_batch=True)
     ranks = pagerank(edges, n_iter=15, num_shards=4)
-    top = ranks.sort("rank", descending=True).limit(20).to_pandas()
-    return top.sort_values(["rank", "node"],
-                           ascending=[False, True]).reset_index(drop=True)
+    # node joins the sort key BEFORE the limit so a rank tie at the
+    # 20th row cannot make the kept set partition-dependent
+    top = ranks.sort(["rank", "node"],
+                     descending=[True, False]).limit(20).to_pandas()
+    return top.reset_index(drop=True)
 
 
 # robots gate pieces: 5 deterministic URL classes x a fixed RFC 9309

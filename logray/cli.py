@@ -284,8 +284,19 @@ def cmd_graph(args) -> int:
     """Web-graph analytics over an edge parquet (src, dst int64 columns):
     degrees / components / pagerank / triangles."""
     _init_ray(args.num_cpus)
+    import os
+
     import ray.data as rd
 
+    if args.op != "triangles":
+        if not args.out:
+            print("graph: --out is required for ops that write "
+                  "(degrees/components/pagerank/hits)", file=sys.stderr)
+            return 2
+        if os.path.isdir(args.out) and os.listdir(args.out):
+            print(f"graph: --out {args.out} exists and is non-empty; "
+                  "refusing to mix outputs", file=sys.stderr)
+            return 2
     ds = rd.read_parquet(args.input, columns=[args.src_col, args.dst_col])
     if args.op == "degrees":
         from logray.functions.graph import degree_table
@@ -649,7 +660,7 @@ def main(argv=None) -> int:
     sp.add_argument("op", choices=["degrees", "components", "pagerank",
                                    "triangles", "hits"])
     sp.add_argument("input")
-    sp.add_argument("--out", default="/tmp/logray_graph_out")
+    sp.add_argument("--out", default="")
     sp.add_argument("--src-col", default="src")
     sp.add_argument("--dst-col", default="dst")
     sp.add_argument("--damping", type=float, default=0.85)

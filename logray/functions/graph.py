@@ -227,7 +227,11 @@ class _PRShard:
              else np.zeros(0, np.float64))
         reg = (np.concatenate(self._node_parts) if self._node_parts
                else np.zeros(0, np.int64))
-        self._src_parts = self._dst_parts = self._node_parts = []  # type: ignore[assignment]
+        # three SEPARATE literals — aliasing one list would let a
+        # straggling post-build add_edges cross-contaminate all buffers
+        self._src_parts = []
+        self._dst_parts = []
+        self._node_parts = []
         self._w_parts = []
         if (w < 0).any():
             raise ValueError("pagerank: negative edge weight")
@@ -405,49 +409,34 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
 
 
 # ---------------------------------------------------------------------------
-# triangle counting (degree-oriented node-iterator)
+# triangle counting / clustering coefficients (degree-oriented node-iterator)
 # ---------------------------------------------------------------------------
+#
+# Shared machinery (Schank & Wagner 2005): orient each distinct undirected
+# edge from its lower-(deg, id) endpoint to the higher, so every vertex's
+# oriented out-degree is O(sqrt(E)) even at a hot hub — the wedge stage is
+# bounded at E^1.5 total regardless of skew.  Two regimes:
+#
+# - BROADCAST (batch-deduped distinct-edge estimate <= max_broadcast edges,
+#   16 bytes/edge; the default 100M covers the web-HOST graph, ~50M edges
+#   = 800 MB driver-resident): the distinct-edge set folds ON THE DRIVER
+#   (global dedup, degree census, orientation, dense-rank key packing —
+#   one numpy pass each), the sorted key array broadcasts via ray.put, and
+#   wedge generation runs as a plain task map over edge blocks PRE-SPLIT
+#   at u-boundaries — ZERO distributed exchanges after the per-batch dedup
+#   map; the wedge stream (often 10-100x the edge count) never leaves its
+#   task, only bounded counts do.
+# - JOIN FALLBACK (URL-graph scale): canon bucket dedup, degree census
+#   fold, two bucketed degree joins, wedge bucket exchange, wedge/edge
+#   match join — all narrow int64 exchanges, on the explicit bucketed TASK
+#   path (_bucketed_join), not the builtin JoinOperator: multiple builtin
+#   join actor pools in one lazy topology starve/cross-wire each other
+#   (same pathology the Q5 multi-way pipeline documents in stages/join.py).
 
-def triangle_count(edges, src: str = "src", dst: str = "dst",
-                   num_buckets: int = 32, max_broadcast: int = 100_000_000):
-    """Exact triangle count of the undirected simple graph underlying
-    ``edges`` — one row ``{"triangles": n}``.
 
-    Degree-oriented node-iterator (Schank & Wagner 2005): orient each
-    undirected edge from its lower-(deg, id) endpoint to the higher, so
-    every vertex's oriented out-degree is O(sqrt(E)) EVEN AT a hot hub —
-    the wedge stage is bounded at E^1.5 total regardless of skew (the
-    naive id-orientation explodes quadratically on high-degree nodes).
-    Each triangle is counted exactly once, at its minimum-(deg, id)
-    corner.
-
-    Two regimes.  **Broadcast** (batch-deduped distinct-edge estimate
-    <= ``max_broadcast`` edges — 16 bytes/edge; the default 100 M
-    covers the web-HOST graph, ~50 M edges = 800 MB driver-resident): the distinct-edge set folds ON THE DRIVER
-    (global dedup, degree census, orientation, dense-rank key packing
-    — one numpy pass each), the sorted key array broadcasts via
-    ``ray.put``, and wedge generation runs as a plain task map over
-    edge blocks PRE-SPLIT at u-boundaries — ZERO distributed
-    exchanges after the per-batch dedup map; the wedge stream (often
-    10-100x the edge count) never leaves its task, only one count per
-    block does.  **Join fallback** (URL-graph scale): canon bucket
-    dedup, degree census fold, two bucketed degree joins, wedge bucket
-    exchange, wedge/edge match join — all narrow int64 exchanges.
-    Joins use the explicit bucketed TASK path (``_bucketed_join``),
-    not the builtin JoinOperator: multiple builtin join actor pools in
-    one lazy topology starve/cross-wire each other (same pathology the
-    Q5 multi-way pipeline documents in ``stages/join.py``).
-    """
-    from logray.stages.join import _bucketed_join
-
-    def bjoin(left, right, on, right_on=None):
-        on = (on,) if isinstance(on, str) else tuple(on)
-        right_on = on if right_on is None else (
-            (right_on,) if isinstance(right_on, str) else tuple(right_on))
-        return _bucketed_join(left, right, on, right_on, "inner",
-                              num_buckets)
-
-    import ray.data as rd
+def _canon_local(edges, src: str, dst: str):
+    """Per-batch-deduped canonical (a, b) edges: a < b, self-loops
+    dropped; global dedup is the caller's regime-specific step."""
 
     def canon_batch(t: pa.Table) -> pa.Table:
         s = _to_int64(t[src])
@@ -458,74 +447,190 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         tb = pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
         return tb.group_by(["a", "b"]).aggregate([])
 
-    local = edges.map_batches(canon_batch, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+    return edges.map_batches(canon_batch, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+
+def _broadcast_fold(local, num_buckets: int):
+    """Driver-side fold of the batch-deduped edge set: global dedup,
+    degree census, degree orientation, dense-rank key packing, and
+    u-boundary block cuts.  Returns None for an empty graph, else
+    ``(nodes, deg, nn, keys, blocks)`` where ``blocks`` are (u, v)
+    rank-space tables whose u-segments never span blocks."""
+    parts = [t for t in ray.get(local.to_arrow_refs())
+             if t.num_columns and t.num_rows]
+    if not parts:
+        return None
+    et = pa.concat_tables(parts).combine_chunks()
+    a = pc.cast(et["a"], pa.int64()).to_numpy(zero_copy_only=False)
+    b = pc.cast(et["b"], pa.int64()).to_numpy(zero_copy_only=False)
+    o = np.lexsort((b, a))
+    a, b = a[o], b[o]
+    first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    a, b = a[first], b[first]
+    nodes = np.unique(np.concatenate([a, b]))
+    nn = len(nodes)
+    ra = np.searchsorted(nodes, a)
+    rb = np.searchsorted(nodes, b)
+    deg = np.zeros(nn, np.int64)
+    np.add.at(deg, ra, 1)
+    np.add.at(deg, rb, 1)
+    a_first = (deg[ra] < deg[rb]) | ((deg[ra] == deg[rb]) & (a < b))
+    ru = np.where(a_first, ra, rb)
+    rv = np.where(a_first, rb, ra)
+    kv = np.where(a_first, deg[rb], deg[ra])
+    keys = np.sort(ru * np.int64(nn) + rv)
+    o2 = np.lexsort((rv, kv, ru))
+    ru, rv = ru[o2], rv[o2]
+    m = len(ru)
+    cuts = [0]
+    for tgt in range(1, num_buckets):
+        p = tgt * m // num_buckets
+        p = int(np.searchsorted(ru, ru[min(p, m - 1)]))
+        if p > cuts[-1]:
+            cuts.append(p)
+    cuts.append(m)
+    blocks = [pa.table({"u": pa.array(ru[lo:hi]),
+                        "v": pa.array(rv[lo:hi])})
+              for lo, hi in zip(cuts[:-1], cuts[1:]) if hi > lo]
+    return nodes, deg, nn, keys, blocks
+
+
+def _wedge_pairs(u: np.ndarray):
+    """Segmented all-pairs over a u-sorted array: row index pairs
+    (fst, snd) of every within-segment combination — fully vectorized
+    (no per-center Python loop)."""
+    w = len(u)
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    lens = np.diff(np.r_[starts, w])
+    seg_end = np.repeat(starts + lens, lens)
+    rows = np.arange(w, dtype=np.int64)
+    reps = seg_end - rows - 1
+    total = int(reps.sum())
+    if total == 0:
+        return None
+    fst = np.repeat(rows, reps)
+    cum = np.concatenate([[0], np.cumsum(reps)])
+    snd = fst + 1 + (np.arange(total, dtype=np.int64) - cum[fst])
+    return fst, snd
+
+
+def _probe_keys(ks: np.ndarray, wk: np.ndarray) -> np.ndarray:
+    """Membership of packed wedge keys in the sorted edge-key array."""
+    pos = np.searchsorted(ks, wk)
+    hit = pos < len(ks)
+    hit[hit] = ks[pos[hit]] == wk[hit]
+    return hit
+
+
+def _bjoin_factory(num_buckets: int):
+    from logray.stages.join import _bucketed_join
+
+    def bjoin(left, right, on, right_on=None, how="inner"):
+        on = (on,) if isinstance(on, str) else tuple(on)
+        right_on = on if right_on is None else (
+            (right_on,) if isinstance(right_on, str) else tuple(right_on))
+        return _bucketed_join(left, right, on, right_on, how, num_buckets)
+
+    return bjoin
+
+
+def _oriented_join_path(local, num_buckets: int):
+    """Join-fallback shared plan: global canon dedup, degree census,
+    two bucketed degree joins, orientation map.  Returns
+    ``(oriented, degt)`` — oriented carries (u, v, kv) in ID space."""
+    bjoin = _bjoin_factory(num_buckets)
+
+    def fold_canon(g: pa.Table) -> pa.Table:
+        return g.group_by(["a", "b"]).aggregate([])
+
+    canon = grouped_apply(local, "a", fold_canon,
+                          num_buckets=num_buckets,
+                          batch_format="pyarrow").materialize()
+    degt = degree_table(canon, src="a", dst="b", node_col="node",
+                        num_buckets=num_buckets)
+    degt = degt.map_batches(lambda t: t.select(["node", "deg"]),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    with_da = bjoin(canon, degt, on="a", right_on="node")
+    with_da = with_da.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "deg_a": t["deg"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    with_db = bjoin(with_da, degt, on="b", right_on="node")
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = _to_int64(t["a"])
+        b = _to_int64(t["b"])
+        da = _to_int64(t["deg_a"])
+        db = _to_int64(t["deg"])
+        # lower (deg, id) endpoint first
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        kv = np.where(a_first, db, da)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "kv": pa.array(kv)})
+
+    oriented = with_db.map_batches(orient, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+    return oriented, degt
+
+
+def _join_wedges(oriented, num_buckets: int, with_center: bool):
+    """Join-fallback wedge census (+closing-edge match input): wedge
+    rows per bucket, optionally carrying their CENTER."""
+
+    def wedges(g: pa.Table) -> pa.Table:
+        u = _to_int64(g["u"])
+        v = _to_int64(g["v"])
+        kv = _to_int64(g["kv"])
+        cols = ([("c", pa.int64())] if with_center else []) + \
+            [("u", pa.int64()), ("v", pa.int64())]
+        if len(u) == 0:
+            return pa.schema(cols).empty_table()
+        order = np.lexsort((v, kv, u))
+        u, v = u[order], v[order]
+        pairs = _wedge_pairs(u)
+        if pairs is None:
+            return pa.schema(cols).empty_table()
+        fst, snd = pairs
+        data = {"u": pa.array(v[fst]), "v": pa.array(v[snd])}
+        if with_center:
+            data = {"c": pa.array(u[fst]), **data}
+        return pa.table(data)
+
+    return grouped_apply(oriented, "u", wedges, num_buckets=num_buckets,
+                         batch_format="pyarrow")
+
+
+def triangle_count(edges, src: str = "src", dst: str = "dst",
+                   num_buckets: int = 32, max_broadcast: int = 100_000_000):
+    """Exact triangle count of the undirected simple graph underlying
+    ``edges`` — one row ``{"triangles": n}``.  Each triangle is counted
+    exactly once, at its minimum-(deg, id) corner.  Regimes and scale
+    shape: see the section comment above.
+    """
+    import ray.data as rd
+
+    local = _canon_local(edges, src, dst)
 
     if local.count() <= max_broadcast:
-        parts = [t for t in ray.get(local.to_arrow_refs())
-                 if t.num_columns and t.num_rows]
-        if not parts:
+        fold = _broadcast_fold(local, num_buckets)
+        if fold is None:
             return rd.from_arrow(
                 pa.table({"triangles": pa.array([0], pa.int64())}))
-        et = pa.concat_tables(parts).combine_chunks()
-        a = pc.cast(et["a"], pa.int64()).to_numpy(zero_copy_only=False)
-        b = pc.cast(et["b"], pa.int64()).to_numpy(zero_copy_only=False)
-        # global dedup: first of each (a, b) run
-        o = np.lexsort((b, a))
-        a, b = a[o], b[o]
-        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-        a, b = a[first], b[first]
-        nodes = np.unique(np.concatenate([a, b]))
-        nn = len(nodes)
-        ra = np.searchsorted(nodes, a)
-        rb = np.searchsorted(nodes, b)
-        deg = np.zeros(nn, np.int64)
-        np.add.at(deg, ra, 1)
-        np.add.at(deg, rb, 1)
-        a_first = (deg[ra] < deg[rb]) | ((deg[ra] == deg[rb]) & (a < b))
-        ru = np.where(a_first, ra, rb)
-        rv = np.where(a_first, rb, ra)
-        kv = np.where(a_first, deg[rb], deg[ra])
-        keys = np.sort(ru * np.int64(nn) + rv)
+        _nodes, _deg, nn, keys, blocks = fold
         keys_ref = ray.put(keys)
-        # sort by (u, kv, rv) and split into blocks AT u-boundaries so
-        # wedge generation is a plain task map — no exchange at all
-        o2 = np.lexsort((rv, kv, ru))
-        ru, rv = ru[o2], rv[o2]
-        m = len(ru)
-        cuts = [0]
-        for tgt in range(1, num_buckets):
-            p = tgt * m // num_buckets
-            p = int(np.searchsorted(ru, ru[min(p, m - 1)]))
-            if p > cuts[-1]:
-                cuts.append(p)
-        cuts.append(m)
-        blocks = [pa.table({"u": pa.array(ru[lo:hi]),
-                            "v": pa.array(rv[lo:hi])})
-                  for lo, hi in zip(cuts[:-1], cuts[1:]) if hi > lo]
 
         def wedge_probe(g: pa.Table) -> pa.Table:
             ks = ray.get(keys_ref)
             u = _to_int64(g["u"])
             v = _to_int64(g["v"])
-            w = len(u)
-            if w == 0:
+            pairs = _wedge_pairs(u) if len(u) else None
+            if pairs is None:
                 return pa.table({"n": pa.array([0], pa.int64())})
-            starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-            lens = np.diff(np.r_[starts, w])
-            seg_end = np.repeat(starts + lens, lens)
-            rows = np.arange(w, dtype=np.int64)
-            reps = seg_end - rows - 1
-            total = int(reps.sum())
-            if total == 0:
-                return pa.table({"n": pa.array([0], pa.int64())})
-            fst = np.repeat(rows, reps)
-            cum = np.concatenate([[0], np.cumsum(reps)])
-            snd = fst + 1 + (np.arange(total, dtype=np.int64) - cum[fst])
-            wk = v[fst] * np.int64(nn) + v[snd]
-            pos = np.searchsorted(ks, wk)
-            hit = pos < len(ks)
-            hit[hit] = ks[pos[hit]] == wk[hit]
+            fst, snd = pairs
+            hit = _probe_keys(ks, v[fst] * np.int64(nn) + v[snd])
             return pa.table({"n": pa.array([int(hit.sum())], pa.int64())})
 
         counted = rd.from_arrow(blocks).map_batches(
@@ -534,87 +639,14 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         n = sum(r["n"] for r in counted.take_all())
         return rd.from_arrow(
             pa.table({"triangles": pa.array([n], pa.int64())}))
-    else:
-        def fold_canon(g: pa.Table) -> pa.Table:
-            return g.group_by(["a", "b"]).aggregate([])
 
-        canon = grouped_apply(local, "a", fold_canon,
-                              num_buckets=num_buckets,
-                              batch_format="pyarrow").materialize()
-        deg = degree_table(canon, src="a", dst="b", node_col="node",
-                           num_buckets=num_buckets)
-
-        def just_deg(t: pa.Table) -> pa.Table:
-            return t.select(["node", "deg"])
-
-        deg = deg.map_batches(just_deg, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
-        with_da = bjoin(canon, deg, on="a", right_on="node")
-
-        def rename_da(t: pa.Table) -> pa.Table:
-            cols = {"a": t["a"], "b": t["b"], "deg_a": t["deg"]}
-            return pa.table(cols)
-
-        with_da = with_da.map_batches(rename_da, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-        with_db = bjoin(with_da, deg, on="b", right_on="node")
-
-        def orient(t: pa.Table) -> pa.Table:
-            a = _to_int64(t["a"])
-            b = _to_int64(t["b"])
-            da = _to_int64(t["deg_a"])
-            db = _to_int64(t["deg"])
-            # lower (deg, id) endpoint first
-            a_first = (da < db) | ((da == db) & (a < b))
-            u = np.where(a_first, a, b)
-            v = np.where(a_first, b, a)
-            kv = np.where(a_first, db, da)
-            return pa.table({"u": pa.array(u), "v": pa.array(v),
-                             "kv": pa.array(kv)})
-
-        oriented = with_db.map_batches(orient, batch_format="pyarrow",
-                                       zero_copy_batch=True).materialize()
-
-    def wedges(g: pa.Table) -> pa.Table:
-        u = _to_int64(g["u"])
-        v = _to_int64(g["v"])
-        kv = _to_int64(g["kv"])
-        n = len(u)
-        if n == 0:
-            return pa.schema([("u", pa.int64()),
-                              ("v", pa.int64())]).empty_table()
-        # per center u: all neighbor pairs ordered by (deg, id) — fully
-        # vectorized segmented all-pairs (no per-center Python loop):
-        # row r at position p of an L-long segment pairs with the L-1-p
-        # rows after it.
-        order = np.lexsort((v, kv, u))
-        u, v = u[order], v[order]
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        lens = np.diff(np.r_[starts, n])
-        seg_end = np.repeat(starts + lens, lens)
-        rows = np.arange(n, dtype=np.int64)
-        reps = seg_end - rows - 1
-        total = int(reps.sum())
-        if total == 0:
-            return pa.schema([("u", pa.int64()),
-                              ("v", pa.int64())]).empty_table()
-        first = np.repeat(rows, reps)
-        cum = np.concatenate([[0], np.cumsum(reps)])
-        second = first + 1 + (np.arange(total, dtype=np.int64) - cum[first])
-        return pa.table({"u": pa.array(v[first]),
-                         "v": pa.array(v[second])})
-
-    wedge_ds = grouped_apply(oriented, "u", wedges,
-                             num_buckets=num_buckets,
-                             batch_format="pyarrow")
-
-    def narrow_edge(t: pa.Table) -> pa.Table:
-        return t.select(["u", "v"])
-
-    closing = oriented.map_batches(narrow_edge, batch_format="pyarrow",
+    oriented, _degt = _oriented_join_path(local, num_buckets)
+    wedge_ds = _join_wedges(oriented, num_buckets, with_center=False)
+    closing = oriented.map_batches(lambda t: t.select(["u", "v"]),
+                                   batch_format="pyarrow",
                                    zero_copy_batch=True)
-    matched = bjoin(wedge_ds, closing, on=("u", "v"))
-    n = matched.count()
+    bjoin = _bjoin_factory(num_buckets)
+    n = bjoin(wedge_ds, closing, on=("u", "v")).count()
     return rd.from_arrow(pa.table({"triangles": pa.array([n], pa.int64())}))
 
 
@@ -749,7 +781,8 @@ class _HitsShard:
 
         osrc, odst = cat(self._out, 0), cat(self._out, 1)
         isrc, idst = cat(self._in, 0), cat(self._in, 1)
-        self._out = self._in = []  # type: ignore[assignment]
+        self._out = []
+        self._in = []
         oo = np.lexsort((odst, osrc))
         self.osrc, self.odst = osrc[oo], odst[oo]
         io = np.lexsort((isrc, idst))
@@ -889,29 +922,18 @@ def clustering_coefficients(edges, src: str = "src", dst: str = "dst",
     Watts & Strogatz 1998's local coefficient — the standard
     spam-farm / community-density signal per page.
 
-    Same two regimes as :func:`triangle_count` (which see): in the
-    broadcast regime the wedge probe additionally scatter-adds each
-    CLOSED wedge to its three corners locally and ships only bounded
-    ``(rank, count)`` partials; the join fallback threads the wedge
-    CENTER through the closing-edge match and folds corner counts with
-    one more narrow bucket exchange.  The coefficient is ONE IEEE
-    division of exact int64 counts, bit-identical to the SQL twin.
+    Same two regimes and machinery as :func:`triangle_count` (see the
+    section comment): the broadcast wedge probe additionally
+    scatter-adds each CLOSED wedge to its three corners locally and
+    ships only bounded ``(rank, count)`` partials; the join fallback
+    threads the wedge CENTER through the closing-edge match and folds
+    corner counts with one more narrow bucket exchange.  The
+    coefficient is ONE IEEE division of exact int64 counts,
+    bit-identical to the SQL twin.
     """
-    from logray.stages.join import _bucketed_join
-
     import ray.data as rd
 
-    def canon_batch(t: pa.Table) -> pa.Table:
-        s = _to_int64(t[src])
-        d = _to_int64(t[dst])
-        a = np.minimum(s, d)
-        b = np.maximum(s, d)
-        keep = a != b
-        tb = pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
-        return tb.group_by(["a", "b"]).aggregate([])
-
-    local = edges.map_batches(canon_batch, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+    local = _canon_local(edges, src, dst)
 
     empty = pa.schema([(node_col, pa.int64()),
                        ("triangles", pa.int64()),
@@ -919,68 +941,23 @@ def clustering_coefficients(edges, src: str = "src", dst: str = "dst",
                        ("coeff", pa.float64())]).empty_table()
 
     if local.count() <= max_broadcast:
-        parts = [t for t in ray.get(local.to_arrow_refs())
-                 if t.num_columns and t.num_rows]
-        if not parts:
+        fold = _broadcast_fold(local, num_buckets)
+        if fold is None:
             return rd.from_arrow(empty)
-        et = pa.concat_tables(parts).combine_chunks()
-        a = pc.cast(et["a"], pa.int64()).to_numpy(zero_copy_only=False)
-        b = pc.cast(et["b"], pa.int64()).to_numpy(zero_copy_only=False)
-        o = np.lexsort((b, a))
-        a, b = a[o], b[o]
-        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-        a, b = a[first], b[first]
-        nodes = np.unique(np.concatenate([a, b]))
-        nn = len(nodes)
-        ra = np.searchsorted(nodes, a)
-        rb = np.searchsorted(nodes, b)
-        deg = np.zeros(nn, np.int64)
-        np.add.at(deg, ra, 1)
-        np.add.at(deg, rb, 1)
-        a_first = (deg[ra] < deg[rb]) | ((deg[ra] == deg[rb]) & (a < b))
-        ru = np.where(a_first, ra, rb)
-        rv = np.where(a_first, rb, ra)
-        kv = np.where(a_first, deg[rb], deg[ra])
-        keys = np.sort(ru * np.int64(nn) + rv)
+        nodes, deg, nn, keys, blocks = fold
         keys_ref = ray.put(keys)
-        o2 = np.lexsort((rv, kv, ru))
-        ru, rv = ru[o2], rv[o2]
-        m = len(ru)
-        cuts = [0]
-        for tgt in range(1, num_buckets):
-            p = tgt * m // num_buckets
-            p = int(np.searchsorted(ru, ru[min(p, m - 1)]))
-            if p > cuts[-1]:
-                cuts.append(p)
-        cuts.append(m)
-        blocks = [pa.table({"u": pa.array(ru[lo:hi]),
-                            "v": pa.array(rv[lo:hi])})
-                  for lo, hi in zip(cuts[:-1], cuts[1:]) if hi > lo]
 
         def wedge_corners(g: pa.Table) -> pa.Table:
             ks = ray.get(keys_ref)
             u = _to_int64(g["u"])
             v = _to_int64(g["v"])
-            w = len(u)
             out_empty = pa.table({"r": pa.array([], pa.int64()),
                                   "n": pa.array([], pa.int64())})
-            if w == 0:
+            pairs = _wedge_pairs(u) if len(u) else None
+            if pairs is None:
                 return out_empty
-            starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-            lens = np.diff(np.r_[starts, w])
-            seg_end = np.repeat(starts + lens, lens)
-            rows = np.arange(w, dtype=np.int64)
-            reps = seg_end - rows - 1
-            total = int(reps.sum())
-            if total == 0:
-                return out_empty
-            fst = np.repeat(rows, reps)
-            cum = np.concatenate([[0], np.cumsum(reps)])
-            snd = fst + 1 + (np.arange(total, dtype=np.int64) - cum[fst])
-            wk = v[fst] * np.int64(nn) + v[snd]
-            pos = np.searchsorted(ks, wk)
-            hit = pos < len(ks)
-            hit[hit] = ks[pos[hit]] == wk[hit]
+            fst, snd = pairs
+            hit = _probe_keys(ks, v[fst] * np.int64(nn) + v[snd])
             corners = np.concatenate(
                 [u[fst][hit], v[fst][hit], v[snd][hit]])
             rr, cnt = np.unique(corners, return_counts=True)
@@ -1005,80 +982,12 @@ def clustering_coefficients(edges, src: str = "src", dst: str = "dst",
             "coeff": pa.array(coeff),
         }))
 
-    # --- join fallback: same plan as triangle_count but the wedge rows
-    # carry their CENTER through the closing-edge match ----------------
-    def bjoin(left, right, on, right_on=None):
-        on = (on,) if isinstance(on, str) else tuple(on)
-        right_on = on if right_on is None else (
-            (right_on,) if isinstance(right_on, str) else tuple(right_on))
-        return _bucketed_join(left, right, on, right_on, "inner",
-                              num_buckets)
-
-    def fold_canon(g: pa.Table) -> pa.Table:
-        return g.group_by(["a", "b"]).aggregate([])
-
-    canon = grouped_apply(local, "a", fold_canon,
-                          num_buckets=num_buckets,
-                          batch_format="pyarrow").materialize()
-    degt = degree_table(canon, src="a", dst="b", node_col="node",
-                        num_buckets=num_buckets)
-    degt = degt.map_batches(lambda t: t.select(["node", "deg"]),
-                            batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
-
-    with_da = bjoin(canon, degt, on="a", right_on="node")
-    with_da = with_da.map_batches(
-        lambda t: pa.table({"a": t["a"], "b": t["b"], "deg_a": t["deg"]}),
-        batch_format="pyarrow", zero_copy_batch=True)
-    with_db = bjoin(with_da, degt, on="b", right_on="node")
-
-    def orient(t: pa.Table) -> pa.Table:
-        a = _to_int64(t["a"])
-        b = _to_int64(t["b"])
-        da = _to_int64(t["deg_a"])
-        db = _to_int64(t["deg"])
-        a_first = (da < db) | ((da == db) & (a < b))
-        u = np.where(a_first, a, b)
-        v = np.where(a_first, b, a)
-        kv = np.where(a_first, db, da)
-        return pa.table({"u": pa.array(u), "v": pa.array(v),
-                         "kv": pa.array(kv)})
-
-    oriented = with_db.map_batches(orient, batch_format="pyarrow",
-                                   zero_copy_batch=True).materialize()
-
-    def wedges_c(g: pa.Table) -> pa.Table:
-        u = _to_int64(g["u"])
-        v = _to_int64(g["v"])
-        kv = _to_int64(g["kv"])
-        n = len(u)
-        empty_w = pa.schema([("c", pa.int64()), ("u", pa.int64()),
-                             ("v", pa.int64())]).empty_table()
-        if n == 0:
-            return empty_w
-        order = np.lexsort((v, kv, u))
-        u, v = u[order], v[order]
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        lens = np.diff(np.r_[starts, n])
-        seg_end = np.repeat(starts + lens, lens)
-        rows = np.arange(n, dtype=np.int64)
-        reps = seg_end - rows - 1
-        total = int(reps.sum())
-        if total == 0:
-            return empty_w
-        first = np.repeat(rows, reps)
-        cum = np.concatenate([[0], np.cumsum(reps)])
-        second = first + 1 + (np.arange(total, dtype=np.int64) - cum[first])
-        return pa.table({"c": pa.array(u[first]),
-                         "u": pa.array(v[first]),
-                         "v": pa.array(v[second])})
-
-    wedge_ds = grouped_apply(oriented, "u", wedges_c,
-                             num_buckets=num_buckets,
-                             batch_format="pyarrow")
+    oriented, degt = _oriented_join_path(local, num_buckets)
+    wedge_ds = _join_wedges(oriented, num_buckets, with_center=True)
     closing = oriented.map_batches(lambda t: t.select(["u", "v"]),
                                    batch_format="pyarrow",
                                    zero_copy_batch=True)
+    bjoin = _bjoin_factory(num_buckets)
     matched = bjoin(wedge_ds, closing, on=("u", "v"))
 
     def explode_corners(t: pa.Table) -> pa.Table:
@@ -1102,8 +1011,7 @@ def clustering_coefficients(edges, src: str = "src", dst: str = "dst",
     tri_tbl = grouped_apply(tri_part, "node", fold_tri,
                             num_buckets=num_buckets,
                             batch_format="pyarrow")
-    joined = _bucketed_join(degt, tri_tbl, ("node",), ("node",),
-                            "left", num_buckets)
+    joined = bjoin(degt, tri_tbl, on=("node",), how="left")
 
     def finish(t: pa.Table) -> pa.Table:
         node = _to_int64(t["node"])

@@ -40,9 +40,11 @@ __all__ = ["parse_robots", "robots_allowed", "compile_robots_map",
 
 def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     """Extract the (allow, pattern) rules of the group governing
-    ``agent``: the most specific matching ``User-agent`` group if any,
-    else the ``*`` group, else no rules.  Patterns are returned raw
-    (with ``*`` / ``$`` intact), precedence-sorted by the caller."""
+    ``agent``: the UNION of every group whose most-specific matching
+    token governs us (RFC 9309 §2.2.1 — repeated ``User-agent`` blocks
+    for the same token combine), falling back to the union of the
+    ``*`` groups, else no rules.  Patterns are returned raw (with
+    ``*`` / ``$`` intact), precedence-sorted by the caller."""
     agent = agent.lower()
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     cur_agents: list[str] = []
@@ -72,19 +74,14 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 
-    best: list[tuple[bool, str]] | None = None
-    best_len = -1
-    star: list[tuple[bool, str]] | None = None
-    for agents, rules in groups:
-        for a in agents:
-            if a == "*":
-                if star is None:
-                    star = rules
-            elif a in agent and len(a) > best_len:
-                best, best_len = rules, len(a)
-    if best is not None:
-        return best
-    return star if star is not None else []
+    best_len = max((len(a) for agents, _ in groups for a in agents
+                    if a != "*" and a in agent), default=-1)
+    if best_len >= 0:
+        return [r for agents, rules in groups for r in rules
+                if any(a != "*" and a in agent and len(a) == best_len
+                       for a in agents)]
+    return [r for agents, rules in groups for r in rules
+            if "*" in agents]
 
 
 def _rule_regex(pattern: str) -> re.Pattern:
@@ -124,15 +121,20 @@ def robots_allowed(compiled: dict[str, list], host: str,
     return True
 
 
+# RFC 9309 matches over path + query (everything after the authority,
+# fragment excluded) — NOT the bare path
+_PATHQ_PAT = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^#]*)"
+
+
 def robots_filter(ds, robots: dict[str, str], url_col: str = "url",
                   agent: str = "*", keep_blocked: bool = False):
     """Drop (or keep, with ``keep_blocked``) URLs a host's robots.txt
     disallows for ``agent``.  Rules compile once on the driver and
-    broadcast; each batch buckets its URLs by host and applies that
-    host's few patterns vectorized over the host's slice (one
-    ``re.Pattern`` scan per (host-in-batch, rule) — the rule count per
-    host is tiny next to the URL stream)."""
-    from logray.functions.urlops import _PATH_PAT, _extract_str, host_array
+    broadcast; each batch buckets its URLs by host and evaluates each
+    rule ONCE over that host's undecided slice (one compiled-regex pass
+    per (host-in-batch, rule) — the rule count per host is tiny next
+    to the URL stream).  Matching is over path+query per RFC 9309."""
+    from logray.functions.urlops import _extract_str, host_array
 
     compiled = compile_robots_map(robots, agent)
     comp_ref = ray.put(compiled)
@@ -143,7 +145,8 @@ def robots_filter(ds, robots: dict[str, str], url_col: str = "url",
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         hosts = host_array(arr).to_numpy(zero_copy_only=False)
-        paths = _extract_str(arr, _PATH_PAT).to_numpy(zero_copy_only=False)
+        paths = _extract_str(arr, _PATHQ_PAT).to_numpy(
+            zero_copy_only=False)
         allowed = np.ones(len(hosts), np.bool_)
         order = np.argsort(hosts, kind="stable")
         sh = hosts[order]
@@ -156,16 +159,19 @@ def robots_filter(ds, robots: dict[str, str], url_col: str = "url",
             if not rules:
                 continue
             idx = order[lo:hi]
+            hp = [paths[j] or "/" for j in idx]
             undecided = np.ones(hi - lo, np.bool_)
             verdict = np.ones(hi - lo, np.bool_)
             for allow, _, rx in rules:
-                if not undecided.any():
+                live = np.flatnonzero(undecided)
+                if not len(live):
                     break
-                for j in np.flatnonzero(undecided):
-                    p = paths[idx[j]] or "/"
-                    if rx.match(p):
-                        verdict[j] = allow
-                        undecided[j] = False
+                m = rx.match
+                hit = np.fromiter((m(hp[j]) is not None for j in live),
+                                  np.bool_, len(live))
+                won = live[hit]
+                verdict[won] = allow
+                undecided[won] = False
             allowed[idx] = verdict
         mask = pa.array(~allowed if keep_blocked else allowed)
         return t.filter(mask)

@@ -120,9 +120,13 @@ def _parse_warc_bytes(raw: bytes, fname: str) -> pa.Table:
         cols["mime"].append(hdrs.get(b"content-type", b"").decode())
         pos = body_start + clen + 4  # CRLF CRLF record separator
         idx += 1
+    # WARC/1.1 allows fractional seconds — strip them (whole-second
+    # granularity) instead of aborting the file on one such record
+    ts_str = pc.replace_substring_regex(
+        pa.array(cols["ts"], pa.string()),
+        pattern=r"\.[0-9]+Z$", replacement="Z")
     ts = pc.cast(
-        pc.strptime(pa.array(cols["ts"], pa.string()),
-                    format="%Y-%m-%dT%H:%M:%SZ", unit="s"),
+        pc.strptime(ts_str, format="%Y-%m-%dT%H:%M:%SZ", unit="s"),
         pa.timestamp("us"))
     return pa.table({
         "warc_file": pa.array([fname] * idx, pa.string()),
@@ -197,11 +201,20 @@ def write_warc(ds, path: str, url_col: str = "url", ts_col: str = "ts",
         mimes = (t[mime_col].to_pylist() if mime_col in t.column_names
                  else ["application/octet-stream"] * len(urls))
         pays = t[payload_col].to_pylist()
-        # part name = crc32 over the block's url sequence: deterministic
-        # across reruns, distinct across blocks (same-name same-content)
-        import zlib
-        tag = zlib.crc32("\x00".join(urls).encode()) & 0xFFFFFFFF
-        part = f"part-{tag:08x}-{len(urls)}"
+        # part name = 64-bit blake2b over the serialized records:
+        # deterministic across reruns; blocks that differ ANYWHERE
+        # (urls, payloads, timestamps) get distinct names, identical
+        # blocks overwrite themselves idempotently.  (A url-only crc32
+        # collided two snapshots of the same pages and silently lost
+        # one.)  Serialize with placeholder ids first, name from the
+        # content, then re-serialize with the name-bearing ids.
+        import hashlib
+
+        blob0, _, _ = _serialize_records(
+            urls, tss, mimes, pays, [warc_type] * len(urls),
+            [""] * len(urls), False)
+        tag = hashlib.blake2b(blob0, digest_size=8).hexdigest()
+        part = f"part-{tag}-{len(urls)}"
         rec_ids = [f"urn:logray:{part}:{i}" for i in range(len(urls))]
         blob, offs, lens = _serialize_records(
             urls, tss, mimes, pays, [warc_type] * len(urls), rec_ids,

@@ -147,3 +147,40 @@ def test_robots_filter_fuzz_vs_stdlib(ray_session):
               .to_pandas()["url"])
     for u in urls:
         assert (u in got) == _stdlib_allows(txt, "x", u), (u, txt)
+
+
+def test_query_string_rules(ray_session):
+    """RFC 9309 matching is over path+query — a 'Disallow: /search?q='
+    rule must block matching URLs (stdlib parser agrees here)."""
+    import ray.data as rd
+
+    from logray.functions.robots import robots_filter
+
+    txt = "User-agent: *\nDisallow: /search?q=\nDisallow: /*?sessionid=\n"
+    urls = ["https://h/search?q=x", "https://h/search", "https://h/ok",
+            "https://h/page?sessionid=5", "https://h/page?id=5"]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls)}))
+    got = sorted(robots_filter(ds, {"h": txt}).to_pandas()["url"])
+    assert got == ["https://h/ok", "https://h/page?id=5",
+                   "https://h/search"]
+    # stdlib parser has no * wildcard support — cross-check only the
+    # literal query rule
+    for u in urls[:3]:
+        assert (u in got) == _stdlib_allows(txt, "x", u)
+
+
+def test_repeated_groups_union():
+    """Repeated User-agent blocks for the same token combine
+    (RFC 9309 §2.2.1) — rules after the first block are not dropped."""
+    txt = ("User-agent: *\nDisallow: /a\n\n"
+           "User-agent: *\nDisallow: /b\n")
+    comp = compile_robots_map({"h": txt})
+    assert not robots_allowed(comp, "h", "/a")
+    assert not robots_allowed(comp, "h", "/b")
+    assert robots_allowed(comp, "h", "/c")
+    # same for a named token
+    txt2 = ("User-agent: foo\nDisallow: /f1\n\n"
+            "User-agent: foo\nDisallow: /f2\n\n"
+            "User-agent: *\nDisallow: /g\n")
+    assert sorted(parse_robots(txt2, "foobot")) == [(False, "/f1"),
+                                                    (False, "/f2")]

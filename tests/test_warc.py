@@ -146,3 +146,36 @@ def test_warc_cdx_uncompressed(ray_session, tmp_path):
     rec = fetch_warc_record(r["warc_file"], int(r["offset"]),
                             int(r["length"]))
     assert bytes(rec["payload"]) == b"bb"
+
+
+def test_warc_same_urls_different_payloads_no_collision(ray_session,
+                                                        tmp_path):
+    """Two blocks with IDENTICAL url sequences but different payloads
+    (two crawl snapshots of the same pages) must write two distinct
+    part files — the part name hashes the serialized CONTENT, not the
+    urls."""
+    import ray.data as rd
+
+    from logray.sources.warc import read_warc, write_warc
+
+    t1 = pa.table({"url": ["https://x/1", "https://x/2"],
+                   "payload": pa.array([b"v1a", b"v1b"], pa.binary())})
+    t2 = pa.table({"url": ["https://x/1", "https://x/2"],
+                   "payload": pa.array([b"v2a", b"v2b"], pa.binary())})
+    stats = write_warc(rd.from_arrow([t1, t2]), str(tmp_path / "w"))
+    assert stats["files"] == 2 and stats["records"] == 4
+    back = read_warc(str(tmp_path / "w")).to_pandas()
+    assert sorted(bytes(p) for p in back["payload"]) == \
+        [b"v1a", b"v1b", b"v2a", b"v2b"]
+
+
+def test_warc_fractional_second_date(ray_session, tmp_path):
+    from logray.sources.warc import read_warc
+
+    (tmp_path / "f.warc").write_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <i>\r\n"
+        b"WARC-Date: 2020-01-02T03:04:05.123456Z\r\n"
+        b"WARC-Target-URI: https://f/\r\nContent-Type: t\r\n"
+        b"Content-Length: 2\r\n\r\nok\r\n\r\n")
+    got = read_warc(str(tmp_path / "f.warc")).to_pandas()
+    assert got["ts"][0] == datetime.datetime(2020, 1, 2, 3, 4, 5)
