@@ -3299,6 +3299,15 @@ _ROBOTS_PATHS = ["/", "/private/x", "/private/ok", "/docs/f.pdf", "/tmp/y"]
 _ROBOTS_ALLOWED = (0, 2)  # "/" and the longest-match Allow /private/ok
 
 
+def _q_graph_kcore(sf_dir: str):
+    """3-core membership of the event web-graph (iterative peeling —
+    link-farm / density pruning).  Rows-only (fixpoint not
+    SQL-expressible); both regimes pinned vs brute force in tests."""
+    from logray.functions.graph import kcore_members
+
+    return kcore_members(_graph_edges(sf_dir), k=3)
+
+
 def _q_robots_filter(sf_dir: str):
     """Crawl-politeness gate: deterministic per-doc URLs through the
     robots.txt filter (rules compiled once + broadcast, per-host
@@ -3521,6 +3530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank_weighted": _q_graph_pagerank_weighted,
         "graph_hits": _q_graph_hits,
         "graph_clustering": _q_graph_clustering,
+        "graph_kcore": _q_graph_kcore,
         "robots_filter_docs": _q_robots_filter,
         "crawl_rank_docs": _q_crawl_rank,
         "anchor_text_links": _q_anchor_text,

@@ -50,6 +50,7 @@ from logray.functions.graph import (
     anchor_text_table,
     clustering_coefficients,
     hits,
+    kcore_members,
     connected_components_graph,
     degree_table,
     pagerank,
@@ -180,6 +181,7 @@ __all__ = [
     "anchor_text_table",
     "hits",
     "clustering_coefficients",
+    "kcore_members",
     "sentence_split",
     "normalize_nfc",
     "json_extract_field",

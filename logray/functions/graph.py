@@ -41,6 +41,7 @@ __all__ = [
     "anchor_text_table",
     "hits",
     "clustering_coefficients",
+    "kcore_members",
 ]
 
 
@@ -1069,3 +1070,110 @@ def clustering_coefficients_sql(table: str, src: str = "src",
         FROM degs d LEFT JOIN corner_counts t USING ({node_col})
         ORDER BY d.{node_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# k-core membership
+# ---------------------------------------------------------------------------
+
+def kcore_members(edges, k: int, src: str = "src", dst: str = "dst",
+                  node_col: str = "node", num_buckets: int = 32,
+                  max_broadcast: int = 100_000_000,
+                  max_rounds: int = 10_000):
+    """Nodes of the ``k``-core of the undirected simple graph — the
+    maximal subgraph where every node has degree >= k (Seidman 1983;
+    the standard link-farm / community-density pruning signal: a page
+    outside the 2-core is leaf-like, a dense spam clique survives deep
+    cores).  Returns a one-column ``(node)`` Dataset.
+
+    Iterative peeling: drop nodes with degree < k and their incident
+    edges until a fixpoint.  Broadcast regime (same gate as
+    :func:`triangle_count`): the whole loop is driver-side numpy over
+    the distinct-edge arrays — each round one mask, no exchanges.
+    Fallback (URL-graph scale): each round is one narrow degree census
+    (bucket fold) + a broadcast drop-set filter over the edge Dataset;
+    rounds are bounded by the peeling depth (typically tens).
+    """
+    if k < 0:
+        raise ValueError("kcore_members: k must be >= 0")
+    import ray.data as rd
+
+    local = _canon_local(edges, src, dst)
+    empty = pa.schema([(node_col, pa.int64())]).empty_table()
+
+    if local.count() <= max_broadcast:
+        parts = [t for t in ray.get(local.to_arrow_refs())
+                 if t.num_columns and t.num_rows]
+        if not parts:
+            return rd.from_arrow(empty)
+        et = pa.concat_tables(parts).combine_chunks()
+        a = pc.cast(et["a"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(et["b"], pa.int64()).to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        a, b = a[first], b[first]
+        nodes = np.unique(np.concatenate([a, b]))
+        ra = np.searchsorted(nodes, a)
+        rb = np.searchsorted(nodes, b)
+        alive_e = np.ones(len(ra), np.bool_)
+        alive_n = np.ones(len(nodes), np.bool_)
+        while True:
+            deg = np.zeros(len(nodes), np.int64)
+            np.add.at(deg, ra[alive_e], 1)
+            np.add.at(deg, rb[alive_e], 1)
+            drop = alive_n & (deg < k)
+            if not drop.any():
+                break
+            alive_n &= ~drop
+            alive_e &= alive_n[ra] & alive_n[rb]
+        return rd.from_arrow(pa.table({
+            node_col: pa.array(nodes[alive_n])}))
+
+    # distributed fallback: iterate degree census + broadcast drop set
+    def fold_canon(g: pa.Table) -> pa.Table:
+        return g.group_by(["a", "b"]).aggregate([])
+
+    cur = grouped_apply(local, "a", fold_canon,
+                        num_buckets=num_buckets,
+                        batch_format="pyarrow").materialize()
+    for _ in range(max_rounds):
+        deg = degree_table(cur, src="a", dst="b", node_col="node",
+                           num_buckets=num_buckets)
+        drop_tbl = deg.map_batches(
+            lambda t: t.filter(pc.less(t["deg"], k)).select(["node"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        drops = [t for t in ray.get(drop_tbl.to_arrow_refs())
+                 if t.num_columns and t.num_rows]
+        if not drops:
+            break
+        dropped = np.sort(pa.concat_tables(drops)["node"]
+                          .combine_chunks().to_numpy(zero_copy_only=False))
+        drop_ref = ray.put(dropped)
+
+        def keep_edges(t: pa.Table) -> pa.Table:
+            dr = ray.get(drop_ref)
+            a2 = _to_int64(t["a"])
+            b2 = _to_int64(t["b"])
+
+            def hit(x):
+                p = np.searchsorted(dr, x)
+                h = p < len(dr)
+                h[h] = dr[p[h]] == x[h]
+                return h
+
+            return t.filter(pa.array(~(hit(a2) | hit(b2))))
+
+        cur = cur.map_batches(keep_edges, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    else:
+        raise RuntimeError("kcore_members: did not converge within "
+                           f"{max_rounds} rounds")
+
+    deg = degree_table(cur, src="a", dst="b", node_col="node",
+                       num_buckets=num_buckets)
+    surv = deg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["deg"], k))
+                   .select(["node"]).rename_columns([node_col]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return surv

@@ -148,9 +148,12 @@ def read_warc(paths, **read_kwargs):
     row per file; gzip members decompress as one stream (multi-member
     gzip is self-delimiting).  Each file parses independently — the
     stage fuses into downstream maps and scales with file count.
+    Only ``warc`` / ``gz`` extensions are read, so a ``cdx/`` parquet
+    sidecar inside the archive directory is skipped, not mis-parsed.
     """
     import ray.data as rd
 
+    read_kwargs.setdefault("file_extensions", ["warc", "gz"])
     ds = rd.read_binary_files(paths, include_paths=True, **read_kwargs)
 
     def parse(t: pa.Table) -> pa.Table:

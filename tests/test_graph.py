@@ -516,3 +516,49 @@ def test_crawl_rank_composition_deterministic(ray_session):
     assert len(a) == 20
     assert (a["rank"].to_numpy()[:-1] >= a["rank"].to_numpy()[1:]).all()
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# k-core membership
+# ---------------------------------------------------------------------------
+
+def _kcore_brute(src, dst, k):
+    es = {(min(int(a), int(b)), max(int(a), int(b)))
+          for a, b in zip(src, dst) if a != b}
+    alive = {v for e in es for v in e}
+    cur = set(es)
+    while True:
+        deg = {}
+        for x, y in cur:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        drop = {v for v in alive if deg.get(v, 0) < k}
+        if not drop:
+            return sorted(alive)
+        alive -= drop
+        cur = {(x, y) for x, y in cur if x in alive and y in alive}
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "fallback"])
+@pytest.mark.parametrize("seed,n,m,k", [(50, 15, 60, 2), (51, 25, 90, 3),
+                                        (52, 10, 14, 2)])
+def test_kcore_matches_brute(ray_session, mode, seed, n, m, k):
+    from logray.functions.graph import kcore_members
+
+    src, dst = _rand_graph(seed, n, m)
+    kw = {"max_broadcast": 0} if mode == "fallback" else {}
+    got = kcore_members(_edges_ds(src, dst), k, num_buckets=4,
+                        **kw).to_pandas()
+    assert sorted(got["node"]) == _kcore_brute(src, dst, k)
+
+
+def test_kcore_clique_plus_tail(ray_session):
+    from logray.functions.graph import kcore_members
+
+    # K4 clique (nodes 0-3) with a pendant path 3-4-5: 3-core = the clique
+    src = [0, 0, 0, 1, 1, 2, 3, 4]
+    dst = [1, 2, 3, 2, 3, 3, 4, 5]
+    got = kcore_members(_edges_ds(src, dst), 3).to_pandas()
+    assert sorted(got["node"]) == [0, 1, 2, 3]
+    got1 = kcore_members(_edges_ds(src, dst), 1).to_pandas()
+    assert sorted(got1["node"]) == [0, 1, 2, 3, 4, 5]

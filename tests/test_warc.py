@@ -179,3 +179,13 @@ def test_warc_fractional_second_date(ray_session, tmp_path):
         b"Content-Length: 2\r\n\r\nok\r\n\r\n")
     got = read_warc(str(tmp_path / "f.warc")).to_pandas()
     assert got["ts"][0] == datetime.datetime(2020, 1, 2, 3, 4, 5)
+
+
+def test_read_warc_skips_cdx_sidecar(ray_session, tmp_path):
+    """read_warc on a cdx=True archive directory must skip the parquet
+    sidecars (regression: they were parsed as WARC and raised)."""
+    from logray.sources.warc import read_warc, write_warc
+
+    write_warc(_docs_ds([b"a", b"b"]), str(tmp_path / "w"), cdx=True)
+    got = read_warc(str(tmp_path / "w")).to_pandas()
+    assert len(got) == 2

@@ -511,6 +511,89 @@ def main() -> int:
     timed("graph_pagerank", graph_pagerank_52m)
     timed("graph_triangles", graph_triangles_52m)
 
+    # --- anchor-text aggregation over 52M synthetic links ---------------
+    def anchor_text_52m():
+        import numpy as np
+        import pyarrow as pa
+
+        from logray.functions.fingerprint import content_hash
+        from logray.functions.graph import anchor_text_table
+
+        def derive(t):
+            h = content_hash(t["conv_id"]).astype(np.int64) \
+                & 0x7FFFFFFFFFFFFFFF
+            ti = t["turn_idx"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({"dst": pa.array((h * 31 + ti) % _GM),
+                             "anchor": t["role"]})
+
+        links = read(["conv_id", "turn_idx", "role"]).map_batches(
+            derive, batch_format="pyarrow", zero_copy_batch=True)
+        return anchor_text_table(links, n_top=3, num_buckets=64).count()
+
+    timed("anchor_text", anchor_text_52m)
+
+    # --- robots politeness filter over 52M URLs --------------------------
+    def robots_52m():
+        import numpy as np
+        import pyarrow as pa
+
+        from logray.functions.robots import robots_filter
+
+        paths = np.array(["/", "/private/x", "/private/ok",
+                          "/docs/f.pdf", "/tmp/y"])
+        robots = {"crawl.example": ("User-agent: *\nDisallow: /private/\n"
+                                    "Allow: /private/ok\n"
+                                    "Disallow: /*.pdf$\nDisallow: /tmp\n")}
+
+        def add_url(t):
+            ti = t["turn_idx"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            urls = np.char.add("https://crawl.example",
+                               paths[ti % 5])
+            return pa.table({"url": pa.array(urls)})
+
+        ds = read(["turn_idx"]).map_batches(
+            add_url, batch_format="pyarrow", zero_copy_batch=True)
+        return robots_filter(ds, robots).count()
+
+    timed("robots_filter", robots_52m)
+
+    # --- WARC sink+source round-trip at a 3.2M-record slice (payload-
+    # heavy: the serialized archive is ~the corpus text size) ------------
+    def warc_12m():
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc2
+
+        from logray.sources.warc import read_warc, write_warc
+
+        sub = files[:max(1, len(files) // 16)]
+        out = tempfile.mkdtemp(prefix="logray_smoke_warc_",
+                               dir="/tmp/logray_bench")
+        shutil.rmtree(out)
+
+        def to_rec(t):
+            rid = pc2.binary_join_element_wise(
+                t["conv_id"], pc2.cast(t["turn_idx"], pa.string()), "#")
+            url = pc2.binary_join_element_wise(
+                pa.scalar("https://c.example/"), rid, pa.scalar(""))
+            return pa.table({"url": url,
+                             "payload": pc2.cast(t["text"], pa.binary())})
+
+        ds = rd.read_parquet(sub, columns=["conv_id", "turn_idx", "text"],
+                             override_num_blocks=len(sub)) \
+               .map_batches(to_rec, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        write_warc(ds, out, compress=True, cdx=True)
+        n = read_warc(out).count()
+        shutil.rmtree(out, ignore_errors=True)
+        return n
+
+    timed("warc_roundtrip", warc_12m)
+
     print(json.dumps({"rows": rows, "num_cpus": ncpu, "families": results}))
     ray.shutdown()
     return 0
