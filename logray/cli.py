@@ -288,7 +288,7 @@ def cmd_graph(args) -> int:
 
     import ray.data as rd
 
-    if args.op != "triangles":
+    if args.op not in ("triangles",):
         if not args.out:
             print("graph: --out is required for ops that write "
                   "(degrees/components/pagerank/hits)", file=sys.stderr)
@@ -321,6 +321,14 @@ def cmd_graph(args) -> int:
         out.write_parquet(args.out)
         print(json.dumps({"nodes": rd.read_parquet(args.out).count(),
                           "n_iter": args.n_iter, "damping": args.damping}))
+    elif args.op == "kcore":
+        from logray.functions.graph import kcore_members
+
+        out = kcore_members(ds, args.k, src=args.src_col,
+                            dst=args.dst_col)
+        out.write_parquet(args.out)
+        print(json.dumps({"nodes": rd.read_parquet(args.out).count(),
+                          "k": args.k}))
     elif args.op == "hits":
         from logray.functions.graph import hits
 
@@ -658,13 +666,14 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("graph", help="web-graph analytics over an edge parquet")
     sp.add_argument("op", choices=["degrees", "components", "pagerank",
-                                   "triangles", "hits"])
+                                   "triangles", "hits", "kcore"])
     sp.add_argument("input")
     sp.add_argument("--out", default="")
     sp.add_argument("--src-col", default="src")
     sp.add_argument("--dst-col", default="dst")
     sp.add_argument("--damping", type=float, default=0.85)
     sp.add_argument("--n-iter", type=int, default=20)
+    sp.add_argument("--k", type=int, default=2)
     sp.add_argument("--num-cpus", type=int, default=None)
     sp.set_defaults(fn=cmd_graph)
 

@@ -374,6 +374,17 @@ def test_cli_graph(tmp_path):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["nodes"] == 5 and out["n_iter"] == 5
 
+    # 2-core of triangle 1-2-3 + pendant edge 4-5 = the triangle
+    r = _cli("--num-cpus", "2", "graph", "kcore", str(edges),
+             "--out", str(tmp_path / "kc"), "--k", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out == {"nodes": 3, "k": 2}
+
+    # writing op without --out refuses
+    r = _cli("--num-cpus", "2", "graph", "degrees", str(edges))
+    assert r.returncode == 2 and "--out is required" in r.stderr
+
 
 def test_cli_curate(tmp_path):
     """The composed curation verb: PII + badwords flag + classifier +
