@@ -1,13 +1,15 @@
 """Web-graph analytics over edge tables ``(src, dst)``.
 
 The crawl loop that :func:`logray.functions.urlops.extract_links` feeds
-needs graph signals to curate with: PageRank for quality-weighted sampling
-and frontier prioritization (Page et al. 1999, the form CommonCrawl-style
-curation uses for host ranking), connected components to collapse mirror
-clusters, degree tables for hub/spam heuristics, and triangle counts as
-the standard clustering-coefficient ingredient (node-iterator++ with
-degree orientation, Schank & Wagner 2005 — the variant whose per-node
-work is bounded by O(sqrt(E)) regardless of hot nodes).
+needs graph signals to curate with: PageRank — uniform, edge-weighted
+and personalized/TrustRank — for quality-weighted sampling and frontier
+prioritization (Page et al. 1999; Haveliwala 2002), HITS hubs &
+authorities (Kleinberg 1999), connected components to collapse mirror
+clusters, degree and anchor-text tables for hub/spam heuristics and
+retrieval, exact triangle counts and per-node clustering coefficients
+(node-iterator++ with degree orientation, Schank & Wagner 2005 — the
+variant whose per-node work is bounded by O(sqrt(E)) regardless of hot
+nodes; Watts & Strogatz 1998), and k-core pruning (Seidman 1983).
 
 Scale shape shared by the family: the edge list is the only large input
 and it moves AT MOST ONCE — either one narrow ``hash % B`` bucket
