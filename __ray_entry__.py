@@ -3299,6 +3299,15 @@ _ROBOTS_PATHS = ["/", "/private/x", "/private/ok", "/docs/f.pdf", "/tmp/y"]
 _ROBOTS_ALLOWED = (0, 2)  # "/" and the longest-match Allow /private/ok
 
 
+def _q_sample_neighbors(sf_dir: str):
+    """GraphSAGE-style fan-out sampling of the event web-graph: keep at
+    most 2 out-edges per source by the shared-algebra seeded hash —
+    exact vs the identical row_number window in SQL."""
+    from logray.functions.graph import sample_neighbors
+
+    return sample_neighbors(_graph_edges(sf_dir), k=2, seed=7)
+
+
 def _q_graph_kcore(sf_dir: str):
     """3-core membership of the event web-graph (iterative peeling —
     link-farm / density pruning).  Rows-only (fixpoint not
@@ -3531,6 +3540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits": _q_graph_hits,
         "graph_clustering": _q_graph_clustering,
         "graph_kcore": _q_graph_kcore,
+        "sample_neighbors_links": _q_sample_neighbors,
         "robots_filter_docs": _q_robots_filter,
         "crawl_rank_docs": _q_crawl_rank,
         "anchor_text_links": _q_anchor_text,
@@ -3699,6 +3709,7 @@ def oracle_sql() -> dict[str, str]:
     from logray.functions.urlops import extract_links_sql
     from logray.functions.graph import (
         anchor_text_sql,
+        sample_neighbors_sql,
         clustering_coefficients_sql,
         connected_components_sql,
         degree_table_sql,
@@ -4245,6 +4256,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": connected_components_sql(_GRAPH_EDGES_SQL),
         "graph_triangles": triangle_count_sql(_GRAPH_EDGES_SQL),
         "graph_clustering": clustering_coefficients_sql(_GRAPH_EDGES_SQL),
+        "sample_neighbors_links": sample_neighbors_sql(
+            _GRAPH_EDGES_SQL, k=2, seed=7),
         "robots_filter_docs": f"""
             SELECT doc_id,
                    'https://crawl.example' ||

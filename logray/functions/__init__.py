@@ -51,6 +51,7 @@ from logray.functions.graph import (
     clustering_coefficients,
     hits,
     kcore_members,
+    sample_neighbors,
     connected_components_graph,
     degree_table,
     pagerank,
@@ -182,6 +183,7 @@ __all__ = [
     "hits",
     "clustering_coefficients",
     "kcore_members",
+    "sample_neighbors",
     "sentence_split",
     "normalize_nfc",
     "json_extract_field",

@@ -44,6 +44,7 @@ __all__ = [
     "hits",
     "clustering_coefficients",
     "kcore_members",
+    "sample_neighbors",
 ]
 
 
@@ -1179,3 +1180,67 @@ def kcore_members(edges, k: int, src: str = "src", dst: str = "dst",
                    .select(["node"]).rename_columns([node_col]),
         batch_format="pyarrow", zero_copy_batch=True)
     return surv
+
+
+# ---------------------------------------------------------------------------
+# seeded neighbor sampling (GNN fan-out)
+# ---------------------------------------------------------------------------
+
+def sample_neighbors(edges, k: int, seed: int = 0, src: str = "src",
+                     dst: str = "dst", num_buckets: int = 32):
+    """Keep at most ``k`` out-edges per source — the GraphSAGE-style
+    fan-out sampler (Hamilton et al. 2017) that bounds per-node
+    neighborhood size before training-data extraction.  Deterministic:
+    edge priority is the shared-algebra hash
+    ``(src*40503 + dst*(10007 + seed*97)) % 1000003`` (ties broken by
+    dst), so the kept set is a pure function of (edge set, k, seed) —
+    identical under any partitioning AND expressible verbatim in SQL,
+    which is what makes the oracle exact (node-id magnitudes up to
+    ~2^44 keep the int64 algebra overflow-free on both sides).
+
+    One ``hash(src) % B`` co-location, then a segmented vectorized
+    top-k per source inside each bucket; output is (src, dst) edges.
+    """
+    if k <= 0:
+        raise ValueError("sample_neighbors: k must be >= 1")
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({src: pa.array(_to_int64(t[src])),
+                         dst: pa.array(_to_int64(t[dst]))})
+
+    def pick(g: pa.Table) -> pa.Table:
+        s = _to_int64(g[src])
+        d = _to_int64(g[dst])
+        if not len(s):
+            return pa.schema([(src, pa.int64()),
+                              (dst, pa.int64())]).empty_table()
+        h = (s * 40503 + d * (10007 + seed * 97)) % 1000003
+        order = np.lexsort((d, h, s))
+        s, d = s[order], d[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        m = len(s)
+        rank = (np.arange(m, dtype=np.int64)
+                - np.repeat(starts, np.diff(np.r_[starts, m])))
+        keep = rank < k
+        return pa.table({src: pa.array(s[keep]), dst: pa.array(d[keep])})
+
+    narrowed = edges.map_batches(narrow, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return grouped_apply(narrowed, src, pick, num_buckets=num_buckets,
+                         batch_format="pyarrow")
+
+
+def sample_neighbors_sql(table: str, k: int, seed: int = 0,
+                         src: str = "src", dst: str = "dst") -> str:
+    """DuckDB twin of :func:`sample_neighbors` (same hash algebra)."""
+    return f"""
+        SELECT {src}, {dst} FROM (
+            SELECT {src}, {dst},
+                   row_number() OVER (
+                       PARTITION BY {src}
+                       ORDER BY ({src}*40503 + {dst}*(10007 + {seed}*97))
+                                % 1000003, {dst}) AS rk
+            FROM {table})
+        WHERE rk <= {k}
+        ORDER BY {src}, {dst}
+    """
