@@ -3308,6 +3308,24 @@ def _q_sample_neighbors(sf_dir: str):
     return sample_neighbors(_graph_edges(sf_dir), k=2, seed=7)
 
 
+def _q_khop(sf_dir: str):
+    """2-hop ego-net edges from seeds {0,1,2} over the event web-graph
+    (GNN subgraph extraction; no fanout cap so the recursive min-hop
+    CTE twin is exact)."""
+    from logray.functions.graph import khop_edges
+
+    return khop_edges(_graph_edges(sf_dir), [0, 1, 2], hops=2)
+
+
+def _q_triangles_approx(sf_dir: str):
+    """DOULION edge-sparsified triangle estimate (p=0.5, seeded
+    splitmix coin).  Rows-only: the estimator's distribution is pinned
+    by unbiasedness tests; p=1 equals the exact counter by test."""
+    from logray.functions.graph import triangle_count_approx
+
+    return triangle_count_approx(_graph_edges(sf_dir), p=0.5, seed=3)
+
+
 def _q_graph_kcore(sf_dir: str):
     """3-core membership of the event web-graph (iterative peeling —
     link-farm / density pruning).  Rows-only (fixpoint not
@@ -3541,6 +3559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_clustering": _q_graph_clustering,
         "graph_kcore": _q_graph_kcore,
         "sample_neighbors_links": _q_sample_neighbors,
+        "khop_links": _q_khop,
+        "graph_triangles_approx": _q_triangles_approx,
         "robots_filter_docs": _q_robots_filter,
         "crawl_rank_docs": _q_crawl_rank,
         "anchor_text_links": _q_anchor_text,
@@ -4258,6 +4278,23 @@ def oracle_sql() -> dict[str, str]:
         "graph_clustering": clustering_coefficients_sql(_GRAPH_EDGES_SQL),
         "sample_neighbors_links": sample_neighbors_sql(
             _GRAPH_EDGES_SQL, k=2, seed=7),
+        "khop_links": f"""
+            WITH RECURSIVE
+            ge AS (SELECT * FROM {_GRAPH_EDGES_SQL}),
+            seeds(node) AS (VALUES (0), (1), (2)),
+            reach(node, hop) AS (
+                SELECT node, 0 FROM seeds
+                UNION
+                SELECT ge.dst, r.hop + 1
+                FROM reach r JOIN ge ON ge.src = r.node
+                WHERE r.hop + 1 <= 1
+            ),
+            mh AS (SELECT node, MIN(hop) AS hop FROM reach GROUP BY node)
+            SELECT ge.src, ge.dst, CAST(mh.hop + 1 AS BIGINT) AS hop
+            FROM ge JOIN mh ON ge.src = mh.node
+            WHERE mh.hop + 1 <= 2
+            ORDER BY 1, 2, 3
+        """,
         "robots_filter_docs": f"""
             SELECT doc_id,
                    'https://crawl.example' ||

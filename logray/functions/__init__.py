@@ -52,6 +52,8 @@ from logray.functions.graph import (
     hits,
     kcore_members,
     sample_neighbors,
+    triangle_count_approx,
+    khop_edges,
     connected_components_graph,
     degree_table,
     pagerank,
@@ -184,6 +186,8 @@ __all__ = [
     "clustering_coefficients",
     "kcore_members",
     "sample_neighbors",
+    "triangle_count_approx",
+    "khop_edges",
     "sentence_split",
     "normalize_nfc",
     "json_extract_field",

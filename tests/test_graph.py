@@ -610,3 +610,86 @@ def test_sample_neighbors_bounds_and_determinism(ray_session):
     c1 = sample_neighbors(_edges_ds(ws, wd), k=4, seed=1).to_pandas()
     c2 = sample_neighbors(_edges_ds(ws, wd), k=4, seed=2).to_pandas()
     assert key(c1) != key(c2)
+
+
+# ---------------------------------------------------------------------------
+# approximate triangles + k-hop ego nets
+# ---------------------------------------------------------------------------
+
+def test_triangle_approx_p1_equals_exact(ray_session):
+    from logray.functions.graph import triangle_count, triangle_count_approx
+
+    src, dst = _rand_graph(70, 20, 120)
+    exact = triangle_count(_edges_ds(src, dst)).to_pandas()["triangles"][0]
+    est = triangle_count_approx(_edges_ds(src, dst), p=1.0).to_pandas()
+    assert est["triangles_est"][0] == exact == est["sampled_triangles"][0]
+
+
+def test_triangle_approx_unbiased_ballpark(ray_session):
+    from logray.functions.graph import triangle_count, triangle_count_approx
+
+    # dense-ish graph with many triangles; average over seeds
+    rng = np.random.default_rng(71)
+    src = rng.integers(0, 30, 600).astype(np.int64)
+    dst = rng.integers(0, 30, 600).astype(np.int64)
+    exact = triangle_count(_edges_ds(src, dst)).to_pandas()["triangles"][0]
+    ests = [triangle_count_approx(_edges_ds(src, dst), p=0.7,
+                                  seed=s).to_pandas()["triangles_est"][0]
+            for s in range(5)]
+    mean = sum(ests) / len(ests)
+    assert exact > 100
+    assert abs(mean - exact) / exact < 0.35  # coarse unbiasedness check
+
+
+def _khop_brute(src, dst, seeds, hops):
+    adj = {}
+    for a, b in zip(src, dst):
+        adj.setdefault(int(a), set()).add(int(b))
+    frontier = set(seeds)
+    seen = set(seeds)
+    out = set()
+    for hop in range(1, hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                out.add((u, v, hop))
+                nxt.add(v)
+        frontier = nxt - seen
+        seen |= frontier
+        if not frontier:
+            break
+    return out
+
+
+@pytest.mark.parametrize("seed,hops", [(72, 1), (73, 2), (74, 3)])
+def test_khop_matches_brute_no_fanout(ray_session, seed, hops):
+    from logray.functions.graph import khop_edges
+
+    src, dst = _rand_graph(seed, 40, 120)
+    seeds = [0, 1]
+    got = khop_edges(_edges_ds(src, dst), seeds, hops=hops).to_pandas()
+    got_set = set(map(tuple, got[["src", "dst", "hop"]]
+                      .drop_duplicates().to_numpy()))
+    want = _khop_brute(src, dst, seeds, hops)
+    assert got_set == want
+
+
+def test_khop_fanout_bounds_and_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from logray.functions.graph import khop_edges
+
+    rng = np.random.default_rng(75)
+    src = rng.integers(0, 15, 400).astype(np.int64)
+    dst = rng.integers(0, 400, 400).astype(np.int64)
+    a = khop_edges(_edges_ds(src, dst), [0], hops=2, fanout=3,
+                   seed=9).to_pandas()
+    per_src_hop = a.drop_duplicates().groupby(["src", "hop"]).size()
+    assert (per_src_hop <= 3).all()
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    perm = np.random.default_rng(3).permutation(400)
+    t2 = t.take(pa.array(perm))
+    parts = rd.from_arrow([t2.slice(0, 130), t2.slice(130)])
+    b = khop_edges(parts, [0], hops=2, fanout=3, seed=9).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["src", "dst", "hop"]].to_numpy()))
+    assert key(a) == key(b)
