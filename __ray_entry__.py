@@ -3448,6 +3448,55 @@ def _q_warc_roundtrip(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def _q_warc_select(sf_dir: str):
+    """CDX-driven selective archive read: write documents as WARC+CDX
+    once, then point-fetch ONLY the doc_id % 7 == 0 records by
+    byte-range — O(selected), never O(archive).  Exact vs the plain
+    WHERE filter."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.sources.warc import read_warc_select, write_warc
+
+    out = f"/tmp/logray_warc_sel_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_records(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://corpus.example/doc/"), ids, pa.scalar(""))
+        return pa.table({"url": url,
+                         "payload": pc.cast(t["text"], pa.binary())})
+
+    write_warc(ds.map_batches(to_records, batch_format="pyarrow",
+                              zero_copy_batch=True),
+               out, cdx=True)
+
+    ids = [r["doc_id"] for r in
+           rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).take_all()
+           if r["doc_id"] % 7 == 0]
+    urls = [f"https://corpus.example/doc/{i}" for i in ids]
+    back = read_warc_select(out, urls=urls)
+
+    def decode(t: pa.Table) -> pa.Table:
+        prefix = len("https://corpus.example/doc/")
+        doc_id = pc.cast(pc.utf8_slice_codeunits(t["url"], prefix),
+                         pa.int64())
+        return pa.table({"doc_id": doc_id,
+                         "text": pc.cast(t["payload"], pa.string())})
+
+    return back.map_batches(decode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def _q_graph_pagerank(sf_dir: str):
     """PageRank over the event web-graph — edges pushed once into
     per-shard actor CSRs, then 20 iterations of narrow rank messages.
@@ -3565,6 +3614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_rank_docs": _q_crawl_rank,
         "anchor_text_links": _q_anchor_text,
         "warc_roundtrip_docs": _q_warc_roundtrip,
+        "warc_select_docs": _q_warc_select,
         "rebalance_docs": _q_rebalance_docs,
         "rebalance_resumable_docs": _q_rebalance_resumable_docs,
         "embedding_dups": _q_embedding_dups,
@@ -4313,6 +4363,8 @@ def oracle_sql() -> dict[str, str]:
                         event_type AS anchor
                  FROM events)"""),
         "warc_roundtrip_docs": "SELECT doc_id, text FROM documents",
+        "warc_select_docs":
+            "SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0",
         "rebalance_docs": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             ORDER BY doc_id

@@ -5,6 +5,7 @@ from logray.sources.warc import (
     fetch_warc_record,
     read_warc,
     read_warc_cdx,
+    read_warc_select,
     write_warc,
 )
 from logray.sources.transcripts import (
@@ -28,6 +29,7 @@ __all__ = [
     "WARC_SCHEMA",
     "read_warc",
     "read_warc_cdx",
+    "read_warc_select",
     "fetch_warc_record",
     "write_warc",
 ]

@@ -31,9 +31,10 @@ import io
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 __all__ = ["read_warc", "write_warc", "read_warc_cdx",
-           "fetch_warc_record", "WARC_SCHEMA"]
+           "read_warc_select", "fetch_warc_record", "WARC_SCHEMA"]
 
 WARC_SCHEMA = pa.schema([
     ("warc_file", pa.string()),
@@ -277,3 +278,65 @@ def fetch_warc_record(warc_file: str, offset: int, length: int) -> dict:
     row = {k: t[k][0].as_py() for k in t.column_names}
     row["rec_idx"] = None  # positional index is file-scoped, not known here
     return row
+
+
+def read_warc_select(path, urls=None, **read_kwargs):
+    """Selective archive read driven by the CDX index: load ONLY the
+    records whose url is in ``urls`` (None = all indexed records),
+    fetching each with a byte-range read — O(selected records), never
+    O(archive).  The cdx table streams as a Dataset; each batch of
+    index rows groups by warc_file, opens it once, seeks per record.
+
+    The scale contract: selection cost is proportional to the CDX
+    (16-100 bytes/record) plus the selected payload bytes — a 1%%
+    selection over a 1 TB archive reads ~10 GB, not 1 TB.
+    """
+    import ray.data as rd  # noqa: F401  (read_warc_cdx returns a Dataset)
+
+    idx = read_warc_cdx(path, **read_kwargs)
+    if urls is not None:
+        wanted = sorted(set(urls))
+        want_ref = ray.put(np.array(wanted, dtype=object))
+
+        def keep(t: pa.Table) -> pa.Table:
+            w = ray.get(want_ref)
+            u = t["url"]
+            if isinstance(u, pa.ChunkedArray):
+                u = u.combine_chunks()
+            uv = u.to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(w, uv)
+            hit = pos < len(w)
+            hit[hit] = w[pos[hit]] == uv[hit]
+            return t.filter(pa.array(hit))
+
+        idx = idx.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        files = t["warc_file"].to_pylist()
+        offs = t["offset"].to_pylist()
+        lens = t["length"].to_pylist()
+        order = sorted(range(len(files)),
+                       key=lambda i: (files[i], offs[i]))
+        outs = []
+        handle, handle_name = None, None
+        try:
+            for i in order:
+                if files[i] != handle_name:
+                    if handle is not None:
+                        handle.close()
+                    handle = open(files[i], "rb")
+                    handle_name = files[i]
+                handle.seek(offs[i])
+                raw = handle.read(lens[i])
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gzip.decompress(raw)
+                outs.append(_parse_warc_bytes(raw, files[i]))
+        finally:
+            if handle is not None:
+                handle.close()
+        return (pa.concat_tables(outs) if outs
+                else WARC_SCHEMA.empty_table())
+
+    return idx.map_batches(fetch, batch_format="pyarrow",
+                           zero_copy_batch=True)

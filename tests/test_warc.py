@@ -189,3 +189,21 @@ def test_read_warc_skips_cdx_sidecar(ray_session, tmp_path):
     write_warc(_docs_ds([b"a", b"b"]), str(tmp_path / "w"), cdx=True)
     got = read_warc(str(tmp_path / "w")).to_pandas()
     assert len(got) == 2
+
+
+def test_read_warc_select_point_reads(ray_session, tmp_path):
+    """CDX-driven selective read: only the requested urls come back,
+    payloads exact, and it works for both compressions."""
+    from logray.sources.warc import read_warc_select, write_warc
+
+    payloads = [f"payload {i}".encode() for i in range(30)]
+    write_warc(_docs_ds(payloads), str(tmp_path / "w"), cdx=True)
+    want = ["https://ex.com/3", "https://ex.com/17", "https://ex.com/29"]
+    got = read_warc_select(str(tmp_path / "w"), urls=want).to_pandas()
+    assert sorted(got["url"]) == sorted(want)
+    for _, r in got.iterrows():
+        i = int(r["url"].rsplit("/", 1)[1])
+        assert bytes(r["payload"]) == payloads[i]
+    # urls=None -> everything
+    allr = read_warc_select(str(tmp_path / "w")).to_pandas()
+    assert len(allr) == 30
