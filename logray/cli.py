@@ -282,16 +282,17 @@ def cmd_resample(args) -> int:
 
 def cmd_graph(args) -> int:
     """Web-graph analytics over an edge parquet (src, dst int64 columns):
-    degrees / components / pagerank / triangles."""
+    degrees / components / pagerank / hits / kcore / triangles."""
     _init_ray(args.num_cpus)
     import os
 
     import ray.data as rd
 
-    if args.op not in ("triangles",):
+    if args.op != "triangles":
         if not args.out:
             print("graph: --out is required for ops that write "
-                  "(degrees/components/pagerank/hits)", file=sys.stderr)
+                  "(degrees/components/pagerank/hits/kcore)",
+                  file=sys.stderr)
             return 2
         if os.path.isdir(args.out) and os.listdir(args.out):
             print(f"graph: --out {args.out} exists and is non-empty; "

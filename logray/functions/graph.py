@@ -457,12 +457,11 @@ def _canon_local(edges, src: str, dst: str):
                              zero_copy_batch=True).materialize()
 
 
-def _broadcast_fold(local, num_buckets: int):
-    """Driver-side fold of the batch-deduped edge set: global dedup,
-    degree census, degree orientation, dense-rank key packing, and
-    u-boundary block cuts.  Returns None for an empty graph, else
-    ``(nodes, deg, nn, keys, blocks)`` where ``blocks`` are (u, v)
-    rank-space tables whose u-segments never span blocks."""
+def _collect_canon(local):
+    """Driver-side gather + GLOBAL dedup of the batch-deduped canonical
+    edge set: sorted (a, b) int64 arrays, or None for an empty graph
+    (the broadcast-regime prologue shared by the triangle/clustering
+    fold and k-core peeling)."""
     parts = [t for t in ray.get(local.to_arrow_refs())
              if t.num_columns and t.num_rows]
     if not parts:
@@ -473,7 +472,19 @@ def _broadcast_fold(local, num_buckets: int):
     o = np.lexsort((b, a))
     a, b = a[o], b[o]
     first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-    a, b = a[first], b[first]
+    return a[first], b[first]
+
+
+def _broadcast_fold(local, num_buckets: int):
+    """Driver-side fold of the batch-deduped edge set: global dedup,
+    degree census, degree orientation, dense-rank key packing, and
+    u-boundary block cuts.  Returns None for an empty graph, else
+    ``(nodes, deg, nn, keys, blocks)`` where ``blocks`` are (u, v)
+    rank-space tables whose u-segments never span blocks."""
+    ab = _collect_canon(local)
+    if ab is None:
+        return None
+    a, b = ab
     nodes = np.unique(np.concatenate([a, b]))
     nn = len(nodes)
     ra = np.searchsorted(nodes, a)
@@ -1107,17 +1118,10 @@ def kcore_members(edges, k: int, src: str = "src", dst: str = "dst",
     empty = pa.schema([(node_col, pa.int64())]).empty_table()
 
     if local.count() <= max_broadcast:
-        parts = [t for t in ray.get(local.to_arrow_refs())
-                 if t.num_columns and t.num_rows]
-        if not parts:
+        ab = _collect_canon(local)
+        if ab is None:
             return rd.from_arrow(empty)
-        et = pa.concat_tables(parts).combine_chunks()
-        a = pc.cast(et["a"], pa.int64()).to_numpy(zero_copy_only=False)
-        b = pc.cast(et["b"], pa.int64()).to_numpy(zero_copy_only=False)
-        o = np.lexsort((b, a))
-        a, b = a[o], b[o]
-        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-        a, b = a[first], b[first]
+        a, b = ab
         nodes = np.unique(np.concatenate([a, b]))
         ra = np.searchsorted(nodes, a)
         rb = np.searchsorted(nodes, b)
@@ -1144,7 +1148,7 @@ def kcore_members(edges, k: int, src: str = "src", dst: str = "dst",
                         batch_format="pyarrow").materialize()
     for _ in range(max_rounds):
         deg = degree_table(cur, src="a", dst="b", node_col="node",
-                           num_buckets=num_buckets)
+                           num_buckets=num_buckets).materialize()
         drop_tbl = deg.map_batches(
             lambda t: t.filter(pc.less(t["deg"], k)).select(["node"]),
             batch_format="pyarrow", zero_copy_batch=True)
@@ -1160,14 +1164,8 @@ def kcore_members(edges, k: int, src: str = "src", dst: str = "dst",
             dr = ray.get(drop_ref)
             a2 = _to_int64(t["a"])
             b2 = _to_int64(t["b"])
-
-            def hit(x):
-                p = np.searchsorted(dr, x)
-                h = p < len(dr)
-                h[h] = dr[p[h]] == x[h]
-                return h
-
-            return t.filter(pa.array(~(hit(a2) | hit(b2))))
+            return t.filter(pa.array(
+                ~(_probe_keys(dr, a2) | _probe_keys(dr, b2))))
 
         cur = cur.map_batches(keep_edges, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
@@ -1175,8 +1173,8 @@ def kcore_members(edges, k: int, src: str = "src", dst: str = "dst",
         raise RuntimeError("kcore_members: did not converge within "
                            f"{max_rounds} rounds")
 
-    deg = degree_table(cur, src="a", dst="b", node_col="node",
-                       num_buckets=num_buckets)
+    # the converged round's (materialized) census IS the survivor
+    # degree table — no recount exchange needed
     surv = deg.map_batches(
         lambda t: t.filter(pc.greater_equal(t["deg"], k))
                    .select(["node"]).rename_columns([node_col]),
@@ -1216,6 +1214,11 @@ def sample_neighbors(edges, k: int, seed: int = 0, src: str = "src",
         if not len(s):
             return pa.schema([(src, pa.int64()),
                               (dst, pa.int64())]).empty_table()
+        if (s < 0).any() or (d < 0).any():
+            raise ValueError(
+                "sample_neighbors: negative node ids unsupported — "
+                "numpy % and SQL % disagree on negative dividends, "
+                "which would break the exact-twin contract; re-key ids")
         h = (s * 40503 + d * (10007 + seed * 97)) % 1000003
         order = np.lexsort((d, h, s))
         s, d = s[order], d[order]
@@ -1287,7 +1290,8 @@ def triangle_count_approx(edges, p: float = 0.1, seed: int = 0,
             with np.errstate(over="ignore"):
                 x = (a * np.uint64(0x9E3779B97F4A7C15)
                      ^ b * np.uint64(0xBF58476D1CE4E5B9)
-                     ^ np.uint64(seed) * np.uint64(0x94D049BB133111EB))
+                     ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+                     * np.uint64(0x94D049BB133111EB))
                 x ^= x >> np.uint64(30)
                 x *= np.uint64(0xBF58476D1CE4E5B9)
                 x ^= x >> np.uint64(27)
@@ -1341,11 +1345,7 @@ def khop_edges(edges, seeds, hops: int = 2, fanout: int | None = None,
     seen = seeds.copy()
     out_parts: list = []
 
-    def member(arr, sorted_set):
-        pos = np.searchsorted(sorted_set, arr)
-        hit = pos < len(sorted_set)
-        hit[hit] = sorted_set[pos[hit]] == arr[hit]
-        return hit
+    member = _probe_keys  # sorted-set membership (shared probe)
 
     for hop in range(1, hops + 1):
         frontier_ref = ray.put(seeds if hop == 1 else frontier)  # noqa: F821
@@ -1354,7 +1354,7 @@ def khop_edges(edges, seeds, hops: int = 2, fanout: int | None = None,
             fr = ray.get(_ref)
             s = _to_int64(t[src])
             d = _to_int64(t[dst])
-            keep = member(s, fr)
+            keep = member(fr, s)
             return pa.table({"src": pa.array(s[keep]),
                              "dst": pa.array(d[keep])})
 
@@ -1379,7 +1379,7 @@ def khop_edges(edges, seeds, hops: int = 2, fanout: int | None = None,
             break
         nxt = np.unique(pa.concat_tables(dsts)["dst"]
                         .combine_chunks().to_numpy(zero_copy_only=False))
-        frontier = nxt[~member(nxt, seen)]
+        frontier = nxt[~member(seen, nxt)]
         if len(seen) + len(frontier) > max_frontier:
             raise RuntimeError(
                 "khop_edges: frontier exceeds max_frontier "

@@ -154,7 +154,11 @@ def read_warc(paths, **read_kwargs):
     """
     import ray.data as rd
 
-    read_kwargs.setdefault("file_extensions", ["warc", "gz"])
+    # default extension filter keeps cdx/ parquet sidecars out of the
+    # parse; unconventionally-named WARC files can opt out with an
+    # explicit file_extensions=None (read everything) or a custom list
+    if "file_extensions" not in read_kwargs:
+        read_kwargs["file_extensions"] = ["warc", "gz"]
     ds = rd.read_binary_files(paths, include_paths=True, **read_kwargs)
 
     def parse(t: pa.Table) -> pa.Table:
@@ -331,12 +335,24 @@ def read_warc_select(path, urls=None, **read_kwargs):
                 raw = handle.read(lens[i])
                 if raw[:2] == b"\x1f\x8b":
                     raw = gzip.decompress(raw)
-                outs.append(_parse_warc_bytes(raw, files[i]))
+                one = _parse_warc_bytes(raw, files[i])
+                if one.num_rows != 1:
+                    raise ValueError(
+                        f"{files[i]}@{offs[i]}+{lens[i]}: CDX byte "
+                        f"range parsed to {one.num_rows} records "
+                        "(stale or corrupt index)")
+                outs.append(one)
         finally:
             if handle is not None:
                 handle.close()
-        return (pa.concat_tables(outs) if outs
-                else WARC_SCHEMA.empty_table())
+        if not outs:
+            return WARC_SCHEMA.empty_table()
+        t = pa.concat_tables(outs)
+        # the positional index is file-scoped and unknown from a byte
+        # range — null it (same contract as fetch_warc_record)
+        return t.set_column(
+            t.schema.get_field_index("rec_idx"), "rec_idx",
+            pa.nulls(t.num_rows, pa.int64()))
 
     return idx.map_batches(fetch, batch_format="pyarrow",
                            zero_copy_batch=True)

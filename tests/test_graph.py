@@ -693,3 +693,22 @@ def test_khop_fanout_bounds_and_partition_invariance(ray_session):
     b = khop_edges(parts, [0], hops=2, fanout=3, seed=9).to_pandas()
     key = lambda df: sorted(map(tuple, df[["src", "dst", "hop"]].to_numpy()))
     assert key(a) == key(b)
+
+
+def test_sample_neighbors_rejects_negative_ids(ray_session):
+    """numpy % and SQL % disagree on negative dividends — the operator
+    refuses rather than silently diverging from its exact twin."""
+    import pytest as _pytest
+
+    from logray.functions.graph import sample_neighbors
+
+    with _pytest.raises(Exception, match="negative node ids"):
+        sample_neighbors(_edges_ds([-1, 2], [3, 4]), k=1).to_pandas()
+
+
+def test_triangle_approx_negative_seed(ray_session):
+    from logray.functions.graph import triangle_count_approx
+
+    out = triangle_count_approx(_edges_ds([1, 2, 3], [2, 3, 1]),
+                                p=0.9, seed=-5).to_pandas()
+    assert out["p"][0] == 0.9  # negative seed masks, no overflow

@@ -207,3 +207,15 @@ def test_read_warc_select_point_reads(ray_session, tmp_path):
     # urls=None -> everything
     allr = read_warc_select(str(tmp_path / "w")).to_pandas()
     assert len(allr) == 30
+
+
+def test_read_warc_select_nulls_rec_idx(ray_session, tmp_path):
+    """Selective fetch cannot know the file-scoped positional index —
+    it must be null, not a misleading 0 (same contract as
+    fetch_warc_record)."""
+    from logray.sources.warc import read_warc_select, write_warc
+
+    write_warc(_docs_ds([b"a", b"b", b"c"]), str(tmp_path / "w"),
+               cdx=True)
+    got = read_warc_select(str(tmp_path / "w")).to_pandas()
+    assert got["rec_idx"].isna().all()
