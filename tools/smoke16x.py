@@ -533,6 +533,15 @@ def main() -> int:
 
     timed("anchor_text", anchor_text_52m)
 
+    # --- GraphSAGE fan-out sampling over the 52M-edge graph --------------
+    def sample_neighbors_52m():
+        from logray.functions.graph import sample_neighbors
+
+        return sample_neighbors(_graph_edges(), k=4, seed=1,
+                                num_buckets=64).count()
+
+    timed("sample_neighbors", sample_neighbors_52m)
+
     # --- robots politeness filter over 52M URLs --------------------------
     def robots_52m():
         import numpy as np
