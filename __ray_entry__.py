@@ -3539,6 +3539,56 @@ def _q_graph_pagerank_weighted(sf_dir: str):
                     personalization=list(range(10)), n_iter=20)
 
 
+_GRAPH_WEDGES_SQL = f"""(
+    SELECT user_id % {_GRAPH_MOD} AS src,
+           (user_id * 31 + event_id) % {_GRAPH_MOD} AS dst,
+           (event_id % 10) + 1 AS w
+    FROM events)"""
+
+
+def _q_graph_pagerank_fp(sf_dir: str):
+    """Fixed-point int64 PageRank over the event web-graph — identical
+    shard-actor exchange shape to graph_pagerank, but every quantity is
+    an integer in units of 1e-12, so the result is bit-identical across
+    partitioning AND engines: the DuckDB twin replays the same integer
+    recursion and matches hash-for-hash (the gate-exact PageRank row)."""
+    from logray.functions.graph import pagerank_fixedpoint
+
+    return pagerank_fixedpoint(_graph_edges(sf_dir), n_iter=20)
+
+
+def _q_graph_pagerank_fp_weighted(sf_dir: str):
+    """Weighted + personalized fixed-point PageRank: integer edge
+    weight (event_id % 10) + 1 — pure int64 row-local algebra, so the
+    edge multiset is definitionally identical on both sides — teleport
+    seeded on nodes 0-9.  Exact DuckDB twin via
+    pagerank_fixedpoint_sql(weight_expr=..., seeds=...)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from logray.functions.graph import pagerank_fixedpoint
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = pc.cast(t["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        e = pc.cast(t["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"src": pa.array(u % _GRAPH_MOD),
+                         "dst": pa.array((u * 31 + e) % _GRAPH_MOD),
+                         "w": pa.array((e % 10) + 1)})
+
+    edges = ds.map_batches(derive, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pagerank_fixedpoint(edges, weight_col="w",
+                               personalization=list(range(10)), n_iter=20)
+
+
 def _q_graph_hits(sf_dir: str):
     """HITS hubs & authorities over the event web-graph — per-endpoint
     edge shards, two float exchanges per iteration, L2-normalized.
@@ -3604,6 +3654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "graph_pagerank_weighted": _q_graph_pagerank_weighted,
+        "graph_pagerank_fp": _q_graph_pagerank_fp,
+        "graph_pagerank_fp_weighted": _q_graph_pagerank_fp_weighted,
         "graph_hits": _q_graph_hits,
         "graph_clustering": _q_graph_clustering,
         "graph_kcore": _q_graph_kcore,
@@ -3783,6 +3835,7 @@ def oracle_sql() -> dict[str, str]:
         clustering_coefficients_sql,
         connected_components_sql,
         degree_table_sql,
+        pagerank_fixedpoint_sql,
         triangle_count_sql,
     )
     from logray.functions.quality import wordlist_filter_sql
@@ -4326,6 +4379,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": connected_components_sql(_GRAPH_EDGES_SQL),
         "graph_triangles": triangle_count_sql(_GRAPH_EDGES_SQL),
         "graph_clustering": clustering_coefficients_sql(_GRAPH_EDGES_SQL),
+        "graph_pagerank_fp": pagerank_fixedpoint_sql(
+            _GRAPH_EDGES_SQL, n_iter=20),
+        "graph_pagerank_fp_weighted": pagerank_fixedpoint_sql(
+            _GRAPH_WEDGES_SQL, n_iter=20, weight_expr="w",
+            seeds=list(range(10))),
         "sample_neighbors_links": sample_neighbors_sql(
             _GRAPH_EDGES_SQL, k=2, seed=7),
         "khop_links": f"""

@@ -39,6 +39,8 @@ __all__ = [
     "degree_table",
     "connected_components_graph",
     "pagerank",
+    "pagerank_fixedpoint",
+    "pagerank_fixedpoint_sql",
     "triangle_count",
     "anchor_text_table",
     "hits",
@@ -372,7 +374,11 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
         ray.get(acks)
         return pa.table({"n": pa.array([len(s)], pa.int64())})
 
-    edges.map_batches(push, batch_format="pyarrow").materialize()
+    # max_retries=0: add_edges is a non-idempotent actor side effect — a
+    # transparently retried push task would double that batch's edges and
+    # silently skew ranks.  Fail loudly instead; the job restarts clean.
+    edges.map_batches(push, batch_format="pyarrow",
+                      max_retries=0).materialize()
     counts = ray.get([s.build.remote() for s in shards])
     n_total = int(sum(counts))
     if n_total == 0:
@@ -412,6 +418,326 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     out = rd.from_arrow_refs(
         [s.ranks_table.remote(node_col) for s in shards])
     return out.materialize()
+
+
+# ---------------------------------------------------------------------------
+# fixed-point integer PageRank — the gate-exact variant
+# ---------------------------------------------------------------------------
+#
+# Same shard-actor exchange shape as ``pagerank`` (edges push once, then
+# only per-edge contribution messages move), but every quantity is an
+# int64 in units of 1/PR_SCALE.  Integer addition is exactly associative,
+# so the result is bit-identical under ANY partitioning, fold order, and
+# — crucially — under a completely different engine: the DuckDB twin
+# produced by :func:`pagerank_fixedpoint_sql` replays the identical
+# integer recursion and matches hash-for-hash.  The float ``pagerank``
+# stays the scale workhorse; this variant exists so the PageRank family
+# has an EXACT cross-engine oracle (driver gate + tests), at the cost of
+# a deterministic quantization of ~1/PR_SCALE per node per iteration.
+
+PR_SCALE = 10**12
+_PR_SPLIT = 10**6  # sqrt(PR_SCALE): lets (x * p) // PR_SCALE with
+#                    x, p <= PR_SCALE evaluate exactly in int64 —
+#                    (x*(p//1e6) + (x*(p%1e6))//1e6)//1e6, every
+#                    intermediate <= 1e18 < 2^63 (proof in _fp_mul_div)
+_PR_MAX_OUTW = np.int64(1) << 31  # emission needs W^2 < 2^63
+
+
+def _fp_mul_div(x: np.int64 | int, p: np.ndarray) -> np.ndarray:
+    """Exact ``floor(x * p / PR_SCALE)`` without 128-bit ints, for
+    ``0 <= x <= PR_SCALE`` and ``0 <= p <= PR_SCALE`` (both int64).
+
+    With ``p = hi*1e6 + lo``: ``x*p = (x*hi)*1e6 + x*lo``, and
+    ``floor((a*1e6 + b) / 1e12) == (a + b//1e6) // 1e6`` exactly
+    (write ``b = c*1e6 + b2``; the remainder term is < 1e12).  Every
+    intermediate is <= 1e12 * 1e6 = 1e18 < 2^63.
+    """
+    x = np.int64(x)
+    a = x * (p // _PR_SPLIT)
+    b = x * (p % _PR_SPLIT)
+    return (a + b // _PR_SPLIT) // _PR_SPLIT
+
+
+@ray.remote(num_cpus=0)
+class _PRIntShard:
+    """One hash partition of the fixed-point PageRank state.  Mirrors
+    ``_PRShard`` (same ``_pr_owner`` partitioning, same push-once CSR
+    residency) with int64 arithmetic throughout; no fold-order care is
+    needed because integer sums are exact."""
+
+    def __init__(self, shard_id: int, num_shards: int):
+        self.id = shard_id
+        self.B = num_shards
+        self._src_parts: list[np.ndarray] = []
+        self._dst_parts: list[np.ndarray] = []
+        self._w_parts: list[np.ndarray] = []
+        self._node_parts: list[np.ndarray] = []
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray,
+                  w: np.ndarray | None = None) -> int:
+        self._src_parts.append(np.asarray(src, np.int64))
+        self._dst_parts.append(np.asarray(dst, np.int64))
+        self._w_parts.append(
+            np.asarray(w, np.int64) if w is not None
+            else np.ones(len(src), np.int64))
+        return len(src)
+
+    def add_nodes(self, v: np.ndarray) -> int:
+        self._node_parts.append(np.asarray(v, np.int64))
+        return len(v)
+
+    def build(self) -> int:
+        src = (np.concatenate(self._src_parts) if self._src_parts
+               else np.zeros(0, np.int64))
+        dst = (np.concatenate(self._dst_parts) if self._dst_parts
+               else np.zeros(0, np.int64))
+        w = (np.concatenate(self._w_parts) if self._w_parts
+             else np.zeros(0, np.int64))
+        reg = (np.concatenate(self._node_parts) if self._node_parts
+               else np.zeros(0, np.int64))
+        self._src_parts = []
+        self._dst_parts = []
+        self._w_parts = []
+        self._node_parts = []
+        if (w < 0).any():
+            raise ValueError("pagerank_fixedpoint: negative edge weight")
+        self.verts = np.unique(np.concatenate([src, reg]))
+        keep = w > 0  # zero-weight edges drop; their src stays dangling
+        src, dst, w = src[keep], dst[keep], w[keep]
+        order = np.lexsort((dst, src))  # locality only — int math is
+        self.src, self.dst, self.w = src[order], dst[order], w[order]
+        self.wout = np.zeros(len(self.verts), np.int64)  # exact anyway
+        if len(self.src):
+            np.add.at(self.wout,
+                      np.searchsorted(self.verts, self.src), self.w)
+        if (self.wout >= _PR_MAX_OUTW).any():
+            raise ValueError(
+                "pagerank_fixedpoint: a node's total out-weight exceeds "
+                "2^31; the int64 emission needs W^2 < 2^63 — rescale the "
+                "weight units (e.g. dollars instead of cents) and rerun")
+        self._src_pos = np.searchsorted(self.verts, self.src)
+        own = _pr_owner(self.dst, self.B)
+        self._dest_idx = [np.flatnonzero(own == j) for j in range(self.B)]
+        return len(self.verts)
+
+    def seeds_present(self, seeds: np.ndarray) -> int:
+        pos = np.searchsorted(self.verts, seeds)
+        hit = pos < len(self.verts)
+        hit[hit] &= self.verts[pos[hit]] == seeds[hit]
+        self._seed_mask = np.zeros(len(self.verts), bool)
+        self._seed_mask[pos[hit]] = True
+        return int(hit.sum())
+
+    def init_ranks(self, n_total: int, n_present_seeds: int | None = None
+                   ) -> int:
+        if n_present_seeds is None:
+            self.p = np.full(len(self.verts), PR_SCALE // n_total,
+                             np.int64)
+        else:
+            self.p = np.where(self._seed_mask,
+                              np.int64(PR_SCALE // n_present_seeds),
+                              np.int64(0))
+        self.rank = self.p.copy()
+        return 0
+
+    def dangling_sum(self) -> int:
+        if not len(self.verts):
+            return 0
+        return int(self.rank[self.wout == 0].sum())
+
+    def emit(self):
+        if len(self.src):
+            rk = self.rank[self._src_pos]
+            tw = self.wout[self._src_pos]
+            q, r = np.divmod(rk, tw)
+            # q*w <= (rk/W)*W = rk <= PR_SCALE; r*w < W^2 < 2^63: exact
+            contrib = q * self.w + (r * self.w) // tw
+        else:
+            contrib = np.zeros(0, np.int64)
+        out = [(self.dst[idx], contrib[idx]) for idx in self._dest_idx]
+        return out if self.B > 1 else out[0]
+
+    def apply(self, dnum: int, dden: int, dangling_total: int, *msgs
+              ) -> int:
+        recv = np.zeros(len(self.verts), np.int64)
+        for v, c in msgs:
+            if len(v):
+                np.add.at(recv, np.searchsorted(self.verts, v), c)
+        dang_p = _fp_mul_div(dangling_total, self.p)
+        self.rank = (((dden - dnum) * self.p) // dden
+                     + (dnum * (dang_p + recv)) // dden)
+        return 0
+
+    def ranks_table(self, node_col: str) -> pa.Table:
+        if not len(self.verts):
+            return pa.schema([(node_col, pa.int64()),
+                              ("rank", pa.float64())]).empty_table()
+        # int64 / 1e12: both operands exactly representable as doubles
+        # (< 2^53), one correctly-rounded division — any IEEE-754 engine
+        # (numpy here, DuckDB in the twin) produces the identical bits
+        return pa.table({node_col: pa.array(self.verts),
+                         "rank": pa.array(self.rank / float(PR_SCALE))})
+
+
+def pagerank_fixedpoint(edges, src: str = "src", dst: str = "dst",
+                        node_col: str = "node", n_iter: int = 20,
+                        num_shards: int = 8,
+                        damping_num: int = 85, damping_den: int = 100,
+                        weight_col: str | None = None,
+                        personalization=None):
+    """PageRank in fixed-point int64 (units of 1/PR_SCALE), returning
+    ``(node, rank)`` with ``rank = rank_int / PR_SCALE`` as float64.
+
+    The update rule quantizes the float recursion with explicit floors
+    (``d = damping_num/damping_den``, default 85/100)::
+
+        rank'(v) = ((den-num)*p(v)) // den
+                   + (num * ((dangling * p(v)) // S + recv(v))) // den
+        recv(v)  = sum_{u->v} (rank(u)//W(u))*w + ((rank(u)%W(u))*w)//W(u)
+
+    where ``S = PR_SCALE = 10^12``, ``p`` is the teleport vector
+    (uniform ``S // N``, or ``S // |seeds∩V|`` on present seeds for the
+    personalized form — ``personalization`` is an iterable of seed node
+    ids, uniform mass), and ``W(u)`` is u's total integer out-weight
+    (``weight_col`` must be non-negative int64; unweighted w = 1).
+    Per-node quantization error vs the float rule is < n_iter/S ≈ 2e-11
+    — rank ORDER and magnitude are PageRank for every practical purpose.
+
+    Why this exists: integer arithmetic is exactly associative, so the
+    result is a pure function of the edge multiset — bit-identical
+    across partitioning, shard counts, AND engines.
+    :func:`pagerank_fixedpoint_sql` emits a DuckDB twin (the same
+    recursion unrolled into CTEs) that matches hash-for-hash; this is
+    the PageRank entry the correctness gate verifies exactly, while the
+    float :func:`pagerank` remains the throughput workhorse.
+
+    Scale shape: identical to :func:`pagerank` — edges push once into
+    per-shard CSRs (one narrow exchange, ~24 B/edge), each iteration
+    moves one int64 per edge between shards plus B dangling scalars.
+    Limits, enforced loudly at build: per-node total out-weight < 2^31
+    (rescale weight units past that) and the int64 emission/apply bounds
+    proven in the shard docstrings.
+    """
+    if not (0 < damping_num < damping_den):
+        raise ValueError("pagerank_fixedpoint: need 0 < num < den")
+    B = num_shards
+    shards = [_PRIntShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
+
+    def push(t: pa.Table) -> pa.Table:
+        s = _to_int64(t[src])
+        d = _to_int64(t[dst])
+        w = _to_int64(t[weight_col]) if weight_col is not None else None
+        own_s = _pr_owner(s, B)
+        own_d = _pr_owner(d, B)
+        acks = []
+        for j in range(B):
+            m = own_s == j
+            if m.any():
+                acks.append(shards[j].add_edges.remote(
+                    s[m], d[m], w[m] if w is not None else None))
+            md = own_d == j
+            if md.any():
+                acks.append(shards[j].add_nodes.remote(np.unique(d[md])))
+        ray.get(acks)
+        return pa.table({"n": pa.array([len(s)], pa.int64())})
+
+    # max_retries=0: same non-idempotent-push rationale as pagerank().
+    edges.map_batches(push, batch_format="pyarrow",
+                      max_retries=0).materialize()
+    counts = ray.get([s.build.remote() for s in shards])
+    n_total = int(sum(counts))
+    import ray.data as rd
+    if n_total == 0:
+        return rd.from_arrow(pa.schema(
+            [(node_col, pa.int64()), ("rank", pa.float64())]).empty_table())
+    if personalization is None:
+        ray.get([s.init_ranks.remote(n_total) for s in shards])
+    else:
+        seeds = np.unique(np.asarray(list(personalization), np.int64))
+        present = sum(ray.get(
+            [s.seeds_present.remote(seeds) for s in shards]))
+        if present <= 0:
+            raise ValueError("pagerank_fixedpoint: no personalization "
+                             "seed is present in the graph")
+        ray.get([s.init_ranks.remote(n_total, present) for s in shards])
+
+    for _ in range(n_iter):
+        dang = sum(ray.get([s.dangling_sum.remote() for s in shards]))
+        outs = [s.emit.options(num_returns=B).remote() if B > 1
+                else [s.emit.remote()] for s in shards]
+        ray.get([shards[j].apply.remote(
+            damping_num, damping_den, dang, *[outs[i][j] for i in range(B)])
+            for j in range(B)])
+
+    out = rd.from_arrow_refs(
+        [s.ranks_table.remote(node_col) for s in shards])
+    return out.materialize()
+
+
+def pagerank_fixedpoint_sql(edges_sql: str, node_col: str = "node",
+                            n_iter: int = 20, damping_num: int = 85,
+                            damping_den: int = 100,
+                            weight_expr: str | None = None,
+                            seeds=None, src: str = "src",
+                            dst: str = "dst") -> str:
+    """DuckDB twin of :func:`pagerank_fixedpoint`: the identical int64
+    recursion unrolled into ``n_iter`` CTE stages (recursive CTEs can't
+    aggregate in the recursive term, and unrolling keeps every stage a
+    plain join+groupby the optimizer streams).  ``edges_sql`` is a
+    parenthesized subquery with columns ``src, dst`` (+ the weight
+    column ``weight_expr`` names, if weighted); ``seeds`` mirrors
+    ``personalization``.  DuckDB's integer SUM widens to HUGEINT, so no
+    intermediate here can overflow; each stage casts rank back to
+    BIGINT, which is exact because mass never grows."""
+    S = PR_SCALE
+    w = f"CAST({weight_expr} AS BIGINT)" if weight_expr else "CAST(1 AS BIGINT)"
+    parts = [
+        f"e0 AS (SELECT {src} AS s, {dst} AS d, {w} AS w FROM {edges_sql} E)",
+        "nodes AS (SELECT s AS node FROM e0 UNION SELECT d FROM e0)",
+        "e AS (SELECT s, d, w FROM e0 WHERE w > 0)",
+        "outw AS (SELECT s, SUM(w) AS tw FROM e GROUP BY s)",
+    ]
+    if seeds is None:
+        parts.append(
+            f"pvec AS (SELECT node, {S} // (SELECT COUNT(*) FROM nodes)"
+            " AS p FROM nodes)")
+    else:
+        seed_list = ", ".join(
+            str(int(x)) for x in sorted({int(x) for x in seeds}))
+        parts.append("seeds AS (SELECT DISTINCT CAST(UNNEST("
+                     f"[{seed_list}]) AS BIGINT) AS node)")
+        parts.append("pres AS (SELECT s.node FROM seeds s "
+                     "JOIN nodes USING(node))")
+        parts.append(
+            "pvec AS (SELECT n.node, CASE WHEN pr.node IS NOT NULL THEN "
+            f"{S} // (SELECT COUNT(*) FROM pres) ELSE 0 END AS p "
+            "FROM nodes n LEFT JOIN pres pr USING(node))")
+    parts.append("r0 AS (SELECT node, CAST(p AS BIGINT) AS rank FROM pvec)")
+    for k in range(1, n_iter + 1):
+        j = k - 1
+        parts.append(
+            f"d{k} AS (SELECT COALESCE(SUM(r.rank), 0) AS dang "
+            f"FROM r{j} r LEFT JOIN outw o ON o.s = r.node "
+            "WHERE o.s IS NULL)")
+        parts.append(
+            f"m{k} AS (SELECT e.d AS node, "
+            "SUM((r.rank // o.tw) * e.w + ((r.rank % o.tw) * e.w) // o.tw)"
+            f" AS recv FROM r{j} r JOIN e ON e.s = r.node "
+            "JOIN outw o ON o.s = e.s GROUP BY e.d)")
+        parts.append(
+            f"r{k} AS (SELECT p.node, CAST("
+            f"({damping_den - damping_num} * p.p) // {damping_den} + "
+            f"({damping_num} * ((d.dang * p.p) // {S} + "
+            f"COALESCE(m.recv, 0))) // {damping_den} AS BIGINT) AS rank "
+            f"FROM pvec p LEFT JOIN m{k} m USING(node) CROSS JOIN d{k} d)")
+    # AS MATERIALIZED is load-bearing, not a hint: r{k-1} is referenced
+    # TWICE per stage (d{k} and m{k}), so DuckDB's default CTE inlining
+    # doubles the plan subtree per iteration — 2^n_iter blowup (measured:
+    # n_iter=9 takes 32 s inlined vs 0.2 s materialized at 5k edges).
+    parts = [p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node AS {node_col}, rank / {float(S)!r} AS rank "
+            + f"FROM r{n_iter} ORDER BY {node_col}")
 
 
 # ---------------------------------------------------------------------------
@@ -894,7 +1220,9 @@ def hits(edges, src: str = "src", dst: str = "dst",
         ray.get(acks)
         return pa.table({"n": pa.array([len(s)], pa.int64())})
 
-    edges.map_batches(push, batch_format="pyarrow").materialize()
+    # max_retries=0: same non-idempotent-push rationale as pagerank().
+    edges.map_batches(push, batch_format="pyarrow",
+                      max_retries=0).materialize()
     counts = ray.get([s.build.remote() for s in shards])
     if sum(counts) == 0:
         import ray.data as rd

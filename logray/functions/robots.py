@@ -20,7 +20,7 @@ host's few compiled patterns vectorized over the host's slice.
 Unknown hosts pass (no robots.txt = allowed).
 
 Reference anchor: the same role the reference's filter DSL plays for
-log lines (`/root/reference/src/log_management/filter.hpp` predicates
+log lines (`/root/reference/src/file_parsing/line_filter.hpp` predicates
 gating the viewer stream) — a per-record admission rule compiled once
 and applied to a stream.
 """

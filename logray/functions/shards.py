@@ -28,7 +28,7 @@ TWICE (byte census, then write) — hand this a re-readable source (a
 parquet read) or a materialized dataset, not an expensive lazy pipeline.
 
 Reference anchor: the reference viewer's single-file mmap model
-(`/root/reference/src/file_parsing/file_parser.cpp` open/parse of one log
+(`/root/reference/src/file_parsing/filtered_file_reader.cpp` open/parse of one log
 file) is exactly what this replaces at scale.
 """
 

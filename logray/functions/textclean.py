@@ -345,7 +345,7 @@ def sentence_split_sql(table: str, text_col: str = "text",
 # DuckDB oracle are generated from the SAME list, so the twin agrees
 # byte-for-byte by construction (both engines are RE2).  Reference
 # analog: the viewer consumes pre-extracted text lines
-# (/root/reference/src/file_parsing/file_reader.hpp raw-line contract);
+# (/root/reference/src/file_parsing/filtered_file_reader.hpp raw-line contract);
 # a web-scale corpus needs the HTML->text stage in the engine itself.
 #
 # Semantics (definitional, in order): drop comments, drop script/style

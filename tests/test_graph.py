@@ -712,3 +712,124 @@ def test_triangle_approx_negative_seed(ray_session):
     out = triangle_count_approx(_edges_ds([1, 2, 3], [2, 3, 1]),
                                 p=0.9, seed=-5).to_pandas()
     assert out["p"][0] == 0.9  # negative seed masks, no overflow
+
+
+# ---------------------------------------------------------------------------
+# pagerank_fixedpoint — the gate-exact integer variant
+# ---------------------------------------------------------------------------
+
+def _wedges_ds(src, dst, w):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(src, np.int64)),
+        "dst": pa.array(np.asarray(dst, np.int64)),
+        "w": pa.array(np.asarray(w, np.int64)),
+    }))
+
+
+@pytest.mark.parametrize("weighted,seeds", [
+    (False, None),
+    (True, None),
+    (False, [0, 1, 2]),
+    (True, [0, 1, 2, 3, 4]),
+])
+def test_pagerank_fixedpoint_matches_duckdb_exact(ray_session, weighted,
+                                                  seeds):
+    """The whole point of the fixed-point variant: BIT-exact equality
+    with a completely independent engine replaying the same int64
+    recursion (DuckDB unrolled-CTE twin)."""
+    import duckdb
+
+    from logray.functions.graph import (pagerank_fixedpoint,
+                                        pagerank_fixedpoint_sql)
+
+    src, dst = _rand_graph(11, 60, 500)
+    rng = np.random.default_rng(12)
+    w = rng.integers(1, 40, len(src)).astype(np.int64)
+    if weighted:
+        w[rng.random(len(w)) < 0.05] = 0  # zero-weight edges drop
+        ds = _wedges_ds(src, dst, w)
+        got = pagerank_fixedpoint(ds, weight_col="w", n_iter=15,
+                                  num_shards=3, personalization=seeds)
+        sql = pagerank_fixedpoint_sql("(SELECT src, dst, w FROM edges_t)",
+                                      n_iter=15, weight_expr="w",
+                                      seeds=seeds)
+    else:
+        ds = _edges_ds(src, dst)
+        got = pagerank_fixedpoint(ds, n_iter=15, num_shards=3,
+                                  personalization=seeds)
+        sql = pagerank_fixedpoint_sql("(SELECT src, dst FROM edges_t)",
+                                      n_iter=15, seeds=seeds)
+    got = got.to_pandas().sort_values("node").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("edges_t", pa.table({"src": pa.array(src),
+                                      "dst": pa.array(dst),
+                                      "w": pa.array(w)}))
+    want = con.execute(sql).fetchdf()
+    assert got["node"].tolist() == want["node"].tolist()
+    assert (got["rank"].to_numpy() == want["rank"].to_numpy()).all()
+
+
+def test_pagerank_fixedpoint_bit_deterministic_everywhere(ray_session):
+    """Integer sums are exactly associative, so unlike the float
+    variant the result is bit-identical across DIFFERENT shard counts
+    too, not just across input partitioning."""
+    import ray.data as rd
+
+    from logray.functions.graph import pagerank_fixedpoint
+
+    src, dst = _rand_graph(13, 30, 200)
+    a = pagerank_fixedpoint(_edges_ds(src, dst), num_shards=3).to_pandas()
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    perm = np.random.default_rng(0).permutation(len(src))
+    t2 = t.take(pa.array(perm))
+    parts = rd.from_arrow([t2.slice(0, 57), t2.slice(57, 90), t2.slice(147)])
+    for B in (1, 5):
+        b = pagerank_fixedpoint(parts, num_shards=B).to_pandas()
+        a2 = a.sort_values("node").reset_index(drop=True)
+        b2 = b.sort_values("node").reset_index(drop=True)
+        assert a2["node"].tolist() == b2["node"].tolist()
+        assert (a2["rank"].to_numpy() == b2["rank"].to_numpy()).all()
+
+
+def test_pagerank_fixedpoint_close_to_float(ray_session):
+    """Quantization drift vs the float recursion is bounded by
+    ~n_iter/PR_SCALE per node — the integer variant IS PageRank."""
+    from logray.functions.graph import pagerank_fixedpoint
+
+    src, dst = _rand_graph(5, 40, 300)
+    got = pagerank_fixedpoint(_edges_ds(src, dst), n_iter=20,
+                              num_shards=3).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    nodes, want = _pagerank_dense(src, dst)
+    assert got["node"].tolist() == nodes.tolist()
+    np.testing.assert_allclose(got["rank"].to_numpy(), want,
+                               rtol=0, atol=1e-9)
+    assert abs(got["rank"].sum() - 1.0) < 1e-6
+
+
+def test_pagerank_fixedpoint_guards(ray_session):
+    from logray.functions.graph import pagerank_fixedpoint
+
+    # negative weight refused
+    with pytest.raises(ValueError, match="negative edge weight"):
+        pagerank_fixedpoint(_wedges_ds([1, 2], [2, 3], [1, -1]),
+                            weight_col="w", num_shards=2).to_pandas()
+    # per-node out-weight >= 2^31 refused loudly (int64 emission bound)
+    with pytest.raises(ValueError, match="out-weight exceeds"):
+        pagerank_fixedpoint(_wedges_ds([1, 1], [2, 3],
+                                       [2**31 - 1, 2**31 - 1]),
+                            weight_col="w", num_shards=2).to_pandas()
+    # no personalization seed present in the graph
+    with pytest.raises(ValueError, match="no personalization seed"):
+        pagerank_fixedpoint(_edges_ds([1, 2], [2, 3]),
+                            personalization=[99], num_shards=2)
+    # empty edges -> empty typed result
+    import ray.data as rd
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    out = pagerank_fixedpoint(empty, num_shards=2)
+    assert out.count() == 0
+    assert out.schema().names == ["node", "rank"]
