@@ -74,11 +74,20 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 
+    def governs(a: str) -> bool:
+        # RFC 9309 §2.2.1 product-token matching, implemented as the
+        # reference (Google) parser does: the group's value must be a
+        # case-insensitive PREFIX of the crawler's product token
+        # ("googlebot" governs "googlebot-images"), NEVER raw substring
+        # containment (a group named "bot" must not capture "turbotax",
+        # nor "a" capture every agent containing an 'a').
+        return a != "*" and bool(a) and agent.startswith(a)
+
     best_len = max((len(a) for agents, _ in groups for a in agents
-                    if a != "*" and a in agent), default=-1)
+                    if governs(a)), default=-1)
     if best_len >= 0:
         return [r for agents, rules in groups for r in rules
-                if any(a != "*" and a in agent and len(a) == best_len
+                if any(governs(a) and len(a) == best_len
                        for a in agents)]
     return [r for agents, rules in groups for r in rules
             if "*" in agents]

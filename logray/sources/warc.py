@@ -113,6 +113,11 @@ def _parse_warc_bytes(raw: bytes, fname: str) -> pa.Table:
             hdrs[k.strip().lower()] = v.strip()
         clen = int(hdrs[b"content-length"])
         body_start = end_hdr + 4
+        if body_start + clen > n:
+            raise ValueError(
+                f"{fname}: truncated WARC record at {pos} — header "
+                f"promises {clen} payload bytes, only "
+                f"{n - body_start} remain")
         payloads.append(raw[body_start:body_start + clen])
         cols["warc_type"].append(hdrs.get(b"warc-type", b"").decode())
         cols["record_id"].append(hdrs.get(b"warc-record-id", b"").decode())
@@ -157,7 +162,8 @@ def read_warc(paths, **read_kwargs):
     # default extension filter keeps cdx/ parquet sidecars out of the
     # parse; unconventionally-named WARC files can opt out with an
     # explicit file_extensions=None (read everything) or a custom list
-    if "file_extensions" not in read_kwargs:
+    default_filter = "file_extensions" not in read_kwargs
+    if default_filter:
         read_kwargs["file_extensions"] = ["warc", "gz"]
     ds = rd.read_binary_files(paths, include_paths=True, **read_kwargs)
 
@@ -165,6 +171,17 @@ def read_warc(paths, **read_kwargs):
         outs = []
         paths_col = t["path"].to_pylist()
         bytes_col = t["bytes"].to_pylist()
+        if default_filter:
+            # file_extensions matches only the LAST extension, so a
+            # stray non-WARC gzip (logs.csv.gz) would reach the parser
+            # and abort the whole read — under the default filter,
+            # require the compound .warc / .warc.gz suffix and skip
+            # the rest like the cdx/ sidecars; a custom
+            # file_extensions list parses everything it matched.
+            keep = [i for i, p in enumerate(paths_col)
+                    if p.endswith(".warc") or p.endswith(".warc.gz")]
+            paths_col = [paths_col[i] for i in keep]
+            bytes_col = [bytes_col[i] for i in keep]
         for fname, raw in zip(paths_col, bytes_col):
             if raw[:2] == b"\x1f\x8b":
                 raw = gzip.decompress(raw)
@@ -210,28 +227,47 @@ def write_warc(ds, path: str, url_col: str = "url", ts_col: str = "ts",
                  else ["application/octet-stream"] * len(urls))
         pays = t[payload_col].to_pylist()
         # part name = 64-bit blake2b over the serialized records:
-        # deterministic across reruns; blocks that differ ANYWHERE
-        # (urls, payloads, timestamps) get distinct names, identical
-        # blocks overwrite themselves idempotently.  (A url-only crc32
-        # collided two snapshots of the same pages and silently lost
-        # one.)  Serialize with placeholder ids first, name from the
-        # content, then re-serialize with the name-bearing ids.
+        # blocks that differ ANYWHERE (urls, payloads, timestamps) get
+        # distinct names.  (A url-only crc32 collided two snapshots of
+        # the same pages and silently lost one.)  Two DISTINCT blocks
+        # whose records are byte-identical (fully duplicated rows split
+        # into equal blocks) share a tag — those take atomic occurrence
+        # slots (-1, -2, ...) instead of silently overwriting each
+        # other, so the on-disk record count matches the input.
+        # Serialize with placeholder ids first, name from the content,
+        # then re-serialize with the name-bearing ids.
         import hashlib
 
         blob0, _, _ = _serialize_records(
             urls, tss, mimes, pays, [warc_type] * len(urls),
             [""] * len(urls), False)
         tag = hashlib.blake2b(blob0, digest_size=8).hexdigest()
-        part = f"part-{tag}-{len(urls)}"
-        rec_ids = [f"urn:logray:{part}:{i}" for i in range(len(urls))]
-        blob, offs, lens = _serialize_records(
-            urls, tss, mimes, pays, [warc_type] * len(urls), rec_ids,
-            compress)
-        fn = os.path.join(path, part + ext)
-        tmp = fn + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, fn)  # atomic: a crashed write never half-exists
+        k = 0
+        while True:
+            part = f"part-{tag}-{len(urls)}" + (f"-{k}" if k else "")
+            rec_ids = [f"urn:logray:{part}:{i}"
+                       for i in range(len(urls))]
+            blob, offs, lens = _serialize_records(
+                urls, tss, mimes, pays, [warc_type] * len(urls),
+                rec_ids, compress)
+            fn = os.path.join(path, part + ext)
+            tmp = f"{fn}.{os.getpid()}.tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            try:
+                # link-then-unlink publishes atomically AND claims the
+                # slot: EEXIST means another block with the same tag
+                # (identical content by construction) already owns it —
+                # take the next slot.  A crashed write never
+                # half-exists; a rerun into a NON-EMPTY dir appends
+                # duplicate occurrence slots — write reruns to a fresh
+                # (or cleaned) directory.
+                os.link(tmp, fn)
+                os.unlink(tmp)
+                break
+            except FileExistsError:
+                os.unlink(tmp)
+                k += 1
         if cdx:
             import pyarrow.parquet as pq
 

@@ -184,3 +184,17 @@ def test_repeated_groups_union():
             "User-agent: *\nDisallow: /g\n")
     assert sorted(parse_robots(txt2, "foobot")) == [(False, "/f1"),
                                                     (False, "/f2")]
+
+
+def test_agent_matching_is_prefix_not_substring():
+    """RFC 9309 product-token matching (reference-parser prefix
+    semantics): a short group token buried INSIDE an agent name must
+    not govern it."""
+    txt = ("User-agent: bot\nDisallow: /b/\n\n"
+           "User-agent: a\nDisallow: /a/\n\n"
+           "User-agent: *\nDisallow: /star/\n")
+    # 'turbotax' contains 'bot' and 'a' but is prefixed by neither
+    assert parse_robots(txt, "turbotax") == [(False, "/star/")]
+    # prefix DOES govern, most-specific (longest) wins
+    assert parse_robots(txt, "botify") == [(False, "/b/")]
+    assert parse_robots(txt, "a") == [(False, "/a/")]

@@ -219,3 +219,56 @@ def test_read_warc_select_nulls_rec_idx(ray_session, tmp_path):
                cdx=True)
     got = read_warc_select(str(tmp_path / "w")).to_pandas()
     assert got["rec_idx"].isna().all()
+
+
+def test_warc_duplicate_blocks_take_occurrence_slots(ray_session,
+                                                     tmp_path):
+    """Two DISTINCT input blocks holding byte-identical records must
+    both land on disk (occurrence slots), not silently overwrite each
+    other — the stats and the archive agree."""
+    import ray.data as rd
+
+    from logray.sources.warc import read_warc, write_warc
+
+    t = pa.table({
+        "url": pa.array(["https://ex.com/dup"], pa.string()),
+        "ts": pa.array([datetime.datetime(2026, 8, 19)],
+                       pa.timestamp("us")),
+        "mime": pa.array(["text/html"], pa.string()),
+        "payload": pa.array([b"same"], pa.binary()),
+    })
+    ds = rd.from_arrow([t, t, t])  # three identical blocks
+    stats = write_warc(ds, str(tmp_path / "dup"))
+    assert stats["records"] == 3 and stats["files"] == 3
+    back = read_warc(str(tmp_path / "dup")).take_all()
+    assert len(back) == 3
+    assert all(r["payload"] == b"same" for r in back)
+
+
+def test_warc_truncated_record_raises(ray_session, tmp_path):
+    """A Content-Length that promises more bytes than the file holds is
+    a hard error, not a silently shortened payload."""
+    from logray.sources.warc import read_warc
+
+    good = (b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:x:1>\r\n"
+            b"WARC-Target-URI: https://ex.com/\r\n"
+            b"WARC-Date: 2026-08-19T00:00:00Z\r\n"
+            b"Content-Type: text/html\r\n"
+            b"Content-Length: 100\r\n\r\n" + b"only-ten\r\n\r\n")
+    (tmp_path / "trunc.warc").write_bytes(good)
+    with pytest.raises(Exception, match="truncated WARC record"):
+        read_warc(str(tmp_path / "trunc.warc")).take_all()
+
+
+def test_read_warc_skips_stray_gz(ray_session, tmp_path):
+    """Under the default extension filter a non-WARC gzip in the
+    archive directory is skipped like the cdx/ sidecars, not parsed."""
+    from logray.sources.warc import read_warc, write_warc
+
+    write_warc(_docs_ds([b"x", b"y"]), str(tmp_path / "arch"))
+    (tmp_path / "arch" / "logs.csv.gz").write_bytes(
+        gzip.compress(b"a,b\n1,2\n"))
+    rows = read_warc(str(tmp_path / "arch")).take_all()
+    assert sorted(r["payload"] for r in rows) == [b"x", b"y"]
