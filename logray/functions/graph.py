@@ -317,12 +317,118 @@ class _PRShard:
         return pa.table({node_col: pa.array(self.verts),
                          "rank": pa.array(self.rank)})
 
+    def edge_count(self) -> int:
+        return len(self.src)
+
+    def dump_state(self, path: str) -> int:
+        return _dump_shard_state(
+            path, {"node": self.verts, "rank": self.rank})
+
+    def load_state(self, path: str) -> int:
+        t = _load_shard_state(path, self.verts)
+        self.rank = t["rank"].to_numpy().astype(np.float64)
+        return len(self.verts)
+
+
+def _dump_shard_state(path: str, cols: dict) -> int:
+    """Atomic per-shard checkpoint write (tmp + rename)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pa.table({k: pa.array(v) for k, v in cols.items()})
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return t.num_rows
+
+
+def _load_shard_state(path: str, verts: np.ndarray) -> pa.Table:
+    """Read a shard checkpoint and refuse if its vertex set is not
+    exactly this shard's — the graph or num_shards changed under the
+    checkpoint."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    nodes = t["node"].to_numpy(zero_copy_only=False)
+    if not np.array_equal(nodes, verts):
+        raise ValueError(
+            "graph checkpoint shard vertex set mismatch — the edge "
+            "input or num_shards changed since the checkpoint was "
+            "written; delete the checkpoint dir to start clean")
+    return t
+
+
+def _ckpt_open(ckpt_dir: str, plan: dict, n_iter: int):
+    """Open (or create) an iterative-job checkpoint dir: refuse if the
+    recorded plan differs (same contract as the dedup chains), return
+    ``(manifest, start_iter)`` where start_iter is the newest committed
+    iteration <= n_iter.  ``n_iter`` itself is deliberately NOT part of
+    the plan hash — rank-at-iteration-i is well-defined independent of
+    how far the run intends to go, so a resumed run may extend or
+    shorten the iteration count."""
+    from logray.state.manifest import RunManifest, check_run_config
+
+    check_run_config(ckpt_dir, plan)
+    man = RunManifest(ckpt_dir)
+    done = [int(pid.split("-", 1)[1]) for pid in man.entries()
+            if pid.startswith("iter-")]
+    start = max((i for i in done if i <= n_iter), default=0)
+    return man, start
+
+
+def _ckpt_commit(man, i: int, shards, extra: dict) -> None:
+    """Per-iteration checkpoint: every shard dumps its state parquet
+    into the partition dir (atomic per file), THEN the manifest commits
+    — a crash mid-dump leaves no manifest and the iteration reruns."""
+    import os
+
+    pid = f"iter-{i:05d}"
+    pdir = man.partition_dir(pid)
+    os.makedirs(pdir, exist_ok=True)
+    rows = ray.get([s.dump_state.remote(
+        os.path.join(pdir, f"shard-{j}.parquet"))
+        for j, s in enumerate(shards)])
+    man.record(pid, {"iteration": i, "rows": int(sum(rows)), **extra})
+
+
+def _ckpt_load(man, i: int, shards, expect: dict) -> None:
+    """Scatter the iteration-``i`` checkpoint back into the shard
+    actors (each shard reads exactly its own file — partitioning is
+    owner-hash, pinned by the plan's num_shards)."""
+    import os
+
+    pid = f"iter-{i:05d}"
+    meta = man.entries()[pid]
+    for k, v in expect.items():
+        if meta.get(k) != v:
+            raise ValueError(
+                f"graph checkpoint {k} mismatch (checkpoint "
+                f"{meta.get(k)}, rebuilt graph {v}) — the edge input "
+                "changed; delete the checkpoint dir")
+    pdir = man.partition_dir(pid)
+    ray.get([s.load_state.remote(os.path.join(pdir, f"shard-{j}.parquet"))
+             for j, s in enumerate(shards)])
+
+
+def _plan_personalization(personalization):
+    """Deterministic JSON-able form of the personalization argument for
+    the checkpoint plan hash."""
+    if personalization is None:
+        return None
+    if isinstance(personalization, dict):
+        return sorted((int(k), float(v))
+                      for k, v in personalization.items())
+    return sorted({int(x) for x in personalization})
+
 
 def pagerank(edges, src: str = "src", dst: str = "dst",
              node_col: str = "node", damping: float = 0.85,
              n_iter: int = 20, num_shards: int = 8,
              weight_col: str | None = None,
-             personalization=None):
+             personalization=None,
+             checkpoint: str | None = None, checkpoint_every: int = 1,
+             _fault=None):
     """PageRank over a directed edge table, returning (node, rank).
 
     Update rule (Page et al. 1999, dangling mass redistributed along the
@@ -347,8 +453,28 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     Bit-deterministic under any input partitioning (see ``_PRShard``;
     weights join the edge sort key).  Fixed ``n_iter`` rather than a
     tolerance so the output is a pure function of the arguments.
+
+    ``checkpoint`` names a directory for per-iteration rank snapshots
+    (every ``checkpoint_every`` iterations + the final one): a killed
+    run re-invoked with the same arguments re-pushes the edges (cheap,
+    one exchange) and resumes from the newest committed iteration —
+    final ranks BIT-EQUAL to an uninterrupted run (test-pinned).  The
+    plan (everything except n_iter) is recorded in ``run_config.json``
+    and a mismatched re-invocation refuses, like the dedup chains; the
+    per-shard vertex sets and n_total are re-validated at load so a
+    changed edge input fails loudly instead of skewing ranks.
+    ``_fault(phase, i)`` is a test-only crash-injection hook.
     """
     B = num_shards
+    man = None
+    start = 0
+    if checkpoint is not None:
+        man, start = _ckpt_open(checkpoint, {
+            "algo": "pagerank", "src": src, "dst": dst,
+            "node_col": node_col, "damping": damping,
+            "num_shards": B, "weight_col": weight_col,
+            "personalization": _plan_personalization(personalization),
+        }, n_iter)
     shards = [_PRShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
 
     def push(t: pa.Table) -> pa.Table:
@@ -405,13 +531,25 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
                 "pagerank: no personalization seed is present in the graph")
         ray.get([s.scale_p.remote(1.0 / present) for s in shards])
 
-    for _ in range(n_iter):
+    meta = None
+    if man is not None:
+        meta = {"n_total": n_total, "edges": int(sum(ray.get(
+            [s.edge_count.remote() for s in shards])))}
+        if start:
+            _ckpt_load(man, start, shards, meta)
+    for it in range(start, n_iter):
+        if _fault is not None:
+            _fault("iter", it)
         dang = sum(ray.get([s.dangling_sum.remote() for s in shards]))
         outs = [s.emit.options(num_returns=B).remote() if B > 1
                 else [s.emit.remote()] for s in shards]
         ray.get([shards[j].apply.remote(
             damping, dang, *[outs[i][j] for i in range(B)])
             for j in range(B)])
+        done = it + 1
+        if man is not None and (done % checkpoint_every == 0
+                                or done == n_iter):
+            _ckpt_commit(man, done, shards, meta)
 
     import ray.data as rd
 
@@ -578,13 +716,28 @@ class _PRIntShard:
         return pa.table({node_col: pa.array(self.verts),
                          "rank": pa.array(self.rank / float(PR_SCALE))})
 
+    def edge_count(self) -> int:
+        return len(self.src)
+
+    def dump_state(self, path: str) -> int:
+        return _dump_shard_state(
+            path, {"node": self.verts, "rank": self.rank})
+
+    def load_state(self, path: str) -> int:
+        t = _load_shard_state(path, self.verts)
+        self.rank = t["rank"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return len(self.verts)
+
 
 def pagerank_fixedpoint(edges, src: str = "src", dst: str = "dst",
                         node_col: str = "node", n_iter: int = 20,
                         num_shards: int = 8,
                         damping_num: int = 85, damping_den: int = 100,
                         weight_col: str | None = None,
-                        personalization=None):
+                        personalization=None,
+                        checkpoint: str | None = None,
+                        checkpoint_every: int = 1, _fault=None):
     """PageRank in fixed-point int64 (units of 1/PR_SCALE), returning
     ``(node, rank)`` with ``rank = rank_int / PR_SCALE`` as float64.
 
@@ -621,6 +774,17 @@ def pagerank_fixedpoint(edges, src: str = "src", dst: str = "dst",
     if not (0 < damping_num < damping_den):
         raise ValueError("pagerank_fixedpoint: need 0 < num < den")
     B = num_shards
+    man = None
+    start = 0
+    if checkpoint is not None:
+        # same checkpoint protocol as pagerank() — see its docstring
+        man, start = _ckpt_open(checkpoint, {
+            "algo": "pagerank_fixedpoint", "src": src, "dst": dst,
+            "node_col": node_col, "damping_num": damping_num,
+            "damping_den": damping_den, "num_shards": B,
+            "weight_col": weight_col,
+            "personalization": _plan_personalization(personalization),
+        }, n_iter)
     shards = [_PRIntShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
 
     def push(t: pa.Table) -> pa.Table:
@@ -661,13 +825,25 @@ def pagerank_fixedpoint(edges, src: str = "src", dst: str = "dst",
                              "seed is present in the graph")
         ray.get([s.init_ranks.remote(n_total, present) for s in shards])
 
-    for _ in range(n_iter):
+    meta = None
+    if man is not None:
+        meta = {"n_total": n_total, "edges": int(sum(ray.get(
+            [s.edge_count.remote() for s in shards])))}
+        if start:
+            _ckpt_load(man, start, shards, meta)
+    for it in range(start, n_iter):
+        if _fault is not None:
+            _fault("iter", it)
         dang = sum(ray.get([s.dangling_sum.remote() for s in shards]))
         outs = [s.emit.options(num_returns=B).remote() if B > 1
                 else [s.emit.remote()] for s in shards]
         ray.get([shards[j].apply.remote(
             damping_num, damping_den, dang, *[outs[i][j] for i in range(B)])
             for j in range(B)])
+        done = it + 1
+        if man is not None and (done % checkpoint_every == 0
+                                or done == n_iter):
+            _ckpt_commit(man, done, shards, meta)
 
     out = rd.from_arrow_refs(
         [s.ranks_table.remote(node_col) for s in shards])
@@ -749,9 +925,16 @@ def pagerank_fixedpoint_sql(edges_sql: str, node_col: str = "node",
 # oriented out-degree is O(sqrt(E)) even at a hot hub — the wedge stage is
 # bounded at E^1.5 total regardless of skew.  Two regimes:
 #
-# - BROADCAST (batch-deduped distinct-edge estimate <= max_broadcast edges,
-#   16 bytes/edge; the default 100M covers the web-HOST graph, ~50M edges
-#   = 800 MB driver-resident): the distinct-edge set folds ON THE DRIVER
+# - BROADCAST (batch-deduped distinct-edge estimate <= max_broadcast edges):
+#   DRIVER MEMORY BUDGET — max_broadcast is denominated in DISTINCT
+#   undirected edges, and the driver pays ~16 B/edge RESIDENT (two int64
+#   arrays) plus a TRANSIENT peak of ~3-4x that during the
+#   lexsort/unique global dedup (index array + sorted copies).  The
+#   default 100M edges therefore assumes ~1.6 GB resident / ~6 GB peak
+#   driver headroom — it covers the web-HOST graph (~50M edges = 800 MB
+#   resident) on this 128 GiB box; LOWER the gate on a thinner driver,
+#   the join fallback is result-identical (test-pinned).  Past the gate:
+#   the distinct-edge set folds ON THE DRIVER
 #   (global dedup, degree census, orientation, dense-rank key packing —
 #   one numpy pass each), the sorted key array broadcasts via ray.put, and
 #   wedge generation runs as a plain task map over edge blocks PRE-SPLIT
@@ -951,7 +1134,10 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
     """Exact triangle count of the undirected simple graph underlying
     ``edges`` — one row ``{"triangles": n}``.  Each triangle is counted
     exactly once, at its minimum-(deg, id) corner.  Regimes and scale
-    shape: see the section comment above.
+    shape: see the section comment above — ``max_broadcast`` counts
+    DISTINCT undirected edges at ~16 B/edge driver-resident plus a
+    3-4x transient dedup peak; lower it on a thin driver, the join
+    fallback is result-identical.
     """
     import ray.data as rd
 
@@ -1188,9 +1374,25 @@ class _HitsShard:
                          "hub": pa.array(self.hub),
                          "authority": pa.array(self.auth)})
 
+    def edge_count(self) -> int:
+        return len(self.osrc)
+
+    def dump_state(self, path: str) -> int:
+        return _dump_shard_state(
+            path, {"node": self.verts, "hub": self.hub,
+                   "auth": self.auth})
+
+    def load_state(self, path: str) -> int:
+        t = _load_shard_state(path, self.verts)
+        self.hub = t["hub"].to_numpy().astype(np.float64)
+        self.auth = t["auth"].to_numpy().astype(np.float64)
+        return len(self.verts)
+
 
 def hits(edges, src: str = "src", dst: str = "dst",
-         node_col: str = "node", n_iter: int = 20, num_shards: int = 8):
+         node_col: str = "node", n_iter: int = 20, num_shards: int = 8,
+         checkpoint: str | None = None, checkpoint_every: int = 1,
+         _fault=None):
     """HITS hubs & authorities over a directed edge table —
     (node, hub, authority), both vectors L2-normalized per iteration
     (Kleinberg 1999; the directory-page vs content-page decomposition a
@@ -1200,8 +1402,18 @@ def hits(edges, src: str = "src", dst: str = "dst",
     endpoint owners (2 x 16 bytes/edge); each iteration then exchanges
     one float per edge per half-step plus B normalizer scalars.
     Bit-deterministic under input partitioning at fixed num_shards.
+    ``checkpoint`` / ``checkpoint_every`` / ``_fault``: same
+    per-iteration snapshot-and-resume protocol as :func:`pagerank`
+    (both score vectors snapshot together, post-normalization).
     """
     B = num_shards
+    man = None
+    start = 0
+    if checkpoint is not None:
+        man, start = _ckpt_open(checkpoint, {
+            "algo": "hits", "src": src, "dst": dst,
+            "node_col": node_col, "num_shards": B,
+        }, n_iter)
     shards = [_HitsShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
 
     def push(t: pa.Table) -> pa.Table:
@@ -1231,7 +1443,16 @@ def hits(edges, src: str = "src", dst: str = "dst",
              ("authority", pa.float64())]).empty_table())
     ray.get([s.init_scores.remote() for s in shards])
 
-    for _ in range(n_iter):
+    n_total = int(sum(counts))
+    meta = None
+    if man is not None:
+        meta = {"n_total": n_total, "edges": int(sum(ray.get(
+            [s.edge_count.remote() for s in shards])))}
+        if start:
+            _ckpt_load(man, start, shards, meta)
+    for it in range(start, n_iter):
+        if _fault is not None:
+            _fault("iter", it)
         outs = [s.emit_auth.options(num_returns=B).remote() if B > 1
                 else [s.emit_auth.remote()] for s in shards]
         a_sq = ray.get([shards[j].apply_auth.remote(
@@ -1244,6 +1465,10 @@ def hits(edges, src: str = "src", dst: str = "dst",
         ray.get([s.scale.remote(1.0 / na if na else 0.0,
                                 1.0 / nh if nh else 0.0)
                  for s in shards])
+        done = it + 1
+        if man is not None and (done % checkpoint_every == 0
+                                or done == n_iter):
+            _ckpt_commit(man, done, shards, meta)
 
     import ray.data as rd
 
@@ -1274,7 +1499,8 @@ def clustering_coefficients(edges, src: str = "src", dst: str = "dst",
     threads the wedge CENTER through the closing-edge match and folds
     corner counts with one more narrow bucket exchange.  The
     coefficient is ONE IEEE division of exact int64 counts,
-    bit-identical to the SQL twin.
+    bit-identical to the SQL twin.  ``max_broadcast`` budget: see the
+    section comment (~16 B/edge resident, 3-4x transient peak).
     """
     import ray.data as rd
 
@@ -1437,6 +1663,8 @@ def kcore_members(edges, k: int, src: str = "src", dst: str = "dst",
     Fallback (URL-graph scale): each round is one narrow degree census
     (bucket fold) + a broadcast drop-set filter over the edge Dataset;
     rounds are bounded by the peeling depth (typically tens).
+    ``max_broadcast`` budget: see the section comment (~16 B/edge
+    resident, 3-4x transient peak).
     """
     if k < 0:
         raise ValueError("kcore_members: k must be >= 0")

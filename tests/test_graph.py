@@ -833,3 +833,89 @@ def test_pagerank_fixedpoint_guards(ray_session):
     out = pagerank_fixedpoint(empty, num_shards=2)
     assert out.count() == 0
     assert out.schema().names == ["node", "rank"]
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-resume for iterative graph jobs
+# ---------------------------------------------------------------------------
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _crash_at(k):
+    def fault(phase, i):
+        if i == k:
+            raise _Boom(f"injected crash before iteration {i}")
+    return fault
+
+
+@pytest.mark.parametrize("algo", ["pagerank", "pagerank_fixedpoint",
+                                  "hits"])
+def test_graph_checkpoint_crash_resume_bit_equal(ray_session, tmp_path,
+                                                 algo):
+    """Kill the job mid-run (after 4 committed iteration checkpoints),
+    re-invoke with identical arguments: the resumed run must produce
+    final scores BIT-EQUAL to an uninterrupted run."""
+    import logray.functions.graph as G
+
+    src, dst = _rand_graph(21, 40, 300)
+    ds = lambda: _edges_ds(src, dst)  # noqa: E731
+    kw = {"n_iter": 10, "num_shards": 3}
+    if algo == "pagerank":
+        run = lambda **k: G.pagerank(ds(), personalization=[0, 1], **kw, **k)  # noqa: E731
+        cols = ["rank"]
+    elif algo == "pagerank_fixedpoint":
+        run = lambda **k: G.pagerank_fixedpoint(ds(), **kw, **k)  # noqa: E731
+        cols = ["rank"]
+    else:
+        run = lambda **k: G.hits(ds(), **kw, **k)  # noqa: E731
+        cols = ["hub", "authority"]
+
+    base = run().to_pandas().sort_values("node").reset_index(drop=True)
+    ck = str(tmp_path / algo)
+    with pytest.raises(_Boom):
+        run(checkpoint=ck, _fault=_crash_at(4))
+    # exactly 4 committed iteration checkpoints survive the crash
+    import glob as _glob
+
+    assert len(_glob.glob(f"{ck}/parts/iter-*/manifest.json")) == 4
+    got = run(checkpoint=ck).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert got["node"].tolist() == base["node"].tolist()
+    for c in cols:
+        assert (got[c].to_numpy() == base[c].to_numpy()).all(), c
+
+
+def test_graph_checkpoint_refuses_changed_plan(ray_session, tmp_path):
+    from logray.functions.graph import pagerank
+
+    src, dst = _rand_graph(22, 20, 100)
+    ck = str(tmp_path / "pr")
+    pagerank(_edges_ds(src, dst), n_iter=3, num_shards=2, checkpoint=ck)
+    # different num_shards = different partitioning plan -> refuse
+    with pytest.raises(ValueError, match="different parameters"):
+        pagerank(_edges_ds(src, dst), n_iter=3, num_shards=4,
+                 checkpoint=ck)
+    # n_iter is NOT part of the plan: extending the run resumes from
+    # the final committed iteration instead of refusing
+    out = pagerank(_edges_ds(src, dst), n_iter=5, num_shards=2,
+                   checkpoint=ck).to_pandas()
+    want = pagerank(_edges_ds(src, dst), n_iter=5,
+                    num_shards=2).to_pandas()
+    got = out.sort_values("node").reset_index(drop=True)
+    want = want.sort_values("node").reset_index(drop=True)
+    assert (got["rank"].to_numpy() == want["rank"].to_numpy()).all()
+
+
+def test_graph_checkpoint_refuses_changed_edges(ray_session, tmp_path):
+    """A checkpoint written for one edge multiset must not silently
+    seed a different graph."""
+    from logray.functions.graph import pagerank
+
+    src, dst = _rand_graph(23, 20, 100)
+    ck = str(tmp_path / "pr2")
+    pagerank(_edges_ds(src, dst), n_iter=2, num_shards=2, checkpoint=ck)
+    with pytest.raises(ValueError, match="mismatch"):
+        pagerank(_edges_ds(src[:50], dst[:50]), n_iter=4, num_shards=2,
+                 checkpoint=ck)
