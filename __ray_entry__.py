@@ -2096,6 +2096,29 @@ def _q_bm25_index_search(sf_dir: str):
     )
 
 
+def _q_bm25_index_resumable(sf_dir: str):
+    """Same search as bm25_index_search but through the
+    manifest-checkpointed resumable builder (one partition per input
+    file, sidecar committed last) — rows-only at the gate; exact
+    equality with the single-shot build is test-pinned."""
+    import shutil
+    import tempfile
+
+    from logray.functions.search_text import (bm25_search_index,
+                                              build_text_index_resumable)
+
+    idx = tempfile.mkdtemp(prefix="logray_bm25_ridx_")
+    shutil.rmtree(idx)  # builder wants to own the layout from scratch
+    build_text_index_resumable(f"{sf_dir}/documents.parquet", idx,
+                               num_shards=8)
+    return bm25_search_index(
+        idx,
+        [(0, "hash join strategy"), (1, "window aggregate"),
+         (2, "vector scan")],
+        k=10,
+    )
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag documents sharing any 6-word-gram
     with the held-out eval slice (doc_id % 37 == 0) — broadcast n-gram
@@ -3719,6 +3742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": _q_pivot_events,
         "bm25_search": _q_bm25_search,
         "bm25_index_search": _q_bm25_index_search,
+        "bm25_index_resumable": _q_bm25_index_resumable,
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
         "semi_join_customers": _q_semi_join_customers,

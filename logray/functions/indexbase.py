@@ -37,9 +37,14 @@ def read_meta(index_dir: str, kind: str) -> dict:
 def shard_files(index_dir: str, key: str, value=None) -> list[str]:
     """Parquet files of one hive shard (``key=value``), or of the whole
     index when ``value`` is None — path-level pruning, never a row
-    filter on the hash-random shard column."""
-    pat = f"{key}={value}" if value is not None else "*"
-    return sorted(glob.glob(os.path.join(index_dir, pat, "*.parquet")))
+    filter on the hash-random shard column.  Covers both the flat
+    append layout (``<dir>/<key>=v/*.parquet``) and the resumable
+    manifest layout (``<dir>/parts/<pid>/<key>=v/*.parquet``)."""
+    pat = f"{key}={value}" if value is not None else f"{key}=*"
+    return sorted(
+        glob.glob(os.path.join(index_dir, pat, "*.parquet"))
+        + glob.glob(os.path.join(index_dir, "parts", "*", pat,
+                                 "*.parquet")))
 
 
 def total_index_rows(files: list[str]) -> int:

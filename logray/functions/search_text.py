@@ -245,24 +245,9 @@ def _term_shards(terms, num_shards: int) -> np.ndarray:
     return (content_hash(arr) % np.uint64(num_shards)).astype(np.int64)
 
 
-def build_text_index(ds, out_dir: str, col: str = "text",
-                     id_col: str = "doc_id", num_shards: int = 64) -> None:
-    """ONE streaming pass: per-batch unique (term, doc_id, tf, dl)
-    postings written hive-partitioned by ``__s``; then the driver folds
-    the tiny per-batch stats rows into the metadata sidecar.  Appending
-    with identical parameters is additive; mismatches refuse."""
-    import os
-
-    from logray.functions.indexbase import (META_NAME, read_meta,
-                                            shard_files, write_meta)
-
-    params = _bm25_index_params(num_shards, col, id_col)
-    if os.path.exists(os.path.join(out_dir, META_NAME)):
-        existing = read_meta(out_dir, "bm25 inverted index")
-        if {k: existing.get(k) for k in params} != params:
-            raise ValueError(
-                f"bm25 index {out_dir!r} was built with {existing}; "
-                f"appending with {params} would mix incomparable postings")
+def _postings_fn(col: str, id_col: str, num_shards: int):
+    """The per-batch postings transform shared by the one-shot and
+    resumable index builders."""
 
     def part(t: pa.Table) -> pa.Table:
         nd = t.num_rows
@@ -295,14 +280,18 @@ def build_text_index(ds, out_dir: str, col: str = "text",
             "__s": pa.array(_term_shards(terms, num_shards)),
         })
 
-    (ds.select_columns([col, id_col])
-       .map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
-                    batch_size=None)
-       .write_parquet(out_dir, partition_cols=["__s"]))
+    return part
 
-    # fold stats (reads ONLY the "" shard's term/tf/dl columns; on
-    # append this recount naturally includes prior builds' rows)
+
+def _fold_bm25_stats(out_dir: str, params: dict,
+                     num_shards: int) -> None:
+    """Fold the tiny per-batch stats rows (the ``""`` shard only) into
+    the metadata sidecar — the sidecar's presence marks the index
+    complete, so it writes LAST.  On append/resume the recount
+    naturally includes prior builds' rows."""
     import pyarrow.parquet as pq
+
+    from logray.functions.indexbase import shard_files, write_meta
 
     s0 = int(_term_shards([_STATS_TERM], num_shards)[0])
     n_docs = n_tokens = 0
@@ -313,6 +302,68 @@ def build_text_index(ds, out_dir: str, col: str = "text",
         n_tokens += pc.sum(pc.filter(t["dl"], m)).as_py() or 0
     write_meta(out_dir, {**params, "n_docs": int(n_docs),
                          "n_tokens": int(n_tokens)})
+
+
+def build_text_index(ds, out_dir: str, col: str = "text",
+                     id_col: str = "doc_id", num_shards: int = 64) -> None:
+    """ONE streaming pass: per-batch unique (term, doc_id, tf, dl)
+    postings written hive-partitioned by ``__s``; then the driver folds
+    the tiny per-batch stats rows into the metadata sidecar.  Appending
+    with identical parameters is additive; mismatches refuse."""
+    import os
+
+    from logray.functions.indexbase import META_NAME, read_meta
+
+    params = _bm25_index_params(num_shards, col, id_col)
+    if os.path.exists(os.path.join(out_dir, META_NAME)):
+        existing = read_meta(out_dir, "bm25 inverted index")
+        if {k: existing.get(k) for k in params} != params:
+            raise ValueError(
+                f"bm25 index {out_dir!r} was built with {existing}; "
+                f"appending with {params} would mix incomparable postings")
+
+    part = _postings_fn(col, id_col, num_shards)
+    (ds.select_columns([col, id_col])
+       .map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None)
+       .write_parquet(out_dir, partition_cols=["__s"]))
+    _fold_bm25_stats(out_dir, params, num_shards)
+
+
+def build_text_index_resumable(input_path: str, out_dir: str,
+                               col: str = "text", id_col: str = "doc_id",
+                               num_shards: int = 64, _fault=None) -> dict:
+    """Resumable index build over a parquet corpus directory: one
+    manifest-checkpointed partition per input file, each writing its
+    postings hive-sharded under its own ``parts/<pid>/`` dir (the shard
+    readers glob both layouts), metadata sidecar committed LAST so a
+    killed build is visibly incomplete (:func:`bm25_search_index`
+    refuses an index without the sidecar).  Re-invoking after a crash
+    skips finished partitions; the finished index's search results are
+    identical to a single-shot build (test-pinned).  The plan is pinned
+    in ``run_config.json``; differing parameters refuse.
+
+    ``_fault(phase, part_id)`` is a test-only crash-injection hook."""
+    import ray.data as rd
+
+    from logray.state.manifest import check_run_config, run_resumable
+
+    params = _bm25_index_params(num_shards, col, id_col)
+    check_run_config(out_dir, {"op": "bm25_index_build", **params})
+    part = _postings_fn(col, id_col, num_shards)
+
+    def run_part(files, pdir, *, part_id=None):
+        if _fault is not None:
+            _fault("postings", part_id)
+        ds = rd.read_parquet(files, columns=[col, id_col])
+        (ds.map_batches(part, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+           .write_parquet(pdir, partition_cols=["__s"]))
+        return {}
+
+    metrics = run_resumable(input_path, out_dir, run_part)
+    _fold_bm25_stats(out_dir, params, num_shards)
+    return metrics
 
 
 def bm25_search_index(index_dir: str, queries, k: int = 10,

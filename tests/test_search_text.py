@@ -145,3 +145,58 @@ def test_bm25_index_build_and_search(ray_session, tmp_path):
         build_text_index(rd.from_pandas(extra), idx, num_shards=8)
     with pytest.raises(ValueError, match="refusing"):
         bm25_search_index(str(tmp_path), [(0, "cat")], k=1)
+
+
+def test_bm25_build_resumable_crash_resume(ray_session, tmp_path):
+    """Kill the index build mid-run: finished partitions survive, the
+    metadata sidecar is absent (search refuses the incomplete index),
+    and a re-invocation finishes the build with search results
+    IDENTICAL to a single-shot build."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logray.functions.search_text import (
+        bm25_search_index,
+        build_text_index,
+        build_text_index_resumable,
+    )
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    ids = np.arange(len(DOCS), dtype=np.int64)
+    for i in range(3):  # 3 input files -> 3 partitions
+        sel = slice(i * 2, i * 2 + 2)
+        pq.write_table(pa.table({"doc_id": ids[sel],
+                                 "text": DOCS[sel.start:sel.stop]}),
+                       src / f"f{i}.parquet")
+
+    one = str(tmp_path / "oneshot")
+    build_text_index(rd.read_parquet(str(src)), one, num_shards=4)
+
+    res = str(tmp_path / "resumable")
+    crashed = []
+
+    def fault(phase, part_id):
+        if len(crashed) >= 2:
+            raise RuntimeError("injected crash")
+        crashed.append(part_id)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        build_text_index_resumable(str(src), res, num_shards=4,
+                                   _fault=fault)
+    # incomplete: no sidecar, search refuses
+    with pytest.raises(ValueError, match="refusing"):
+        bm25_search_index(res, [(0, "cat")], k=1)
+
+    build_text_index_resumable(str(src), res, num_shards=4)
+    queries = [(0, "cat mat"), (1, "dog"), (2, "quantum qubits")]
+    a = bm25_search_index(one, queries, k=4)
+    b = bm25_search_index(res, queries, k=4)
+    for c in ("query_id", "doc_id", "rank"):
+        assert a[c].tolist() == b[c].tolist()
+    assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+
+    # plan mismatch refuses
+    with pytest.raises(ValueError, match="different parameters"):
+        build_text_index_resumable(str(src), res, num_shards=8)
