@@ -107,6 +107,38 @@ def flag_contaminated(train_ds, index, col: str = "text",
     )
 
 
+def drop_contaminated(train_ds, index, col: str = "text", n: int = 5):
+    """Filter form of :func:`flag_contaminated`: keep only rows whose
+    text hits ZERO eval-index grams, all input columns preserved — the
+    shape a curation pipeline wants (one fused pass, no flag join).
+    ``index`` may be the sorted uint64 array or a ``ray.put`` ref."""
+    import ray
+
+    ref = index if isinstance(index, ray.ObjectRef) else ray.put(index)
+
+    class Drop:
+        def __init__(self):
+            self.idx = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not len(self.idx) or not t.num_rows:
+                return t
+            p, h = _word_hashes(t, col)
+            gp, g = _gram_hashes(p, h, n)
+            keep = np.ones(t.num_rows, bool)
+            if len(g):
+                pos = np.clip(np.searchsorted(self.idx, g), 0,
+                              len(self.idx) - 1)
+                hit_docs = gp[self.idx[pos] == g]
+                keep[np.unique(hit_docs)] = False
+            return t.filter(pa.array(keep))
+
+    return train_ds.map_batches(
+        Drop, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None, concurrency=(1, 8),
+    )
+
+
 def decontaminate_sql(train_table: str, eval_table: str, n: int = 5,
                       col: str = "text", id_col: str = "doc_id") -> str:
     """DuckDB twin: string n-grams (lowercase, space-joined) on both

@@ -59,6 +59,7 @@ def near_dedup_resumable(
     seed: int = 1,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     distributed_cc: bool = False,
+    partitions: list[tuple[str, list[str]]] | None = None,
     _fault=None,
 ) -> dict:
     """Run the full resumable near-dedup closure; returns merged metrics
@@ -80,7 +81,11 @@ def near_dedup_resumable(
         "threshold": threshold, "seed": seed, "max_bucket": max_bucket,
         "layout": "hive_band_v2",
     })
-    input_parts = default_partitions(input_path)
+    # `partitions` overrides the one-per-input-file default — phase
+    # chaining (manifest.partitions_from_parts) feeds a prior resumable
+    # phase's published files in directly
+    input_parts = partitions if partitions is not None \
+        else default_partitions(input_path)
 
     # --- phase 1: band rows per input file --------------------------------
     bands_dir = os.path.join(out_dir, "bands")

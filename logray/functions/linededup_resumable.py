@@ -99,13 +99,17 @@ def dedup_lines_resumable(
     min_len: int = 1,
     sep: str = "\n",
     num_buckets: int = 64,
+    partitions: list[tuple[str, list[str]]] | None = None,
     _fault=None,
 ) -> dict:
     """Run the full resumable line-dedup pass; returns merged metrics
     (rows written, tombstone count, per-phase partition counts).  Safe
     to re-invoke after a crash: finished partitions of every phase are
     skipped.  ``_fault(phase, part_id)`` is a test-only fault-injection
-    hook called before each partition executes."""
+    hook called before each partition executes.  ``partitions``
+    overrides the one-per-input-file default — phase chaining
+    (:func:`logray.state.manifest.partitions_from_parts`) feeds a prior
+    resumable phase's published files in directly."""
     import ray
     import ray.data as rd
 
@@ -118,7 +122,8 @@ def dedup_lines_resumable(
         "min_len": min_len, "sep": sep, "num_buckets": num_buckets,
         "layout": "hive_bucket_v2",
     })
-    input_parts = default_partitions(input_path)
+    input_parts = partitions if partitions is not None \
+        else default_partitions(input_path)
 
     # --- phase 1: winners + local tombstones per input file -----------------
     cand_dir = os.path.join(out_dir, "cand")

@@ -93,18 +93,31 @@ def pack_documents(ds, budget: int, id_col: str = "doc_id",
             batch_format="pyarrow",
         )
 
-    def _block_sum(t, col: str) -> int:
-        s = pc.sum(_to_table(t)[col]).as_py()
-        return int(s or 0)
+    def _block_meta(t, col: str) -> tuple[int, int]:
+        # sort can emit 0-row boundary blocks WITHOUT a schema — report
+        # them as (0 rows, 0 sum) so they can be dropped instead of
+        # KeyError-ing on the missing length column
+        t = _to_table(t)
+        if t.num_rows == 0 or col not in t.column_names:
+            return 0, 0
+        s = pc.sum(t[col]).as_py()
+        return t.num_rows, int(s or 0)
 
-    sum_task = ray.remote(num_cpus=0.5)(_block_sum)
+    meta_task = ray.remote(num_cpus=0.5)(_block_meta)
     apply_task = ray.remote(num_cpus=0.5)(_apply_pack)
 
-    sums = ray.get([sum_task.remote(r, len_col) for r in refs])
+    metas = ray.get([meta_task.remote(r, len_col) for r in refs])
+    keep = [(r, s) for r, (n, s) in zip(refs, metas) if n > 0]
+    if not keep:
+        return sorted_ds.map_batches(
+            lambda t: _apply_pack(t, 0, budget, id_col, len_col),
+            batch_format="pyarrow",
+        )
+    sums = [s for _r, s in keep]
     offsets = np.concatenate([[0], np.cumsum(sums[:-1], dtype=np.int64)])
     out_refs = [
         apply_task.remote(r, int(off), budget, id_col, len_col)
-        for r, off in zip(refs, offsets)
+        for (r, _s), off in zip(keep, offsets)
     ]
     return rd.from_arrow_refs(out_refs)
 

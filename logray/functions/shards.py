@@ -169,6 +169,7 @@ def rebalance_shards_resumable(input_path: str, out_dir: str,
                                byte_cols: list[str] | None = None,
                                seed: int = 0, min_shards: int = 1,
                                row_overhead: int = ROW_OVERHEAD_BYTES,
+                               partitions: list[tuple[str, list[str]]] | None = None,
                                _fault=None) -> dict:
     """Checkpointed :func:`rebalance_shards`: every phase partition is an
     atomically-published checkpoint, so a 100 TB rewrite that dies at 90%
@@ -188,6 +189,9 @@ def rebalance_shards_resumable(input_path: str, out_dir: str,
     :func:`rebalance_shards` at the same ``n_shards``.  Read back with
     :func:`read_rebalanced` (whole tree or one shard, path-pruned).
     ``_fault(phase, part_id)`` is a test-only crash-injection hook.
+    ``partitions`` overrides the one-per-input-file default — phase
+    chaining (:func:`logray.state.manifest.partitions_from_parts`)
+    feeds a prior resumable phase's published files in directly.
     """
     import ray.data as rd
 
@@ -198,7 +202,10 @@ def rebalance_shards_resumable(input_path: str, out_dir: str,
         raise ValueError("target_bytes must be positive")
 
     if byte_cols is None:
-        probe = rd.read_parquet(input_path)
+        # with an explicit partitions list the input may be a chained
+        # phase dir with no flat *.parquet — probe the first partition
+        probe = rd.read_parquet(partitions[0][1] if partitions
+                                else input_path)
         schema = probe.schema()
         byte_cols = [
             n for n, t in zip(schema.names, schema.types)
@@ -225,7 +232,7 @@ def rebalance_shards_resumable(input_path: str, out_dir: str,
                           row_overhead=row_overhead)
         return {"bytes": int(b)}
 
-    run_resumable(input_path, census_dir, run_census)
+    run_resumable(input_path, census_dir, run_census, partitions=partitions)
     total = sum(int(e.get("bytes", 0))
                 for e in RunManifest(census_dir).entries().values())
     # the shard count is part of the PLAN: once any phase-2 partition may
@@ -255,6 +262,7 @@ def rebalance_shards_resumable(input_path: str, out_dir: str,
         return {}
 
     shards_dir = os.path.join(out_dir, "shards")
-    m = run_resumable(input_path, shards_dir, run_write)
+    m = run_resumable(input_path, shards_dir, run_write,
+                      partitions=partitions)
     return {"n_shards": int(n_shards), "total_bytes": int(total),
             "partitions": m.get("partitions", 0), "output_dir": shards_dir}

@@ -150,6 +150,26 @@ def default_partitions(input_path: str) -> list[tuple[str, list[str]]]:
     return out
 
 
+def partitions_from_parts(phase_dir: str) -> list[tuple[str, list[str]]]:
+    """One downstream partition per parquet file a FINISHED resumable
+    phase published under ``<phase_dir>/parts/`` — the glue that chains
+    resumable phases: phase N+1's partition list derives from phase N's
+    published files.  Ids derive from the path relative to ``parts/``
+    (bare basenames collide across partition dirs), and are stable
+    across resumes because a published partition is never rewritten."""
+    import hashlib
+    import re
+
+    root = os.path.join(phase_dir, "parts")
+    out = []
+    for f in part_files(phase_dir):
+        rel = os.path.relpath(f, root)
+        tag = hashlib.sha1(rel.encode()).hexdigest()[:8]
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", rel.replace(os.sep, "_"))
+        out.append((f"p-{safe[-48:]}-{tag}", [f]))
+    return out
+
+
 def part_files(phase_dir: str) -> list[str]:
     """All parquet files a finished (or partially finished) resumable
     phase has published under ``<phase_dir>/parts/*/`` (one extra level

@@ -542,6 +542,96 @@ def main() -> int:
 
     timed("sample_neighbors", sample_neighbors_52m)
 
+    # --- k-core peeling over the 52M-edge graph: broadcast regime
+    # (driver numpy loop) AND the forced join/bucket fallback — the
+    # regime a past-max_broadcast URL graph actually runs in ------------
+    def kcore_52m():
+        from logray.functions.graph import kcore_members
+
+        return kcore_members(_graph_edges(), k=3, num_buckets=128).count()
+
+    def kcore_fallback_52m():
+        from logray.functions.graph import kcore_members
+
+        return kcore_members(_graph_edges(), k=3, num_buckets=128,
+                             max_broadcast=1_000_000).count()
+
+    timed("kcore", kcore_52m)
+    timed("kcore_fallback", kcore_fallback_52m)
+
+    # --- local clustering coefficients: per-node triangle scatter-add
+    # rides the same dual-regime gate as triangle_count ------------------
+    def clustering_52m():
+        from logray.functions.graph import clustering_coefficients
+
+        return clustering_coefficients(
+            _graph_edges(), num_buckets=128).count()
+
+    def clustering_fallback_52m():
+        from logray.functions.graph import clustering_coefficients
+
+        return clustering_coefficients(
+            _graph_edges(), num_buckets=128,
+            max_broadcast=1_000_000).count()
+
+    timed("clustering_coefficients", clustering_52m)
+    timed("clustering_fallback", clustering_fallback_52m)
+
+    # --- 2-hop fanout-capped ego-net extraction from 1k seeds: the
+    # GraphSAGE minibatch shape; the fanout cap rides a bucket shuffle --
+    def khop_52m():
+        import numpy as np
+
+        from logray.functions.graph import khop_edges
+
+        seeds = (np.arange(1_000, dtype=np.int64)
+                 * (_GM // 1_000)) % _GM
+        return khop_edges(_graph_edges(), seeds, hops=2, fanout=8,
+                          seed=1, num_buckets=64).count()
+
+    timed("khop", khop_52m)
+
+    # --- BM25 search against a persistent 12.8M-doc index: path-pruned
+    # shard reads — the figure of merit is that search cost tracks the
+    # query terms' shards, not the index size ---------------------------
+    def bm25_search_12m():
+        import shutil
+
+        import pyarrow as pa
+
+        from logray.functions.search_text import (bm25_search_index,
+                                                  build_text_index)
+
+        sub = files[:max(1, len(files) // 4)]
+        idx = os.path.join("/tmp/logray_bench", "smoke_bm25_idx")
+        if not os.path.exists(os.path.join(idx, "index.json")):
+            shutil.rmtree(idx, ignore_errors=True)
+
+            def add_id(t):
+                rid = pc.add(pc.multiply(pc.cast(t["turn_idx"], "int64"),
+                                         1 << 32),
+                             pc.cast(pc.utf8_length(t["conv_id"]), "int64"))
+                return pa.table({"doc_id": rid, "text": t["text"]})
+
+            ds = rd.read_parquet(sub,
+                                 columns=["conv_id", "turn_idx", "text"],
+                                 override_num_blocks=len(sub)) \
+                   .map_batches(add_id, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            build_text_index(ds, idx, num_shards=64)
+            print("bm25_search: index built (untimed setup)", flush=True)
+        # query vocabulary drawn from the synthetic corpus ("0105 000017
+        # WARN  :..evt_42: val=12345"): levels, evt ids, val amounts
+        qs = [(0, "info evt 42 val"),
+              (1, "warn evt 7"),
+              (2, "error val 12345"),
+              (3, "debug evt 99 val 500"),
+              (4, "0105 warn val")]
+        out = bm25_search_index(idx, qs, k=10)
+        return len(out)
+
+    timed("bm25_search", bm25_search_12m)
+
     # --- robots politeness filter over 52M URLs --------------------------
     def robots_52m():
         import numpy as np
