@@ -3520,6 +3520,86 @@ def _q_warc_select(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def _q_crawl_pipeline(sf_dir: str):
+    """THE 100 TB product shape: the full resumable crawl ->
+    training-set composition (:mod:`logray.pipelines.crawl`) over the
+    documents table dressed as a WARC crawl.  Documents are wrapped in
+    HTML (every 7th on a robots-disallowed path, every 101st's text
+    doubling as an eval passage), written as a gzip-member WARC
+    archive, then run through the seven manifest-checkpointed phases:
+    extract + robots gate + PII redaction -> C4 line dedup -> MinHash
+    near-dedup closure -> eval-set decontamination -> byte-BPE
+    tokenize -> byte-balanced shards -> per-shard sequence packing.
+    Rows-only: the packed set's BPE ids have no SQL twin; every
+    constituent phase has its own exact gate, and crash-resume
+    byte-equality is pinned in tests/test_crawl_pipeline.py."""
+    import datetime
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logray.pipelines.crawl import read_crawl_output, run_crawl_pipeline
+    from logray.sources.warc import write_warc
+
+    root = f"/tmp/logray_crawl_gate_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    warc_dir = os.path.join(root, "warc")
+    eval_dir = os.path.join(root, "eval")
+    os.makedirs(eval_dir)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def to_records(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        path = np.where(ids % 7 == 3, "/private/p", "/p/")
+        url = pa.array(np.char.add(np.char.add(
+            "https://crawl.example", path), ids.astype(str)))
+        html = pc.binary_join_element_wise(
+            pa.scalar("<html><head><title>d</title></head><body><p>"),
+            t["text"], pa.scalar("</p></body></html>"), pa.scalar(""))
+        n = t.num_rows
+        return pa.table({
+            "url": url,
+            "ts": pa.array([datetime.datetime(2026, 8, 1)] * n,
+                           pa.timestamp("us")),
+            "mime": pa.array(["text/html"] * n),
+            "payload": pc.cast(html, pa.binary()),
+        })
+
+    write_warc(docs.map_batches(to_records, batch_format="pyarrow",
+                                zero_copy_batch=True).repartition(4),
+               warc_dir)
+    # eval set = every 101st doc's own text: those docs are contaminated
+    # by construction and must fall at the decontam phase
+    ev = docs.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.cast(t["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False) % 101, 0)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    pq.write_table(pa.table({"doc_id": pa.array(ev["doc_id"], pa.int64()),
+                             "text": pa.array(ev["text"], pa.string())}),
+                   os.path.join(eval_dir, "eval.parquet"))
+
+    run_crawl_pipeline(
+        warc_dir, os.path.join(root, "out"), eval_path=eval_dir,
+        robots={"crawl.example": _ROBOTS_TXT}, quality=False,
+        num_buckets=8, bands=8, num_perm=32, vocab_size=300,
+        pack_budget=1024, target_shard_bytes=1 << 20)
+    out = read_crawl_output(os.path.join(root, "out")).to_pandas()
+    out["n_ids"] = out["token_ids"].map(len)
+    return (out[["shard", "seq_id", "seq_offset", "n_tokens", "n_ids"]]
+            .sort_values(["shard", "seq_id", "seq_offset"])
+            .reset_index(drop=True))
+
+
 def _q_graph_pagerank(sf_dir: str):
     """PageRank over the event web-graph — edges pushed once into
     per-shard actor CSRs, then 20 iterations of narrow rank messages.
@@ -3687,6 +3767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles_approx": _q_triangles_approx,
         "robots_filter_docs": _q_robots_filter,
         "crawl_rank_docs": _q_crawl_rank,
+        "crawl_pipeline_docs": _q_crawl_pipeline,
         "anchor_text_links": _q_anchor_text,
         "warc_roundtrip_docs": _q_warc_roundtrip,
         "warc_select_docs": _q_warc_select,

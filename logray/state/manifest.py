@@ -151,22 +151,28 @@ def default_partitions(input_path: str) -> list[tuple[str, list[str]]]:
 
 
 def partitions_from_parts(phase_dir: str) -> list[tuple[str, list[str]]]:
-    """One downstream partition per parquet file a FINISHED resumable
-    phase published under ``<phase_dir>/parts/`` — the glue that chains
+    """One downstream partition per PARTITION a finished resumable phase
+    published under ``<phase_dir>/parts/<pid>/`` — the glue that chains
     resumable phases: phase N+1's partition list derives from phase N's
-    published files.  Ids derive from the path relative to ``parts/``
-    (bare basenames collide across partition dirs), and are stable
-    across resumes because a published partition is never rewritten."""
+    published partitions, so granularity stays CONSTANT down the chain
+    (one unit of sequential driver work per upstream unit) instead of
+    multiplying with the per-block file counts each write emits.  Ids
+    derive from the upstream partition id (already filesystem-safe and
+    name-stable); file lists within a published partition are sorted and
+    immutable, so the mapping is a pure function across resumes."""
     import hashlib
     import re
 
     root = os.path.join(phase_dir, "parts")
-    out = []
+    by_pid: dict[str, list[str]] = {}
     for f in part_files(phase_dir):
-        rel = os.path.relpath(f, root)
-        tag = hashlib.sha1(rel.encode()).hexdigest()[:8]
-        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", rel.replace(os.sep, "_"))
-        out.append((f"p-{safe[-48:]}-{tag}", [f]))
+        pid = os.path.relpath(f, root).split(os.sep)[0]
+        by_pid.setdefault(pid, []).append(f)
+    out = []
+    for pid in sorted(by_pid):
+        tag = hashlib.sha1(pid.encode()).hexdigest()[:8]
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", pid)
+        out.append((f"p-{safe[-48:]}-{tag}", sorted(by_pid[pid])))
     return out
 
 
