@@ -60,6 +60,7 @@ def near_dedup_resumable(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     distributed_cc: bool = False,
     partitions: list[tuple[str, list[str]]] | None = None,
+    max_concurrent: int = 1,
     _fault=None,
 ) -> dict:
     """Run the full resumable near-dedup closure; returns merged metrics
@@ -102,7 +103,8 @@ def near_dedup_resumable(
                        ).write_parquet(pdir, partition_cols=["band_id"])
         return {}
 
-    run_resumable(input_path, bands_dir, run_bands, partitions=input_parts)
+    run_resumable(input_path, bands_dir, run_bands, partitions=input_parts,
+                  max_concurrent=max_concurrent)
 
     # --- phase 2: pairs per band ------------------------------------------
     pairs_dir = os.path.join(out_dir, "pairs")
@@ -122,6 +124,7 @@ def near_dedup_resumable(
     run_resumable(
         input_path, pairs_dir, run_band_pairs,
         partitions=[(f"band{b:03d}", [b]) for b in range(bands)],
+        max_concurrent=max_concurrent,
     )
 
     # --- phase 3: closure -> drop list ------------------------------------
@@ -172,7 +175,8 @@ def near_dedup_resumable(
         return {"rows": ds.count()}
 
     metrics = run_resumable(input_path, dedup_dir, run_dedup,
-                            partitions=input_parts)
+                            partitions=input_parts,
+                            max_concurrent=max_concurrent)
     metrics["dropped"] = int(len(drop_tbl))
     metrics["output_dir"] = dedup_dir
     return metrics

@@ -100,6 +100,7 @@ def dedup_lines_resumable(
     sep: str = "\n",
     num_buckets: int = 64,
     partitions: list[tuple[str, list[str]]] | None = None,
+    max_concurrent: int = 1,
     _fault=None,
 ) -> dict:
     """Run the full resumable line-dedup pass; returns merged metrics
@@ -138,7 +139,8 @@ def dedup_lines_resumable(
            .write_parquet(pdir, partition_cols=["__b"]))
         return {}
 
-    run_resumable(input_path, cand_dir, run_cand, partitions=input_parts)
+    run_resumable(input_path, cand_dir, run_cand, partitions=input_parts,
+                  max_concurrent=max_concurrent)
 
     # --- phase 2: global tombstones per bucket -------------------------------
     losers_dir = os.path.join(out_dir, "losers")
@@ -169,6 +171,7 @@ def dedup_lines_resumable(
     run_resumable(
         input_path, losers_dir, run_losers,
         partitions=[(f"b{b:03d}", [b]) for b in range(num_buckets)],
+        max_concurrent=max_concurrent,
     )
 
     # --- phase 3: local rebuild per input file -------------------------------
@@ -221,6 +224,7 @@ def dedup_lines_resumable(
         return {"rows": out.count(), "tombstones_applied": int(len(tdf))}
 
     metrics = run_resumable(input_path, out_phase_dir, run_rebuild,
-                            partitions=input_parts)
+                            partitions=input_parts,
+                            max_concurrent=max_concurrent)
     metrics["output_dir"] = out_phase_dir
     return metrics

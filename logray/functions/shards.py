@@ -170,6 +170,7 @@ def rebalance_shards_resumable(input_path: str, out_dir: str,
                                seed: int = 0, min_shards: int = 1,
                                row_overhead: int = ROW_OVERHEAD_BYTES,
                                partitions: list[tuple[str, list[str]]] | None = None,
+                               max_concurrent: int = 1,
                                _fault=None) -> dict:
     """Checkpointed :func:`rebalance_shards`: every phase partition is an
     atomically-published checkpoint, so a 100 TB rewrite that dies at 90%
@@ -232,7 +233,8 @@ def rebalance_shards_resumable(input_path: str, out_dir: str,
                           row_overhead=row_overhead)
         return {"bytes": int(b)}
 
-    run_resumable(input_path, census_dir, run_census, partitions=partitions)
+    run_resumable(input_path, census_dir, run_census, partitions=partitions,
+                  max_concurrent=max_concurrent)
     total = sum(int(e.get("bytes", 0))
                 for e in RunManifest(census_dir).entries().values())
     # the shard count is part of the PLAN: once any phase-2 partition may
@@ -263,6 +265,6 @@ def rebalance_shards_resumable(input_path: str, out_dir: str,
 
     shards_dir = os.path.join(out_dir, "shards")
     m = run_resumable(input_path, shards_dir, run_write,
-                      partitions=partitions)
+                      partitions=partitions, max_concurrent=max_concurrent)
     return {"n_shards": int(n_shards), "total_bytes": int(total),
             "partitions": m.get("partitions", 0), "output_dir": shards_dir}

@@ -118,13 +118,19 @@ def run_crawl_pipeline(
     pack_budget: int = 2048,
     target_shard_bytes: int = 256 << 20,
     seed: int = 1,
+    max_concurrent: int = 4,
     _fault=None,
 ) -> dict:
     """Run (or resume) the full crawl -> training-set composition.
 
     Returns merged metrics per phase plus the final output dir.
-    ``_fault(phase, part_id)`` is the test-only crash-injection hook,
-    forwarded into every sub-chain."""
+    ``max_concurrent`` partitions of every phase run at once from
+    driver threads (a single WARC file reads as ONE block, so
+    concurrent partitions are what fill the cluster); it is a purely
+    physical knob — results are identical at any value — and is
+    therefore NOT part of the pinned run config.  ``_fault(phase,
+    part_id)`` is the test-only crash-injection hook, forwarded into
+    every sub-chain."""
     import ray
     import ray.data as rd
 
@@ -207,14 +213,15 @@ def run_crawl_pipeline(
         return {"rows": ds.count()}
 
     metrics["extract"] = run_resumable(
-        warc_dir, d1, run_extract, partitions=warc_partitions(warc_dir))
+        warc_dir, d1, run_extract, partitions=warc_partitions(warc_dir),
+        max_concurrent=max_concurrent)
 
     # --- phase 2: exact line dedup (C4) ----------------------------------
     d2 = os.path.join(out_root, "02_linededup")
     metrics["linededup"] = dedup_lines_resumable(
         d1, d2, id_col="doc_id", text_col="text", min_len=min_line_len,
         num_buckets=num_buckets, partitions=partitions_from_parts(d1),
-        _fault=_fault)
+        max_concurrent=max_concurrent, _fault=_fault)
 
     # --- phase 3: MinHash+LSH near-dedup closure --------------------------
     d3 = os.path.join(out_root, "03_neardedup")
@@ -223,7 +230,7 @@ def run_crawl_pipeline(
         num_perm=num_perm, bands=bands, k=k_shingle, threshold=threshold,
         seed=seed,
         partitions=partitions_from_parts(os.path.join(d2, "deduped")),
-        _fault=_fault)
+        max_concurrent=max_concurrent, _fault=_fault)
     d3_out = os.path.join(d3, "deduped")
 
     # --- phase 4: eval-set decontamination --------------------------------
@@ -261,7 +268,8 @@ def run_crawl_pipeline(
 
         metrics["decontam"] = run_resumable(
             d3_out, filt_dir, run_decontam,
-            partitions=partitions_from_parts(d3_out))
+            partitions=partitions_from_parts(d3_out),
+            max_concurrent=max_concurrent)
         d4_out = filt_dir
     else:
         d4_out = d3_out
@@ -301,14 +309,16 @@ def run_crawl_pipeline(
 
     metrics["tokenize"] = run_resumable(
         d4_out, tok_dir, run_tokenize,
-        partitions=partitions_from_parts(d4_out))
+        partitions=partitions_from_parts(d4_out),
+        max_concurrent=max_concurrent)
 
     # --- phase 6: byte-balanced hash shards --------------------------------
     d6 = os.path.join(out_root, "06_shards")
     metrics["shards"] = rebalance_shards_resumable(
         tok_dir, d6, target_bytes=target_shard_bytes, id_col="doc_id",
         byte_cols=["text"], seed=seed,
-        partitions=partitions_from_parts(tok_dir), _fault=_fault)
+        partitions=partitions_from_parts(tok_dir),
+        max_concurrent=max_concurrent, _fault=_fault)
     n_shards = int(metrics["shards"]["n_shards"])
 
     # --- phase 7: per-shard concat-and-cut packing -------------------------
@@ -351,6 +361,7 @@ def run_crawl_pipeline(
 
     metrics["pack"] = run_resumable(
         d6, d7, run_pack,
-        partitions=[(f"shard{k:05d}", [k]) for k in range(n_shards)])
+        partitions=[(f"shard{k:05d}", [k]) for k in range(n_shards)],
+        max_concurrent=max_concurrent)
     metrics["output_dir"] = d7
     return metrics

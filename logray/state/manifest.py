@@ -201,6 +201,7 @@ def run_resumable(
     out_dir: str,
     run_partition,
     partitions: list[tuple[str, list[str]]] | None = None,
+    max_concurrent: int = 1,
 ) -> dict:
     """Run ``run_partition(files, partition_out_dir) -> dict`` once per
     pending partition; completed partitions (manifest present) are skipped.
@@ -211,6 +212,17 @@ def run_resumable(
     The partition function writes its outputs under a temp dir we pass in;
     on success we atomically rename it into place and commit the manifest.
     Returns merged run metrics.
+
+    ``max_concurrent > 1`` runs that many partitions at once from driver
+    threads (Ray Dataset executions are thread-safe and share the
+    cluster's resource scheduler).  This is the multi-node shape: one
+    partition's job rarely fills the cluster — a single WARC file reads
+    as ONE block — so concurrent partitions are what keep 32+ cores
+    busy.  Safe because every partition publishes into its own
+    directory and its own ``manifest.json`` done-marker (no shared
+    mutable state); a failure in any partition propagates after the
+    in-flight ones finish, and completed partitions stay committed, so
+    crash-resume semantics are identical to the sequential path.
     """
     import inspect
 
@@ -231,9 +243,8 @@ def run_resumable(
             f"run_resumable: out_dir {out_dir!r} contains manifest "
             f"entries not in the current partition list ({stale[:3]}...); "
             f"use a fresh out_dir (stale outputs would double-count)")
-    for part_id, files in parts:
-        if mf.is_done(part_id):
-            continue
+
+    def one(part_id: str, files: list[str]) -> None:
         pdir = mf.partition_dir(part_id)
         tmp = pdir + ".inprogress"
         if os.path.exists(tmp):
@@ -255,4 +266,41 @@ def run_resumable(
                 **stats,
             },
         )
+
+    pending = [(pid, files) for pid, files in parts if not mf.is_done(pid)]
+    if max_concurrent <= 1 or len(pending) <= 1:
+        for part_id, files in pending:
+            one(part_id, files)
+        return mf.merged_metrics()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Lazy imports inside Ray's read/write paths race under concurrent
+    # first-touch from threads: fsspec.implementations.http can NEVER
+    # import here (aiohttp absent), so every thread re-attempts it, and
+    # a thread that observes another's partially-initialized attempt
+    # dies with "cannot import name HTTPFileSystem" (a plain
+    # ImportError, which Ray's `except ModuleNotFoundError` does not
+    # catch).  Make the import deterministic with a stub whose
+    # HTTPFileSystem no real filesystem is an instance of — Ray only
+    # isinstance-checks it, so the stub preserves the no-aiohttp
+    # behavior (False) without the race.  Then run the FIRST partition
+    # synchronously so remaining lazy paths warm before the fan-out.
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        import sys
+        import types
+
+        if "fsspec.implementations.http" not in sys.modules:
+            stub = types.ModuleType("fsspec.implementations.http")
+            stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+            sys.modules["fsspec.implementations.http"] = stub
+    one(*pending[0])
+    with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        futures = [pool.submit(one, pid, files) for pid, files in pending[1:]]
+        errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e
     return mf.merged_metrics()
