@@ -43,9 +43,9 @@ Scale notes (what survives a 256-node / 100 TB run):
   cross shard boundaries — the standard training-shard contract.
 
 Reference parity: the reference's pipeline is a single-process
-parse->filter->view loop (``/root/reference/src/log_management/
-log_manager.cpp``); this module is that loop re-expressed as a
-restartable multi-phase batch composition.
+parse->filter->view loop (``/root/reference/src/file_parsing/
+filtered_file_reader.cpp``); this module is that loop re-expressed as
+a restartable multi-phase batch composition.
 """
 
 from __future__ import annotations
