@@ -693,6 +693,85 @@ def main() -> int:
 
     timed("warc_roundtrip", warc_12m)
 
+    # --- end-to-end crawl -> training-set composition: the full 52.2M-turn
+    # corpus folded into ~1.6M 32-line HTML docs, archived as WARC
+    # (untimed setup — WARC sink cost is measured by warc_roundtrip),
+    # then the 7-phase manifest-checkpointed pipeline timed as one run:
+    # extract+robots+PII -> line dedup -> near-dup -> decontam -> BPE
+    # tokenize -> byte shards -> packed sequences.  quality=False: the
+    # Gopher gate's selectivity over synthetic log lines is not the
+    # object here (the gate kernel is smoked by curation_stack); every
+    # other phase does real, corpus-shaped work ------------------------
+    def crawl_pipeline_52m():
+        import shutil
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from logray.pipelines.crawl import run_crawl_pipeline
+        from logray.sources.warc import write_warc
+
+        base = os.path.join("/tmp/logray_bench", "smoke_crawl")
+        warc_dir = os.path.join(base, "warc")
+        eval_dir = os.path.join(base, "eval")
+        out_root = os.path.join(base, "out")
+        shutil.rmtree(out_root, ignore_errors=True)
+
+        def fold_docs(t: pa.Table) -> pa.Table:
+            # 32 consecutive turns -> one newline-joined HTML document
+            n = t.num_rows
+            did = pa.array(np.arange(n, dtype=np.int64) // 32)
+            g = pa.table({"d": did, "text": t["text"]}) \
+                .group_by("d").aggregate([("text", "list")])
+            body = pc.binary_join_element_wise(
+                pa.scalar("<html><body><p>"),
+                pc.binary_join(g["text_list"], pa.scalar("\n")),
+                pa.scalar("</p></body></html>"), pa.scalar(""))
+            # host c0..c7 spreads robots selectivity; path keeps docs
+            # distinct within a batch (cross-batch collisions harmless)
+            dv = g["d"].to_numpy(zero_copy_only=False)
+            host = np.char.add("https://c",
+                               np.char.add((dv % 8).astype("U1"),
+                                           ".example/"))
+            urls = np.char.add(host, dv.astype("U20"))
+            return pa.table({"url": pa.array(urls),
+                             "payload": pc.cast(body, pa.binary())})
+
+        if not os.path.isdir(warc_dir):
+            # coalesce to 32 CommonCrawl-sized parts: ONE WARC file is
+            # the pipeline's partition granularity, and per-partition
+            # manifest overhead dominates past a few hundred parts
+            ds = read(["text"]).map_batches(
+                fold_docs, batch_format="pyarrow", zero_copy_batch=True) \
+                .repartition(32)
+            write_warc(ds, warc_dir, compress=True, cdx=False)
+            print("crawl_pipeline: WARC corpus built (untimed setup)",
+                  flush=True)
+        if not os.path.isdir(eval_dir):
+            # eval set = 64 docs drawn from the corpus itself ->
+            # decontam drops are REAL (every 5-gram hits)
+            os.makedirs(eval_dir)
+            t = pq.read_table(files[0], columns=["text"]).slice(0, 2048)
+            ev = fold_docs(t)
+            pq.write_table(
+                pa.table({"text": pc.cast(ev["payload"], pa.string())}),
+                os.path.join(eval_dir, "eval.parquet"))
+        robots = {"c3.example": "User-agent: *\nDisallow: /\n"}
+        m = run_crawl_pipeline(
+            warc_dir, out_root, eval_path=eval_dir, robots=robots,
+            quality=False, num_buckets=16, num_perm=64, bands=16,
+            vocab_size=512, pack_budget=2048,
+            target_shard_bytes=64 << 20, max_concurrent=8)
+        print("crawl_pipeline metrics: "
+              + json.dumps({k: v for k, v in m.items()
+                            if k != "out_dir"}), flush=True)
+        from logray.pipelines.crawl import read_crawl_output
+
+        return read_crawl_output(out_root).count()
+
+    timed("crawl_pipeline", crawl_pipeline_52m)
+
     print(json.dumps({"rows": rows, "num_cpus": ncpu, "families": results}))
     ray.shutdown()
     return 0
