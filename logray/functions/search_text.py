@@ -370,14 +370,27 @@ def bm25_search_index(index_dir: str, queries, k: int = 10,
                       k1: float = 1.5, b: float = 0.75) -> pd.DataFrame:
     """Top-k per query from a persistent index: path-prune to the query
     terms' shards, one pruned-column pass for df, one pruned pass
-    emitting (query_id, doc_id, contrib) partials, a narrow groupby-sum,
-    local top-k, driver merge.  Only docs containing >= 1 query term can
+    emitting per-batch-COMBINED (query_id, doc_id, s) partials, one
+    ``hash(doc_id) % num_buckets`` exchange with a per-bucket top-k
+    fold, driver merge.  Only docs containing >= 1 query term can
     appear (docs scoring 0 are not fabricated).  Same ranking contract
-    as :func:`bm25_topk`: score desc, doc_id asc."""
+    as :func:`bm25_topk`: score desc, doc_id asc.
+
+    Scale shape: a doc's postings for different query terms live in
+    different term-hashed shards by construction, so partial scores
+    MUST meet once — but through the repo's bucketed census exchange,
+    not a full sort-aggregate.  The first cut used
+    ``ds.groupby([query_id, doc_id]).sum()`` over the raw contrib rows;
+    at a 14M-doc index with corpus-dense query terms that is a
+    pull-based sort shuffle over thousands of input blocks (task count
+    quadratic in block count — measured 50+ min, effectively hung,
+    where this plan takes seconds).  Reads also pin
+    ``override_num_blocks`` so a many-part shard layout (64 shards x
+    64 parts) cannot explode the task count."""
     import ray.data as rd
 
     from logray.functions.indexbase import read_meta, shard_files
-    from logray.stages.bucketing import stream_fold
+    from logray.stages.bucketing import grouped_apply, stream_fold
 
     meta = read_meta(index_dir, "bm25 inverted index")
     ns, n_corpus = meta["num_shards"], meta["n_docs"]
@@ -406,8 +419,10 @@ def bm25_search_index(index_dir: str, queries, k: int = 10,
                          .reshape(-1, nt).sum(axis=0)
         return pa.table({"c": pa.array(tot)})
 
+    nblocks = max(1, min(len(files), 256))
     folded = stream_fold(
-        rd.read_parquet(files, columns=["term"])
+        rd.read_parquet(files, columns=["term"],
+                        override_num_blocks=nblocks)
           .map_batches(df_part, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=None),
         df_fold)
@@ -422,7 +437,7 @@ def bm25_search_index(index_dir: str, queries, k: int = 10,
         for t in ts:
             qmask[qi, order[t]] = True
 
-    def contrib(t: pa.Table) -> pd.DataFrame:
+    def contrib(t: pa.Table) -> pa.Table:
         idx = pc.index_in(t["term"], value_set=vocab_arr) \
                 .to_numpy(zero_copy_only=False)
         hit = ~pd.isna(idx)
@@ -433,30 +448,49 @@ def bm25_search_index(index_dir: str, queries, k: int = 10,
         kk = k1 * (1.0 - b + b * dl / avgdl) if avgdl else \
             np.full(len(dl), k1)
         s = idf[idx] * (tf * (k1 + 1.0)) / (tf + kk)
-        out = []
+        qp, dp, sp = [], [], []
         for qi in range(len(qids)):
             m = qmask[qi, idx]
-            out.append(pd.DataFrame({
-                "query_id": np.full(int(m.sum()), qids[qi], np.int64),
-                "doc_id": ids[m].astype(np.int64), "s": s[m]}))
-        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-            {"query_id": pd.Series([], dtype="int64"),
-             "doc_id": pd.Series([], dtype="int64"),
-             "s": pd.Series([], dtype="float64")})
+            qp.append(np.full(int(m.sum()), qids[qi], np.int64))
+            dp.append(ids[m].astype(np.int64))
+            sp.append(s[m])
+        tb = pa.table({
+            "query_id": pa.array(np.concatenate(qp) if qp
+                                 else np.array([], np.int64)),
+            "doc_id": pa.array(np.concatenate(dp) if dp
+                               else np.array([], np.int64)),
+            "s": pa.array(np.concatenate(sp) if sp
+                          else np.array([], np.float64))})
+        # combine within the batch: one shard file carries many query
+        # terms, so a doc appears up to |terms-in-shard| times per query
+        g = tb.group_by(["query_id", "doc_id"]).aggregate([("s", "sum")])
+        return g.rename_columns(["query_id", "doc_id", "s"])
 
-    agg = (rd.read_parquet(files, columns=["term", "doc_id", "tf", "dl"])
-             .map_batches(contrib, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None)
-             .groupby(["query_id", "doc_id"]).sum("s"))
+    partials = rd.read_parquet(files, columns=["term", "doc_id", "tf", "dl"],
+                               override_num_blocks=nblocks) \
+                 .map_batches(contrib, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
 
-    def localtop(d: pd.DataFrame) -> pd.DataFrame:
-        d = d.rename(columns={"sum(s)": "score"})
-        d = d.sort_values(["query_id", "score", "doc_id"],
-                          ascending=[True, False, True], kind="mergesort")
-        return d.groupby("query_id", sort=True).head(k)
+    def localtop(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["query_id", "doc_id"]).aggregate([("s", "sum")])
+        agg = agg.rename_columns(["query_id", "doc_id", "score"])
+        order_ix = pc.sort_indices(agg, sort_keys=[
+            ("query_id", "ascending"), ("score", "descending"),
+            ("doc_id", "ascending")])
+        srt = agg.take(order_ix)
+        q = srt["query_id"].to_numpy(zero_copy_only=False)
+        m = len(q)
+        if m == 0:
+            return pa.schema([("query_id", pa.int64()),
+                              ("doc_id", pa.int64()),
+                              ("score", pa.float64())]).empty_table()
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        rank = (np.arange(m, dtype=np.int64)
+                - np.repeat(starts, np.diff(np.r_[starts, m])) + 1)
+        return srt.filter(pa.array(rank <= k))
 
-    reduced = agg.map_batches(localtop, batch_format="pandas",
-                              batch_size=1 << 20)
+    reduced = grouped_apply(partials, "doc_id", localtop,
+                            num_buckets=32, batch_format="pyarrow")
     parts = [pd.DataFrame(x)
              for x in reduced.iter_batches(batch_format="pandas")]
     return _merge(parts, k)
