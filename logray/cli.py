@@ -553,6 +553,35 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_crawl(args) -> int:
+    """Run (or resume) the end-to-end crawl -> training-set composition
+    over a WARC archive: extract+gate+redact -> line dedup -> near-dup
+    closure -> decontam -> BPE tokenize -> byte shards -> packed
+    sequences.  Every phase is manifest-checkpointed under --out, so
+    re-running the same command after a crash skips finished work and
+    produces byte-identical shards (see logray/pipelines/crawl.py)."""
+    _init_ray(args.num_cpus)
+    from logray.pipelines.crawl import run_crawl_pipeline
+
+    robots = None
+    if args.robots:
+        with open(args.robots) as f:
+            robots = json.load(f)
+        if not isinstance(robots, dict):
+            print("error: --robots must be a JSON object of "
+                  "host -> robots.txt text", file=sys.stderr)
+            return 2
+    m = run_crawl_pipeline(
+        args.warc_dir, args.out, eval_path=args.eval, robots=robots,
+        agent=args.agent, quality=not args.no_quality,
+        num_buckets=args.buckets, vocab_size=args.vocab_size,
+        pack_budget=args.pack_budget,
+        target_shard_bytes=args.target_shard_bytes, seed=args.seed,
+        max_concurrent=args.max_concurrent)
+    print(json.dumps(m))
+    return 0
+
+
 def cmd_run(args) -> int:
     _init_ray(args.num_cpus)
     from logray.formats import GOLDEN_FORMAT
@@ -765,6 +794,24 @@ def main(argv=None) -> int:
     sp.add_argument("--classifier", help="fitted logreg artifact (.npz)")
     sp.add_argument("--lm", help="fitted n-gram LM artifact (.npz)")
     sp.set_defaults(fn=cmd_curate)
+
+    sp = sub.add_parser(
+        "crawl", help="resumable crawl -> training-set composition")
+    sp.add_argument("warc_dir")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--eval", help="eval-set parquet dir (decontamination)")
+    sp.add_argument("--robots", help="JSON file: host -> robots.txt text")
+    sp.add_argument("--agent", default="*")
+    sp.add_argument("--no-quality", action="store_true",
+                    help="skip the Gopher quality gate")
+    sp.add_argument("--buckets", type=int, default=16)
+    sp.add_argument("--vocab-size", type=int, default=512)
+    sp.add_argument("--pack-budget", type=int, default=2048)
+    sp.add_argument("--target-shard-bytes", type=int, default=256 << 20)
+    sp.add_argument("--seed", type=int, default=1)
+    sp.add_argument("--max-concurrent", type=int, default=4)
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_crawl)
 
     sp = sub.add_parser("run", help="run the flagship pipeline")
     sp.add_argument("input")

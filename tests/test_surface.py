@@ -559,3 +559,68 @@ def test_cli_html_snapshot_bm25(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     hits = json.loads(r.stdout.strip().splitlines()[-1])
     assert hits[0]["doc_id"] == 3 and len(hits) == 2
+
+
+def test_cli_crawl(ray_session, tmp_path):
+    """Round-5 CLI verb: the resumable crawl -> training-set composition
+    (subprocess, real CLI), including the no-op resume re-invocation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logray.sources.warc import write_warc
+
+    rng = np.random.default_rng(7)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lamda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+    def text(i):
+        return " ".join(rng.choice(words, 120))
+
+    docs = [(f"https://s{i % 3}.example/p{i}", text(i)) for i in range(9)]
+    docs.append(("https://s1.example/private/x", text(99)))  # robots drop
+    tbl = pa.table({
+        "url": pa.array([u for u, _ in docs]),
+        "payload": pa.array(
+            [f"<html><body><p>{b}</p></body></html>".encode()
+             for _, b in docs], pa.binary()),
+    })
+    warc_dir = str(tmp_path / "warc")
+    write_warc(rd.from_arrow(tbl).repartition(2), warc_dir)
+    eval_dir = tmp_path / "eval"
+    eval_dir.mkdir()
+    pq.write_table(pa.table({"text": pa.array([docs[0][1]])}),
+                   str(eval_dir / "eval.parquet"))
+    robots = tmp_path / "robots.json"
+    robots.write_text(json.dumps(
+        {"s1.example": "User-agent: *\nDisallow: /private/\n"}))
+
+    out = tmp_path / "out"
+    argv = ("crawl", warc_dir, "--out", str(out), "--eval", str(eval_dir),
+            "--robots", str(robots), "--buckets", "4", "--vocab-size",
+            "280", "--pack-budget", "128", "--num-cpus", "2")
+    r = _cli(*argv)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    # 10 docs - 1 robots - 1 decontam (doc0 is the eval passage)
+    assert m["extract"]["rows"] == 9
+    assert m["decontam"]["rows"] == 8
+
+    from logray.pipelines.crawl import read_crawl_output
+
+    def final():
+        df = read_crawl_output(str(out)).to_pandas()
+        df["token_ids"] = df["token_ids"].map(tuple)
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    first = final()
+    assert len(first) == 8
+
+    # re-invoking the same command is a pure manifest resume: identical
+    # metrics, identical packed bytes
+    r2 = _cli(*argv)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert m2 == m
+    pd.testing.assert_frame_equal(first, final())
