@@ -3701,6 +3701,19 @@ def _q_graph_hits(sf_dir: str):
     return hits(_graph_edges(sf_dir), n_iter=20)
 
 
+def _q_graph_hits_fp(sf_dir: str):
+    """Fixed-point int64 HITS over the event web-graph — identical
+    shard-actor exchange shape to graph_hits, but scores are integers
+    in units of 1e-12 with an L1-cap normalizer, so the result is
+    bit-identical across partitioning AND engines: the DuckDB twin
+    replays the same integer recursion and matches hash-for-hash (the
+    gate-exact HITS row; the float graph_hits stays the L2-normalized
+    reference-semantics entry)."""
+    from logray.functions.graph import hits_fixedpoint
+
+    return hits_fixedpoint(_graph_edges(sf_dir), n_iter=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # transcript / log-pipeline core
@@ -3760,6 +3773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank_fp": _q_graph_pagerank_fp,
         "graph_pagerank_fp_weighted": _q_graph_pagerank_fp_weighted,
         "graph_hits": _q_graph_hits,
+        "graph_hits_fp": _q_graph_hits_fp,
         "graph_clustering": _q_graph_clustering,
         "graph_kcore": _q_graph_kcore,
         "sample_neighbors_links": _q_sample_neighbors,
@@ -3940,6 +3954,7 @@ def oracle_sql() -> dict[str, str]:
         clustering_coefficients_sql,
         connected_components_sql,
         degree_table_sql,
+        hits_fixedpoint_sql,
         pagerank_fixedpoint_sql,
         triangle_count_sql,
     )
@@ -4489,6 +4504,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_fp_weighted": pagerank_fixedpoint_sql(
             _GRAPH_WEDGES_SQL, n_iter=20, weight_expr="w",
             seeds=list(range(10))),
+        "graph_hits_fp": hits_fixedpoint_sql(_GRAPH_EDGES_SQL, n_iter=20),
         "sample_neighbors_links": sample_neighbors_sql(
             _GRAPH_EDGES_SQL, k=2, seed=7),
         "khop_links": f"""

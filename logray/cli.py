@@ -282,7 +282,8 @@ def cmd_resample(args) -> int:
 
 def cmd_graph(args) -> int:
     """Web-graph analytics over an edge parquet (src, dst int64 columns):
-    degrees / components / pagerank / hits / kcore / triangles."""
+    degrees / components / pagerank / hits / hits-fp / kcore /
+    triangles."""
     _init_ray(args.num_cpus)
     import os
 
@@ -291,7 +292,7 @@ def cmd_graph(args) -> int:
     if args.op != "triangles":
         if not args.out:
             print("graph: --out is required for ops that write "
-                  "(degrees/components/pagerank/hits/kcore)",
+                  "(degrees/components/pagerank/hits/hits-fp/kcore)",
                   file=sys.stderr)
             return 2
         if os.path.isdir(args.out) and os.listdir(args.out):
@@ -330,11 +331,12 @@ def cmd_graph(args) -> int:
         out.write_parquet(args.out)
         print(json.dumps({"nodes": rd.read_parquet(args.out).count(),
                           "k": args.k}))
-    elif args.op == "hits":
-        from logray.functions.graph import hits
+    elif args.op in ("hits", "hits-fp"):
+        from logray.functions.graph import hits, hits_fixedpoint
 
-        out = hits(ds, src=args.src_col, dst=args.dst_col,
-                   n_iter=args.n_iter)
+        fn = hits if args.op == "hits" else hits_fixedpoint
+        out = fn(ds, src=args.src_col, dst=args.dst_col,
+                 n_iter=args.n_iter)
         out.write_parquet(args.out)
         print(json.dumps({"nodes": rd.read_parquet(args.out).count(),
                           "n_iter": args.n_iter}))
@@ -696,7 +698,8 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("graph", help="web-graph analytics over an edge parquet")
     sp.add_argument("op", choices=["degrees", "components", "pagerank",
-                                   "triangles", "hits", "kcore"])
+                                   "triangles", "hits", "hits-fp",
+                                   "kcore"])
     sp.add_argument("input")
     sp.add_argument("--out", default="")
     sp.add_argument("--src-col", default="src")

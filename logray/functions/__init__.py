@@ -50,6 +50,7 @@ from logray.functions.graph import (
     anchor_text_table,
     clustering_coefficients,
     hits,
+    hits_fixedpoint,
     kcore_members,
     sample_neighbors,
     triangle_count_approx,
@@ -183,6 +184,7 @@ __all__ = [
     "triangle_count",
     "anchor_text_table",
     "hits",
+    "hits_fixedpoint",
     "clustering_coefficients",
     "kcore_members",
     "sample_neighbors",

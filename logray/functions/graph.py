@@ -1477,6 +1477,296 @@ def hits(edges, src: str = "src", dst: str = "dst",
     return out.materialize()
 
 
+def _exact_i64_sum(arr: np.ndarray) -> int:
+    """Exact Python-int sum of a NON-NEGATIVE int64 array.  A plain
+    ``arr.sum()`` silently wraps past 2^63 (values <= 1e12 overflow it
+    at ~9.2M elements); splitting at 2^32 keeps both partial sums exact
+    for any realistic shard size."""
+    if not len(arr):
+        return 0
+    q, r = np.divmod(arr, np.int64(1) << 32)
+    return (int(q.sum()) << 32) + int(r.sum())
+
+
+@ray.remote(num_cpus=0)
+class _HitsIntShard:
+    """One hash partition of the fixed-point HITS state.  Mirrors
+    ``_HitsShard`` (edges stored twice — out-copies at owner(src),
+    in-copies at owner(dst)) with int64 arithmetic throughout; integer
+    sums are exactly associative, so no fold-order care is needed.
+    Edges dedupe to the DISTINCT (src, dst) set at build — the bound
+    ``raw(v) <= sum(scores) <= PR_SCALE`` that keeps every element in
+    int64 needs multiplicity-free sums (and the SQL twin's
+    ``SELECT DISTINCT`` is definitionally the same set)."""
+
+    def __init__(self, shard_id: int, num_shards: int):
+        self.B = num_shards
+        self._out: list[tuple[np.ndarray, np.ndarray]] = []
+        self._in: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def add_out(self, src, dst) -> int:
+        self._out.append((np.asarray(src, np.int64),
+                          np.asarray(dst, np.int64)))
+        return len(src)
+
+    def add_in(self, src, dst) -> int:
+        self._in.append((np.asarray(src, np.int64),
+                         np.asarray(dst, np.int64)))
+        return len(src)
+
+    def build(self) -> int:
+        def cat(parts, j):
+            return (np.concatenate([p[j] for p in parts]) if parts
+                    else np.zeros(0, np.int64))
+
+        def dedup(a, b):
+            if not len(a):
+                return a, b
+            o = np.lexsort((b, a))
+            a, b = a[o], b[o]
+            first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+            return a[first], b[first]
+
+        self.osrc, self.odst = dedup(cat(self._out, 0), cat(self._out, 1))
+        self.isrc, self.idst = dedup(cat(self._in, 0), cat(self._in, 1))
+        self._out = []
+        self._in = []
+        self.verts = np.unique(np.concatenate([self.osrc, self.idst]))
+        self._osrc_pos = np.searchsorted(self.verts, self.osrc)
+        self._idst_pos = np.searchsorted(self.verts, self.idst)
+        own_od = _pr_owner(self.odst, self.B)
+        self._od_idx = [np.flatnonzero(own_od == j) for j in range(self.B)]
+        own_is = _pr_owner(self.isrc, self.B)
+        self._is_idx = [np.flatnonzero(own_is == j) for j in range(self.B)]
+        return len(self.verts)
+
+    def init_scores(self, n_total: int) -> None:
+        n = len(self.verts)
+        self.hub = np.full(n, PR_SCALE // n_total, np.int64)
+        self.auth = np.zeros(n, np.int64)
+
+    def emit_auth(self):
+        c = (self.hub[self._osrc_pos] if len(self.osrc)
+             else np.zeros(0, np.int64))
+        out = [(self.odst[i], c[i]) for i in self._od_idx]
+        return out if self.B > 1 else out[0]
+
+    def apply_auth(self, *msgs) -> int:
+        a = np.zeros(len(self.verts), np.int64)
+        for v, c in msgs:
+            if len(v):
+                np.add.at(a, np.searchsorted(self.verts, v), c)
+        self.auth = a
+        return _exact_i64_sum(a)
+
+    def scale_auth(self, d: int) -> None:
+        self.auth = self.auth // np.int64(d)
+
+    def emit_hub(self):
+        c = (self.auth[self._idst_pos] if len(self.idst)
+             else np.zeros(0, np.int64))
+        out = [(self.isrc[i], c[i]) for i in self._is_idx]
+        return out if self.B > 1 else out[0]
+
+    def apply_hub(self, *msgs) -> int:
+        h = np.zeros(len(self.verts), np.int64)
+        for v, c in msgs:
+            if len(v):
+                np.add.at(h, np.searchsorted(self.verts, v), c)
+        self.hub = h
+        return _exact_i64_sum(h)
+
+    def scale_hub(self, d: int) -> None:
+        self.hub = self.hub // np.int64(d)
+
+    def scores_table(self, node_col: str) -> pa.Table:
+        if not len(self.verts):
+            return pa.schema([(node_col, pa.int64()),
+                              ("hub", pa.float64()),
+                              ("authority", pa.float64())]).empty_table()
+        # int64 / 1e12: both operands < 2^53, one correctly-rounded
+        # division — identical bits on any IEEE-754 engine (see
+        # _PRIntShard.ranks_table)
+        return pa.table({node_col: pa.array(self.verts),
+                         "hub": pa.array(self.hub / float(PR_SCALE)),
+                         "authority": pa.array(
+                             self.auth / float(PR_SCALE))})
+
+    def edge_count(self) -> int:
+        return len(self.osrc)
+
+    def dump_state(self, path: str) -> int:
+        return _dump_shard_state(
+            path, {"node": self.verts, "hub": self.hub,
+                   "auth": self.auth})
+
+    def load_state(self, path: str) -> int:
+        t = _load_shard_state(path, self.verts)
+        self.hub = t["hub"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.auth = t["auth"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return len(self.verts)
+
+
+def hits_fixedpoint(edges, src: str = "src", dst: str = "dst",
+                    node_col: str = "node", n_iter: int = 20,
+                    num_shards: int = 8, checkpoint: str | None = None,
+                    checkpoint_every: int = 1, _fault=None):
+    """HITS in fixed-point int64 (units of 1/PR_SCALE) over the
+    DISTINCT edge set — ``(node, hub, authority)``.
+
+    The update rule replaces the float recursion's L2 normalization
+    with an L1 CAP: after each half-step the raw scores floor-divide by
+    ``d = max(1, ceil(total / S))`` (``S = PR_SCALE = 10^12``), so the
+    score mass never exceeds S and every element stays in ``[0, S]``::
+
+        raw_a(v) = sum_{u->v} hub(u);   auth = raw_a // d_a
+        raw_h(u) = sum_{u->v} auth(v);  hub  = raw_h // d_h
+
+    Division by a common positive d is monotone, so within an
+    iteration the hub/authority ORDERING is exactly the unnormalized
+    HITS iterate's ordering (floor ties aside); magnitudes are L1-
+    rather than L2-scaled.  The float :func:`hits` remains the
+    reference-semantics entry — this variant exists because integer
+    arithmetic is exactly associative: the result is a pure function
+    of the distinct-edge set, bit-identical across partitioning, shard
+    counts, AND engines, and :func:`hits_fixedpoint_sql` emits a DuckDB
+    twin that matches hash-for-hash (the gate-exact HITS row).
+
+    Bounds (enforced by construction, no runtime guard needed): scores
+    sum to <= S per vector, so every per-node raw sum over distinct
+    in/out-neighbors is <= S = 1e12 < 2^63; per-shard totals fold via
+    :func:`_exact_i64_sum`; the divisor d <= max_degree + 1.
+
+    Scale shape: identical to :func:`hits` — edges push once into
+    per-endpoint shard copies (2 x 16 B/edge), each iteration moves one
+    int64 per distinct edge per half-step plus B total scalars.
+    ``checkpoint`` / ``checkpoint_every`` / ``_fault``: same
+    per-iteration snapshot-and-resume protocol as :func:`pagerank`.
+    """
+    S = PR_SCALE
+    B = num_shards
+    man = None
+    start = 0
+    if checkpoint is not None:
+        man, start = _ckpt_open(checkpoint, {
+            "algo": "hits_fixedpoint", "src": src, "dst": dst,
+            "node_col": node_col, "num_shards": B,
+        }, n_iter)
+    shards = [_HitsIntShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
+
+    def push(t: pa.Table) -> pa.Table:
+        s = _to_int64(t[src])
+        d = _to_int64(t[dst])
+        own_s = _pr_owner(s, B)
+        own_d = _pr_owner(d, B)
+        acks = []
+        for j in range(B):
+            m = own_s == j
+            if m.any():
+                acks.append(shards[j].add_out.remote(s[m], d[m]))
+            md = own_d == j
+            if md.any():
+                acks.append(shards[j].add_in.remote(s[md], d[md]))
+        ray.get(acks)
+        return pa.table({"n": pa.array([len(s)], pa.int64())})
+
+    # max_retries=0: same non-idempotent-push rationale as pagerank().
+    edges.map_batches(push, batch_format="pyarrow",
+                      max_retries=0).materialize()
+    counts = ray.get([s.build.remote() for s in shards])
+    n_total = int(sum(counts))
+    import ray.data as rd
+    if n_total == 0:
+        return rd.from_arrow(pa.schema(
+            [(node_col, pa.int64()), ("hub", pa.float64()),
+             ("authority", pa.float64())]).empty_table())
+    ray.get([s.init_scores.remote(n_total) for s in shards])
+
+    meta = None
+    if man is not None:
+        meta = {"n_total": n_total, "edges": int(sum(ray.get(
+            [s.edge_count.remote() for s in shards])))}
+        if start:
+            _ckpt_load(man, start, shards, meta)
+    for it in range(start, n_iter):
+        if _fault is not None:
+            _fault("iter", it)
+        outs = [s.emit_auth.options(num_returns=B).remote() if B > 1
+                else [s.emit_auth.remote()] for s in shards]
+        ta = sum(ray.get([shards[j].apply_auth.remote(
+            *[outs[i][j] for i in range(B)]) for j in range(B)]))
+        ray.get([s.scale_auth.remote(max(1, -(-ta // S)))
+                 for s in shards])
+        outs = [s.emit_hub.options(num_returns=B).remote() if B > 1
+                else [s.emit_hub.remote()] for s in shards]
+        th = sum(ray.get([shards[j].apply_hub.remote(
+            *[outs[i][j] for i in range(B)]) for j in range(B)]))
+        ray.get([s.scale_hub.remote(max(1, -(-th // S)))
+                 for s in shards])
+        done = it + 1
+        if man is not None and (done % checkpoint_every == 0
+                                or done == n_iter):
+            _ckpt_commit(man, done, shards, meta)
+
+    out = rd.from_arrow_refs(
+        [s.scores_table.remote(node_col) for s in shards])
+    return out.materialize()
+
+
+def hits_fixedpoint_sql(edges_sql: str, node_col: str = "node",
+                        n_iter: int = 20, src: str = "src",
+                        dst: str = "dst") -> str:
+    """DuckDB twin of :func:`hits_fixedpoint`: the identical int64
+    recursion unrolled into ``n_iter`` CTE stage pairs (same
+    no-aggregates-in-recursive-term + AS MATERIALIZED rationale as
+    :func:`pagerank_fixedpoint_sql`).  ``edges_sql`` is a parenthesized
+    subquery with columns ``src, dst``; the recursion runs over its
+    DISTINCT edge set.  DuckDB's integer SUM widens to HUGEINT, so the
+    per-node raw sums and totals never overflow; each stage's floor
+    division brings scores back under PR_SCALE, where the BIGINT cast
+    is exact."""
+    S = PR_SCALE
+    parts = [
+        f"e AS (SELECT DISTINCT {src} AS s, {dst} AS d "
+        f"FROM {edges_sql} E)",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        f"h0 AS (SELECT node, {S} // (SELECT COUNT(*) FROM nodes)"
+        " AS score FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        j = k - 1
+        parts.append(
+            f"ar{k} AS (SELECT e.d AS node, SUM(h.score) AS raw "
+            f"FROM e JOIN h{j} h ON h.node = e.s GROUP BY e.d)")
+        parts.append(
+            f"ta{k} AS (SELECT COALESCE(SUM(raw), 0) AS t FROM ar{k})")
+        parts.append(
+            f"a{k} AS (SELECT n.node, CAST(COALESCE(r.raw, 0) // "
+            f"GREATEST(1, (t.t + {S - 1}) // {S}) AS BIGINT) AS score "
+            f"FROM nodes n LEFT JOIN ar{k} r USING(node) "
+            f"CROSS JOIN ta{k} t)")
+        parts.append(
+            f"hr{k} AS (SELECT e.s AS node, SUM(a.score) AS raw "
+            f"FROM e JOIN a{k} a ON a.node = e.d GROUP BY e.s)")
+        parts.append(
+            f"th{k} AS (SELECT COALESCE(SUM(raw), 0) AS t FROM hr{k})")
+        parts.append(
+            f"h{k} AS (SELECT n.node, CAST(COALESCE(r.raw, 0) // "
+            f"GREATEST(1, (t.t + {S - 1}) // {S}) AS BIGINT) AS score "
+            f"FROM nodes n LEFT JOIN hr{k} r USING(node) "
+            f"CROSS JOIN th{k} t)")
+    # AS MATERIALIZED: same 2^n_iter inlining blowup as the PageRank
+    # twin (a{k}/h{k} are each referenced twice downstream).
+    parts = [p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT h.node AS {node_col}, "
+            + f"h.score / {float(S)!r} AS hub, "
+            + f"a.score / {float(S)!r} AS authority "
+            + f"FROM h{n_iter} h JOIN a{n_iter} a USING(node) "
+            + f"ORDER BY {node_col}")
+
+
 # ---------------------------------------------------------------------------
 # per-node clustering coefficients
 # ---------------------------------------------------------------------------

@@ -851,7 +851,7 @@ def _crash_at(k):
 
 
 @pytest.mark.parametrize("algo", ["pagerank", "pagerank_fixedpoint",
-                                  "hits"])
+                                  "hits", "hits_fixedpoint"])
 def test_graph_checkpoint_crash_resume_bit_equal(ray_session, tmp_path,
                                                  algo):
     """Kill the job mid-run (after 4 committed iteration checkpoints),
@@ -868,8 +868,11 @@ def test_graph_checkpoint_crash_resume_bit_equal(ray_session, tmp_path,
     elif algo == "pagerank_fixedpoint":
         run = lambda **k: G.pagerank_fixedpoint(ds(), **kw, **k)  # noqa: E731
         cols = ["rank"]
-    else:
+    elif algo == "hits":
         run = lambda **k: G.hits(ds(), **kw, **k)  # noqa: E731
+        cols = ["hub", "authority"]
+    else:
+        run = lambda **k: G.hits_fixedpoint(ds(), **kw, **k)  # noqa: E731
         cols = ["hub", "authority"]
 
     base = run().to_pandas().sort_values("node").reset_index(drop=True)
@@ -919,3 +922,89 @@ def test_graph_checkpoint_refuses_changed_edges(ray_session, tmp_path):
     with pytest.raises(ValueError, match="mismatch"):
         pagerank(_edges_ds(src[:50], dst[:50]), n_iter=4, num_shards=2,
                  checkpoint=ck)
+
+
+# ---------------------------------------------------------------------------
+# fixed-point HITS (the gate-exact HITS row)
+# ---------------------------------------------------------------------------
+
+def test_hits_fixedpoint_matches_duckdb_exact(ray_session):
+    """BIT-exact equality with DuckDB replaying the same int64
+    recursion (unrolled-CTE twin) — same contract as the fixed-point
+    PageRank family."""
+    import duckdb
+
+    from logray.functions.graph import (hits_fixedpoint,
+                                        hits_fixedpoint_sql)
+
+    src, dst = _rand_graph(31, 60, 500)
+    got = hits_fixedpoint(_edges_ds(src, dst), n_iter=12,
+                          num_shards=3).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("edges_t", pa.table({"src": pa.array(src),
+                                      "dst": pa.array(dst)}))
+    want = con.execute(hits_fixedpoint_sql(
+        "(SELECT src, dst FROM edges_t)", n_iter=12)).fetchdf()
+    assert got["node"].tolist() == want["node"].tolist()
+    assert (got["hub"].to_numpy() == want["hub"].to_numpy()).all()
+    assert (got["authority"].to_numpy()
+            == want["authority"].to_numpy()).all()
+
+
+def test_hits_fixedpoint_bit_deterministic_everywhere(ray_session):
+    """Integer sums are exactly associative: bit-identical across
+    input partitioning AND shard counts (and duplicate edges are
+    no-ops — the recursion runs over the distinct edge set)."""
+    import ray.data as rd
+
+    from logray.functions.graph import hits_fixedpoint
+
+    src, dst = _rand_graph(33, 30, 200)
+    a = hits_fixedpoint(_edges_ds(src, dst), num_shards=3).to_pandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    # duplicate every edge, shuffle, re-partition, vary shard count
+    src2 = np.concatenate([src, src])
+    dst2 = np.concatenate([dst, dst])
+    t = pa.table({"src": pa.array(src2), "dst": pa.array(dst2)})
+    perm = np.random.default_rng(0).permutation(len(src2))
+    t2 = t.take(pa.array(perm))
+    parts = rd.from_arrow([t2.slice(0, 111), t2.slice(111, 170),
+                           t2.slice(281)])
+    for B in (1, 5):
+        b = hits_fixedpoint(parts, num_shards=B).to_pandas()
+        b = b.sort_values("node").reset_index(drop=True)
+        assert a["node"].tolist() == b["node"].tolist()
+        assert (a["hub"].to_numpy() == b["hub"].to_numpy()).all()
+        assert (a["authority"].to_numpy()
+                == b["authority"].to_numpy()).all()
+
+
+def test_hits_fixedpoint_star_semantics(ray_session):
+    """Star graph u->{1..k}: the hub is the center, the authorities are
+    the leaves — the fixed-point variant preserves HITS structure."""
+    from logray.functions.graph import hits_fixedpoint
+
+    k = 8
+    src = np.zeros(k, np.int64)
+    dst = np.arange(1, k + 1, dtype=np.int64)
+    out = hits_fixedpoint(_edges_ds(src, dst), n_iter=8).to_pandas()
+    out = out.set_index("node")
+    assert out.loc[0, "hub"] == out["hub"].max() > 0
+    assert out.loc[0, "authority"] == 0.0
+    leaves = out.drop(index=0)
+    assert (leaves["hub"].to_numpy() == 0.0).all()
+    assert leaves["authority"].nunique() == 1
+    assert (leaves["authority"] > 0).all()
+
+
+def test_hits_fixedpoint_empty(ray_session):
+    import ray.data as rd
+
+    from logray.functions.graph import hits_fixedpoint
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    out = hits_fixedpoint(empty)
+    assert out.count() == 0
+    assert out.schema().names == ["node", "hub", "authority"]
