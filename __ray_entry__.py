@@ -3351,8 +3351,10 @@ def _q_triangles_approx(sf_dir: str):
 
 def _q_graph_kcore(sf_dir: str):
     """3-core membership of the event web-graph (iterative peeling —
-    link-farm / density pruning).  Rows-only (fixpoint not
-    SQL-expressible); both regimes pinned vs brute force in tests."""
+    link-farm / density pruning).  Exact DuckDB twin via
+    kcore_members_sql (the peel loop unrolled with a loud
+    convergence guard); both regimes also pinned vs brute force in
+    tests."""
     from logray.functions.graph import kcore_members
 
     return kcore_members(_graph_edges(sf_dir), k=3)
@@ -3955,6 +3957,7 @@ def oracle_sql() -> dict[str, str]:
         connected_components_sql,
         degree_table_sql,
         hits_fixedpoint_sql,
+        kcore_members_sql,
         pagerank_fixedpoint_sql,
         triangle_count_sql,
     )
@@ -4505,6 +4508,7 @@ def oracle_sql() -> dict[str, str]:
             _GRAPH_WEDGES_SQL, n_iter=20, weight_expr="w",
             seeds=list(range(10))),
         "graph_hits_fp": hits_fixedpoint_sql(_GRAPH_EDGES_SQL, n_iter=20),
+        "graph_kcore": kcore_members_sql(_GRAPH_EDGES_SQL, k=3),
         "sample_neighbors_links": sample_neighbors_sql(
             _GRAPH_EDGES_SQL, k=2, seed=7),
         "khop_links": f"""

@@ -1936,6 +1936,46 @@ def clustering_coefficients_sql(table: str, src: str = "src",
 # k-core membership
 # ---------------------------------------------------------------------------
 
+def kcore_members_sql(edges_sql: str, k: int, node_col: str = "node",
+                      rounds: int = 8, src: str = "src",
+                      dst: str = "dst") -> str:
+    """DuckDB twin of :func:`kcore_members`: the peeling loop unrolled
+    into ``rounds`` census+filter CTE stages (recursive CTEs can't
+    aggregate in the recursive term).  ``rounds`` must be >= the
+    graph's actual peel depth — and under-provisioning fails LOUDLY,
+    not plausibly: the final SELECT returns zero rows unless the last
+    two stages are a fixpoint (row counts equal), so a too-shallow
+    unroll shows up as an impossible empty result instead of a
+    superset that might slip past a row-count check.  Peel depth for
+    the gate's mod-997 event graph is 0-1 at every test SF; 8 is
+    margin, not tuning."""
+    parts = [
+        f"ka0 AS (SELECT DISTINCT LEAST({src}, {dst}) AS a, "
+        f"GREATEST({src}, {dst}) AS b FROM {edges_sql} E "
+        f"WHERE {src} <> {dst})",
+        "kn0 AS (SELECT a AS node FROM ka0 UNION SELECT b FROM ka0)",
+    ]
+    for r in range(1, rounds + 1):
+        j = r - 1
+        parts.append(
+            f"kd{r} AS (SELECT node, COUNT(*) AS deg FROM "
+            f"(SELECT a AS node FROM ka{j} UNION ALL "
+            f"SELECT b FROM ka{j}) GROUP BY node)")
+        parts.append(
+            f"kn{r} AS (SELECT n.node FROM kn{j} n JOIN kd{r} d "
+            f"USING(node) WHERE d.deg >= {k})")
+        parts.append(
+            f"ka{r} AS (SELECT e.a, e.b FROM ka{j} e "
+            f"JOIN kn{r} x ON x.node = e.a "
+            f"JOIN kn{r} y ON y.node = e.b)")
+    parts = [p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node AS {node_col} FROM kn{rounds} "
+            + f"WHERE (SELECT COUNT(*) FROM kn{rounds}) = "
+            + f"(SELECT COUNT(*) FROM kn{rounds - 1}) "
+            + f"ORDER BY {node_col}")
+
+
 def kcore_members(edges, k: int, src: str = "src", dst: str = "dst",
                   node_col: str = "node", num_buckets: int = 32,
                   max_broadcast: int = 100_000_000,

@@ -1008,3 +1008,55 @@ def test_hits_fixedpoint_empty(ray_session):
     out = hits_fixedpoint(empty)
     assert out.count() == 0
     assert out.schema().names == ["node", "hub", "authority"]
+
+
+def test_kcore_sql_twin_matches(ray_session):
+    """kcore_members_sql (unrolled peeling) matches the Ray operator
+    exactly on seeded random multigraphs, including a depth>1 peel."""
+    import duckdb
+
+    from logray.functions.graph import kcore_members, kcore_members_sql
+
+    # a path graph peels one end per round: depth = ceil(n/2) > 1
+    chain = np.arange(6, dtype=np.int64)
+    cases = [
+        _rand_graph(41, 30, 120),
+        _rand_graph(42, 12, 30),
+        (chain[:-1], chain[1:]),
+    ]
+    for ci, (src, dst) in enumerate(cases):
+        for k in (1, 2, 3):
+            got = kcore_members(_edges_ds(src, dst), k=k).to_pandas()
+            got_nodes = sorted(got["node"]) if "node" in got else []
+            con = duckdb.connect()
+            con.register("edges_t", pa.table({"src": pa.array(src),
+                                              "dst": pa.array(dst)}))
+            want = con.execute(kcore_members_sql(
+                "(SELECT src, dst FROM edges_t)", k=k)).fetchdf()
+            assert got_nodes == want["node"].tolist(), (ci, k)
+
+
+def test_kcore_sql_guard_fails_loud_when_shallow(ray_session):
+    """Under-provisioned rounds must return ZERO rows (impossible for
+    a real k-core of a non-empty graph), never a plausible superset."""
+    import duckdb
+
+    from logray.functions.graph import kcore_members_sql
+
+    # path 0-1-2-...-7: 2-core is empty, peel depth 4 (one end pair
+    # per round) — rounds=2 is too shallow for k=1's fixpoint check
+    # with k=2 intermediate sets still shrinking
+    chain = np.arange(8, dtype=np.int64)
+    con = duckdb.connect()
+    con.register("edges_t", pa.table({"src": pa.array(chain[:-1]),
+                                      "dst": pa.array(chain[1:])}))
+    shallow = con.execute(kcore_members_sql(
+        "(SELECT src, dst FROM edges_t)", k=2, rounds=2)).fetchdf()
+    assert len(shallow) == 0
+    deep = con.execute(kcore_members_sql(
+        "(SELECT src, dst FROM edges_t)", k=2, rounds=8)).fetchdf()
+    assert len(deep) == 0  # true 2-core of a path IS empty
+    # and a converged non-empty case stays non-empty
+    ok = con.execute(kcore_members_sql(
+        "(SELECT src, dst FROM edges_t)", k=1, rounds=8)).fetchdf()
+    assert len(ok) == 8
