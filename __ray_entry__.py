@@ -2783,6 +2783,23 @@ def _q_ewma_events(sf_dir: str):
                 tiebreak_col="event_id").to_pandas()
 
 
+def _q_ewma_events_fp(sf_dir: str):
+    """Fixed-point int64 EWMA (alpha = 1/5) per user — the gate-exact
+    sibling of ewma_events: values quantize once and the recurrence is
+    pure integer algebra, so the DuckDB recursive-CTE twin matches
+    hash-for-hash."""
+    import ray.data as rd
+
+    from logray.stages.windowfn import ewma_fixedpoint
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return ewma_fixedpoint(ds, "user_id", "ts", "value", alpha_num=1,
+                           alpha_den=5, tiebreak_col="event_id")
+
+
 def _q_lateness(sf_dir: str):
     """Out-of-orderness diagnostic (watermark sizing): lateness of each
     event vs the running max event time in a SCRAMBLED arrival order —
@@ -3902,6 +3919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_consecutive_events": _q_dedup_consecutive,
         "asof_next_purchase": _q_asof_next_purchase,
         "ewma_events": _q_ewma_events,
+        "ewma_events_fp": _q_ewma_events_fp,
         "json_extract_props": _q_json_extract,
         "rolling_median_events": _q_rolling_median,
         "url_parse_docs": _q_url_parse,
@@ -3991,6 +4009,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from logray.stages.window import calendar_window_sql, hopping_window_sql
     from logray.stages.windowfn import (
+        ewma_fixedpoint_sql,
         fill_forward_sql,
         rolling_median_sql,
         global_rank_sql,
@@ -4665,6 +4684,11 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS lg "
             "FROM events) WHERE lg IS NOT NULL) g",
             "gap_s", lo=0, width=900, nbins=16,
+        ),
+        "ewma_events_fp": ewma_fixedpoint_sql(
+            "(SELECT user_id, ts, event_id, value FROM events) ev",
+            "user_id", "ts", "value", alpha_num=1, alpha_den=5,
+            tiebreak_col="event_id",
         ),
         "rolling_median_events": rolling_median_sql(
             "(SELECT user_id, ts, event_id, "

@@ -679,6 +679,115 @@ def ewma(ds, key_col: str, order_col: str, value_col: str, alpha: float,
     )
 
 
+def ewma_fixedpoint(ds, key_col: str, order_col: str, value_col: str,
+                    alpha_num: int, alpha_den: int, scale: int = 10**6,
+                    tiebreak_col: str | None = None,
+                    num_buckets: int = 32):
+    """Per-key EWMA in fixed-point int64 — the gate-exact sibling of
+    :func:`ewma`.  Values quantize once (``x = floor(v*scale + 0.5)``,
+    the identical IEEE-754 op sequence DuckDB's twin runs) and the
+    recurrence is pure integer algebra::
+
+        y_0 = x_0;  y_i = (num*x_i + (den-num)*y_{i-1}) // den
+
+    so the result is a pure function of the rows — bit-identical across
+    partitioning AND engines (:func:`ewma_fixedpoint_sql` replays it as
+    a recursive CTE and matches hash-for-hash).  Appends
+    ``ewma_fp_<value>`` = ``y / scale`` (both < 2^53: one correctly-
+    rounded division, identical bits on any IEEE engine).  The float
+    :func:`ewma` (pandas Cython kernel) remains the throughput entry.
+
+    Constraints, enforced loudly: values must be NON-NULL and
+    NON-NEGATIVE (DuckDB's ``//`` truncates toward zero while numpy
+    floors — the recursions only agree on non-negative operands), and
+    ``x*den < 2^62`` so the update never overflows.
+
+    Shape: one bucket shuffle, then a per-bucket kernel vectorized
+    ACROSS runs level-by-level (rows at within-run position p update
+    together; iterations per bucket = the longest run, each a vector
+    op).  A single pathologically long key degrades toward a scalar
+    loop — same documented skew caveat as lexical_diversity."""
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("ewma_fixedpoint: need 0 < alpha_num < alpha_den")
+    if scale <= 0:
+        raise ValueError("ewma_fixedpoint: scale must be positive")
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    num, den = int(alpha_num), int(alpha_den)
+    out_col = f"ewma_fp_{value_col}"
+    limit = (1 << 62) // den
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g, run_id, first_of_run = _sorted_runs(g, key_col, order_cols)
+        v = g[value_col].to_numpy()
+        if pd.isna(v).any():
+            raise ValueError("ewma_fixedpoint: null values — filter or "
+                             "impute first (the twin recursion has no "
+                             "null-propagation rule)")
+        x = np.floor(v * float(scale) + 0.5).astype(np.int64)
+        if (x < 0).any():
+            raise ValueError("ewma_fixedpoint: negative values — "
+                             "DuckDB // truncates while numpy floors, "
+                             "so the engines only agree on x >= 0")
+        if (x >= limit).any():
+            raise ValueError("ewma_fixedpoint: |value*scale| too large "
+                             "for the int64 update — lower scale")
+        n = len(g)
+        pos = np.arange(n, dtype=np.int64) - first_of_run
+        y = np.zeros(n, np.int64)
+        lead = pos == 0
+        y[lead] = x[lead]
+        for level in range(1, int(pos.max()) + 1 if n else 0):
+            m = np.flatnonzero(pos == level)
+            if not len(m):
+                break
+            y[m] = (num * x[m] + (den - num) * y[m - 1]) // den
+        g[out_col] = y / float(scale)
+        return g.drop(columns="__b")
+
+    return (
+        ds.map_batches(_bucket_tagger(key_col, num_buckets),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def ewma_fixedpoint_sql(table: str, key_col: str, order_col: str,
+                        value_col: str, alpha_num: int, alpha_den: int,
+                        scale: int = 10**6,
+                        tiebreak_col: str | None = None,
+                        cols: str | None = None) -> str:
+    """DuckDB twin of :func:`ewma_fixedpoint`: the same int64 recursion
+    as a recursive CTE stepping one within-key position per iteration
+    (iteration count = the longest key run — bounded and cheap at gate
+    scale), joined back to the base rows."""
+    order = order_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    num, den = int(alpha_num), int(alpha_den)
+    cols = cols or "b.* EXCLUDE (__rn, __x)"
+    return f"""
+        WITH RECURSIVE
+        b0 AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY {key_col}
+                                      ORDER BY {order}) AS __rn,
+                   CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)
+                       AS __x
+            FROM {table}
+        ),
+        r AS (
+            SELECT {key_col} AS __k, __rn, __x AS __y
+            FROM b0 WHERE __rn = 1
+            UNION ALL
+            SELECT t.{key_col}, t.__rn,
+                   ({num} * t.__x + {den - num} * r.__y) // {den}
+            FROM b0 t JOIN r ON t.{key_col} = r.__k
+                      AND t.__rn = r.__rn + 1
+        )
+        SELECT {cols}, r.__y / {float(scale)!r} AS ewma_fp_{value_col}
+        FROM b0 b JOIN r ON r.__k = b.{key_col} AND r.__rn = b.__rn
+    """
+
+
 def rolling_median(ds, key_col: str, order_col: str, value_col: str,
                    window: int, tiebreak_col: str | None = None,
                    num_buckets: int = 32):

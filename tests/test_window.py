@@ -1809,3 +1809,79 @@ def test_resample_ohlc_null_tiebreak_ignored(ray_session):
         check_dtype=False)
     assert got["n"].tolist() == [2]          # null-tiebreak row dropped
     assert got["close"].tolist() == [1.0]    # max (ts, id) = id 5
+
+
+def test_ewma_fixedpoint_matches_duckdb_exact(ray_session):
+    """BIT-exact equality with DuckDB replaying the same int64
+    recursion (recursive-CTE twin) — the gate-exact EWMA row."""
+    import duckdb
+    import ray.data as rd
+
+    from logray.stages.windowfn import ewma_fixedpoint, ewma_fixedpoint_sql
+
+    t = _windowfn_fixture()
+    df = t.to_pandas()
+    df["v"] = (df["v"] + 100).astype("float64") / 7.0  # non-negative
+    for parts in (3, 9):
+        got = (
+            ewma_fixedpoint(rd.from_pandas(df).repartition(parts),
+                            "k", "ord", "v", alpha_num=1, alpha_den=5,
+                            tiebreak_col="id", num_buckets=8)
+            .to_pandas().sort_values(["k", "ord", "id"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            ewma_fixedpoint_sql("(SELECT * FROM t) b0x", "k", "ord", "v",
+                                alpha_num=1, alpha_den=5,
+                                tiebreak_col="id")
+            + " ORDER BY k, ord, id").fetchdf()
+        assert got["k"].tolist() == want["k"].tolist()
+        assert (got["ewma_fp_v"].to_numpy()
+                == want["ewma_fp_v"].to_numpy()).all()
+        assert list(got.columns) == list(want.columns)
+
+
+def test_ewma_fixedpoint_matches_integer_recurrence(ray_session):
+    import ray.data as rd
+
+    from logray.stages.windowfn import ewma_fixedpoint
+
+    t = _windowfn_fixture()
+    df = t.to_pandas().head(400).copy()
+    df["v"] = (df["v"] + 100).astype("float64") * 0.25
+    got = (
+        ewma_fixedpoint(rd.from_pandas(df), "k", "ord", "v",
+                        alpha_num=2, alpha_den=7, tiebreak_col="id")
+        .to_pandas().sort_values(["k", "ord", "id"])
+        .reset_index(drop=True)
+    )
+    state: dict = {}
+    want = []
+    for _, r in df.sort_values(["k", "ord", "id"]).iterrows():
+        x = int(np.floor(float(r["v"]) * 1e6 + 0.5))
+        prev = state.get(r["k"])
+        y = x if prev is None else (2 * x + 5 * prev) // 7
+        state[r["k"]] = y
+        want.append(y / 1e6)
+    assert got["ewma_fp_v"].tolist() == want
+
+
+def test_ewma_fixedpoint_guards(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from logray.stages.windowfn import ewma_fixedpoint
+
+    df = pd.DataFrame({"k": [1, 1], "ord": [1, 2], "id": [1, 2],
+                       "v": [1.0, -2.0]})
+    with pytest.raises(ValueError, match="alpha_num"):
+        ewma_fixedpoint(rd.from_pandas(df), "k", "ord", "v", 5, 5)
+    with pytest.raises(Exception, match="negative"):
+        ewma_fixedpoint(rd.from_pandas(df), "k", "ord", "v", 1, 5,
+                        tiebreak_col="id").to_pandas()
+    dfn = df.assign(v=[1.0, float("nan")])
+    with pytest.raises(Exception, match="null"):
+        ewma_fixedpoint(rd.from_pandas(dfn), "k", "ord", "v", 1, 5,
+                        tiebreak_col="id").to_pandas()
