@@ -3977,6 +3977,7 @@ def oracle_sql() -> dict[str, str]:
         hits_fixedpoint_sql,
         kcore_members_sql,
         pagerank_fixedpoint_sql,
+        triangle_count_approx_sql,
         triangle_count_sql,
     )
     from logray.functions.quality import wordlist_filter_sql
@@ -4528,6 +4529,8 @@ def oracle_sql() -> dict[str, str]:
             seeds=list(range(10))),
         "graph_hits_fp": hits_fixedpoint_sql(_GRAPH_EDGES_SQL, n_iter=20),
         "graph_kcore": kcore_members_sql(_GRAPH_EDGES_SQL, k=3),
+        "graph_triangles_approx": triangle_count_approx_sql(
+            _GRAPH_EDGES_SQL, p=0.5, seed=3),
         "sample_neighbors_links": sample_neighbors_sql(
             _GRAPH_EDGES_SQL, k=2, seed=7),
         "khop_links": f"""

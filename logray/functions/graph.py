@@ -2199,6 +2199,64 @@ def triangle_count_approx(edges, p: float = 0.1, seed: int = 0,
     }))
 
 
+def triangle_count_approx_sql(edges_sql: str, p: float = 0.1,
+                              seed: int = 0, src: str = "src",
+                              dst: str = "dst") -> str:
+    """DuckDB twin of :func:`triangle_count_approx`: the DOULION coin
+    is a DETERMINISTIC canonical-pair splitmix64 hash, so the sampled
+    edge set — and therefore the exact count on it and the 1/p^3
+    estimate — is replayable bit-for-bit in SQL.  uint64 wrap-around
+    multiplies route through HUGEINT with a 2^32 hi/lo split (the
+    full 128-bit product would overflow INT128); xor/shift run on
+    UBIGINT.  The threshold and the 1/p^3 scale are computed in Python
+    and embedded as literals, so no float op differs between engines."""
+    if not (0.0 < p <= 1.0):
+        raise ValueError("triangle_count_approx_sql: p must be in (0, 1]")
+    M = 1 << 64
+    H = 1 << 32
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    seedmix = ((seed & (M - 1)) * C3) % M
+    thresh = int(p * float(M - 1))  # identical to the numpy coin's
+
+    def mul(x, c):
+        return (f"((((({x}) // {H}) * {c} % {H}) * {H} "
+                f"+ (({x}) % {H}) * {c}) % {M})")
+
+    def xor(x, y):
+        return (f"CAST(xor(CAST({x} AS UBIGINT), CAST({y} AS UBIGINT)) "
+                "AS HUGEINT)")
+
+    def shr(x, n):
+        return f"CAST((CAST({x} AS UBIGINT) >> {n}) AS HUGEINT)"
+
+    an = f"(((CAST(a AS HUGEINT) % {M}) + {M}) % {M})"
+    bn = f"(((CAST(b AS HUGEINT) % {M}) + {M}) % {M})"
+    return f"""
+        WITH dx0 AS (
+            SELECT DISTINCT least({src}, {dst}) AS a,
+                            greatest({src}, {dst}) AS b
+            FROM {edges_sql} E WHERE {src} <> {dst}),
+        dx1 AS (SELECT a, b,
+                {xor(xor(mul(an, C1), mul(bn, C2)), seedmix)} AS x
+                FROM dx0),
+        dx2 AS (SELECT a, b, {mul(xor('x', shr('x', 30)), C2)} AS x
+                FROM dx1),
+        dx3 AS (SELECT a, b, {mul(xor('x', shr('x', 27)), C3)} AS x
+                FROM dx2),
+        kept AS (SELECT a, b FROM dx3
+                 WHERE {xor('x', shr('x', 31))} < {thresh}),
+        tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n
+            FROM kept e1
+            JOIN kept e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN kept e3 ON e3.a = e1.b AND e3.b = e2.b)
+        SELECT CAST(n AS DOUBLE) / {p ** 3!r} AS triangles_est,
+               n AS sampled_triangles,
+               {p!r} AS p
+        FROM tri
+    """
+
+
 # ---------------------------------------------------------------------------
 # k-hop ego-net edge extraction (GNN subgraph sampling)
 # ---------------------------------------------------------------------------

@@ -1060,3 +1060,32 @@ def test_kcore_sql_guard_fails_loud_when_shallow(ray_session):
     ok = con.execute(kcore_members_sql(
         "(SELECT src, dst FROM edges_t)", k=1, rounds=8)).fetchdf()
     assert len(ok) == 8
+
+
+def test_triangle_approx_sql_twin_matches(ray_session):
+    """triangle_count_approx_sql replays the splitmix64 coin
+    bit-for-bit (uint64 wrap multiplies via HUGEINT hi/lo split), so
+    the sampled count AND the 1/p^3 estimate match exactly — including
+    negative node ids (two's-complement normalization)."""
+    import duckdb
+
+    from logray.functions.graph import (triangle_count_approx,
+                                        triangle_count_approx_sql)
+
+    src, dst = _rand_graph(51, 25, 200)
+    src2 = src - 5  # exercise negative ids through the uint64 wrap
+    dst2 = dst - 5
+    for s, d, p, seed in [(src, dst, 0.5, 3), (src, dst, 0.3, 11),
+                          (src2, dst2, 0.6, 0), (src, dst, 1.0, 7)]:
+        got = triangle_count_approx(
+            _edges_ds(s, d), p=p, seed=seed).to_pandas()
+        con = duckdb.connect()
+        con.register("edges_t", pa.table({"src": pa.array(s),
+                                          "dst": pa.array(d)}))
+        want = con.execute(triangle_count_approx_sql(
+            "(SELECT src, dst FROM edges_t)", p=p, seed=seed)).fetchdf()
+        assert got["sampled_triangles"].iloc[0] \
+            == want["sampled_triangles"].iloc[0], (p, seed)
+        assert got["triangles_est"].iloc[0] \
+            == want["triangles_est"].iloc[0], (p, seed)
+        assert got["p"].iloc[0] == want["p"].iloc[0]
