@@ -2030,7 +2030,10 @@ def _q_gopher_quality(sf_dir: str):
 
 def _q_top_ngram_repetition(sf_dir: str):
     """Most-frequent-2-gram character fraction per document (Gopher
-    repetition rule; tie order is engine-defined, so rows-only)."""
+    repetition rule).  Exact DuckDB twin: the winning GRAM under ties
+    is engine-defined, but ties resolve by (count, char mass) and equal
+    pairs yield the identical FRACTION, so the reported number is
+    deterministic (top_ngram_char_fraction_sql)."""
     import ray.data as rd
 
     from logray.functions.quality import top_ngram_char_fraction
@@ -3980,7 +3983,8 @@ def oracle_sql() -> dict[str, str]:
         triangle_count_approx_sql,
         triangle_count_sql,
     )
-    from logray.functions.quality import wordlist_filter_sql
+    from logray.functions.quality import (top_ngram_char_fraction_sql,
+                                          wordlist_filter_sql)
     from logray.functions.sample import (
         deterministic_shuffle_sql,
         group_split_sql,
@@ -4773,6 +4777,8 @@ def oracle_sql() -> dict[str, str]:
             FROM e WHERE ordinal IN (0, 5, 25)
         """,
         "domain_quota_narrow": _domain_quota_docs_sql(),
+        "top_ngram_repetition": top_ngram_char_fraction_sql(
+            "(SELECT doc_id, text FROM documents) dd", n=2),
         "wordlist_flag_docs": wordlist_filter_sql(
             "documents", _BANNED_WORDS, mode="flag", cols="doc_id"),
         "wordlist_drop_docs": wordlist_filter_sql(

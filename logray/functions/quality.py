@@ -268,6 +268,67 @@ def top_ngram_char_fraction(ds, n: int = 2, col: str = "text",
                           zero_copy_batch=True, batch_size=None)
 
 
+def top_ngram_char_fraction_sql(table: str, n: int = 2,
+                                col: str = "text",
+                                id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`top_ngram_char_fraction`.  The reported
+    FRACTION is fully deterministic even though the winning gram under
+    ties is not: candidates tie first on count, then on char mass, and
+    equal (count, mass) pairs yield the identical fraction — so
+    grouping by the literal word n-gram here matches the operator's
+    joint-hash grouping exactly (the per-batch factorize hash is
+    injective below ~1M distinct words per block; gate corpora are far
+    under it).  Both engines split on RE2 ``\\s+``, drop empty tokens,
+    then form n-grams over the SURVIVING sequence; the final division
+    is one correctly-rounded int64->float64 op on each side."""
+    gram_join = "\n            ".join(
+        f"JOIN wn w{j} ON w{j}.{id_col} = w0.{id_col} "
+        f"AND w{j}.rn = w0.rn + {j}" for j in range(1, n))
+    glen = " + ".join(f"length(w{j}.word)" for j in range(n))
+    gcols = ", ".join(f"w{j}.word AS g{j}" for j in range(n))
+    gnames = ", ".join(f"g{j}" for j in range(n))
+    return f"""
+        WITH tnd AS (
+            SELECT {id_col}, {col} AS __t FROM {table}
+            WHERE {col} IS NOT NULL),
+        tnw AS (
+            SELECT {id_col},
+                   unnest(regexp_split_to_array(__t, '\\s+')) AS word,
+                   unnest(generate_series(
+                       1, len(regexp_split_to_array(__t, '\\s+'))))
+                       AS pos
+            FROM tnd),
+        wn AS (
+            SELECT {id_col}, word,
+                   ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                      ORDER BY pos) AS rn
+            FROM tnw WHERE word <> ''),
+        wc AS (
+            SELECT {id_col}, SUM(length(word)) AS chars
+            FROM wn GROUP BY {id_col}),
+        g AS (
+            SELECT w0.{id_col}, {gcols},
+                   COUNT(*) AS cnt,
+                   ({glen}) AS glen
+            FROM wn w0
+            {gram_join}
+            GROUP BY w0.{id_col}, {gnames}, ({glen})),
+        win AS (
+            SELECT {id_col}, cnt * glen AS mass,
+                   ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                      ORDER BY cnt DESC,
+                                               cnt * glen DESC) AS rk
+            FROM g)
+        SELECT d.{id_col},
+               COALESCE(CAST(w.mass AS DOUBLE)
+                        / CAST(c.chars AS DOUBLE), 0.0)
+                   AS top_{n}gram_char_frac
+        FROM tnd d
+        LEFT JOIN (SELECT * FROM win WHERE rk = 1) w USING({id_col})
+        LEFT JOIN wc c USING({id_col})
+    """
+
+
 def compression_ratio(ds, text_col: str = "text", level: int = 6):
     """Per-document zlib compression ratio (compressed bytes / raw
     bytes) — the cheap repetition signal used by web-scale quality

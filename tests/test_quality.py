@@ -252,3 +252,41 @@ def test_compression_ratio_matches_zlib(ray_session):
     assert got.loc[0, "zlib_ratio"] < 0.05      # boilerplate compresses
     assert got.loc[1, "zlib_ratio"] > 0.5       # prose does not
     assert pd.isna(got.loc[3, "zlib_ratio"])    # empty text -> NaN ratio
+
+
+def test_top_ngram_char_fraction_sql_twin(ray_session):
+    """The DuckDB twin matches the operator bit-for-bit, including the
+    tie cases where the WINNING gram differs but the fraction cannot
+    (equal count -> compared by mass; equal mass -> equal fraction),
+    and for n=3."""
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.quality import (top_ngram_char_fraction,
+                                          top_ngram_char_fraction_sql)
+
+    docs = [
+        "a b a b a b c",
+        "x y z w",
+        "solo",
+        "",                       # no words
+        "aa bb cc aa bb cc dd",   # two tied grams, equal mass
+        "ab cd ab cd xyz xyz xyz xyz",  # tie on count, mass differs
+        "  spaced   out\ttokens \n newlines  ",
+        None,
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    con = duckdb.connect()
+    con.register("docs_t", df)
+    for n in (2, 3):
+        got = (
+            top_ngram_char_fraction(rd.from_pandas(df), n=n)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = con.execute(
+            top_ngram_char_fraction_sql("docs_t", n=n)
+            + " ORDER BY doc_id").fetchdf()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert (got[f"top_{n}gram_char_frac"].to_numpy()
+                == want[f"top_{n}gram_char_frac"].to_numpy()).all(), n
