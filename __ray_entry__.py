@@ -1197,6 +1197,21 @@ def _q_fingerprints(sf_dir: str):
     return out
 
 
+def _q_content_hash_docs(sf_dir: str):
+    """64-bit FNV-1a content hash per document — the exact-gate slice
+    of doc_fingerprints (whose simhash half stays rows-only): the
+    DuckDB twin replays the byte recursion bit-for-bit
+    (content_hash_sql)."""
+    import ray.data as rd
+
+    from logray.functions.fingerprint import FingerprintBatch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(FingerprintBatch(), batch_format="pyarrow"
+                          ).select_columns(["doc_id", "content_hash"])
+
+
 def _q_model_score(sf_dir: str):
     """Model-based batch scoring stage shape: deterministic linear-probe
     'model' loaded once per actor, hashed-n-gram features per batch (the
@@ -3830,6 +3845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_histogram": _q_doc_histogram,
         "multimodal_decode": _q_multimodal,
         "doc_fingerprints": _q_fingerprints,
+        "content_hash_docs": _q_content_hash_docs,
         # sampling / model scoring / sketches
         "sample_uniform": _q_sample_uniform,
         "reservoir_sample": _q_reservoir_sample,
@@ -3983,6 +3999,7 @@ def oracle_sql() -> dict[str, str]:
         triangle_count_approx_sql,
         triangle_count_sql,
     )
+    from logray.functions.fingerprint import content_hash_sql
     from logray.functions.quality import (top_ngram_char_fraction_sql,
                                           wordlist_filter_sql)
     from logray.functions.sample import (
@@ -4777,6 +4794,8 @@ def oracle_sql() -> dict[str, str]:
             FROM e WHERE ordinal IN (0, 5, 25)
         """,
         "domain_quota_narrow": _domain_quota_docs_sql(),
+        "content_hash_docs": content_hash_sql(
+            "(SELECT doc_id, text FROM documents) dd"),
         "top_ngram_repetition": top_ngram_char_fraction_sql(
             "(SELECT doc_id, text FROM documents) dd", n=2),
         "wordlist_flag_docs": wordlist_filter_sql(

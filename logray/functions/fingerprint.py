@@ -181,6 +181,46 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((x * np.uint64(0x0101010101010101)) & _MASK) >> np.uint64(56)
 
 
+def content_hash_sql(table: str, col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`content_hash` (FNV-1a over the UTF-8
+    bytes), replayed bit-for-bit as a recursive CTE stepping one byte
+    per iteration: bytes come from ``hex(encode(text))`` (no byte
+    accessor in this DuckDB), the xor runs on UBIGINT, the wrap-around
+    multiply fits HUGEINT un-split (PRIME < 2^41 so h*PRIME < 2^105),
+    and the final value wraps to the signed int64 the
+    :class:`FingerprintBatch` stage emits.  Iteration count = the
+    longest document's byte length — bounded and cheap at gate scale
+    (<= 600 bytes on the test corpora); this is a CORRECTNESS twin,
+    not a scale path."""
+    M = 1 << 64
+    byte_expr = (
+        "(16 * (strpos('0123456789ABCDEF',"
+        " substring(b.hx, 2*r.i + 1, 1)) - 1)"
+        " + (strpos('0123456789ABCDEF',"
+        " substring(b.hx, 2*r.i + 2, 1)) - 1))")
+    return f"""
+        WITH RECURSIVE
+        b AS (SELECT {id_col}, hex(encode({col})) AS hx,
+                     octet_length(encode({col})) AS len
+              FROM {table} WHERE {col} IS NOT NULL),
+        r AS (
+            SELECT {id_col}, 0 AS i, CAST({_OFFSET} AS HUGEINT) AS h
+            FROM b
+            UNION ALL
+            SELECT r.{id_col}, r.i + 1,
+                   (CAST(xor(CAST(r.h AS UBIGINT),
+                             CAST({byte_expr} AS UBIGINT)) AS HUGEINT)
+                    * {_PRIME}) % {M}
+            FROM r JOIN b USING({id_col}) WHERE r.i < b.len
+        )
+        SELECT b.{id_col},
+               CAST(CASE WHEN r.h >= {1 << 63} THEN r.h - {M}
+                         ELSE r.h END AS BIGINT) AS content_hash
+        FROM b JOIN r USING({id_col}) WHERE r.i = b.len
+    """
+
+
 class FingerprintBatch:
     """map_batches stage appending content_hash (+ optional simhash)."""
 

@@ -3598,3 +3598,28 @@ def test_snapshot_diff_matches_duckdb(ray_session):
     with pytest.raises(Exception, match="snapshot-unique"):
         snapshot_diff(rd.from_arrow(dup), rd.from_arrow(new),
                       num_buckets=2).to_pandas()
+
+
+def test_content_hash_sql_twin_bit_exact(ray_session):
+    """content_hash_sql replays FNV-1a byte-for-byte in a recursive
+    CTE — exact on multi-byte UTF-8, empty strings, and the signed
+    int64 wrap the stage emits."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from logray.functions.fingerprint import content_hash, content_hash_sql
+
+    texts = ["hello", "", "héllo wörld", "a" * 500, "日本語テキスト",
+             "tab\tand\nnewline", None]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    con = duckdb.connect()
+    con.register("docs_t", df)
+    want = con.execute(content_hash_sql("docs_t")
+                       + " ORDER BY doc_id").fetchdf()
+    valid = df[df["text"].notna()]
+    got = content_hash(pa.array(valid["text"])).astype(np.int64)
+    assert want["doc_id"].tolist() == valid["doc_id"].tolist()
+    assert want["content_hash"].tolist() == got.tolist()
