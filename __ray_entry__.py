@@ -4000,6 +4000,7 @@ def oracle_sql() -> dict[str, str]:
         triangle_count_sql,
     )
     from logray.functions.fingerprint import content_hash_sql
+    from logray.functions.textstats import lang_quality_sql
     from logray.functions.quality import (top_ngram_char_fraction_sql,
                                           wordlist_filter_sql)
     from logray.functions.sample import (
@@ -4795,6 +4796,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "domain_quota_narrow": _domain_quota_docs_sql(),
         "content_hash_docs": content_hash_sql(
+            "(SELECT doc_id, text FROM documents) dd"),
+        "lang_quality": lang_quality_sql(
             "(SELECT doc_id, text FROM documents) dd"),
         "top_ngram_repetition": top_ngram_char_fraction_sql(
             "(SELECT doc_id, text FROM documents) dd", n=2),

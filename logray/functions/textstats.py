@@ -120,6 +120,52 @@ def text_stats(ds, text_col: str = "text", langid: bool = True,
     return ds.map_batches(TextStatsBatch(text_col, langid), **kwargs)
 
 
+def lang_quality_sql(table: str, text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB twin of the (lang_id, quality_score) slice of
+    :func:`text_stats`.  Exact because both engines run RE2 (identical
+    match counts for the same patterns) and the quality score is a
+    FIXED float64 expression tree — each elementary op is correctly
+    rounded on both sides, so the bits agree.  The lang argmax's
+    first-wins tie rule (the operator only replaces on strictly
+    greater) becomes the >= CASE chain in dictionary order."""
+    langs = list(LANG_STOPWORDS)
+
+    def hits(lang: str) -> str:
+        rx = _word_hits_re(LANG_STOPWORDS[lang]).replace("'", "''")
+        return f"len(regexp_extract_all({text_col}, '{rx}'))"
+
+    hit_cols = ", ".join(
+        f"CAST({hits(lg)} AS BIGINT) AS h_{lg}" for lg in langs)
+    # first strict max wins: earlier languages take ties
+    case = [f"WHEN greatest({', '.join('h_' + lg for lg in langs)}) = 0 "
+            "THEN 'unknown'"]
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{lg} >= h_{o}" for o in langs[i + 1:])
+        case.append(f"WHEN {conds} THEN '{lg}'")
+    case.append(f"ELSE '{langs[-1]}'")
+    case_sql = "CASE " + " ".join(case) + " END"
+    return f"""
+        WITH lqb AS (
+            SELECT {id_col},
+                   CAST(length({text_col}) AS DOUBLE) AS nc,
+                   CAST(len(regexp_extract_all({text_col}, '\\S+'))
+                        AS DOUBLE) AS nws,
+                   CAST(len(regexp_extract_all({text_col},
+                        '[^\\s\\p{{L}}\\p{{N}}]')) AS DOUBLE) AS np,
+                   {hit_cols}
+            FROM {table})
+        SELECT {id_col},
+               {case_sql} AS lang_id,
+               (least(nc / 200.0, 1.0)
+                * (1.0 - least(np / greatest(nc, 1.0), 1.0)))
+               * (0.5 + least(CAST(h_en AS DOUBLE)
+                              / greatest(nws, 1.0), 0.5))
+                   AS quality_score
+        FROM lqb
+    """
+
+
 def tokenize(ds, text_col: str = "text", id_col: str | None = None,
              pattern: str = " ", lower: bool = False, batch_size: int | None = None):
     """Explode text into one row per token (split on the literal

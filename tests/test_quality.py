@@ -290,3 +290,43 @@ def test_top_ngram_char_fraction_sql_twin(ray_session):
         assert got["doc_id"].tolist() == want["doc_id"].tolist()
         assert (got[f"top_{n}gram_char_frac"].to_numpy()
                 == want[f"top_{n}gram_char_frac"].to_numpy()).all(), n
+
+
+def test_lang_quality_sql_twin_bit_exact(ray_session):
+    """lang_quality_sql matches (lang_id, quality_score) bit-for-bit:
+    RE2 counts agree across engines and the quality score is a fixed
+    float64 expression tree — including argmax ties (earlier language
+    wins) and zero-hit unknowns."""
+    import duckdb
+    import ray.data as rd
+
+    from logray.functions.textstats import lang_quality_sql, text_stats
+
+    docs = [
+        "the cat and the dog is in that house with a hat",
+        "der hund und die katze ist nicht mit",
+        "le chat et la maison est dans les",
+        "el perro de la casa que los",
+        "的 是 了 在 我",
+        "zzz qqq 12345 !!!",                # no stopword hits anywhere
+        "the der le el",                    # 1 hit each: tie -> en
+        "",
+        "x" * 300,
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    got = (text_stats(rd.from_pandas(df))
+           .select_columns(["doc_id", "lang_id", "quality_score"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs_t", df)
+    want = con.execute(lang_quality_sql("docs_t")
+                       + " ORDER BY doc_id").fetchdf()
+    assert got["lang_id"].tolist() == want["lang_id"].tolist()
+    assert (got["quality_score"].to_numpy()
+            == want["quality_score"].to_numpy()).all()
+    # note zh: RE2 \b is ASCII-only, so CJK stopwords never match word
+    # boundaries — IDENTICALLY in both engines (the operator's own
+    # documented heuristic limitation, not a twin divergence)
+    assert got["lang_id"].tolist()[:7] == ["en", "de", "fr", "es",
+                                           "unknown", "unknown", "en"]
