@@ -843,6 +843,23 @@ class _CCShard:
     def label_sum(self) -> int:
         return int(self.labels.sum())
 
+    def edge_count(self) -> int:
+        return len(self.src)
+
+    def dump_state(self, path: str) -> int:
+        from logray.functions.graph import _dump_shard_state
+
+        return _dump_shard_state(
+            path, {"node": self.verts, "label": self.labels})
+
+    def load_state(self, path: str) -> int:
+        from logray.functions.graph import _load_shard_state
+
+        t = _load_shard_state(path, self.verts)
+        self.labels = t["label"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return len(self.verts)
+
     def labels_table(self) -> pa.Table:
         if not len(self.verts):
             return pa.schema([("doc_id", pa.int64()),
@@ -852,7 +869,10 @@ class _CCShard:
 
 
 def connected_components_distributed(pairs, id_a: str = "id_a", id_b: str = "id_b",
-                                     max_rounds: int = 16, num_shards: int = 8):
+                                     max_rounds: int = 16, num_shards: int = 8,
+                                     checkpoint: str | None = None,
+                                     checkpoint_every: int = 1,
+                                     _fault=None):
     """Distributed connected components — the scale path for pathological
     duplicate graphs whose pair set does not fit one process
     (cf. :func:`connected_components`).
@@ -869,8 +889,24 @@ def connected_components_distributed(pairs, id_a: str = "id_a", id_b: str = "id_
     exact fixpoint is detected by an unchanged global label sum; exhausting
     ``max_rounds`` without the fixpoint raises instead of silently
     returning split components.  Returns a Dataset (doc_id, component)
-    where component is the minimum id of the cluster."""
+    where component is the minimum id of the cluster.
+
+    ``checkpoint`` / ``checkpoint_every`` / ``_fault``: same
+    per-round snapshot-and-resume protocol as the PageRank family
+    (graph._ckpt_*): labels snapshot post-round, a resumed run reloads
+    the newest committed round and continues toward the fixpoint
+    (labels only decrease, so resuming AT the fixpoint just re-detects
+    it one round later — bit-equal output either way)."""
+    from logray.functions.graph import _ckpt_commit, _ckpt_load, _ckpt_open
+
     B = num_shards
+    man = None
+    start = 0
+    if checkpoint is not None:
+        man, start = _ckpt_open(checkpoint, {
+            "algo": "connected_components", "id_a": id_a, "id_b": id_b,
+            "num_shards": B,
+        }, max_rounds)
     shards = [_CCShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
 
     def push(t: pa.Table) -> pa.Table:
@@ -887,11 +923,19 @@ def connected_components_distributed(pairs, id_a: str = "id_a", id_b: str = "id_
         return pa.table({"n": pa.array([len(a)], pa.int64())})
 
     pairs.map_batches(push, batch_format="pyarrow").materialize()
-    ray.get([s.build.remote() for s in shards])
+    counts = ray.get([s.build.remote() for s in shards])
 
+    meta = None
+    if man is not None:
+        meta = {"n_total": int(sum(counts)), "edges": int(sum(ray.get(
+            [s.edge_count.remote() for s in shards])))}
+        if start:
+            _ckpt_load(man, start, shards, meta)
     prev_sum = sum(ray.get([s.label_sum.remote() for s in shards]))
     converged = False
-    for _ in range(max_rounds):
+    for it in range(start, max_rounds):
+        if _fault is not None:
+            _fault("round", it)
         outs = [s.emit_a.options(num_returns=B).remote() if B > 1
                 else [s.emit_a.remote()] for s in shards]
         ray.get([shards[j].apply_a.remote(*[outs[i][j] for i in range(B)])
@@ -901,6 +945,10 @@ def connected_components_distributed(pairs, id_a: str = "id_a", id_b: str = "id_
         ray.get([shards[j].apply_b.remote(*[outs[i][j] for i in range(B)])
                  for j in range(B)])
         cur_sum = sum(ray.get([s.label_sum.remote() for s in shards]))
+        done = it + 1
+        if man is not None and (done % checkpoint_every == 0
+                                or cur_sum == prev_sum):
+            _ckpt_commit(man, done, shards, meta)
         if cur_sum == prev_sum:
             converged = True
             break

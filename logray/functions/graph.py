@@ -123,7 +123,9 @@ def degree_table_sql(table: str, src: str = "src", dst: str = "dst",
 
 def connected_components_graph(edges, src: str = "src", dst: str = "dst",
                                node_col: str = "node",
-                               max_rounds: int = 16, num_shards: int = 8):
+                               max_rounds: int = 16, num_shards: int = 8,
+                               checkpoint: str | None = None,
+                               checkpoint_every: int = 1, _fault=None):
     """Connected components of the UNDIRECTED closure of ``edges`` —
     (node, component) where component is the minimum node id reachable.
 
@@ -131,6 +133,8 @@ def connected_components_graph(edges, src: str = "src", dst: str = "dst",
     near-dedup closures (``dedup.connected_components_distributed``):
     per-shard label index held in actor memory across O(log diameter)
     rounds, only small relax/pointer messages exchanged.
+    ``checkpoint`` / ``checkpoint_every`` / ``_fault``: per-round
+    snapshot-and-resume, same protocol as :func:`pagerank`.
     """
     from logray.functions.dedup import connected_components_distributed
 
@@ -141,7 +145,9 @@ def connected_components_graph(edges, src: str = "src", dst: str = "dst",
     pairs = edges.map_batches(narrow, batch_format="pyarrow",
                               zero_copy_batch=True)
     labels = connected_components_distributed(
-        pairs, max_rounds=max_rounds, num_shards=num_shards)
+        pairs, max_rounds=max_rounds, num_shards=num_shards,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
+        _fault=_fault)
 
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns([node_col, "component"])

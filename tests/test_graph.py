@@ -1089,3 +1089,38 @@ def test_triangle_approx_sql_twin_matches(ray_session):
         assert got["triangles_est"].iloc[0] \
             == want["triangles_est"].iloc[0], (p, seed)
         assert got["p"].iloc[0] == want["p"].iloc[0]
+
+
+def test_cc_checkpoint_crash_resume_bit_equal(ray_session, tmp_path):
+    """Connected components: kill after round-1 commit, resume with the
+    same arguments — final labels bit-equal to an uninterrupted run
+    (and resuming AT the fixpoint just re-detects it)."""
+    from logray.functions.graph import connected_components_graph
+
+    src, dst = _rand_graph(61, 80, 120)
+    base = connected_components_graph(
+        _edges_ds(src, dst), num_shards=3).to_pandas()
+    base = base.sort_values("node").reset_index(drop=True)
+    ck = str(tmp_path / "cc")
+    with pytest.raises(_Boom):
+        connected_components_graph(_edges_ds(src, dst), num_shards=3,
+                                   checkpoint=ck, _fault=_crash_at(1))
+    import glob as _glob
+
+    assert len(_glob.glob(f"{ck}/parts/iter-*/manifest.json")) == 1
+    got = connected_components_graph(
+        _edges_ds(src, dst), num_shards=3, checkpoint=ck).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == base["node"].tolist()
+    assert (got["component"].to_numpy()
+            == base["component"].to_numpy()).all()
+    # a second resume (now at the committed fixpoint) is also bit-equal
+    again = connected_components_graph(
+        _edges_ds(src, dst), num_shards=3, checkpoint=ck).to_pandas()
+    again = again.sort_values("node").reset_index(drop=True)
+    assert (again["component"].to_numpy()
+            == base["component"].to_numpy()).all()
+    # different shard count = different plan -> refuse
+    with pytest.raises(ValueError, match="different parameters"):
+        connected_components_graph(_edges_ds(src, dst), num_shards=4,
+                                   checkpoint=ck)
