@@ -1186,6 +1186,9 @@ def _q_multimodal(sf_dir: str):
 
 
 def _q_fingerprints(sf_dir: str):
+    """FNV-1a content hash + 64-bit SimHash per document.  Exact DuckDB
+    twin: content_hash_sql (byte recursion) joined with simhash_sql
+    (closed-form shingle hash + 64 bit-majority aggregates)."""
     import ray.data as rd
 
     from logray.functions.fingerprint import FingerprintBatch
@@ -3999,7 +4002,7 @@ def oracle_sql() -> dict[str, str]:
         triangle_count_approx_sql,
         triangle_count_sql,
     )
-    from logray.functions.fingerprint import content_hash_sql
+    from logray.functions.fingerprint import content_hash_sql, simhash_sql
     from logray.functions.textstats import lang_quality_sql
     from logray.functions.quality import (top_ngram_char_fraction_sql,
                                           wordlist_filter_sql)
@@ -4797,6 +4800,14 @@ def oracle_sql() -> dict[str, str]:
         "domain_quota_narrow": _domain_quota_docs_sql(),
         "content_hash_docs": content_hash_sql(
             "(SELECT doc_id, text FROM documents) dd"),
+        "doc_fingerprints": f"""
+            SELECT c.doc_id, c.content_hash, s.simhash
+            FROM ({content_hash_sql(
+                "(SELECT doc_id, text FROM documents) dd")}) c
+            JOIN ({simhash_sql(
+                "(SELECT doc_id, text FROM documents) dd")}) s
+            USING(doc_id)
+        """,
         "lang_quality": lang_quality_sql(
             "(SELECT doc_id, text FROM documents) dd"),
         "top_ngram_repetition": top_ngram_char_fraction_sql(

@@ -221,6 +221,77 @@ def content_hash_sql(table: str, col: str = "text",
     """
 
 
+def simhash_sql(table: str, k: int = 4, col: str = "text",
+                id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`simhash` — bit-for-bit.  The k-byte
+    shingle hash has a CLOSED FORM (sum of byte * B^(k-1-j) mod 2^64,
+    each term < 2^70 so a plain HUGEINT sum suffices); rows shorter
+    than k bytes take the FNV-1a sentinel via the same byte recursion
+    as :func:`content_hash_sql`; the 64 bit-majority votes are 64
+    aggregates over the shingle rows.  The final value wraps to the
+    signed int64 :class:`FingerprintBatch` emits — load-bearing twice:
+    it matches the stage's dtype AND keeps the result out of the
+    HUGEINT->float64 conversion that silently rounds away low bits in
+    pandas.  Like the content-hash twin this is a CORRECTNESS replica
+    (shingle rows = total bytes), not a scale path."""
+    M = 1 << 64
+
+    def byte_at(p: str) -> str:
+        return (f"(16 * (strpos('0123456789ABCDEF',"
+                f" substring(hx, 2*({p}) + 1, 1)) - 1)"
+                f" + (strpos('0123456789ABCDEF',"
+                f" substring(hx, 2*({p}) + 2, 1)) - 1))")
+
+    terms = " + ".join(
+        f"CAST({byte_at(f'i + {j}')} AS HUGEINT)"
+        f" * {pow(1000003, k - 1 - j, M)}" for j in range(k))
+    fnv_byte = (
+        "(16 * (strpos('0123456789ABCDEF',"
+        " substring(b.hx, 2*r.i + 1, 1)) - 1)"
+        " + (strpos('0123456789ABCDEF',"
+        " substring(b.hx, 2*r.i + 2, 1)) - 1))")
+    votes = ",\n               ".join(
+        f"CASE WHEN 2 * SUM(CAST((CAST(h AS UBIGINT) >> {b_}) & 1"
+        f" AS BIGINT)) > COUNT(*)"
+        f" THEN CAST({1 << b_} AS HUGEINT) ELSE 0 END AS v{b_}"
+        for b_ in range(64))
+    total = " + ".join(f"v{b_}" for b_ in range(64))
+    return f"""
+        WITH RECURSIVE
+        b AS (SELECT {id_col}, hex(encode({col})) AS hx,
+                     octet_length(encode({col})) AS len
+              FROM {table} WHERE {col} IS NOT NULL),
+        r AS (
+            SELECT {id_col}, 0 AS i, CAST({_OFFSET} AS HUGEINT) AS h
+            FROM b WHERE len < {k}
+            UNION ALL
+            SELECT r.{id_col}, r.i + 1,
+                   (CAST(xor(CAST(r.h AS UBIGINT),
+                             CAST({fnv_byte} AS UBIGINT)) AS HUGEINT)
+                    * {_PRIME}) % {M}
+            FROM r JOIN b USING({id_col}) WHERE r.i < b.len
+        ),
+        sent AS (SELECT b.{id_col}, r.h FROM b JOIN r USING({id_col})
+                 WHERE b.len < {k} AND r.i = b.len),
+        pos AS (SELECT {id_col}, hx,
+                       unnest(generate_series(0, len - {k})) AS i
+                FROM b WHERE len >= {k}),
+        sh AS (
+            SELECT {id_col}, ({terms}) % {M} AS h FROM pos
+            UNION ALL
+            SELECT {id_col}, h FROM sent
+        ),
+        sv AS (SELECT {id_col},
+               {votes}
+               FROM sh GROUP BY {id_col})
+        SELECT {id_col},
+               CAST(CASE WHEN ({total}) >= {1 << 63}
+                         THEN ({total}) - {M}
+                         ELSE ({total}) END AS BIGINT) AS simhash
+        FROM sv
+    """
+
+
 class FingerprintBatch:
     """map_batches stage appending content_hash (+ optional simhash)."""
 

@@ -3623,3 +3623,29 @@ def test_content_hash_sql_twin_bit_exact(ray_session):
     got = content_hash(pa.array(valid["text"])).astype(np.int64)
     assert want["doc_id"].tolist() == valid["doc_id"].tolist()
     assert want["content_hash"].tolist() == got.tolist()
+
+
+def test_simhash_sql_twin_bit_exact(ray_session):
+    """simhash_sql replays the k-byte shingle hash (closed form) and
+    the 64 bit-majority votes exactly, including the FNV sentinel for
+    rows shorter than k bytes and the signed-int64 wrap."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from logray.functions.fingerprint import simhash, simhash_sql
+
+    texts = ["hello world hello world", "ab", "", "héllo wörld héllo",
+             "x" * 300, "abc", "abcd", None]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    con = duckdb.connect()
+    con.register("docs_t", df)
+    for k in (4, 5):
+        want = con.execute(simhash_sql("docs_t", k=k)
+                           + " ORDER BY doc_id").fetchdf()
+        valid = df[df["text"].notna()]
+        got = simhash(pa.array(valid["text"]), k).astype(np.int64)
+        assert want["doc_id"].tolist() == valid["doc_id"].tolist(), k
+        assert want["simhash"].tolist() == got.tolist(), k

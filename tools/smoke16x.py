@@ -508,8 +508,22 @@ def main() -> int:
         return triangle_count(
             _graph_edges(), num_buckets=128).take_all()[0]["triangles"]
 
+    def graph_hits_fp_52m():
+        from logray.functions.graph import hits_fixedpoint
+
+        return hits_fixedpoint(_graph_edges(), n_iter=5,
+                               num_shards=16).count()
+
+    def graph_components_52m():
+        from logray.functions.graph import connected_components_graph
+
+        return connected_components_graph(
+            _graph_edges(), num_shards=16).count()
+
     timed("graph_pagerank", graph_pagerank_52m)
     timed("graph_triangles", graph_triangles_52m)
+    timed("graph_hits_fp", graph_hits_fp_52m)
+    timed("graph_components", graph_components_52m)
 
     # --- anchor-text aggregation over 52M synthetic links ---------------
     def anchor_text_52m():
