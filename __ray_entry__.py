@@ -4002,7 +4002,9 @@ def oracle_sql() -> dict[str, str]:
         triangle_count_approx_sql,
         triangle_count_sql,
     )
-    from logray.functions.fingerprint import content_hash_sql, simhash_sql
+    from logray.functions.fingerprint import (content_hash_sql,
+                                              minhash_pairs_sql,
+                                              simhash_sql)
     from logray.functions.textstats import lang_quality_sql
     from logray.functions.quality import (top_ngram_char_fraction_sql,
                                           wordlist_filter_sql)
@@ -4800,6 +4802,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_quota_narrow": _domain_quota_docs_sql(),
         "content_hash_docs": content_hash_sql(
             "(SELECT doc_id, text FROM documents) dd"),
+        "minhash_pairs": minhash_pairs_sql(
+            "(SELECT doc_id, text FROM documents) dd",
+            num_perm=64, bands=16, k=5, threshold=0.8),
         "doc_fingerprints": f"""
             SELECT c.doc_id, c.content_hash, s.simhash
             FROM ({content_hash_sql(

@@ -292,6 +292,108 @@ def simhash_sql(table: str, k: int = 4, col: str = "text",
     """
 
 
+def minhash_pairs_sql(table: str, num_perm: int = 64, bands: int = 16,
+                      k: int = 5, threshold: float = 0.7, seed: int = 1,
+                      col: str = "text", id_col: str = "doc_id",
+                      max_bucket: int = 4096) -> str:
+    """DuckDB twin of the :func:`logray.functions.dedup.minhash_lsh_dedup`
+    PAIR SET (distinct ``(id_a, id_b)``, ``id_a < id_b``) — bit-for-bit:
+    shingle hashes in closed form (the :func:`simhash_sql` machinery at
+    ``k=5``), the ``num_perm`` multiply-add permutations as MIN
+    aggregates (hi/lo HUGEINT mulmod), the per-band FNV fold as nested
+    scalar steps, bucket collision via one self-join, and the agreement
+    verify as ``num_perm`` equality terms with the identical
+    ``count/num_perm >= threshold`` float compare.
+
+    The operator's hot-bucket cap (keep the ``max_bucket`` smallest ids)
+    never binds at gate scale; rather than replicate it, the twin fails
+    LOUDLY if it would: any bucket past ``max_bucket`` makes the final
+    SELECT return zero rows (impossible for a non-empty pair set),
+    never a silently-divergent superset."""
+    M = 1 << 64
+    H = 1 << 32
+    a, b = _perm_params(num_perm, seed)
+    r = num_perm // bands
+
+    def byte_at(p: str) -> str:
+        return (f"(16 * (strpos('0123456789ABCDEF',"
+                f" substring(hx, 2*({p}) + 1, 1)) - 1)"
+                f" + (strpos('0123456789ABCDEF',"
+                f" substring(hx, 2*({p}) + 2, 1)) - 1))")
+
+    terms = " + ".join(
+        f"CAST({byte_at(f'i + {j}')} AS HUGEINT)"
+        f" * {pow(1000003, k - 1 - j, M)}" for j in range(k))
+    fnv_byte = (
+        "(16 * (strpos('0123456789ABCDEF',"
+        " substring(b.hx, 2*r.i + 1, 1)) - 1)"
+        " + (strpos('0123456789ABCDEF',"
+        " substring(b.hx, 2*r.i + 2, 1)) - 1))")
+    # sig slot p: MIN over shingles of (h * a_p + b_p) mod 2^64
+    sig_cols = ",\n               ".join(
+        f"CAST(MIN((((h // {H}) * {int(a[p])} % {H}) * {H}"
+        f" + (h % {H}) * {int(a[p])} + {int(b[p])}) % {M}) AS UBIGINT)"
+        f" AS s{p}" for p in range(num_perm))
+    # band fold: h = ((h xor s_j) * 1000003) mod 2^64, r slots per band
+    band_rows = []
+    for bid in range(bands):
+        expr = str(int(_OFFSET))
+        for j in range(bid * r, (bid + 1) * r):
+            expr = (f"(CAST(xor(CAST({expr} AS UBIGINT), s{j})"
+                    f" AS HUGEINT) * 1000003) % {M}")
+        band_rows.append(
+            f"SELECT {id_col}, {bid} AS band_id, {expr} AS bh FROM sig")
+    bandrows = "\n            UNION ALL ".join(band_rows)
+    agree = " + ".join(
+        f"CASE WHEN sa.s{p} = sb.s{p} THEN 1 ELSE 0 END"
+        for p in range(num_perm))
+    return f"""
+        WITH RECURSIVE
+        b AS (SELECT {id_col}, hex(encode({col})) AS hx,
+                     octet_length(encode({col})) AS len
+              FROM {table} WHERE {col} IS NOT NULL),
+        r AS (
+            SELECT {id_col}, 0 AS i, CAST({_OFFSET} AS HUGEINT) AS h
+            FROM b WHERE len < {k}
+            UNION ALL
+            SELECT r.{id_col}, r.i + 1,
+                   (CAST(xor(CAST(r.h AS UBIGINT),
+                             CAST({fnv_byte} AS UBIGINT)) AS HUGEINT)
+                    * {_PRIME}) % {M}
+            FROM r JOIN b USING({id_col}) WHERE r.i < b.len
+        ),
+        sent AS (SELECT b.{id_col}, r.h FROM b JOIN r USING({id_col})
+                 WHERE b.len < {k} AND r.i = b.len),
+        pos AS (SELECT {id_col}, hx,
+                       unnest(generate_series(0, len - {k})) AS i
+                FROM b WHERE len >= {k}),
+        sh AS (
+            SELECT {id_col}, ({terms}) % {M} AS h FROM pos
+            UNION ALL
+            SELECT {id_col}, h FROM sent
+        ),
+        sig AS (SELECT {id_col},
+               {sig_cols}
+               FROM sh GROUP BY {id_col}),
+        bandrows AS (
+            {bandrows}
+        ),
+        hot AS (SELECT COUNT(*) AS n FROM (
+                SELECT band_id, bh FROM bandrows
+                GROUP BY band_id, bh HAVING COUNT(*) > {max_bucket})),
+        cand AS (SELECT DISTINCT x.{id_col} AS id_a, y.{id_col} AS id_b
+                 FROM bandrows x JOIN bandrows y
+                 ON x.band_id = y.band_id AND x.bh = y.bh
+                 AND y.{id_col} > x.{id_col})
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sig sa ON sa.{id_col} = c.id_a
+        JOIN sig sb ON sb.{id_col} = c.id_b
+        WHERE CAST(({agree}) AS DOUBLE) / {num_perm} >= {threshold!r}
+          AND (SELECT n FROM hot) = 0
+    """
+
+
 class FingerprintBatch:
     """map_batches stage appending content_hash (+ optional simhash)."""
 

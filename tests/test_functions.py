@@ -3649,3 +3649,47 @@ def test_simhash_sql_twin_bit_exact(ray_session):
         got = simhash(pa.array(valid["text"]), k).astype(np.int64)
         assert want["doc_id"].tolist() == valid["doc_id"].tolist(), k
         assert want["simhash"].tolist() == got.tolist(), k
+
+
+def test_minhash_pairs_sql_twin_matches(ray_session):
+    """minhash_pairs_sql reproduces the LSH pair set exactly —
+    permutation mins, band folds, bucket collision, and the agreement
+    verify all replayed in SQL — on a corpus with planted near-dups;
+    and the hot-bucket loud guard empties the result rather than
+    diverging silently."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.functions.dedup import minhash_lsh_dedup
+    from logray.functions.fingerprint import minhash_pairs_sql
+
+    rng = np.random.default_rng(9)
+    base = ["the quick brown fox jumps over the lazy dog " * 3,
+            "pack my box with five dozen liquor jugs " * 3,
+            "how vexingly quick daft zebras jump " * 3]
+    texts = []
+    for i in range(30):
+        t = base[i % 3]
+        if i % 5 == 0:
+            t = t + " tail" + str(rng.integers(10))  # near-dup variants
+        texts.append(t)
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = minhash_lsh_dedup(rd.from_pandas(df), num_perm=64, bands=16,
+                            k=5, threshold=0.8).to_pandas()
+    got = (got[["id_a", "id_b"]].astype("int64")
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs_t", df)
+    want = con.execute(minhash_pairs_sql("docs_t", num_perm=64, bands=16,
+                                         k=5, threshold=0.8)
+                       + " ORDER BY id_a, id_b").fetchdf()
+    assert len(got) > 10  # the corpus actually produces pairs
+    assert got.values.tolist() == want.values.tolist()
+    # loud guard: max_bucket=1 forces every collision bucket "hot"
+    hot = con.execute(minhash_pairs_sql("docs_t", num_perm=64, bands=16,
+                                        k=5, threshold=0.8,
+                                        max_bucket=1)).fetchdf()
+    assert len(hot) == 0
