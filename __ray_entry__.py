@@ -4004,6 +4004,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from logray.functions.fingerprint import (content_hash_sql,
                                               minhash_pairs_sql,
+                                              simhash_pairs_sql,
                                               simhash_sql)
     from logray.functions.textstats import lang_quality_sql
     from logray.functions.quality import (top_ngram_char_fraction_sql,
@@ -4805,6 +4806,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": minhash_pairs_sql(
             "(SELECT doc_id, text FROM documents) dd",
             num_perm=64, bands=16, k=5, threshold=0.8),
+        "simhash_pairs": simhash_pairs_sql(
+            "(SELECT doc_id, text FROM documents) dd", max_hamming=3),
         "doc_fingerprints": f"""
             SELECT c.doc_id, c.content_hash, s.simhash
             FROM ({content_hash_sql(

@@ -394,6 +394,44 @@ def minhash_pairs_sql(table: str, num_perm: int = 64, bands: int = 16,
     """
 
 
+def simhash_pairs_sql(table: str, max_hamming: int = 3, k: int = 4,
+                      col: str = "text", id_col: str = "doc_id",
+                      max_bucket: int = 4096) -> str:
+    """DuckDB twin of the :func:`logray.functions.dedup.simhash_dedup`
+    PAIR SET (distinct ``(id_a, id_b)``, ``id_a < id_b``): SimHash via
+    :func:`simhash_sql`, the four 16-bit pigeonhole chunks and the
+    popcount verify (``bit_count`` on UBIGINT) replayed exactly.  Same
+    loud hot-bucket guard contract as :func:`minhash_pairs_sql`."""
+    M = 1 << 64
+    chunks = "\n            UNION ALL ".join(
+        f"SELECT {id_col}, u, {c} AS chunk_id,"
+        f" (u >> {16 * c}) & 65535 AS chunk FROM su"
+        for c in range(4))
+    return f"""
+        WITH sp0 AS ({simhash_sql(table, k=k, col=col, id_col=id_col)}),
+        su AS (SELECT {id_col},
+                      CAST(CASE WHEN simhash < 0
+                                THEN CAST(simhash AS HUGEINT) + {M}
+                                ELSE CAST(simhash AS HUGEINT) END
+                           AS UBIGINT) AS u
+               FROM sp0),
+        chunks AS (
+            {chunks}
+        ),
+        hot AS (SELECT COUNT(*) AS n FROM (
+                SELECT chunk_id, chunk FROM chunks
+                GROUP BY chunk_id, chunk HAVING COUNT(*) > {max_bucket})),
+        cand AS (SELECT DISTINCT x.{id_col} AS id_a, x.u AS ua,
+                        y.{id_col} AS id_b, y.u AS ub
+                 FROM chunks x JOIN chunks y
+                 ON x.chunk_id = y.chunk_id AND x.chunk = y.chunk
+                 AND y.{id_col} > x.{id_col})
+        SELECT id_a, id_b FROM cand
+        WHERE bit_count(xor(ua, ub)) <= {max_hamming}
+          AND (SELECT n FROM hot) = 0
+    """
+
+
 class FingerprintBatch:
     """map_batches stage appending content_hash (+ optional simhash)."""
 

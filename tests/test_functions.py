@@ -3693,3 +3693,36 @@ def test_minhash_pairs_sql_twin_matches(ray_session):
                                         k=5, threshold=0.8,
                                         max_bucket=1)).fetchdf()
     assert len(hot) == 0
+
+
+def test_simhash_pairs_sql_twin_matches(ray_session):
+    """simhash_pairs_sql reproduces the pigeonhole-chunk + popcount
+    pair set exactly, and the hot-bucket loud guard empties the result
+    rather than diverging."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logray.functions.dedup import simhash_dedup
+    from logray.functions.fingerprint import simhash_pairs_sql
+
+    base = "the quick brown fox jumps over the lazy dog and runs away"
+    texts = [base, base + "!", base.replace("lazy", "hazy"),
+             "completely different text about data processing engines",
+             base + " twice " + base, ""]
+    texts = texts * 3  # exact repeats -> hamming 0 pairs
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = simhash_dedup(rd.from_pandas(df), max_hamming=3).to_pandas()
+    got = (got[["id_a", "id_b"]].astype("int64")
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs_t", df)
+    want = con.execute(simhash_pairs_sql("docs_t", max_hamming=3)
+                       + " ORDER BY id_a, id_b").fetchdf()
+    assert len(got) > 5
+    assert got.values.tolist() == want.values.tolist()
+    hot = con.execute(simhash_pairs_sql("docs_t", max_hamming=3,
+                                        max_bucket=1)).fetchdf()
+    assert len(hot) == 0
