@@ -4808,6 +4808,33 @@ def oracle_sql() -> dict[str, str]:
             num_perm=64, bands=16, k=5, threshold=0.8),
         "simhash_pairs": simhash_pairs_sql(
             "(SELECT doc_id, text FROM documents) dd", max_hamming=3),
+        # near-dedup closures compose three exact twins: the MinHash
+        # pair set, recursive min-label components, and the keep policy
+        "near_dedup_keep": f"""
+            WITH ndp AS ({minhash_pairs_sql(
+                "(SELECT doc_id, text FROM documents) dd",
+                num_perm=64, bands=16, k=5, threshold=0.8)}),
+            ndc AS ({connected_components_sql(
+                "ndp", src="id_a", dst="id_b")})
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN
+                  (SELECT node FROM ndc WHERE node <> component)
+        """,
+        "near_dedup_best": f"""
+            WITH ndp AS ({minhash_pairs_sql(
+                "(SELECT doc_id, text FROM documents) dd",
+                num_perm=64, bands=16, k=5, threshold=0.8)}),
+            ndc AS ({connected_components_sql(
+                "ndp", src="id_a", dst="id_b")}),
+            ndw AS (SELECT c.node,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY c.component
+                               ORDER BY d.n_chars DESC NULLS LAST,
+                                        c.node ASC) AS rn
+                    FROM ndc c JOIN documents d ON d.doc_id = c.node)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM ndw WHERE rn > 1)
+        """,
         "doc_fingerprints": f"""
             SELECT c.doc_id, c.content_hash, s.simhash
             FROM ({content_hash_sql(
