@@ -2528,8 +2528,10 @@ def _q_dedup_incremental(sf_dir: str):
 def _q_near_dup_incremental(sf_dir: str):
     """Incremental NEAR-dup: persist a MinHash band index of the
     English snapshot, drop every other document that LSH-collides with
-    it (pure candidate rule, sharded probe).  Rows-only (LSH has no SQL
-    twin); exact-copy/short-doc/append invariants pinned in tests."""
+    it (pure candidate rule, sharded probe).  Exact DuckDB twin: two
+    band_rows_sql instances (new vs indexed subset) joined on
+    (band_id, hash); exact-copy/short-doc/append invariants also
+    pinned in tests."""
     import shutil
     import tempfile
 
@@ -4002,7 +4004,8 @@ def oracle_sql() -> dict[str, str]:
         triangle_count_approx_sql,
         triangle_count_sql,
     )
-    from logray.functions.fingerprint import (content_hash_sql,
+    from logray.functions.fingerprint import (band_rows_sql,
+                                              content_hash_sql,
                                               minhash_pairs_sql,
                                               simhash_pairs_sql,
                                               simhash_sql)
@@ -4808,6 +4811,23 @@ def oracle_sql() -> dict[str, str]:
             num_perm=64, bands=16, k=5, threshold=0.8),
         "simhash_pairs": simhash_pairs_sql(
             "(SELECT doc_id, text FROM documents) dd", max_hamming=3),
+        # incremental near-dup: non-English docs that band-collide with
+        # the English snapshot's persistent index drop (pure candidate
+        # rule, no verify) — two band_rows_sql instances joined
+        "near_dup_incremental": f"""
+            WITH nb AS ({band_rows_sql(
+                "(SELECT doc_id, text FROM documents"
+                " WHERE lang <> 'en') dd")}),
+            eb AS ({band_rows_sql(
+                "(SELECT doc_id, text FROM documents"
+                " WHERE lang = 'en') dd")}),
+            dropids AS (SELECT DISTINCT nb.doc_id FROM nb
+                        JOIN eb ON nb.band_id = eb.band_id
+                               AND nb.bh = eb.bh)
+            SELECT d.* FROM documents d
+            WHERE d.lang <> 'en'
+              AND d.doc_id NOT IN (SELECT doc_id FROM dropids)
+        """,
         # near-dedup closures compose three exact twins: the MinHash
         # pair set, recursive min-label components, and the keep policy
         "near_dedup_keep": f"""

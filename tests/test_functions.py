@@ -3726,3 +3726,29 @@ def test_simhash_pairs_sql_twin_matches(ray_session):
     hot = con.execute(simhash_pairs_sql("docs_t", max_hamming=3,
                                         max_bucket=1)).fetchdf()
     assert len(hot) == 0
+
+
+def test_band_rows_sql_matches_band_hashes(ray_session):
+    """band_rows_sql emits exactly the operator's (id, band_id, hash)
+    LSH band rows — the shared primitive behind the minhash-pairs and
+    incremental-index oracles."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from logray.functions.fingerprint import (band_hashes, band_rows_sql,
+                                              minhash_signatures)
+
+    texts = ["the quick brown fox", "", "ab", "the quick brown fax"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    sig = minhash_signatures(pa.array(df["text"]), num_perm=64, k=5, seed=1)
+    bh = band_hashes(sig, 16)
+    want = {(int(i), b, int(bh[i, b]))
+            for i in range(len(texts)) for b in range(16)}
+    con = duckdb.connect()
+    con.register("docs_t", df)
+    got = con.execute(band_rows_sql("docs_t")).fetchall()
+    got = {(int(i), int(b), int(h)) for i, b, h in got}
+    assert got == want
