@@ -452,6 +452,17 @@ def cmd_bm25_build(args) -> int:
     return 0
 
 
+def cmd_compact_index(args) -> int:
+    """Compact an append-accumulated persistent index (fingerprint /
+    band / BM25 / IVF) into one file per shard in a fresh directory."""
+    _init_ray(args.num_cpus)
+    from logray.functions.indexbase import compact_index
+
+    stats = compact_index(args.index, args.out)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_bm25_search(args) -> int:
     """Top-k docs for a query from the persistent index (path-pruned)."""
     _init_ray(args.num_cpus)
@@ -766,6 +777,13 @@ def main(argv=None) -> int:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--shards", type=int, default=64)
     sp.set_defaults(fn=cmd_bm25_build)
+
+    sp = sub.add_parser("compact-index",
+                        help="compact a persistent index into one file "
+                             "per shard (fresh destination dir)")
+    sp.add_argument("index")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_compact_index)
 
     sp = sub.add_parser("bm25-search",
                         help="top-k docs for a query from the BM25 index")

@@ -11,7 +11,9 @@ import glob
 import json
 import os
 
-__all__ = ["write_meta", "read_meta", "shard_files", "total_index_rows"]
+__all__ = ["write_meta", "read_meta", "shard_files",
+           "shard_values", "total_index_rows", "detect_shard_key",
+           "compact_index"]
 
 META_NAME = "index.json"
 
@@ -51,3 +53,104 @@ def total_index_rows(files: list[str]) -> int:
     import pyarrow.parquet as pq
 
     return sum(pq.read_metadata(f).num_rows for f in files)
+
+
+def shard_values(index_dir: str, key: str) -> list[str]:
+    """Distinct hive-shard values present in either layout, sorted."""
+    vals = set()
+    for pat in (os.path.join(index_dir, f"{key}=*"),
+                os.path.join(index_dir, "parts", "*", f"{key}=*")):
+        for d in glob.glob(pat):
+            vals.add(os.path.basename(d).split("=", 1)[1])
+    return sorted(vals)
+
+
+def detect_shard_key(index_dir: str) -> str:
+    """The hive-shard column name of an index dir (``__s`` for the
+    fingerprint/BM25/IVF family, ``__g`` for the band index) — inferred
+    from the ``<key>=<value>`` directory names; ambiguous or absent
+    keys RAISE."""
+    keys = set()
+    for pat in (os.path.join(index_dir, "*=*"),
+                os.path.join(index_dir, "parts", "*", "*=*")):
+        for d in glob.glob(pat):
+            if os.path.isdir(d):
+                keys.add(os.path.basename(d).split("=", 1)[0])
+    if len(keys) != 1:
+        raise ValueError(
+            f"detect_shard_key: expected exactly one hive key under "
+            f"{index_dir!r}, found {sorted(keys)}")
+    return keys.pop()
+
+
+def compact_index(index_dir: str, out_dir: str,
+                  key: str | None = None) -> dict:
+    """Rewrite an append-accumulated index as ONE parquet file per hive
+    shard into a NEW directory — the maintenance op for the persistent
+    indexes (fingerprint / MinHash-band / BM25 postings / IVF lists):
+    every additive append and every resumable-build partition adds a
+    small file per shard, and a long-lived index degrades into a
+    many-tiny-files read.
+
+    Crash safety by construction, no journal needed: the metadata
+    sidecar is written LAST, and every reader of these indexes REFUSES
+    a directory without it (see :func:`read_meta`) — a compaction that
+    dies midway leaves a dst that no probe will silently treat as an
+    index.  Rerun compaction into a fresh dst (the half-written one is
+    refused as a destination too).  The source is never mutated; the
+    caller swaps paths (or replaces src) after the stats return.
+
+    Scale shape: one Ray task per shard, each STREAMING row groups from
+    its input files through a single ParquetWriter — per-task memory is
+    one row group, not the shard; shards compact concurrently.  Row
+    ORDER within a shard follows the sorted input file list — every
+    probe of these indexes is collision/sum semantics, order-free."""
+    import ray
+
+    meta = read_meta(index_dir, "compactable index")
+    if os.path.exists(out_dir) and os.listdir(out_dir):
+        raise ValueError(
+            f"compact_index: destination {out_dir!r} is non-empty — "
+            "refusing to mix generations; compact into a fresh dir")
+    if key is None:
+        key = detect_shard_key(index_dir)
+    vals = shard_values(index_dir, key)
+    if not vals:
+        raise ValueError(
+            f"compact_index: no '{key}=*' shards under {index_dir!r}")
+
+    @ray.remote
+    def compact_shard(files: list[str], dst: str) -> tuple[int, int]:
+        import pyarrow.parquet as pq
+
+        if not files:  # a shard dir with no parquet yet: nothing to do
+            return 0, 0
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = dst + ".tmp"
+        writer = None
+        rows = 0
+        try:
+            for f in files:
+                pf = pq.ParquetFile(f)
+                for rg in range(pf.num_row_groups):
+                    t = pf.read_row_group(rg)
+                    if writer is None:
+                        writer = pq.ParquetWriter(tmp, t.schema,
+                                                  compression="zstd")
+                    rows += t.num_rows
+                    writer.write_table(t)
+        finally:
+            if writer is not None:
+                writer.close()
+        os.replace(tmp, dst)
+        return rows, len(files)
+
+    outs = ray.get([compact_shard.remote(
+        shard_files(index_dir, key, v),
+        os.path.join(out_dir, f"{key}={v}", "compact-0.parquet"))
+        for v in vals])
+    rows = sum(r for r, _ in outs)
+    files_in = sum(f for _, f in outs)
+    write_meta(out_dir, meta)  # LAST: publishes the dst as an index
+    return {"shards": len(vals), "files_in": files_in,
+            "files_out": len(vals), "rows": rows}

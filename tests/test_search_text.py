@@ -200,3 +200,62 @@ def test_bm25_build_resumable_crash_resume(ray_session, tmp_path):
     # plan mismatch refuses
     with pytest.raises(ValueError, match="different parameters"):
         build_text_index_resumable(str(src), res, num_shards=8)
+
+
+def test_compact_index_bm25_and_band(ray_session, tmp_path):
+    """compact_index rewrites an append-accumulated index as one file
+    per shard into a fresh dir: search results identical, file count
+    collapses, meta preserved, and the refusal contracts hold (probe
+    of a half-published dst refuses; non-empty dst refuses; bare dir
+    refuses as source)."""
+    import os
+
+    import ray.data as rd
+
+    from logray.functions.indexbase import compact_index, shard_files
+    from logray.functions.neardup_incremental import (
+        build_band_index, dedup_near_against_index)
+    from logray.functions.search_text import (bm25_search_index,
+                                              build_text_index)
+
+    df = pd.DataFrame({"doc_id": np.arange(len(DOCS), dtype=np.int64),
+                       "text": DOCS})
+    idx = str(tmp_path / "bm25_src")
+    # two appends + repartition -> several small files per shard
+    build_text_index(rd.from_pandas(df).repartition(3), idx, num_shards=4)
+    extra = pd.DataFrame({"doc_id": np.array([100], dtype=np.int64),
+                          "text": ["cat cat cat mat"]})
+    build_text_index(rd.from_pandas(extra), idx, num_shards=4)
+    queries = [(0, "cat mat"), (1, "dog")]
+    before = bm25_search_index(idx, queries, k=4)
+
+    dst = str(tmp_path / "bm25_compact")
+    stats = compact_index(idx, dst)
+    assert stats["files_in"] > stats["files_out"] == stats["shards"]
+    after = bm25_search_index(dst, queries, k=4)
+    assert before.values.tolist() == after.values.tolist()
+    assert len(shard_files(dst, "__s")) == stats["shards"]
+
+    # band index: probe results identical across compaction
+    bidx = str(tmp_path / "band_src")
+    build_band_index(rd.from_pandas(df).repartition(3), bidx, num_shards=4)
+    probe = pd.DataFrame({"doc_id": np.array([7, 8], dtype=np.int64),
+                          "text": [DOCS[0], "nothing like the corpus"]})
+    kept_before = dedup_near_against_index(
+        rd.from_pandas(probe), bidx).to_pandas()
+    bdst = str(tmp_path / "band_compact")
+    compact_index(bidx, bdst)
+    kept_after = dedup_near_against_index(
+        rd.from_pandas(probe), bdst).to_pandas()
+    assert kept_before["doc_id"].tolist() == kept_after["doc_id"].tolist()
+
+    # refusal contracts
+    with pytest.raises(ValueError, match="non-empty"):
+        compact_index(idx, dst)
+    with pytest.raises(ValueError, match="refusing"):
+        compact_index(str(tmp_path), str(tmp_path / "x"))
+    # half-published dst (no meta yet) is not an index to probes
+    half = str(tmp_path / "half")
+    os.makedirs(os.path.join(half, "__s=0"))
+    with pytest.raises(ValueError, match="refusing"):
+        bm25_search_index(half, queries, k=2)
