@@ -87,10 +87,12 @@ def compact_index(index_dir: str, out_dir: str,
                   key: str | None = None) -> dict:
     """Rewrite an append-accumulated index as ONE parquet file per hive
     shard into a NEW directory — the maintenance op for the persistent
-    indexes (fingerprint / MinHash-band / BM25 postings / IVF lists):
-    every additive append and every resumable-build partition adds a
-    small file per shard, and a long-lived index degrades into a
-    many-tiny-files read.
+    indexes carrying this module's ``index.json`` sidecar (the
+    fingerprint, MinHash-band and BM25-postings indexes; the IVF index
+    has its own ``data/``+``manifest.json`` layout and is rewritten by
+    rebuilding): every additive append and every resumable-build
+    partition adds a small file per shard, and a long-lived index
+    degrades into a many-tiny-files read.
 
     Crash safety by construction, no journal needed: the metadata
     sidecar is written LAST, and every reader of these indexes REFUSES
