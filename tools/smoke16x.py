@@ -472,6 +472,53 @@ def main() -> int:
 
     timed("bm25_build", bm25_build_12m)
 
+    def bm25_compact_12m():
+        """Compaction at index scale: build the 12.8M-doc index
+        (UNTIMED setup), then time compact_index alone; a dense-term
+        search must return identical rows from both generations."""
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+
+        from logray.functions.indexbase import compact_index, shard_files
+        from logray.functions.search_text import (bm25_search_index,
+                                                  build_text_index)
+
+        sub = files[:max(1, len(files) // 4)]
+        src = tempfile.mkdtemp(prefix="logray_smoke_bm25c_",
+                               dir="/tmp/logray_bench")
+        shutil.rmtree(src)
+
+        def add_id(t):
+            rid = pc.add(pc.multiply(pc.cast(t["turn_idx"], "int64"),
+                                     1 << 32),
+                         pc.cast(pc.utf8_length(t["conv_id"]), "int64"))
+            return pa.table({"doc_id": rid, "text": t["text"]})
+
+        ds = rd.read_parquet(sub, columns=["conv_id", "turn_idx", "text"],
+                             override_num_blocks=len(sub)) \
+               .map_batches(add_id, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        build_text_index(ds, src, num_shards=64)
+        q = [(0, "tool result for request")]
+        before = bm25_search_index(src, q, k=10)
+        files_in = len(shard_files(src, "__s"))
+        dst = src + "-compact"
+        t0 = time.perf_counter()
+        stats = compact_index(src, dst)
+        wall = time.perf_counter() - t0
+        after = bm25_search_index(dst, q, k=10)
+        assert before.values.tolist() == after.values.tolist(), \
+            "compacted index diverged"
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        print(json.dumps({"bm25_compact_only_sec": round(wall, 1),
+                          "files_in": files_in, **stats}))
+        return stats["rows"]
+
+    timed("bm25_compact", bm25_compact_12m)
+
     # --- web-graph family: 52M-edge derived graph over a 10M-node space
     # (web-like sparsity, avg total degree ~10 — a 1M space makes avg
     # degree ~100 and the exact wedge census quadratically explodes to
