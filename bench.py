@@ -425,6 +425,22 @@ def run_bench() -> dict:
 
     timed("graph_triangles", graph_triangles_corpus)
 
+    def graph_hits_fp_corpus():
+        from logray.functions.graph import hits_fixedpoint
+
+        return hits_fixedpoint(_graph_edges_corpus(), n_iter=5,
+                               num_shards=8).count()
+
+    timed("graph_hits_fp", graph_hits_fp_corpus)
+
+    def graph_components_corpus():
+        from logray.functions.graph import connected_components_graph
+
+        return connected_components_graph(_graph_edges_corpus(),
+                                          num_shards=8).count()
+
+    timed("graph_components", graph_components_corpus)
+
     ray.shutdown()
 
     headline_sec = timings["pipeline"]
