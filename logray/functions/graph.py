@@ -139,8 +139,14 @@ def connected_components_graph(edges, src: str = "src", dst: str = "dst",
     from logray.functions.dedup import connected_components_distributed
 
     def narrow(t: pa.Table) -> pa.Table:
-        return pa.table({"id_a": pa.array(_to_int64(t[src])),
-                         "id_b": pa.array(_to_int64(t[dst]))})
+        # per-batch dedup: components are multiset-insensitive, and a
+        # dense multigraph (many parallel edges into a small node space)
+        # otherwise pushes every duplicate into the shard actors —
+        # measured 10.2 s -> ~3 s on the bench's 3.27M-row / 997-node
+        # derived graph
+        tb = pa.table({"id_a": pa.array(_to_int64(t[src])),
+                       "id_b": pa.array(_to_int64(t[dst]))})
+        return tb.group_by(["id_a", "id_b"]).aggregate([])
 
     pairs = edges.map_batches(narrow, batch_format="pyarrow",
                               zero_copy_batch=True)
