@@ -1668,8 +1668,14 @@ def hits_fixedpoint(edges, src: str = "src", dst: str = "dst",
     shards = [_HitsIntShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
 
     def push(t: pa.Table) -> pa.Table:
-        s = _to_int64(t[src])
-        d = _to_int64(t[dst])
+        # per-batch dedup before the wire: the recursion runs over the
+        # DISTINCT edge set (the shards dedup again at build), so
+        # parallel edges within a batch are pure push traffic
+        tb = pa.table({"s": pa.array(_to_int64(t[src])),
+                       "d": pa.array(_to_int64(t[dst]))})
+        tb = tb.group_by(["s", "d"]).aggregate([])
+        s = tb["s"].to_numpy(zero_copy_only=False)
+        d = tb["d"].to_numpy(zero_copy_only=False)
         own_s = _pr_owner(s, B)
         own_d = _pr_owner(d, B)
         acks = []
