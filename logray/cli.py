@@ -310,7 +310,8 @@ def cmd_graph(args) -> int:
         from logray.functions.graph import connected_components_graph
 
         out = connected_components_graph(ds, src=args.src_col,
-                                         dst=args.dst_col)
+                                         dst=args.dst_col,
+                                         checkpoint=args.checkpoint)
         out.write_parquet(args.out)
         lab = rd.read_parquet(args.out)
         print(json.dumps({"nodes": lab.count(),
@@ -319,7 +320,8 @@ def cmd_graph(args) -> int:
         from logray.functions.graph import pagerank
 
         out = pagerank(ds, src=args.src_col, dst=args.dst_col,
-                       damping=args.damping, n_iter=args.n_iter)
+                       damping=args.damping, n_iter=args.n_iter,
+                       checkpoint=args.checkpoint)
         out.write_parquet(args.out)
         print(json.dumps({"nodes": rd.read_parquet(args.out).count(),
                           "n_iter": args.n_iter, "damping": args.damping}))
@@ -336,7 +338,7 @@ def cmd_graph(args) -> int:
 
         fn = hits if args.op == "hits" else hits_fixedpoint
         out = fn(ds, src=args.src_col, dst=args.dst_col,
-                 n_iter=args.n_iter)
+                 n_iter=args.n_iter, checkpoint=args.checkpoint)
         out.write_parquet(args.out)
         print(json.dumps({"nodes": rd.read_parquet(args.out).count(),
                           "n_iter": args.n_iter}))
@@ -718,6 +720,9 @@ def main(argv=None) -> int:
     sp.add_argument("--damping", type=float, default=0.85)
     sp.add_argument("--n-iter", type=int, default=20)
     sp.add_argument("--k", type=int, default=2)
+    sp.add_argument("--checkpoint", default=None,
+                    help="manifest dir for per-iteration snapshot-and-"
+                         "resume (pagerank/hits/hits-fp/components)")
     sp.add_argument("--num-cpus", type=int, default=None)
     sp.set_defaults(fn=cmd_graph)
 
