@@ -259,3 +259,33 @@ def test_compact_index_bm25_and_band(ray_session, tmp_path):
     os.makedirs(os.path.join(half, "__s=0"))
     with pytest.raises(ValueError, match="refusing"):
         bm25_search_index(half, queries, k=2)
+
+
+def test_compact_index_resumable_layout(ray_session, tmp_path):
+    """compact_index also flattens the resumable parts/<pid>/ layout
+    (shard_files covers both); searches against the compacted flat
+    index match the resumable source exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logray.functions.indexbase import compact_index
+    from logray.functions.search_text import (bm25_search_index,
+                                              build_text_index_resumable)
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    ids = np.arange(len(DOCS), dtype=np.int64)
+    for i in range(3):
+        sel = slice(i * 2, i * 2 + 2)
+        pq.write_table(pa.table({"doc_id": ids[sel],
+                                 "text": DOCS[sel.start:sel.stop]}),
+                       src / f"f{i}.parquet")
+    idx = str(tmp_path / "resumable_idx")
+    build_text_index_resumable(str(src), idx, num_shards=4)
+    queries = [(0, "cat mat"), (1, "dog")]
+    before = bm25_search_index(idx, queries, k=4)
+    dst = str(tmp_path / "flat")
+    stats = compact_index(idx, dst)
+    assert stats["files_out"] <= stats["files_in"]
+    after = bm25_search_index(dst, queries, k=4)
+    assert before.values.tolist() == after.values.tolist()
