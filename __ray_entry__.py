@@ -2117,6 +2117,40 @@ def _q_bm25_index_search(sf_dir: str):
     )
 
 
+def _q_bm25_compact_search(sf_dir: str):
+    """Index maintenance path: build the postings index, COMPACT it to
+    one file per shard in a fresh directory (compact_index — the
+    crash-safe meta-last generation swap), and answer the same queries
+    from the compacted generation.  Rows-only (float scores), but the
+    unit + smoke gates pin byte-equality of results across
+    generations."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from logray.functions.indexbase import compact_index
+    from logray.functions.search_text import (bm25_search_index,
+                                              build_text_index)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="logray_bm25_csrc_")
+    dst = idx + "-gen2"
+    try:
+        build_text_index(ds, idx, num_shards=8)
+        compact_index(idx, dst)
+        return bm25_search_index(
+            dst,
+            [(0, "hash join strategy"), (1, "window aggregate"),
+             (2, "vector scan")],
+            k=10,
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 def _q_bm25_index_resumable(sf_dir: str):
     """Same search as bm25_index_search but through the
     manifest-checkpointed resumable builder (one partition per input
@@ -3880,6 +3914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": _q_pivot_events,
         "bm25_search": _q_bm25_search,
         "bm25_index_search": _q_bm25_index_search,
+        "bm25_compact_search": _q_bm25_compact_search,
         "bm25_index_resumable": _q_bm25_index_resumable,
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
