@@ -779,12 +779,21 @@ class _CCShard:
         return len(src)
 
     def build(self) -> int:
-        """Freeze edges, init label(v) = min(v, local out-neighbors)."""
+        """Freeze edges (DEDUPED — relaxation is min-scatter, so parallel
+        edges are pure message traffic, and the distinct count is what
+        the checkpoint meta validates: per-batch dedup upstream makes a
+        raw count depend on block boundaries, which would refuse a
+        legitimate resume under different read parallelism), init
+        label(v) = min(v, local out-neighbors)."""
         src = np.concatenate(self._src_parts) if self._src_parts else np.zeros(0, np.int64)
         dst = np.concatenate(self._dst_parts) if self._dst_parts else np.zeros(0, np.int64)
         self._src_parts, self._dst_parts = [], []
-        order = np.argsort(src, kind="stable")
-        self.src, self.dst = src[order], dst[order]
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        if len(src):
+            first = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+            src, dst = src[first], dst[first]
+        self.src, self.dst = src, dst
         self.verts, starts = np.unique(self.src, return_index=True)
         self.labels = self.verts.copy()
         if len(self.src):
@@ -906,7 +915,7 @@ def connected_components_distributed(pairs, id_a: str = "id_a", id_b: str = "id_
         man, start = _ckpt_open(checkpoint, {
             "algo": "connected_components", "id_a": id_a, "id_b": id_b,
             "num_shards": B,
-        }, max_rounds)
+        }, max_rounds, checkpoint_every)
     shards = [_CCShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
 
     def push(t: pa.Table) -> pa.Table:

@@ -292,24 +292,16 @@ def simhash_sql(table: str, k: int = 4, col: str = "text",
     """
 
 
-def minhash_pairs_sql(table: str, num_perm: int = 64, bands: int = 16,
-                      k: int = 5, threshold: float = 0.7, seed: int = 1,
-                      col: str = "text", id_col: str = "doc_id",
-                      max_bucket: int = 4096) -> str:
-    """DuckDB twin of the :func:`logray.functions.dedup.minhash_lsh_dedup`
-    PAIR SET (distinct ``(id_a, id_b)``, ``id_a < id_b``) — bit-for-bit:
-    shingle hashes in closed form (the :func:`simhash_sql` machinery at
-    ``k=5``), the ``num_perm`` multiply-add permutations as MIN
-    aggregates (hi/lo HUGEINT mulmod), the per-band FNV fold as nested
-    scalar steps, bucket collision via one self-join, and the agreement
-    verify as ``num_perm`` equality terms with the identical
-    ``count/num_perm >= threshold`` float compare.
-
-    The operator's hot-bucket cap (keep the ``max_bucket`` smallest ids)
-    never binds at gate scale; rather than replicate it, the twin fails
-    LOUDLY if it would: any bucket past ``max_bucket`` makes the final
-    SELECT return zero rows (impossible for a non-empty pair set),
-    never a silently-divergent superset."""
+def _minhash_ctes(table: str, num_perm: int, bands: int, k: int,
+                  seed: int, col: str, id_col: str) -> str:
+    """The shared CTE chain behind :func:`minhash_pairs_sql` and
+    :func:`band_rows_sql` (one copy — these twins must never drift):
+    hex byte stream, FNV sentinel recursion for rows shorter than k
+    bytes, closed-form k-byte shingle hashes, the ``num_perm``
+    multiply-add permutations as MIN aggregates (hi/lo HUGEINT mulmod),
+    and the per-band FNV folds.  Ends with the ``bandrows`` CTE
+    (``(id, band_id, bh)``, bh UBIGINT); callers append their own
+    final stages."""
     M = 1 << 64
     H = 1 << 32
     a, b = _perm_params(num_perm, seed)
@@ -342,14 +334,10 @@ def minhash_pairs_sql(table: str, num_perm: int = 64, bands: int = 16,
             expr = (f"(CAST(xor(CAST({expr} AS UBIGINT), s{j})"
                     f" AS HUGEINT) * 1000003) % {M}")
         band_rows.append(
-            f"SELECT {id_col}, {bid} AS band_id, {expr} AS bh FROM sig")
+            f"SELECT {id_col}, {bid} AS band_id,"
+            f" CAST({expr} AS UBIGINT) AS bh FROM sig")
     bandrows = "\n            UNION ALL ".join(band_rows)
-    agree = " + ".join(
-        f"CASE WHEN sa.s{p} = sb.s{p} THEN 1 ELSE 0 END"
-        for p in range(num_perm))
-    return f"""
-        WITH RECURSIVE
-        b AS (SELECT {id_col}, hex(encode({col})) AS hx,
+    return f"""b AS (SELECT {id_col}, hex(encode({col})) AS hx,
                      octet_length(encode({col})) AS len
               FROM {table} WHERE {col} IS NOT NULL),
         r AS (
@@ -377,7 +365,31 @@ def minhash_pairs_sql(table: str, num_perm: int = 64, bands: int = 16,
                FROM sh GROUP BY {id_col}),
         bandrows AS (
             {bandrows}
-        ),
+        )"""
+
+
+def minhash_pairs_sql(table: str, num_perm: int = 64, bands: int = 16,
+                      k: int = 5, threshold: float = 0.7, seed: int = 1,
+                      col: str = "text", id_col: str = "doc_id",
+                      max_bucket: int = 4096) -> str:
+    """DuckDB twin of the :func:`logray.functions.dedup.minhash_lsh_dedup`
+    PAIR SET (distinct ``(id_a, id_b)``, ``id_a < id_b``) — bit-for-bit:
+    the :func:`_minhash_ctes` chain (shingles, permutation MINs, band
+    folds), bucket collision via one self-join, and the agreement
+    verify as ``num_perm`` equality terms with the identical
+    ``count/num_perm >= threshold`` float compare.
+
+    The operator's hot-bucket cap (keep the ``max_bucket`` smallest ids)
+    never binds at gate scale; rather than replicate it, the twin fails
+    LOUDLY if it would: any bucket past ``max_bucket`` makes the final
+    SELECT return zero rows (impossible for a non-empty pair set),
+    never a silently-divergent superset."""
+    agree = " + ".join(
+        f"CASE WHEN sa.s{p} = sb.s{p} THEN 1 ELSE 0 END"
+        for p in range(num_perm))
+    return f"""
+        WITH RECURSIVE
+        {_minhash_ctes(table, num_perm, bands, k, seed, col, id_col)},
         hot AS (SELECT COUNT(*) AS n FROM (
                 SELECT band_id, bh FROM bandrows
                 GROUP BY band_id, bh HAVING COUNT(*) > {max_bucket})),
@@ -400,72 +412,11 @@ def band_rows_sql(table: str, num_perm: int = 64, bands: int = 16,
     """``(id, band_id, bh)`` LSH band rows as SQL — the shared prefix of
     :func:`minhash_pairs_sql` exposed standalone so incremental-index
     oracles (collide-new-against-old) can compose two instances over
-    different row subsets.  Same closed-form shingle hashes, permutation
-    MINs and per-band FNV folds; band hashes come out as UBIGINT."""
-    M = 1 << 64
-    H = 1 << 32
-    a, b = _perm_params(num_perm, seed)
-    r = num_perm // bands
-
-    def byte_at(p: str) -> str:
-        return (f"(16 * (strpos('0123456789ABCDEF',"
-                f" substring(hx, 2*({p}) + 1, 1)) - 1)"
-                f" + (strpos('0123456789ABCDEF',"
-                f" substring(hx, 2*({p}) + 2, 1)) - 1))")
-
-    terms = " + ".join(
-        f"CAST({byte_at(f'i + {j}')} AS HUGEINT)"
-        f" * {pow(1000003, k - 1 - j, M)}" for j in range(k))
-    fnv_byte = (
-        "(16 * (strpos('0123456789ABCDEF',"
-        " substring(b.hx, 2*r.i + 1, 1)) - 1)"
-        " + (strpos('0123456789ABCDEF',"
-        " substring(b.hx, 2*r.i + 2, 1)) - 1))")
-    sig_cols = ",\n               ".join(
-        f"CAST(MIN((((h // {H}) * {int(a[p])} % {H}) * {H}"
-        f" + (h % {H}) * {int(a[p])} + {int(b[p])}) % {M}) AS UBIGINT)"
-        f" AS s{p}" for p in range(num_perm))
-    band_rows = []
-    for bid in range(bands):
-        expr = str(int(_OFFSET))
-        for j in range(bid * r, (bid + 1) * r):
-            expr = (f"(CAST(xor(CAST({expr} AS UBIGINT), s{j})"
-                    f" AS HUGEINT) * 1000003) % {M}")
-        band_rows.append(
-            f"SELECT {id_col}, {bid} AS band_id,"
-            f" CAST({expr} AS UBIGINT) AS bh FROM sig")
-    bandrows = "\n            UNION ALL ".join(band_rows)
+    different row subsets.  Same :func:`_minhash_ctes` chain; band
+    hashes come out as UBIGINT."""
     return f"""
         WITH RECURSIVE
-        b AS (SELECT {id_col}, hex(encode({col})) AS hx,
-                     octet_length(encode({col})) AS len
-              FROM {table} WHERE {col} IS NOT NULL),
-        r AS (
-            SELECT {id_col}, 0 AS i, CAST({_OFFSET} AS HUGEINT) AS h
-            FROM b WHERE len < {k}
-            UNION ALL
-            SELECT r.{id_col}, r.i + 1,
-                   (CAST(xor(CAST(r.h AS UBIGINT),
-                             CAST({fnv_byte} AS UBIGINT)) AS HUGEINT)
-                    * {_PRIME}) % {M}
-            FROM r JOIN b USING({id_col}) WHERE r.i < b.len
-        ),
-        sent AS (SELECT b.{id_col}, r.h FROM b JOIN r USING({id_col})
-                 WHERE b.len < {k} AND r.i = b.len),
-        pos AS (SELECT {id_col}, hx,
-                       unnest(generate_series(0, len - {k})) AS i
-                FROM b WHERE len >= {k}),
-        sh AS (
-            SELECT {id_col}, ({terms}) % {M} AS h FROM pos
-            UNION ALL
-            SELECT {id_col}, h FROM sent
-        ),
-        sig AS (SELECT {id_col},
-               {sig_cols}
-               FROM sh GROUP BY {id_col}),
-        bandrows AS (
-            {bandrows}
-        )
+        {_minhash_ctes(table, num_perm, bands, k, seed, col, id_col)}
         SELECT {id_col}, band_id, bh FROM bandrows
     """
 

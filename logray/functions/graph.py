@@ -44,10 +44,14 @@ __all__ = [
     "triangle_count",
     "anchor_text_table",
     "hits",
+    "hits_fixedpoint",
+    "hits_fixedpoint_sql",
     "clustering_coefficients",
     "kcore_members",
+    "kcore_members_sql",
     "sample_neighbors",
     "triangle_count_approx",
+    "triangle_count_approx_sql",
     "khop_edges",
 ]
 
@@ -371,14 +375,21 @@ def _load_shard_state(path: str, verts: np.ndarray) -> pa.Table:
     return t
 
 
-def _ckpt_open(ckpt_dir: str, plan: dict, n_iter: int):
+def _ckpt_open(ckpt_dir: str, plan: dict, n_iter: int,
+               checkpoint_every: int = 1):
     """Open (or create) an iterative-job checkpoint dir: refuse if the
     recorded plan differs (same contract as the dedup chains), return
     ``(manifest, start_iter)`` where start_iter is the newest committed
     iteration <= n_iter.  ``n_iter`` itself is deliberately NOT part of
     the plan hash — rank-at-iteration-i is well-defined independent of
     how far the run intends to go, so a resumed run may extend or
-    shorten the iteration count."""
+    shorten the iteration count.  ``checkpoint_every`` is validated
+    HERE, before the expensive edge push, for every caller: 0 would
+    ZeroDivisionError at the first commit check, a negative value would
+    silently never snapshot."""
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}")
     from logray.state.manifest import RunManifest, check_run_config
 
     check_run_config(ckpt_dir, plan)
@@ -486,7 +497,7 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
             "node_col": node_col, "damping": damping,
             "num_shards": B, "weight_col": weight_col,
             "personalization": _plan_personalization(personalization),
-        }, n_iter)
+        }, n_iter, checkpoint_every)
     shards = [_PRShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
 
     def push(t: pa.Table) -> pa.Table:
@@ -785,6 +796,15 @@ def pagerank_fixedpoint(edges, src: str = "src", dst: str = "dst",
     """
     if not (0 < damping_num < damping_den):
         raise ValueError("pagerank_fixedpoint: need 0 < num < den")
+    if damping_den * PR_SCALE >= (1 << 63):
+        # apply() computes (den-num)*p and num*(...) with p up to
+        # PR_SCALE in int64 — a large denominator wraps silently on the
+        # numpy side while the HUGEINT twin stays correct, breaking the
+        # bit-exact contract; 85/100-style rationals are the use case
+        raise ValueError(
+            "pagerank_fixedpoint: damping_den too large — need "
+            f"den * {PR_SCALE} < 2^63 (den <= "
+            f"{((1 << 63) - 1) // PR_SCALE}); reduce the fraction")
     B = num_shards
     man = None
     start = 0
@@ -796,7 +816,7 @@ def pagerank_fixedpoint(edges, src: str = "src", dst: str = "dst",
             "damping_den": damping_den, "num_shards": B,
             "weight_col": weight_col,
             "personalization": _plan_personalization(personalization),
-        }, n_iter)
+        }, n_iter, checkpoint_every)
     shards = [_PRIntShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
 
     def push(t: pa.Table) -> pa.Table:
@@ -1425,7 +1445,7 @@ def hits(edges, src: str = "src", dst: str = "dst",
         man, start = _ckpt_open(checkpoint, {
             "algo": "hits", "src": src, "dst": dst,
             "node_col": node_col, "num_shards": B,
-        }, n_iter)
+        }, n_iter, checkpoint_every)
     shards = [_HitsShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
 
     def push(t: pa.Table) -> pa.Table:
@@ -1664,7 +1684,7 @@ def hits_fixedpoint(edges, src: str = "src", dst: str = "dst",
         man, start = _ckpt_open(checkpoint, {
             "algo": "hits_fixedpoint", "src": src, "dst": dst,
             "node_col": node_col, "num_shards": B,
-        }, n_iter)
+        }, n_iter, checkpoint_every)
     shards = [_HitsIntShard.remote(i, B) for i in range(B)]  # type: ignore[attr-defined]
 
     def push(t: pa.Table) -> pa.Table:

@@ -209,7 +209,14 @@ def write_warc(ds, path: str, url_col: str = "url", ts_col: str = "ts",
     crawl scale.
 
     Record ids are deterministic ``urn:logray:<part>:<idx>`` (a pure
-    function of position, so a re-run writes identical bytes)."""
+    function of block content and position, so a re-run produces
+    identical bytes per part file).  Rerun contract: write into a FRESH
+    (or cleaned) directory — byte-identical blocks claim atomic
+    occurrence slots (``-1``, ``-2``, ...) rather than overwriting each
+    other, so a rerun into a non-empty directory APPENDS duplicate
+    slots for the blocks both attempts wrote (the slot mechanism exists
+    so two DISTINCT input blocks with identical content are both kept;
+    see the serializer comment below)."""
     import os
 
     os.makedirs(path, exist_ok=True)

@@ -297,9 +297,22 @@ def run_resumable(
             stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
             sys.modules["fsspec.implementations.http"] = stub
     one(*pending[0])
+    from concurrent.futures import FIRST_EXCEPTION, wait
+
     with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
         futures = [pool.submit(one, pid, files) for pid, files in pending[1:]]
-        errs = [f.exception() for f in futures]
+        # fail FAST: a systematic error (bad column, unreadable input)
+        # fails every partition — cancel the not-yet-started backlog at
+        # the first failure instead of burning through it; in-flight
+        # partitions finish (their committed outputs stay valid for the
+        # resume), matching the sequential path's first-error semantics
+        done, not_done = wait(futures, return_when=FIRST_EXCEPTION)
+        first_err = next((f.exception() for f in done
+                          if f.exception() is not None), None)
+        if first_err is not None:
+            for f in not_done:
+                f.cancel()
+        errs = [f.exception() for f in futures if not f.cancelled()]
     for e in errs:
         if e is not None:
             raise e

@@ -1124,3 +1124,46 @@ def test_cc_checkpoint_crash_resume_bit_equal(ray_session, tmp_path):
     with pytest.raises(ValueError, match="different parameters"):
         connected_components_graph(_edges_ds(src, dst), num_shards=4,
                                    checkpoint=ck)
+
+
+def test_cc_checkpoint_resumes_across_partitioning(ray_session, tmp_path):
+    """The checkpoint's edge-count meta must be a pure function of the
+    edge SET (build-time dedup), not of block boundaries — a resume
+    under different read parallelism is legitimate and must not be
+    refused as 'edge input changed'."""
+    import ray.data as rd
+
+    from logray.functions.graph import connected_components_graph
+
+    src, dst = _rand_graph(71, 80, 300)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ck = str(tmp_path / "cc_xpart")
+    ds3 = rd.from_arrow([t.slice(0, 100), t.slice(100, 100), t.slice(200)])
+    with pytest.raises(_Boom):
+        connected_components_graph(ds3, num_shards=3, checkpoint=ck,
+                                   _fault=_crash_at(1))
+    got = connected_components_graph(  # resume from ONE block
+        rd.from_arrow(t), num_shards=3, checkpoint=ck).to_pandas()
+    base = connected_components_graph(ds3, num_shards=3).to_pandas()
+    g = got.sort_values("node").reset_index(drop=True)
+    b = base.sort_values("node").reset_index(drop=True)
+    assert (g["component"].to_numpy() == b["component"].to_numpy()).all()
+
+
+def test_graph_checkpoint_every_validated(ray_session, tmp_path):
+    from logray.functions.graph import pagerank
+
+    src, dst = _rand_graph(72, 10, 30)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(_edges_ds(src, dst), checkpoint=str(tmp_path / "x"),
+                 checkpoint_every=0)
+
+
+def test_pagerank_fixedpoint_damping_den_guard(ray_session):
+    from logray.functions.graph import pagerank_fixedpoint
+
+    src, dst = _rand_graph(73, 10, 30)
+    with pytest.raises(ValueError, match="damping_den too large"):
+        pagerank_fixedpoint(_edges_ds(src, dst),
+                            damping_num=85_000_000,
+                            damping_den=100_000_000)
