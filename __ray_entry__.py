@@ -2108,13 +2108,18 @@ def _q_bm25_index_search(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     idx = tempfile.mkdtemp(prefix="logray_bm25_idx_")
-    build_text_index(ds, idx, num_shards=8)
-    return bm25_search_index(
-        idx,
-        [(0, "hash join strategy"), (1, "window aggregate"),
-         (2, "vector scan")],
-        k=10,
-    )
+    try:
+        build_text_index(ds, idx, num_shards=8)
+        return bm25_search_index(
+            idx,
+            [(0, "hash join strategy"), (1, "window aggregate"),
+             (2, "vector scan")],
+            k=10,
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 def _q_bm25_compact_search(sf_dir: str):
