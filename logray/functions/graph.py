@@ -796,15 +796,16 @@ def pagerank_fixedpoint(edges, src: str = "src", dst: str = "dst",
     """
     if not (0 < damping_num < damping_den):
         raise ValueError("pagerank_fixedpoint: need 0 < num < den")
-    if damping_den * PR_SCALE >= (1 << 63):
-        # apply() computes (den-num)*p and num*(...) with p up to
-        # PR_SCALE in int64 — a large denominator wraps silently on the
-        # numpy side while the HUGEINT twin stays correct, breaking the
-        # bit-exact contract; 85/100-style rationals are the use case
+    if damping_den * 2 * PR_SCALE >= (1 << 63):
+        # apply() computes (den-num)*p (p <= PR_SCALE) and
+        # num*(dang_p + recv) (the sum <= 2*PR_SCALE) in int64 — a
+        # large denominator wraps silently on the numpy side while the
+        # HUGEINT twin stays correct, breaking the bit-exact contract;
+        # 85/100-style rationals are the use case
         raise ValueError(
             "pagerank_fixedpoint: damping_den too large — need "
-            f"den * {PR_SCALE} < 2^63 (den <= "
-            f"{((1 << 63) - 1) // PR_SCALE}); reduce the fraction")
+            f"den * {2 * PR_SCALE} < 2^63 (den <= "
+            f"{((1 << 63) - 1) // (2 * PR_SCALE)}); reduce the fraction")
     B = num_shards
     man = None
     start = 0
