@@ -356,3 +356,47 @@ def test_csv_transcripts_round_trip(ray_session, tmp_path):
     rd.from_pandas(pd.DataFrame({"conv_id": ["a"]})).write_csv(bad)
     with pytest.raises(Exception):
         read_transcripts_csv(bad).to_pandas()
+
+
+def test_resumable_concurrent_fails_fast(ray_session, tmp_path):
+    """max_concurrent > 1 with a systematic failure cancels the
+    not-yet-started backlog at the first error instead of executing
+    every doomed partition; a fixed rerun completes from where the
+    committed partitions left off."""
+    import json as _json
+    import time as _time
+
+    src = tmp_path / "input"
+    src.mkdir()
+    n = 20
+    for i in range(n):  # many tiny partitions
+        (src / f"p-{i:05d}.parquet").write_bytes(b"")
+    parts = [(f"p{i:05d}", [str(src / f"p-{i:05d}.parquet")])
+             for i in range(n)]
+    ran = []
+
+    def bad(files, out, part_id=None):
+        ran.append(part_id)
+        _time.sleep(0.05)
+        raise RuntimeError("systematic")
+
+    out = tmp_path / "out"
+    with pytest.raises(RuntimeError, match="systematic"):
+        run_resumable(str(src), str(out), bad, partitions=parts,
+                      max_concurrent=2)
+    # fail-fast: far fewer than all 20 partitions executed (first runs
+    # synchronously, then at most a few in-flight before cancellation)
+    assert len(ran) < n // 2, ran
+
+    good_ran = []
+
+    def good(files, out, part_id=None):
+        good_ran.append(part_id)
+        with open(f"{out}/ok.json", "w") as f:
+            _json.dump({"pid": part_id}, f)
+        return {"rows": 1}
+
+    metrics = run_resumable(str(src), str(out), good, partitions=parts,
+                            max_concurrent=4)
+    assert metrics["partitions"] == n
+    assert len(good_ran) == n  # nothing was committed by the bad run
